@@ -1,0 +1,115 @@
+"""Round-granular checkpoint manifests + lineage (SURVEY.md §4.2).
+
+Replaces the reference's whole-file JSON job store rewritten per URL
+(``backend/api/models.py:183-255`` — crash *visibility*, no resume) with the
+batch-pipeline resume contract: after round r completes, one manifest is
+committed atomically (write temp + ``os.replace``) recording
+
+- the next round's frontier partition files,
+- per-shard URL-seen snapshots,
+- the round's corpus/metrics partition files with lineage
+  (which frontier round produced them + the config hash),
+- the monotone ``next_seq`` counter.
+
+Resume = load the newest complete manifest, restore shard snapshots, and
+continue from its round. All partition files are named deterministically
+(``part-{round:04d}-{part:05d}.parquet``) and written with rows sorted on a
+logical key, so a resumed run re-produces byte-identical outputs
+(SURVEY.md §7 hard part (d)). Output layout note: Lance is the intended
+production doc-table format (north rule); the sandbox lacks the ``lance``
+package, so sinks emit Parquet in the same layout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from hashlib import blake2b
+from pathlib import Path
+
+
+def part_name(round_idx: int, part_id: int) -> str:
+    return f"part-{round_idx:04d}-{part_id:05d}.parquet"
+
+
+def atomic_write_json(path: Path, obj: dict) -> None:
+    tmp = path.with_suffix(".tmp")
+    tmp.write_text(json.dumps(obj, indent=1, sort_keys=True))
+    os.replace(tmp, path)
+
+
+def atomic_write_bytes(path: Path, blob: bytes) -> None:
+    tmp = path.with_suffix(".tmp")
+    tmp.write_bytes(blob)
+    os.replace(tmp, path)
+
+
+def config_hash(cfg: dict) -> str:
+    return blake2b(
+        json.dumps(cfg, sort_keys=True).encode(), digest_size=8
+    ).hexdigest()
+
+
+class CheckpointStore:
+    def __init__(self, out_dir: str | os.PathLike):
+        self.root = Path(out_dir)
+        for sub in ("corpus", "frontier", "seen", "metrics", "manifests"):
+            (self.root / sub).mkdir(parents=True, exist_ok=True)
+
+    # -- paths -----------------------------------------------------------
+    def corpus_dir(self, round_idx: int) -> Path:
+        p = self.root / "corpus" / f"round-{round_idx:04d}"
+        p.mkdir(parents=True, exist_ok=True)
+        return p
+
+    def frontier_dir(self, round_idx: int) -> Path:
+        p = self.root / "frontier" / f"round-{round_idx:04d}"
+        p.mkdir(parents=True, exist_ok=True)
+        return p
+
+    def metrics_dir(self, round_idx: int) -> Path:
+        p = self.root / "metrics" / f"round-{round_idx:04d}"
+        p.mkdir(parents=True, exist_ok=True)
+        return p
+
+    def seen_dir(self, round_idx: int) -> Path:
+        p = self.root / "seen" / f"round-{round_idx:04d}"
+        p.mkdir(parents=True, exist_ok=True)
+        return p
+
+    def manifest_path(self, round_idx: int) -> Path:
+        return self.root / "manifests" / f"manifest-{round_idx:04d}.json"
+
+    # -- manifests -------------------------------------------------------
+    def commit_round(
+        self,
+        round_idx: int,
+        *,
+        next_seq: int,
+        frontier_files: list[str],
+        seen_files: list[str],
+        corpus_files: list[str],
+        metric_files: list[str],
+        totals: dict,
+        cfg_hash: str,
+    ) -> None:
+        manifest = {
+            "round": round_idx,
+            "next_seq": next_seq,
+            "config_hash": cfg_hash,
+            "frontier_files": sorted(frontier_files),
+            "seen_files": sorted(seen_files),
+            "lineage": {
+                "corpus_files": sorted(corpus_files),
+                "metric_files": sorted(metric_files),
+                "input_frontier_round": round_idx,
+            },
+            "totals": totals,
+        }
+        atomic_write_json(self.manifest_path(round_idx), manifest)
+
+    def latest_manifest(self) -> dict | None:
+        files = sorted((self.root / "manifests").glob("manifest-*.json"))
+        if not files:
+            return None
+        return json.loads(files[-1].read_text())

@@ -1,0 +1,373 @@
+"""CrawlEngine — the round-based Ray Data crawl driver (SURVEY.md §3.4).
+
+Each round is one streaming Ray Data pipeline:
+
+    frontier_r (parquet checkpoint)
+      -> phase-A politeness mark (vectorized map_batches)           [no shuffle]
+      -> phase-B exact per-host top-budget (groupby(host) over the
+         phase-A-bounded survivor set)                              [shuffle #1: bounded]
+      -> SynthFetcher actor pool (robots + token buckets + retries) [actor pool]
+      -> parse_batch (payload -> interleaved spans, zero-copy out)  [stateless tasks]
+      -> groupby(part_id): write corpus+metrics partition files,
+         emit outlink candidates                                    [shuffle #2: round docs]
+      -> URL-seen shard contains() filter (anti-join vs prior rounds)
+      -> exact within-round dedup (sort + adjacent-drop)            [shuffle #3: new URLs]
+      -> sort(cand_key) + dense seq assignment (zip_with_index)
+      -> union(deferred) -> frontier_{r+1} partition files
+      -> manifest commit (atomic)
+
+Shuffle inventory and keys are the design (SURVEY.md §7): corpus write is
+hash(url)-partitioned; the politeness groupby is host-keyed but phase A
+bounds every host group to <= budget x n_blocks rows, which is the
+hot-host salting strategy; dedup/seq shuffles touch only the round's NEW
+URLs, never the corpus. Raw HTML payloads are dropped at parse and never
+enter a shuffle.
+
+Determinism contract (verified against ``crawlray.oracle.simulate_crawl``):
+fetch set + logical order ``(round, priority, seq)`` + URL-seen set are
+exactly the sequential oracle's; all output files are byte-identical across
+re-runs and resumes.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from .canon import host_of
+from .checkpoint import CheckpointStore, atomic_write_bytes, config_hash, part_name
+from .stages.fetch import SynthFetcher
+from .stages.frontier import mark_candidates, select_per_host
+from .stages.parse import explode_outlinks, parse_batch
+from .state.seen import SeenClient
+from .synth import World, WorldConfig, h64
+from .util import hash64, unique_keep_first, zip_with_index
+
+FRONTIER_COLS = ["url", "host", "priority", "depth", "seq"]
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    world: WorldConfig = WorldConfig()
+    n_seeds: int = 32
+    max_rounds: int = 3
+    budget: int | None = None          # per-host per-round; None -> world default
+    n_parts: int = 16                  # corpus partitions per round
+    n_frontier_parts: int = 8
+    n_seen_shards: int = 8
+    seen_mode: str = "exact"           # exact (tests) | cuckoo (scale)
+    seen_capacity: int = 1 << 20       # per shard, cuckoo mode
+    fetch_batch_size: int = 256
+    fetch_concurrency: tuple[int, int] = (2, 8)
+    rate_per_host: float | None = None # wall-clock token bucket (None = off)
+
+    @property
+    def round_budget(self) -> int:
+        return self.budget if self.budget is not None else self.world.politeness_budget
+
+
+class _DocWriter:
+    """Per-corpus-partition sink: writes the round's docs + metrics files
+    deterministically, returns the partition's outlink candidates."""
+
+    def __init__(self, corpus_dir: str, metrics_dir: str, round_idx: int):
+        self.corpus_dir = corpus_dir
+        self.metrics_dir = metrics_dir
+        self.round_idx = round_idx
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        part_id = int(group["part_id"][0].as_py())
+        docs = group.take(pc.sort_indices(group, sort_keys=[("seq", "ascending")]))
+        fname = part_name(self.round_idx, part_id)
+        pq.write_table(docs, Path(self.corpus_dir) / fname)
+        status = docs["status"].to_pylist()
+        metric = pa.table(
+            {
+                "round": pa.array([self.round_idx], pa.int32()),
+                "part_id": pa.array([part_id], pa.int32()),
+                "urls_in": pa.array([docs.num_rows], pa.int64()),
+                "fetched_ok": pa.array([status.count("ok")], pa.int64()),
+                "failed": pa.array(
+                    [sum(s not in ("ok", "robots_denied") for s in status)], pa.int64()
+                ),
+                "robots_denied": pa.array([status.count("robots_denied")], pa.int64()),
+                "retries": pa.array(
+                    [int(pc.sum(pc.max_element_wise(pc.subtract(docs["attempts"], 1), 0)).as_py() or 0)],
+                    pa.int64(),
+                ),
+                "spans": pa.array([int(pc.sum(docs["n_spans"]).as_py() or 0)], pa.int64()),
+                "links": pa.array([int(pc.sum(docs["n_links"]).as_py() or 0)], pa.int64()),
+                "new_urls": pa.array([0], pa.int64()),
+                "bytes": pa.array([(Path(self.corpus_dir) / fname).stat().st_size], pa.int64()),
+            }
+        )
+        pq.write_table(metric, Path(self.metrics_dir) / fname)
+        return explode_outlinks(docs, 0)
+
+
+class _SeenFilter:
+    """map_batches anti-join against the URL-seen shards (prior rounds)."""
+
+    def __init__(self, client: SeenClient):
+        self.client = client
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        urls = batch["url"].to_pylist()
+        hashes = hash64(batch["url"])
+        seen = self.client.contains(urls, hashes)
+        return batch.filter(pa.array(~seen))
+
+
+class _FrontierWriter:
+    def __init__(self, frontier_dir: str, round_idx: int):
+        self.frontier_dir = frontier_dir
+        self.round_idx = round_idx
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        fp = int(group["fpart"][0].as_py())
+        t = group.select(FRONTIER_COLS)
+        t = t.take(pc.sort_indices(t, sort_keys=[("priority", "ascending"), ("seq", "ascending")]))
+        path = Path(self.frontier_dir) / part_name(self.round_idx, fp)
+        pq.write_table(t, path)
+        return pa.table({"fpart": pa.array([fp], pa.int32()),
+                         "rows": pa.array([t.num_rows], pa.int64())})
+
+
+@ray.remote
+def _add_seen_block(client: SeenClient, t: pa.Table) -> int:
+    urls = t["url"].to_pylist()
+    if not urls:
+        return 0
+    return client.add(urls, hash64(t["url"]))
+
+
+class CrawlEngine:
+    def __init__(self, cfg: EngineConfig, out_dir: str):
+        self.cfg = cfg
+        self.store = CheckpointStore(out_dir)
+        self.world = World(cfg.world)
+        self.cfg_hash = config_hash(
+            {"world": asdict(cfg.world), "n_seeds": cfg.n_seeds,
+             "budget": cfg.round_budget, "n_parts": cfg.n_parts,
+             "n_frontier_parts": cfg.n_frontier_parts}
+        )
+        self.seen = SeenClient.create(
+            cfg.n_seen_shards, mode=cfg.seen_mode, capacity_per_shard=cfg.seen_capacity
+        )
+
+    # -- helpers ---------------------------------------------------------
+    def _rel(self, paths: list[str]) -> list[str]:
+        root = self.store.root
+        return [str(Path(p).relative_to(root)) for p in paths]
+
+    def _abs(self, paths: list[str]) -> list[str]:
+        root = self.store.root
+        return [str(root / p) for p in paths]
+
+    def _filter(self, ds: rd.Dataset, expr) -> rd.Dataset:
+        return ds.map_batches(
+            lambda t: t.filter(expr(t)), batch_format="pyarrow"
+        )
+
+    def _write_frontier(self, ds: rd.Dataset, round_idx: int) -> list[str]:
+        """Deterministic frontier partition files for ``round_idx``."""
+        fdir = self.store.frontier_dir(round_idx)
+        k = self.cfg.n_frontier_parts
+
+        def add_fpart(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t.append_column("fpart", pa.array([], pa.int32()))
+            fp = (hash64(t["url"]) % np.uint64(k)).astype(np.int32)
+            return t.append_column("fpart", pa.array(fp))
+
+        writer = _FrontierWriter(str(fdir), round_idx)
+        out = (
+            ds.map_batches(add_fpart, batch_format="pyarrow")
+            .groupby("fpart")
+            .map_groups(lambda g: writer(g), batch_format="pyarrow")
+        )
+        out.count()  # drive the writes
+        return sorted(str(p) for p in fdir.glob("*.parquet"))
+
+    def _snapshot_seen(self, round_idx: int) -> list[str]:
+        sdir = self.store.seen_dir(round_idx)
+        files = []
+        for i, blob in enumerate(self.seen.snapshot_all()):
+            p = sdir / f"shard-{i:03d}.bin"
+            atomic_write_bytes(p, blob)
+            files.append(str(p))
+        return files
+
+    # -- lifecycle -------------------------------------------------------
+    def _bootstrap(self) -> dict:
+        seeds = self.world.seed_table(self.cfg.n_seeds)
+        ray.get(_add_seen_block.remote(self.seen, seeds))
+        frontier_files = self._write_frontier(rd.from_arrow(seeds), 0)
+        seen_files = self._snapshot_seen(0)
+        manifest = {
+            "next_round": 0,
+            "next_seq": seeds.num_rows,
+            "config_hash": self.cfg_hash,
+            "frontier_files": self._rel(frontier_files),
+            "seen_files": self._rel(seen_files),
+            "lineage": {"corpus_files": [], "metric_files": [],
+                        "input_frontier_round": -1},
+            "totals": {"seeds": seeds.num_rows},
+        }
+        from .checkpoint import atomic_write_json
+
+        atomic_write_json(self.store.manifest_path(0), manifest)
+        return manifest
+
+    def run(self, resume: bool = True) -> dict:
+        manifest = self.store.latest_manifest() if resume else None
+        if manifest is not None and manifest.get("config_hash") != self.cfg_hash:
+            raise ValueError("checkpoint was produced by a different config")
+        if manifest is None:
+            manifest = self._bootstrap()
+        else:
+            blobs = [Path(p).read_bytes() for p in self._abs(manifest["seen_files"])]
+            self.seen.restore_all(blobs)
+
+        summary = {"rounds": 0, "fetched": 0, "new_urls": 0}
+        r = manifest["next_round"]
+        while r < self.cfg.max_rounds and manifest["frontier_files"]:
+            manifest = self._run_round(r, manifest)
+            summary["rounds"] += 1
+            summary["fetched"] += manifest["totals"]["urls_in"]
+            summary["new_urls"] += manifest["totals"]["new_urls"]
+            r += 1
+        summary["seen_total"] = self.seen.total()
+        summary["next_seq"] = manifest["next_seq"]
+        summary["last_round"] = r - 1
+        return summary
+
+    # -- one round -------------------------------------------------------
+    def _run_round(self, r: int, manifest: dict) -> dict:
+        cfg = self.cfg
+        budget = cfg.round_budget
+        next_seq = manifest["next_seq"]
+
+        frontier = rd.read_parquet(
+            self._abs(manifest["frontier_files"]), columns=FRONTIER_COLS
+        )
+        marked = frontier.map_batches(
+            lambda df: mark_candidates(df, budget), batch_format="pandas"
+        ).materialize()
+        survivors = self._filter(marked, lambda t: t["cand"])
+        selected = (
+            survivors.groupby("host")
+            .map_groups(lambda df: select_per_host(df, budget), batch_format="pandas")
+            .materialize()
+        )
+
+        world_cfg = cfg.world
+        n_parts = cfg.n_parts
+
+        def prep_fetch(t: pa.Table) -> pa.Table:
+            t = t.select(FRONTIER_COLS)
+            part = (hash64(t["url"]) % np.uint64(n_parts)).astype(np.int32)
+            return t.append_column("round", pa.array(np.full(t.num_rows, r, np.int32))) \
+                    .append_column("part_id", pa.array(part))
+
+        fetchset = self._filter(selected, lambda t: t["sel"]).map_batches(
+            prep_fetch, batch_format="pyarrow"
+        )
+
+        fetched = fetchset.map_batches(
+            SynthFetcher,
+            fn_constructor_args=(world_cfg, cfg.rate_per_host),
+            batch_format="pyarrow",
+            batch_size=cfg.fetch_batch_size,
+            concurrency=cfg.fetch_concurrency,
+            num_cpus=1,
+        )
+        docs = fetched.map_batches(parse_batch, batch_format="pyarrow")
+
+        cdir, mdir = self.store.corpus_dir(r), self.store.metrics_dir(r)
+        doc_writer = _DocWriter(str(cdir), str(mdir), r)
+        candidates = docs.groupby("part_id").map_groups(
+            lambda g: doc_writer(g), batch_format="pyarrow"
+        )
+
+        unseen = candidates.map_batches(
+            _SeenFilter(self.seen), batch_format="pyarrow"
+        )
+        uniq = unique_keep_first(unseen, "url", "cand_key")
+        ordered = uniq.sort("cand_key")
+        indexed, n_new = zip_with_index(ordered, "rank")
+
+        seed = world_cfg.seed
+
+        def finalize_new(t: pa.Table) -> pa.Table:
+            urls = t["url"].to_pylist()
+            return pa.table(
+                {
+                    "url": t["url"],
+                    "host": pa.array([host_of(u) for u in urls], pa.string()),
+                    "priority": pa.array(
+                        [h64(seed, "prio", u) % 4 for u in urls], pa.int32()
+                    ),
+                    "depth": t["depth"],
+                    "seq": pc.add(t["rank"], pa.scalar(next_seq, pa.int64())),
+                }
+            )
+
+        new_ds = indexed.map_batches(finalize_new, batch_format="pyarrow").materialize()
+        # insert the round's winners into the membership shards (exactly once)
+        ray.get([_add_seen_block.remote(self.seen, ref)
+                 for ref in new_ds.to_arrow_refs()])
+
+        deferred = self._filter(marked, lambda t: pc.invert(t["cand"])).select_columns(
+            FRONTIER_COLS
+        ).union(
+            self._filter(selected, lambda t: pc.invert(t["sel"])).select_columns(
+                FRONTIER_COLS
+            )
+        )
+        next_frontier = deferred.union(new_ds)
+        frontier_files = (
+            self._write_frontier(next_frontier, r + 1)
+            if next_frontier.count() > 0
+            else []
+        )
+
+        seen_files = self._snapshot_seen(r + 1)
+        metric_files = sorted(str(p) for p in self.store.metrics_dir(r).glob("*.parquet"))
+        corpus_files = sorted(str(p) for p in self.store.corpus_dir(r).glob("*.parquet"))
+        totals = {"urls_in": 0, "fetched_ok": 0, "failed": 0,
+                  "robots_denied": 0, "spans": 0, "links": 0}
+        if metric_files:
+            mt = pq.read_table(metric_files)
+            for k in totals:
+                totals[k] = int(pc.sum(mt[k]).as_py() or 0)
+        totals["new_urls"] = n_new
+
+        new_manifest = {
+            "next_round": r + 1,
+            "next_seq": next_seq + n_new,
+            "config_hash": self.cfg_hash,
+            "frontier_files": self._rel(frontier_files),
+            "seen_files": self._rel(seen_files),
+            "lineage": {
+                "corpus_files": self._rel(corpus_files),
+                "metric_files": self._rel(metric_files),
+                "input_frontier_round": r,
+                "input_frontier_files": manifest["frontier_files"],
+            },
+            "totals": totals,
+        }
+        from .checkpoint import atomic_write_json
+
+        atomic_write_json(self.store.manifest_path(r + 1), new_manifest)
+        return new_manifest

@@ -1,0 +1,183 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+- ``brute_force_topk``: exact cosine top-k. The query matrix is broadcast
+  once (``ray.put``), each ``map_batches`` task computes a (batch x query)
+  float64 matmul and emits only its LOCAL top-k rows per query (partial
+  top-k combiner), so the final per-query reduce sees ``k x n_blocks`` rows
+  instead of the full corpus — the scalable pattern for 100 TB.
+- ``ivf_topk``: IVF-style scale path: deterministic k-means-lite centroids
+  (numpy, trained on a driver-side sample), every vector assigned to its
+  nearest centroid in a vectorized stage, queries probe only the
+  ``n_probe`` nearest centroid buckets.
+
+float64 throughout so results are reproducible against the DuckDB oracle
+(``list_cosine_similarity`` computes in double).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    lst = batch[col]
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    flat = lst.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(lst)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class _PartialTopK:
+    """Per-batch cosine + local top-k against the broadcast query matrix."""
+
+    def __init__(self, queries_ref, k: int):
+        q = ray.get(queries_ref)
+        self.q_ids = q["ids"]
+        self.qm = _normalize(q["matrix"])     # (Q, d), broadcast once per actor
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(batch))        # (B, d)
+        sims = m @ self.qm.T                  # (B, Q)
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        k = min(self.k, sims.shape[0])
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(self.q_ids):
+            col = sims[:, qi]
+            # local top-k with deterministic (sim desc, vec_id asc) tie-break
+            idx = np.lexsort((vec_ids, -col))[:k]
+            out_q.append(np.full(len(idx), qid, dtype=np.int64))
+            out_v.append(vec_ids[idx].astype(np.int64))
+            out_s.append(col[idx])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "sim": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+
+def _final_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    g = df.sort_values(["sim", "vec_id"], ascending=[False, True], kind="stable").head(k)
+    g = g.copy()
+    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    return g
+
+
+def brute_force_topk(
+    embeddings: rd.Dataset, query_ids: list[int], k: int = 5
+) -> pd.DataFrame:
+    """Exact cosine top-k of each query vector against the whole table.
+    Returns (query_id, vec_id, rank) — deterministic tie-break on vec_id."""
+    q = embeddings.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t["vec_id"], value_set=pa.array(query_ids))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    q = q.sort_values("vec_id")
+    qref = ray.put(
+        {
+            "ids": q["vec_id"].to_numpy().astype(np.int64),
+            "matrix": np.stack(q["embedding"].to_numpy()).astype(np.float64),
+        }
+    )
+    partial = embeddings.map_batches(
+        _PartialTopK,
+        fn_constructor_args=(qref, k),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=4,
+    )
+    final = (
+        partial.groupby("query_id")
+        .map_groups(lambda df: _final_topk(df, k), batch_format="pandas")
+        .to_pandas()
+    )
+    return final.sort_values(["query_id", "rank"]).reset_index(drop=True)[
+        ["query_id", "vec_id", "rank"]
+    ]
+
+
+# -- IVF scale path ----------------------------------------------------------
+
+def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 8,
+                    seed: int = 5) -> np.ndarray:
+    """Deterministic k-means-lite on a sample (numpy, driver side)."""
+    rs = np.random.RandomState(seed)
+    c = sample[rs.choice(len(sample), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        d = sample @ c.T
+        assign = d.argmax(axis=1)
+        for j in range(n_centroids):
+            members = sample[assign == j]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    c[j] = v / n
+    return c
+
+
+def ivf_topk(
+    embeddings: rd.Dataset,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample_rows: int = 2048,
+) -> pd.DataFrame:
+    """IVF-bucketed ANN: probe only the n_probe nearest centroid buckets.
+    Approximate by design; recall measured against brute force in tests."""
+    sample = embeddings.limit(sample_rows).to_pandas()
+    sm = _normalize(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
+    cents = train_centroids(sm, n_centroids)
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _normalize(_matrix(batch))
+        b = (m @ c.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
+
+    assigned = embeddings.map_batches(assign, batch_format="pyarrow")
+
+    qdf = embeddings.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t["vec_id"], value_set=pa.array(query_ids))),
+        batch_format="pyarrow",
+    ).to_pandas().sort_values("vec_id")
+    qm = _normalize(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
+    probe = np.argsort(-(qm @ cents.T), axis=1)[:, :n_probe]          # (Q, n_probe)
+    wanted = sorted({int(b) for row in probe for b in row})
+    shortlist = assigned.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t["bucket"], value_set=pa.array(wanted, pa.int32()))),
+        batch_format="pyarrow",
+    )
+    qref = ray.put(
+        {"ids": qdf["vec_id"].to_numpy().astype(np.int64), "matrix": qm}
+    )
+    partial = shortlist.map_batches(
+        _PartialTopK, fn_constructor_args=(qref, k),
+        batch_format="pyarrow", batch_size=4096, concurrency=4,
+    )
+    # NOTE: partial top-k here scans only probed buckets; per-query bucket
+    # masking is skipped (each query's true buckets are a subset of the
+    # union) — recall can only improve, determinism is unaffected.
+    final = (
+        partial.groupby("query_id")
+        .map_groups(lambda df: _final_topk(df, k), batch_format="pandas")
+        .to_pandas()
+    )
+    return final.sort_values(["query_id", "rank"]).reset_index(drop=True)[
+        ["query_id", "vec_id", "rank"]
+    ]

@@ -1,0 +1,145 @@
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata.
+
+Generalizes the reference's image pipeline
+(``backend/crawler/image_downloader.py``: streamed GET, 10 MB cap,
+extension inference, collision-free filenames) to corpus scale:
+
+- ``media_refs_from_docs``: project the corpus' interleaved image spans to a
+  media-fetch worklist (doc_id, media_ref, alt).
+- ``MediaFetcher``: actor-pool stage producing deterministic synthetic
+  bytes per ref with the reference's size-cap semantics
+  (``image_downloader.py:122-124``: content-length over cap -> failed row).
+- ``MediaDecoder``: the decode/feature stage. The real decode needs image
+  libs absent from this container, so ``backend="stub"`` raises
+  NotImplementedError while ``backend="fake"`` (default) derives
+  deterministic (width, height, channels, feature hash) from the bytes —
+  the Ray-side plumbing (schema, batch size, actor signature, output
+  layout) is real and tested either way.
+
+Batches are kept SMALL (``batch_size<=64``) because rows carry megabyte
+binaries — a batch x concurrency must fit the worker heap (ray_guide:
+memory-aware sizing).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+MAX_MEDIA_BYTES = 10 * 1024 * 1024  # image_downloader.py:13-15
+
+
+def media_refs_from_docs(docs: pa.Table) -> pa.Table:
+    """Explode image spans -> (doc_id, media_ref, alt) worklist rows."""
+    spans = docs["spans"]
+    chunks = spans.chunks if isinstance(spans, pa.ChunkedArray) else [spans]
+    doc_ids_all = docs["doc_id"].to_pylist()
+    out_doc, out_ref, out_alt = [], [], []
+    row0 = 0
+    for lst in chunks:
+        offsets = lst.offsets.to_numpy()
+        flat = lst.flatten()
+        mask = pc.equal(flat.field("kind"), "image").to_numpy(zero_copy_only=False)
+        parents = np.repeat(np.arange(len(lst)), np.diff(offsets))[mask]
+        refs = flat.field("media_ref").filter(pa.array(mask)).to_pylist()
+        alts = flat.field("text").filter(pa.array(mask)).to_pylist()
+        out_doc.extend(doc_ids_all[row0 + p] for p in parents)
+        out_ref.extend(refs)
+        out_alt.extend(alts)
+        row0 += len(lst)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc, pa.string()),
+            "media_ref": pa.array(out_ref, pa.string()),
+            "alt": pa.array(out_alt, pa.string()),
+        }
+    )
+
+
+def infer_extension(url: str, content_type: str = "") -> str:
+    """Extension from URL path, else content-type, else '.jpg'
+    (image_downloader.py:53-79)."""
+    path = url.split("?")[0].split("#")[0]
+    dot = path.rfind(".")
+    slash = path.rfind("/")
+    if dot > slash and len(path) - dot <= 5:
+        return path[dot:].lower()
+    ct = content_type.lower()
+    for key, ext in (("png", ".png"), ("gif", ".gif"), ("webp", ".webp"),
+                     ("svg", ".svg"), ("jpeg", ".jpg"), ("jpg", ".jpg")):
+        if key in ct:
+            return ext
+    return ".jpg"
+
+
+class MediaFetcher:
+    """Actor-pool fetch of media refs -> binary column (synthetic bytes)."""
+
+    def __init__(self, seed: int = 42, max_bytes: int = MAX_MEDIA_BYTES):
+        self.seed = seed
+        self.max_bytes = max_bytes
+
+    def _bytes_for(self, ref: str) -> bytes | None:
+        h = hashlib.blake2b(f"{self.seed}|{ref}".encode(), digest_size=8).digest()
+        size = 256 + int.from_bytes(h[:4], "little") % 4096
+        if int.from_bytes(h[4:], "little") % 100 == 0:
+            size = self.max_bytes + 1          # oversize exercise
+        if size > self.max_bytes:
+            return None
+        reps = (size // 8) + 1
+        return (h * reps)[:size]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch["media_ref"].to_pylist()
+        payloads, status, sizes = [], [], []
+        for ref in refs:
+            data = self._bytes_for(ref)
+            if data is None:
+                payloads.append(None)
+                status.append("too_large")     # size-cap contract
+                sizes.append(0)
+            else:
+                payloads.append(data)
+                status.append("ok")
+                sizes.append(len(data))
+        return batch.append_column("payload", pa.array(payloads, pa.binary())) \
+            .append_column("media_status", pa.array(status, pa.string())) \
+            .append_column("n_bytes", pa.array(sizes, pa.int64())) \
+            .append_column(
+                "ext", pa.array([infer_extension(r) for r in refs], pa.string())
+            )
+
+
+class MediaDecoder:
+    """Decode / feature-extract stage. backend='fake' -> deterministic
+    metadata from bytes; backend='stub' -> NotImplementedError (real decode
+    requires image libs not present in this container)."""
+
+    def __init__(self, backend: str = "fake"):
+        assert backend in ("fake", "stub")
+        self.backend = backend
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.backend == "stub":
+            raise NotImplementedError(
+                "real image decode requires PIL/cv2 which are not available; "
+                "use backend='fake' for deterministic plumbing tests"
+            )
+        widths, heights, feats = [], [], []
+        for payload in batch["payload"].to_pylist():
+            if not payload:
+                widths.append(0)
+                heights.append(0)
+                feats.append("")
+                continue
+            h = hashlib.blake2b(payload, digest_size=8).digest()
+            widths.append(16 + h[0] * 8)
+            heights.append(16 + h[1] * 8)
+            feats.append(h.hex())
+        return batch.drop_columns(["payload"]) \
+            .append_column("width", pa.array(widths, pa.int32())) \
+            .append_column("height", pa.array(heights, pa.int32())) \
+            .append_column("feature", pa.array(feats, pa.string()))

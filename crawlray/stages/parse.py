@@ -1,0 +1,169 @@
+"""Parse stage: fetched payloads -> interleaved-span doc rows (M1-M8, M13-M17).
+
+A stateless ``map_batches`` transform (``batch_format="pyarrow"``,
+zero-copy in): decodes each ``payload``, runs the single-pass span parser
+(``crawlray.htmlx``), and emits DOC_SCHEMA rows with the nested ``spans``
+column built directly as Arrow ``ListArray(StructArray)`` — no Python
+row-dict materialization. The raw ``payload`` column is dropped here so
+HTML bytes never enter a downstream shuffle (SURVEY.md §4.2).
+
+Failed fetches pass through as error doc rows (status/error columns set,
+empty spans) — the errors-as-data contract (``backend/api/tasks.py:90-141``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..htmlx import KIND_IMAGE, KIND_LINK, parse_document
+from ..schema import SPAN_STRUCT
+
+
+def build_spans_column(span_lists: list[list[tuple[str, str, str]]]) -> pa.ListArray:
+    """Flat-build list<struct<kind,text,media_ref,offset>> from per-doc span
+    tuple lists."""
+    kinds: list[str] = []
+    texts: list[str] = []
+    refs: list[str] = []
+    offs: list[int] = []
+    lengths = np.empty(len(span_lists), dtype=np.int64)
+    for i, spans in enumerate(span_lists):
+        lengths[i] = len(spans)
+        for j, (k, t, m) in enumerate(spans):
+            kinds.append(k)
+            texts.append(t)
+            refs.append(m)
+            offs.append(j)
+    offsets = np.zeros(len(span_lists) + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offsets[1:])
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(kinds, pa.string()),
+            pa.array(texts, pa.string()),
+            pa.array(refs, pa.string()),
+            pa.array(offs, pa.int32()),
+        ],
+        fields=list(SPAN_STRUCT),
+    )
+    return pa.ListArray.from_arrays(pa.array(offsets), struct)
+
+
+def parse_batch(batch: pa.Table) -> pa.Table:
+    """Fetched batch (frontier cols + fetch cols) -> DOC_SCHEMA batch."""
+    n = batch.num_rows
+    urls = batch["url"].to_pylist()
+    seqs = batch["seq"].to_pylist()
+    status = batch["status"].to_pylist()
+    payloads = batch["payload"].to_pylist()
+
+    span_lists: list[list[tuple[str, str, str]]] = []
+    titles: list[str] = []
+    descs: list[str] = []
+    n_links = np.zeros(n, dtype=np.int32)
+    n_images = np.zeros(n, dtype=np.int32)
+    new_status = list(status)
+    err_type = batch["error_type"].to_pylist()
+    err_code = batch["error_code"].to_pylist()
+
+    for i in range(n):
+        if status[i] != "ok" or payloads[i] is None:
+            span_lists.append([])
+            titles.append("")
+            descs.append("")
+            continue
+        res = parse_document(payloads[i].decode("utf-8", "replace"), urls[i])
+        if res.error_code:
+            new_status[i] = "parse_error"
+            err_type[i] = "content_error"
+            err_code[i] = res.error_code
+            span_lists.append([])
+            titles.append("")
+            descs.append("")
+            continue
+        span_lists.append(res.spans)
+        titles.append(res.title)
+        descs.append(res.description)
+        n_links[i] = len(res.links)
+        n_images[i] = sum(1 for k, _, _ in res.spans if k == KIND_IMAGE)
+
+    spans_col = build_spans_column(span_lists)
+    doc_ids = pa.array([f"d{s:012d}" for s in seqs], pa.string())
+    return pa.table(
+        {
+            "doc_id": doc_ids,
+            "url": batch["url"],
+            "host": batch["host"],
+            "round": batch["round"],
+            "priority": batch["priority"],
+            "seq": batch["seq"],
+            "depth": batch["depth"],
+            "status": pa.array(new_status, pa.string()),
+            "error_type": pa.array(err_type, pa.string()),
+            "error_code": pa.array(err_code, pa.string()),
+            "retry_possible": batch["retry_possible"],
+            "attempts": batch["attempts"],
+            "title": pa.array(titles, pa.string()),
+            "description": pa.array(descs, pa.string()),
+            "spans": spans_col,
+            "n_spans": pa.array([len(s) for s in span_lists], pa.int32()),
+            "n_links": pa.array(n_links),
+            "n_images": pa.array(n_images),
+            "part_id": batch["part_id"],
+        }
+    )
+
+
+def explode_outlinks(docs: pa.Table, seed: int) -> pa.Table:
+    """Doc rows -> candidate outlink rows (url, depth, cand_key).
+
+    ``cand_key`` packs the deterministic first-seen order
+    ``(src_seq, discovery_rank)`` into one int64
+    (``src_seq * 2^20 + rank``; fanout << 2^20): the round's within-round
+    dedup keeps the minimal key, making first-seen attribution independent
+    of physical execution order (SURVEY.md §7 hard part (a)).
+    """
+    import pyarrow.compute as pc
+
+    out_urls: list[pa.Array] = []
+    out_keys: list[np.ndarray] = []
+    out_depths: list[np.ndarray] = []
+    seqs = docs["seq"].to_numpy(zero_copy_only=False)
+    doc_depths = docs["depth"].to_numpy(zero_copy_only=False)
+    row0 = 0
+    spans_chunks = (
+        docs["spans"].chunks
+        if isinstance(docs["spans"], pa.ChunkedArray)
+        else [docs["spans"]]
+    )
+    for lst in spans_chunks:
+        n = len(lst)
+        offsets = lst.offsets.to_numpy()
+        flat = lst.flatten()
+        mask = pc.equal(flat.field("kind"), KIND_LINK).to_numpy(zero_copy_only=False)
+        parents = np.repeat(np.arange(n), np.diff(offsets))[mask]
+        if len(parents):
+            # discovery_rank = position among the doc's links, in order
+            change = np.r_[True, parents[1:] != parents[:-1]]
+            starts = np.flatnonzero(change)
+            sizes = np.diff(np.r_[starts, len(parents)])
+            ranks = np.arange(len(parents)) - np.repeat(starts, sizes)
+            out_urls.append(flat.field("media_ref").filter(pa.array(mask)))
+            out_keys.append((seqs[row0 + parents] << 20) | ranks)
+            out_depths.append(doc_depths[row0 + parents] + 1)
+        row0 += n
+    if not out_urls:
+        return pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "cand_key": pa.array([], pa.int64()),
+                "depth": pa.array([], pa.int32()),
+            }
+        )
+    return pa.table(
+        {
+            "url": pa.concat_arrays([u.cast(pa.string()) for u in out_urls]),
+            "cand_key": pa.array(np.concatenate(out_keys), pa.int64()),
+            "depth": pa.array(np.concatenate(out_depths).astype(np.int32)),
+        }
+    )

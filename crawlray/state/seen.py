@@ -1,0 +1,130 @@
+"""Sharded URL-seen membership state (ST2/J2 in SURVEY.md §2.3/2.4).
+
+K named Ray actors each own the membership state for URLs with
+``hash64(url) % K == shard_id``. Two modes:
+
+- ``exact``: a Python set of canonical URL strings — the test oracle mode
+  (exact URL-seen-set equality, no false positives);
+- ``cuckoo``: a ``CuckooFilter`` over 64-bit URL hashes — the scale mode
+  (bounded memory per shard; FPs only suppress re-crawls).
+
+The reference has no global URL-seen at all (per-page only,
+``backend/crawler/link_extractor.py:94-113``); this stage is the north
+rule's addition. Shard count should be >= 2x max parallelism so membership
+calls never serialize the pipeline (SURVEY.md §4.3).
+
+Protocol per round (two-phase, so first-seen attribution is deterministic
+under parallel callers — SURVEY.md §7 hard part (a)):
+
+1. ``contains_batch`` from parse tasks: read-only test against all
+   *previous* rounds' state;
+2. the round's surviving candidates are exactly deduped by a
+   ``groupby(url).min(cand_key)`` shuffle in the engine;
+3. ``add_batch`` inserts the deduped winners once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+
+from .cuckoo import CuckooFilter
+
+
+@ray.remote(num_cpus=0.25)
+class UrlSeenShard:
+    """One membership shard. num_cpus=0.25 so K shards + worker pools
+    co-schedule on one node (membership calls are short and bursty)."""
+
+    def __init__(self, shard_id: int, mode: str = "exact", capacity: int = 1 << 20):
+        assert mode in ("exact", "cuckoo")
+        self.shard_id = shard_id
+        self.mode = mode
+        self.exact: set[str] = set()
+        self.filter = CuckooFilter(capacity) if mode == "cuckoo" else None
+
+    def contains_batch(self, urls: list[str] | None, hashes: np.ndarray) -> np.ndarray:
+        if self.mode == "exact":
+            return np.fromiter((u in self.exact for u in urls), dtype=bool, count=len(urls))
+        return self.filter.contains_many(hashes)
+
+    def add_batch(self, urls: list[str] | None, hashes: np.ndarray) -> int:
+        if self.mode == "exact":
+            n0 = len(self.exact)
+            self.exact.update(urls)
+            return len(self.exact) - n0
+        return self.filter.add_many(hashes)
+
+    def count(self) -> int:
+        return len(self.exact) if self.mode == "exact" else self.filter.count
+
+    def snapshot(self) -> bytes:
+        if self.mode == "exact":
+            import pickle
+
+            return pickle.dumps(sorted(self.exact), protocol=5)
+        return self.filter.snapshot()
+
+    def restore(self, blob: bytes) -> None:
+        if self.mode == "exact":
+            import pickle
+
+            self.exact = set(pickle.loads(blob))
+        else:
+            self.filter = CuckooFilter.restore(blob)
+
+
+class SeenClient:
+    """Driver/task-side helper that routes URL batches to their shards.
+
+    Serializable (holds only actor handles + config); a copy inside a
+    ``map_batches`` task issues one RPC per *touched* shard per batch.
+    """
+
+    def __init__(self, shards: list[ray.actor.ActorHandle], mode: str):
+        self.shards = shards
+        self.k = len(shards)
+        self.mode = mode
+
+    @staticmethod
+    def create(k: int, mode: str = "exact", capacity_per_shard: int = 1 << 20
+               ) -> "SeenClient":
+        shards = [
+            UrlSeenShard.remote(i, mode=mode, capacity=capacity_per_shard)
+            for i in range(k)
+        ]
+        return SeenClient(shards, mode)
+
+    def _route(self, urls: list[str], hashes: np.ndarray):
+        shard_of = (hashes % np.uint64(self.k)).astype(np.int64)
+        for sid in np.unique(shard_of):
+            idx = np.nonzero(shard_of == sid)[0]
+            sub_urls = [urls[i] for i in idx] if self.mode == "exact" else None
+            yield int(sid), idx, sub_urls, hashes[idx]
+
+    def contains(self, urls: list[str], hashes: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(urls), dtype=bool)
+        futs, idxs = [], []
+        for sid, idx, sub_urls, sub_h in self._route(urls, hashes):
+            futs.append(self.shards[sid].contains_batch.remote(sub_urls, sub_h))
+            idxs.append(idx)
+        for idx, res in zip(idxs, ray.get(futs)):
+            out[idx] = res
+        return out
+
+    def add(self, urls: list[str], hashes: np.ndarray) -> int:
+        futs = [
+            self.shards[sid].add_batch.remote(sub_urls, sub_h)
+            for sid, _idx, sub_urls, sub_h in self._route(urls, hashes)
+        ]
+        return int(sum(ray.get(futs)))
+
+    def total(self) -> int:
+        return int(sum(ray.get([s.count.remote() for s in self.shards])))
+
+    def snapshot_all(self) -> list[bytes]:
+        return ray.get([s.snapshot.remote() for s in self.shards])
+
+    def restore_all(self, blobs: list[bytes]) -> None:
+        assert len(blobs) == self.k
+        ray.get([s.restore.remote(b) for s, b in zip(self.shards, blobs)])

@@ -1,0 +1,97 @@
+"""Small distributed utilities: stable hashing, global index assignment.
+
+``zip_with_index`` is the engine's dense-rank primitive (no built-in
+zipWithIndex in Ray Data): it executes the (already sorted) dataset, reads
+only per-block row *counts* on the driver (O(blocks) driver work), and adds
+the running index to each block in parallel tasks. Used once per crawl round
+on the round's *new-URL* table — which is materialized anyway as the
+frontier checkpoint — never on the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def hash64(arr: "pa.Array | list[str]") -> np.ndarray:
+    """Vectorized stable 64-bit hash of a string column (for sharding and
+    cuckoo fingerprints). Uses polars' SipHash-based ``hash`` with fixed
+    seeds so values are stable across processes."""
+    import polars as pl
+
+    s = pl.Series(arr if not isinstance(arr, pa.ChunkedArray) else arr.combine_chunks())
+    return s.hash(seed=0x9E3779B9).to_numpy().astype(np.uint64)
+
+
+@ray.remote
+def _num_rows(t: pa.Table) -> int:
+    return t.num_rows
+
+
+@ray.remote
+def _with_index(t: pa.Table, col: str, start: int) -> pa.Table:
+    return t.append_column(col, pa.array(np.arange(start, start + t.num_rows), pa.int64()))
+
+
+@ray.remote
+def _block_edges(t: pa.Table, col: str) -> tuple[str | None, str | None]:
+    if t.num_rows == 0:
+        return None, None
+    c = t[col]
+    return c[0].as_py(), c[-1].as_py()
+
+
+@ray.remote
+def _dedup_block(t: pa.Table, col: str, carry: str | None) -> pa.Table:
+    """Keep the first row per key within an (already sorted) block, dropping
+    leading rows whose key continues the previous block (``carry``)."""
+    import numpy as np
+
+    if t.num_rows == 0:
+        return t
+    keys = t[col].to_pandas().to_numpy()
+    keep = np.r_[True, keys[1:] != keys[:-1]]
+    if carry is not None and keys[0] == carry:
+        keep[0] = False
+    return t.filter(pa.array(keep))
+
+
+def unique_keep_first(ds: rd.Dataset, key: str, order: str) -> rd.Dataset:
+    """Exact dedup: one row per ``key``, keeping the row minimal in
+    ``order``. Implemented as sort([key, order]) + adjacent-dup drop with
+    block-boundary carry (the driver only ever sees per-block first/last
+    keys) — avoids a per-key ``map_groups`` call explosion when most keys
+    are unique (the crawl-frontier case)."""
+    sorted_ds = ds.sort([key, order])
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return sorted_ds
+    edges = ray.get([_block_edges.remote(r, key) for r in refs])
+    carries: list[str | None] = []
+    last_seen: str | None = None
+    for first, last in edges:
+        carries.append(last_seen)
+        if last is not None:
+            last_seen = last
+    new_refs = [
+        _dedup_block.remote(r, key, c) for r, c in zip(refs, carries)
+    ]
+    return rd.from_arrow_refs(new_refs)
+
+
+def zip_with_index(ds: rd.Dataset, col: str = "_idx", start: int = 0) -> tuple[rd.Dataset, int]:
+    """Append a global dense index column (dataset order). Returns
+    ``(dataset, total_rows)``. Executes the dataset (blocks stay in the
+    object store; the driver only sees counts)."""
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return ds, 0
+    counts = ray.get([_num_rows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) + start
+    new_refs = [
+        _with_index.remote(r, col, int(off)) for r, off in zip(refs, offsets)
+    ]
+    return rd.from_arrow_refs(new_refs), int(sum(counts))
