@@ -1,0 +1,219 @@
+"""Benchmark harness (driver contract).
+
+``python bench.py``            -> ONE JSON line: headline crawl seconds +
+                                  per-query seconds at $GRAFT_SF_DIR.
+``python bench.py --scaling``  -> runs the headline crawl at num_cpus=8 and
+                                  num_cpus=32 in fresh processes on the SAME
+                                  input; prints throughputs + N->4N scaling
+                                  efficiency (sandbox evidence protocol for
+                                  the north rule, SURVEY.md §4.3).
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32),
+     CRAWL_BENCH_URLS / CRAWL_BENCH_SEEDS / CRAWL_BENCH_ROUNDS to override
+     the synthetic-crawl size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "doc_stats",
+    "source_stats",
+    "pricing_summary",
+    "brand_revenue",
+    "customer_orders",
+    "hourly_windows",
+    "exact_dedup",
+    "token_totals",
+    "quality",
+    "ann_cosine",
+    "minhash_dedup",
+    "simhash",
+    "lang_id",
+]
+
+
+def crawl_bench_config():
+    from crawlray.engine import EngineConfig
+    from crawlray.synth import WorldConfig
+
+    sf = SF_DIR.rstrip("/").rsplit("/", 1)[-1]
+    defaults = {
+        "sf0.001": (2_000, 50, 2),
+        "sf0.01": (20_000, 200, 3),
+        "sf0.1": (120_000, 1200, 3),
+    }
+    n_urls, n_seeds, rounds = defaults.get(sf, (20_000, 200, 3))
+    n_urls = int(os.environ.get("CRAWL_BENCH_URLS", n_urls))
+    n_seeds = int(os.environ.get("CRAWL_BENCH_SEEDS", n_seeds))
+    rounds = int(os.environ.get("CRAWL_BENCH_ROUNDS", rounds))
+    n_hosts = max(20, n_urls // 400)
+    return EngineConfig(
+        world=WorldConfig(n_urls=n_urls, n_hosts=n_hosts, politeness_budget=256),
+        n_seeds=n_seeds,
+        max_rounds=rounds,
+        n_parts=max(16, NUM_CPUS),
+        n_frontier_parts=max(8, NUM_CPUS // 2),
+        n_seen_shards=max(8, NUM_CPUS // 2),
+        seen_mode="cuckoo",
+        seen_capacity=1 << 22,
+        fetch_batch_size=512,
+        fetch_concurrency=(4, max(8, NUM_CPUS)),
+    )
+
+
+def run_crawl() -> tuple[float, int]:
+    """Returns (seconds, urls_fetched)."""
+    from crawlray.engine import CrawlEngine
+
+    out = tempfile.mkdtemp(prefix="crawlbench_")
+    try:
+        cfg = crawl_bench_config()
+        eng = CrawlEngine(cfg, out)
+        t0 = time.perf_counter()
+        summary = eng.run()
+        dt = time.perf_counter() - t0
+        return dt, summary["fetched"]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def run_queries() -> dict[str, float]:
+    from crawlray.queries import catalog
+
+    cat = catalog()
+    out: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn, _sql = cat[name]
+        t0 = time.perf_counter()
+        res = fn(SF_DIR)
+        # force execution
+        import ray.data as rd
+
+        if isinstance(res, rd.Dataset):
+            res.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    import pyarrow.parquet as pq
+
+    for t in ("lineitem", "documents", "embeddings", "events"):
+        try:
+            pq.read_table(f"{SF_DIR}/{t}.parquet")
+        except FileNotFoundError:
+            pass
+
+    crawl_sec, crawl_urls = run_crawl()
+    queries = run_queries()
+    result = {
+        "metric": "crawl_sf_e2e",
+        "value": round(crawl_sec, 3),
+        "unit": "sec",
+        "queries": {"crawl": round(crawl_sec, 3), **queries},
+        "sf": SF_DIR.rstrip("/").rsplit("/", 1)[-1],
+        "num_cpus": NUM_CPUS,
+        "crawl_urls": crawl_urls,
+        "crawl_urls_per_sec": round(crawl_urls / crawl_sec, 1),
+    }
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+def scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            CRAWL_BENCH_ONLY="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    thr_lo = r_lo["crawl_urls_per_sec"]
+    thr_hi = r_hi["crawl_urls_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "crawl_scaling",
+                "cpus_lo": lo,
+                "cpus_hi": hi,
+                "sec_lo": r_lo["value"],
+                "sec_hi": r_hi["value"],
+                "urls": r_lo["crawl_urls"],
+                "throughput_lo_urls_per_sec": thr_lo,
+                "throughput_hi_urls_per_sec": thr_hi,
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        if os.environ.get("CRAWL_BENCH_ONLY"):
+            import ray
+
+            ray.init(
+                address="local",
+                num_cpus=NUM_CPUS,
+                include_dashboard=False,
+                logging_level="ERROR",
+            )
+            from ray.data import DataContext
+
+            DataContext.get_current().enable_progress_bars = False
+            crawl_sec, crawl_urls = run_crawl()
+            print(
+                json.dumps(
+                    {
+                        "metric": "crawl_sf_e2e",
+                        "value": round(crawl_sec, 3),
+                        "unit": "sec",
+                        "num_cpus": NUM_CPUS,
+                        "crawl_urls": crawl_urls,
+                        "crawl_urls_per_sec": round(crawl_urls / crawl_sec, 1),
+                    }
+                )
+            )
+            ray.shutdown()
+        else:
+            main()

@@ -32,6 +32,8 @@ re-runs and resumes.
 from __future__ import annotations
 
 import json
+import os
+import time as _time
 from dataclasses import asdict, dataclass
 from pathlib import Path
 
@@ -46,12 +48,28 @@ from .canon import host_of
 from .checkpoint import CheckpointStore, atomic_write_bytes, config_hash, part_name
 from .stages.fetch import SynthFetcher
 from .stages.frontier import mark_candidates, select_per_host
-from .stages.parse import explode_outlinks, parse_batch
+from .stages.parse import explode_outlinks, fetch_parse_batch, parse_batch
 from .state.seen import SeenClient
 from .synth import World, WorldConfig, h64
 from .util import hash64, unique_keep_first, zip_with_index
 
 FRONTIER_COLS = ["url", "host", "priority", "depth", "seq"]
+
+_TRACE = bool(os.environ.get("CRAWLRAY_TRACE"))
+
+
+class _Timer:
+    """Per-round step tracer (enable with CRAWLRAY_TRACE=1)."""
+
+    def __init__(self, label: str):
+        self.label = label
+        self.t = _time.perf_counter()
+
+    def lap(self, step: str) -> None:
+        if _TRACE:
+            now = _time.perf_counter()
+            print(f"[trace {self.label}] {step}: {now - self.t:.2f}s", flush=True)
+            self.t = now
 
 
 @dataclass(frozen=True)
@@ -236,8 +254,8 @@ class CrawlEngine:
         if manifest is None:
             manifest = self._bootstrap()
         else:
-            blobs = [Path(p).read_bytes() for p in self._abs(manifest["seen_files"])]
-            self.seen.restore_all(blobs)
+            # seen_files = cumulative sorted list of per-round delta files
+            self.seen.restore_files(self._abs(sorted(manifest["seen_files"])))
 
         summary = {"rounds": 0, "fetched": 0, "new_urls": 0}
         r = manifest["next_round"]
@@ -258,18 +276,21 @@ class CrawlEngine:
         budget = cfg.round_budget
         next_seq = manifest["next_seq"]
 
+        tm = _Timer(f"r{r}")
         frontier = rd.read_parquet(
             self._abs(manifest["frontier_files"]), columns=FRONTIER_COLS
         )
         marked = frontier.map_batches(
             lambda df: mark_candidates(df, budget), batch_format="pandas"
         ).materialize()
+        tm.lap("phaseA-materialize")
         survivors = self._filter(marked, lambda t: t["cand"])
         selected = (
             survivors.groupby("host")
             .map_groups(lambda df: select_per_host(df, budget), batch_format="pandas")
             .materialize()
         )
+        tm.lap("phaseB-select")
 
         world_cfg = cfg.world
         n_parts = cfg.n_parts
@@ -284,15 +305,26 @@ class CrawlEngine:
             prep_fetch, batch_format="pyarrow"
         )
 
-        fetched = fetchset.map_batches(
-            SynthFetcher,
-            fn_constructor_args=(world_cfg, cfg.rate_per_host),
-            batch_format="pyarrow",
-            batch_size=cfg.fetch_batch_size,
-            concurrency=cfg.fetch_concurrency,
-            num_cpus=1,
-        )
-        docs = fetched.map_batches(parse_batch, batch_format="pyarrow")
+        if cfg.rate_per_host is not None:
+            # wall-clock politeness -> stateful fetcher actor pool (token
+            # buckets live per actor), separate parse stage
+            fetched = fetchset.map_batches(
+                SynthFetcher,
+                fn_constructor_args=(world_cfg, cfg.rate_per_host),
+                batch_format="pyarrow",
+                batch_size=cfg.fetch_batch_size,
+                concurrency=cfg.fetch_concurrency,
+                num_cpus=1,
+            )
+            docs = fetched.map_batches(parse_batch, batch_format="pyarrow")
+        else:
+            # fused stateless fetch+parse (World cached per worker process):
+            # no per-round actor spin-up, HTML never enters the object store
+            docs = fetchset.map_batches(
+                lambda t: fetch_parse_batch(t, world_cfg),
+                batch_format="pyarrow",
+                batch_size=cfg.fetch_batch_size,
+            )
 
         cdir, mdir = self.store.corpus_dir(r), self.store.metrics_dir(r)
         doc_writer = _DocWriter(str(cdir), str(mdir), r)
@@ -300,12 +332,15 @@ class CrawlEngine:
             lambda g: doc_writer(g), batch_format="pyarrow"
         )
 
+        tm.lap("build-pipelines")
         unseen = candidates.map_batches(
             _SeenFilter(self.seen), batch_format="pyarrow"
         )
         uniq = unique_keep_first(unseen, "url", "cand_key")
+        tm.lap("fetch+parse+write+dedup-sort")
         ordered = uniq.sort("cand_key")
         indexed, n_new = zip_with_index(ordered, "rank")
+        tm.lap("order+index")
 
         seed = world_cfg.seed
 
@@ -324,9 +359,11 @@ class CrawlEngine:
             )
 
         new_ds = indexed.map_batches(finalize_new, batch_format="pyarrow").materialize()
+        tm.lap("finalize-new")
         # insert the round's winners into the membership shards (exactly once)
         ray.get([_add_seen_block.remote(self.seen, ref)
                  for ref in new_ds.to_arrow_refs()])
+        tm.lap("seen-add")
 
         deferred = self._filter(marked, lambda t: pc.invert(t["cand"])).select_columns(
             FRONTIER_COLS
@@ -336,13 +373,13 @@ class CrawlEngine:
             )
         )
         next_frontier = deferred.union(new_ds)
-        frontier_files = (
-            self._write_frontier(next_frontier, r + 1)
-            if next_frontier.count() > 0
-            else []
-        )
+        frontier_files = self._write_frontier(next_frontier, r + 1)
+        tm.lap("write-frontier")
 
-        seen_files = self._snapshot_seen(r + 1)
+        seen_files = sorted(
+            set(manifest["seen_files"]) | set(self._rel(self._snapshot_seen(r + 1)))
+        )
+        tm.lap("snapshot-seen")
         metric_files = sorted(str(p) for p in self.store.metrics_dir(r).glob("*.parquet"))
         corpus_files = sorted(str(p) for p in self.store.corpus_dir(r).glob("*.parquet"))
         totals = {"urls_in": 0, "fetched_ok": 0, "failed": 0,
@@ -358,7 +395,7 @@ class CrawlEngine:
             "next_seq": next_seq + n_new,
             "config_hash": self.cfg_hash,
             "frontier_files": self._rel(frontier_files),
-            "seen_files": self._rel(seen_files),
+            "seen_files": seen_files,
             "lineage": {
                 "corpus_files": self._rel(corpus_files),
                 "metric_files": self._rel(metric_files),

@@ -97,7 +97,8 @@ def brute_force_topk(
         fn_constructor_args=(qref, k),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=4,
+        concurrency=2,
+        num_cpus=0.5,
     )
     final = (
         partial.groupby("query_id")
@@ -168,7 +169,7 @@ def ivf_topk(
     )
     partial = shortlist.map_batches(
         _PartialTopK, fn_constructor_args=(qref, k),
-        batch_format="pyarrow", batch_size=4096, concurrency=4,
+        batch_format="pyarrow", batch_size=4096, concurrency=2, num_cpus=0.5,
     )
     # NOTE: partial top-k here scans only probed buckets; per-query bucket
     # masking is skipped (each query's true buckets are a subset of the

@@ -139,7 +139,8 @@ def minhash_lsh_pairs(
         MinHasher,
         fn_constructor_args=(num_perm, shingle_n),
         batch_format="pandas",
-        concurrency=4,
+        concurrency=2,
+        num_cpus=0.5,
     )
     banded = sigs.map_batches(
         lambda df: _band_rows(df, bands, rows_per_band), batch_format="pandas"
@@ -222,7 +223,7 @@ def simhash_near_dups(docs: rd.Dataset, max_hamming: int = 3) -> pd.DataFrame:
     """Near-dup pairs by SimHash banding: any pair with Hamming distance
     <= 3 shares at least one of the 4 16-bit bands (pigeonhole), so
     band-exact-match buckets are a complete candidate blocking."""
-    sigs = docs.map_batches(SimHasher, batch_format="pandas", concurrency=4)
+    sigs = docs.map_batches(SimHasher, batch_format="pandas", concurrency=2, num_cpus=0.5)
     frames = []
     for band in range(4):
         buckets = (

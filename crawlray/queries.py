@@ -1,0 +1,637 @@
+"""Query catalog: every operator exposed as ``fn(sf_dir) -> result`` with a
+matching DuckDB oracle SQL where the semantics are SQL-expressible.
+
+Column names match between Ray results and oracle SQL exactly (the driver
+hashes values under sorted column names). Aggregates over float columns go
+through integer cents (``round(x*100)::bigint``) so Ray's and DuckDB's
+summation orders cannot produce differing IEEE results.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(col):
+    """float column -> integer cents (deterministic summation domain)."""
+    return pc.round(pc.multiply(col, 100)).cast(pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY.md §2.5 A1-A6 analogs on the test tables)
+# ---------------------------------------------------------------------------
+
+def q_doc_stats(sf_dir: str):
+    """A2: per-doc word/char counts over documents (parser.py:257-266)."""
+    from .pipelines.textops import doc_stats
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        doc_stats, batch_format="pyarrow"
+    )
+
+
+SQL_DOC_STATS = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS word_count,
+       length(text)::BIGINT AS char_count
+FROM documents
+"""
+
+
+def q_source_stats(sf_dir: str):
+    """A1 analog: per-source doc count + distinct langs + total chars.
+    Distinct langs via per-batch partial sets then an exact groupby —
+    the count-distinct pattern of SURVEY.md §2.5 A1."""
+    ds = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+    pairs = ds.groupby(["source", "lang"]).aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="chars")
+    )
+    out = pairs.groupby("source").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Count(alias_name="n_langs"),
+        Sum("chars", alias_name="total_chars"),
+    )
+    return out
+
+
+SQL_SOURCE_STATS = """
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM documents GROUP BY source
+"""
+
+
+def q_top_langs(sf_dir: str):
+    """A5 analog: grouped count + deterministic top-k."""
+    ds = _read(sf_dir, "documents", ["lang"])
+    counts = ds.groupby("lang").aggregate(Count(alias_name="n"))
+    df = counts.to_pandas().sort_values(["n", "lang"], ascending=[False, True])
+    return df.head(3).reset_index(drop=True)
+
+
+SQL_TOP_LANGS = """
+SELECT lang, count(*)::BIGINT AS n FROM documents
+GROUP BY lang ORDER BY n DESC, lang LIMIT 3
+"""
+
+
+def q_recent_events(sf_dir: str):
+    """A6 analog: sort desc + limit with unique tiebreak."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+    return ds.sort(["ts", "event_id"], descending=[True, True]).limit(100)
+
+
+SQL_RECENT_EVENTS = """
+SELECT event_id, ts, event_type FROM events
+ORDER BY ts DESC, event_id DESC LIMIT 100
+"""
+
+
+def q_event_rollup(sf_dir: str):
+    """A3 analog: global per-type rollup (count + exact cent sums)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    with_cents = ds.map_batches(
+        lambda t: pa.table(
+            {"event_type": t["event_type"], "cents": _cents(t["value"])}
+        ),
+        batch_format="pyarrow",
+    )
+    return with_cents.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("cents", alias_name="sum_cents"),
+        Min("cents", alias_name="min_cents"),
+        Max("cents", alias_name="max_cents"),
+    )
+
+
+SQL_EVENT_ROLLUP = """
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
+       min(CAST(round(value * 100) AS BIGINT))::BIGINT AS min_cents,
+       max(CAST(round(value * 100) AS BIGINT))::BIGINT AS max_cents
+FROM events GROUP BY event_type
+"""
+
+
+def q_hourly_windows(sf_dir: str):
+    """§2.9 streaming analog: tumbling 1-hour event-time windows per type."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_start": win,
+                "cents": _cents(t["value"]),
+            }
+        )
+
+    return ds.map_batches(add_window, batch_format="pyarrow").groupby(
+        ["event_type", "window_start"]
+    ).aggregate(Count(alias_name="n"), Sum("cents", alias_name="sum_cents"))
+
+
+SQL_HOURLY_WINDOWS = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*)::BIGINT AS n,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate over the big table, with per-batch
+    partial pre-aggregation before the groupby (ray_guide 'Aggregation at
+    scale')."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = pc.round(t["l_quantity"]).cast(pa.int64())
+        price_c = _cents(t["l_extendedprice"])
+        disc_pct = _cents(t["l_discount"])          # discount in integer %%-cents
+        # discount amount in centi-cent units: exact integer product on both
+        # sides (avoids Arrow banker's-rounding vs DuckDB half-away on .5)
+        disc_cc = pc.multiply(price_c, disc_pct)
+        tmp = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": qty,
+                "sum_price_cents": price_c,
+                "sum_disc_centicents": disc_cc,
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        df = tmp.to_pandas().groupby(
+            ["l_returnflag", "l_linestatus"], as_index=False
+        ).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_price_cents", alias_name="sum_price_cents"),
+        Sum("sum_disc_centicents", alias_name="sum_disc_centicents"),
+        Sum("n", alias_name="n"),
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_price_cents,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT))::BIGINT AS sum_disc_centicents,
+       count(*)::BIGINT AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_brand_revenue(sf_dir: str):
+    """J1 analog: broadcast small-side hash join (part -> lineitem) +
+    grouped revenue. The part table is ray.put once; each batch does an
+    in-memory merge — no shuffle join."""
+    import ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    part_ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
+
+    class JoinRev:
+        def __init__(self):
+            self.brand_of = ray.get(part_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+            brands = pd.Series(pk).map(self.brand_of).to_numpy()
+            price_c = _cents(t["l_extendedprice"])
+            disc_pct = _cents(t["l_discount"])
+            rev_cc = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+            return pa.table(
+                {"p_brand": pa.array(brands, pa.string()), "rev_centicents": rev_cc}
+            )
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+    joined = ds.map_batches(JoinRev, batch_format="pyarrow", concurrency=2)
+    return joined.groupby("p_brand").aggregate(
+        Sum("rev_centicents", alias_name="rev_centicents"), Count(alias_name="n_items")
+    )
+
+
+SQL_BRAND_REVENUE = """
+SELECT p.p_brand,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT AS rev_centicents,
+       count(*)::BIGINT AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
+def q_customer_orders(sf_dir: str):
+    """Two-large-sides join expressed as co-grouped aggregate: orders
+    pre-aggregated per customer, then broadcast-joined to customer dims."""
+    import ray
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table(
+            {"o_custkey": t["o_custkey"], "cents": _cents(t["o_totalprice"])}
+        ).to_pandas()
+        g = df.groupby("o_custkey", as_index=False).agg(
+            n_orders=("cents", "size"), total_cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_cust = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    class AddSeg:
+        def __init__(self):
+            self.seg = ray.get(seg_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["c_mktsegment"] = df["o_custkey"].map(self.seg)
+            return df
+
+    with_seg = per_cust.map_batches(AddSeg, batch_format="pandas", concurrency=2)
+    return with_seg.groupby("c_mktsegment").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("total_cents", alias_name="total_cents"),
+    )
+
+
+SQL_CUSTOMER_ORDERS = """
+SELECT c.c_mktsegment,
+       count(*)::BIGINT AS n_orders,
+       sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# URL / string functions (SURVEY.md §2.8) on a constructed column
+# ---------------------------------------------------------------------------
+
+def q_url_canon(sf_dir: str):
+    """M13/M14/M15: canonicalization over a deterministic URL family built
+    from table columns (mixed-case scheme/host, default port, fragment)."""
+    from .canon import canonicalize, host_of, is_internal
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def build(t: pa.Table) -> pa.Table:
+        doc_ids = t["doc_id"].to_pylist()
+        sources = t["source"].to_pylist()
+        raw = [
+            f"HTTPS://{s.upper()}.Example.COM:443/Docs/{d}#frag{d % 7}"
+            for d, s in zip(doc_ids, sources)
+        ]
+        canon = [canonicalize(u) for u in raw]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "url_canon": pa.array(canon, pa.string()),
+                "host": pa.array([host_of(u) for u in canon], pa.string()),
+                "is_internal": pa.array(
+                    [is_internal(u, "https://src0.example.com/") for u in canon],
+                    pa.bool_(),
+                ),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+SQL_URL_CANON = """
+SELECT doc_id,
+       'https://' || lower(source) || '.example.com/Docs/' || doc_id AS url_canon,
+       lower(source) || '.example.com' AS host,
+       (lower(source) || '.example.com' = 'src0.example.com') AS is_internal
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup / fingerprint / quality / tokens
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(sf_dir: str):
+    from .pipelines.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS fp, count(*)::BIGINT AS n_dups, min(doc_id)::BIGINT AS keep_doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_fingerprint(sf_dir: str):
+    from .pipelines.textops import fingerprint
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fingerprint, batch_format="pyarrow"
+    )
+
+
+SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+def q_quality(sf_dir: str):
+    from .pipelines.textops import QualityScorer
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        QualityScorer, batch_format="pandas", concurrency=2
+    )
+
+
+SQL_QUALITY = """
+SELECT doc_id,
+       CASE WHEN trim(text)='' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_tokens,
+       len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                       x -> x IN ('the','a','and','of','to','in','is','it')))::BIGINT AS n_stopwords,
+       (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::BIGINT AS n_alpha,
+       length(text)::BIGINT AS n_chars
+FROM documents
+"""
+
+
+def q_token_totals(sf_dir: str):
+    """Corpus token counting: per-lang totals via per-batch partials."""
+    from .pipelines.textops import doc_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        stats = doc_stats(t)
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "tokens": stats["word_count"],
+                "chars": stats["char_count"],
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("lang").aggregate(
+        Sum("tokens", alias_name="tokens"),
+        Sum("chars", alias_name="chars"),
+        Count(alias_name="n_docs"),
+    )
+
+
+SQL_TOKEN_TOTALS = """
+SELECT lang,
+       sum(CASE WHEN trim(text)='' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS tokens,
+       sum(length(text))::BIGINT AS chars,
+       count(*)::BIGINT AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+def q_distinct_pairs(sf_dir: str):
+    """D-family: distinct (lang, source) combinations (ds.unique analog)."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return ds.groupby(["lang", "source"]).aggregate(Count(alias_name="n"))
+
+
+SQL_DISTINCT_PAIRS = """
+SELECT lang, source, count(*)::BIGINT AS n FROM documents GROUP BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN over embeddings
+# ---------------------------------------------------------------------------
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
+ANN_K = 5
+
+
+def q_ann_cosine(sf_dir: str):
+    from .pipelines.ann import brute_force_topk
+
+    return brute_force_topk(_read(sf_dir, "embeddings"), ANN_QUERY_IDS, k=ANN_K)
+
+
+SQL_ANN_COSINE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < {len(ANN_QUERY_IDS)}),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM sims
+)
+SELECT query_id, vec_id, rank FROM ranked WHERE rank <= {ANN_K}
+ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Crawl-engine queries (not SQL-expressible -> rows-only driver check)
+# ---------------------------------------------------------------------------
+
+def _crawl_cfg(sf_dir: str):
+    from .engine import EngineConfig
+    from .synth import WorldConfig
+
+    # scale the synthetic world with sf (sf0.001 -> small, sf0.1 -> larger)
+    n_docs = {"sf0.001": 500, "sf0.01": 5000, "sf0.1": 50000}
+    key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    n = n_docs.get(key, 2000)
+    return EngineConfig(
+        world=__import__("crawlray.synth", fromlist=["WorldConfig"]).WorldConfig(
+            n_urls=max(500, n), n_hosts=max(10, min(60, n // 80))
+        ),
+        n_seeds=min(40, max(8, n // 60)),
+        max_rounds=2,
+    )
+
+
+def q_crawl(sf_dir: str):
+    """Flagship: full crawl on the sf-scaled synthetic world; returns the
+    doc summary (no spans — schema-stable across sf)."""
+    import shutil
+    import tempfile
+
+    from .engine import CrawlEngine
+
+    out = tempfile.mkdtemp(prefix="crawlq_")
+    try:
+        cfg = _crawl_cfg(sf_dir)
+        CrawlEngine(cfg, out).run()
+        import glob
+
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table(
+            sorted(glob.glob(f"{out}/corpus/round-*/*.parquet")),
+            columns=["doc_id", "url", "host", "round", "priority", "seq",
+                     "status", "n_spans", "n_links", "n_images"],
+        )
+        return docs.take(
+            pc.sort_indices(docs, sort_keys=[("seq", "ascending")])
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def q_crawl_outlinks(sf_dir: str):
+    """Outlink extraction over synthetic pages: one row per (src, url)."""
+    from .htmlx import parse_document
+    from .synth import World
+
+    cfg = _crawl_cfg(sf_dir)
+    world = World(cfg.world)
+    urls = [world.url(i % cfg.world.n_hosts, i // cfg.world.n_hosts)
+            for i in range(min(200, cfg.world.n_urls))]
+    seeds = rd.from_items([{"url": u} for u in urls])
+
+    def fetch_parse(t: pa.Table) -> pa.Table:
+        rows_src, rows_url, rows_int, rows_rank, rows_anchor = [], [], [], [], []
+        for u in t["url"].to_pylist():
+            res = parse_document(world.gen_page(u), u)
+            for link in res.links:
+                rows_src.append(u)
+                rows_url.append(link.url)
+                rows_int.append(link.is_internal)
+                rows_rank.append(link.rank)
+                rows_anchor.append(link.text)
+        return pa.table(
+            {
+                "src": pa.array(rows_src, pa.string()),
+                "url": pa.array(rows_url, pa.string()),
+                "is_internal": pa.array(rows_int, pa.bool_()),
+                "discovery_rank": pa.array(rows_rank, pa.int32()),
+                "anchor_text": pa.array(rows_anchor, pa.string()),
+            }
+        )
+
+    return seeds.map_batches(fetch_parse, batch_format="pyarrow")
+
+
+def q_minhash_dedup(sf_dir: str):
+    """Near-dup detection (MinHash-LSH) over documents; returns verified
+    pair rows (a, b, jaccard)."""
+    from .pipelines.dedup import minhash_lsh_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(docs, jaccard_threshold=0.4)
+
+
+def q_simhash(sf_dir: str):
+    """SimHash signatures per doc (rows-only; signature column int64)."""
+    from .pipelines.dedup import SimHasher
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        SimHasher, batch_format="pandas", concurrency=2
+    )
+
+
+def q_lang_id(sf_dir: str):
+    from .pipelines.textops import LangId
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pandas", concurrency=2
+    )
+
+
+def q_ann_ivf(sf_dir: str):
+    from .pipelines.ann import ivf_topk
+
+    return ivf_topk(_read(sf_dir, "embeddings"), ANN_QUERY_IDS, k=ANN_K)
+
+
+def q_media_pipeline(sf_dir: str):
+    """Multimodal plumbing: crawl a few pages -> image-span worklist ->
+    media fetch actor pool -> fake decode. rows = decoded media records."""
+    from .pipelines.media import MediaDecoder, MediaFetcher, media_refs_from_docs
+    from .htmlx import parse_document
+    from .stages.parse import build_spans_column
+    from .synth import World
+
+    cfg = _crawl_cfg(sf_dir)
+    world = World(cfg.world)
+    urls = [world.url(i % cfg.world.n_hosts, 0) for i in range(cfg.world.n_hosts)]
+    span_lists, ids = [], []
+    for u in urls:
+        res = parse_document(world.gen_page(u), u)
+        span_lists.append(res.spans)
+        ids.append(u)
+    docs = pa.table(
+        {"doc_id": pa.array(ids), "spans": build_spans_column(span_lists)}
+    )
+    work = media_refs_from_docs(docs)
+    ds = rd.from_arrow(work)
+    fetched = ds.map_batches(
+        MediaFetcher, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+    return fetched.map_batches(
+        MediaDecoder, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+
+
+# ---------------------------------------------------------------------------
+
+def catalog():
+    """name -> (fn, oracle_sql | None)"""
+    return {
+        "doc_stats": (q_doc_stats, SQL_DOC_STATS),
+        "source_stats": (q_source_stats, SQL_SOURCE_STATS),
+        "top_langs": (q_top_langs, SQL_TOP_LANGS),
+        "recent_events": (q_recent_events, SQL_RECENT_EVENTS),
+        "event_rollup": (q_event_rollup, SQL_EVENT_ROLLUP),
+        "hourly_windows": (q_hourly_windows, SQL_HOURLY_WINDOWS),
+        "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+        "brand_revenue": (q_brand_revenue, SQL_BRAND_REVENUE),
+        "customer_orders": (q_customer_orders, SQL_CUSTOMER_ORDERS),
+        "url_canon": (q_url_canon, SQL_URL_CANON),
+        "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+        "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+        "quality": (q_quality, SQL_QUALITY),
+        "token_totals": (q_token_totals, SQL_TOKEN_TOTALS),
+        "distinct_pairs": (q_distinct_pairs, SQL_DISTINCT_PAIRS),
+        "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
+        # rows-only (non-SQL-expressible)
+        "crawl": (q_crawl, None),
+        "crawl_outlinks": (q_crawl_outlinks, None),
+        "minhash_dedup": (q_minhash_dedup, None),
+        "simhash": (q_simhash, None),
+        "lang_id": (q_lang_id, None),
+        "ann_ivf": (q_ann_ivf, None),
+        "media_pipeline": (q_media_pipeline, None),
+    }

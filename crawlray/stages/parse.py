@@ -16,8 +16,102 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..canon import split_url
 from ..htmlx import KIND_IMAGE, KIND_LINK, parse_document
 from ..schema import SPAN_STRUCT
+
+# Module-level World cache: the fused fetch+parse stage runs as stateless
+# Ray tasks; each worker process builds the (cheap, deterministic) World
+# once per config instead of paying an actor-pool spin-up every round.
+_WORLD_CACHE: dict = {}
+
+
+def _get_world(cfg):
+    w = _WORLD_CACHE.get(cfg)
+    if w is None:
+        from ..synth import World
+
+        w = _WORLD_CACHE[cfg] = World(cfg)
+    return w
+
+
+def fetch_parse_batch(batch: pa.Table, world_cfg) -> pa.Table:
+    """Fused fetch+parse: frontier rows -> DOC_SCHEMA rows in one pass.
+
+    Functionally identical to SynthFetcher (robots gate, <=3-attempt retry
+    classification) followed by parse_batch, but as a single stateless
+    map_batches stage: no actor pool startup per round and no payload
+    column ever materialized in the object store (HTML lives only in task
+    memory for the microseconds between generation and span extraction).
+    """
+    world = _get_world(world_cfg)
+    n = batch.num_rows
+    urls = batch["url"].to_pylist()
+    hosts = batch["host"].to_pylist()
+    seqs = batch["seq"].to_pylist()
+
+    span_lists: list[list[tuple[str, str, str]]] = []
+    titles: list[str] = []
+    descs: list[str] = []
+    status: list[str] = []
+    errt: list[str] = []
+    errc: list[str] = []
+    retry: list[bool] = []
+    attempts: list[int] = []
+    n_links = np.zeros(n, dtype=np.int32)
+    n_images = np.zeros(n, dtype=np.int32)
+
+    for i in range(n):
+        url, host = urls[i], hosts[i]
+        path = split_url(url)[2]
+        if world.robots_disallowed(host, path):
+            status.append("robots_denied"); errt.append("robots")
+            errc.append("ROBOTS_DENIED"); retry.append(False); attempts.append(0)
+            span_lists.append([]); titles.append(""); descs.append("")
+            continue
+        final_status, need = world.fetch_plan(url)
+        if final_status == 404:
+            status.append("http_404"); errt.append("http_error")
+            errc.append("404"); retry.append(False); attempts.append(1)
+            span_lists.append([]); titles.append(""); descs.append("")
+            continue
+        res = parse_document(world.gen_page(url), url)
+        if res.error_code:
+            status.append("parse_error"); errt.append("content_error")
+            errc.append(res.error_code); retry.append(False); attempts.append(min(need, 3))
+            span_lists.append([]); titles.append(""); descs.append("")
+            continue
+        status.append("ok"); errt.append(""); errc.append("")
+        retry.append(False); attempts.append(min(need, 3))
+        span_lists.append(res.spans)
+        titles.append(res.title)
+        descs.append(res.description)
+        n_links[i] = len(res.links)
+        n_images[i] = sum(1 for k, _, _ in res.spans if k == KIND_IMAGE)
+
+    return pa.table(
+        {
+            "doc_id": pa.array([f"d{s:012d}" for s in seqs], pa.string()),
+            "url": batch["url"],
+            "host": batch["host"],
+            "round": batch["round"],
+            "priority": batch["priority"],
+            "seq": batch["seq"],
+            "depth": batch["depth"],
+            "status": pa.array(status, pa.string()),
+            "error_type": pa.array(errt, pa.string()),
+            "error_code": pa.array(errc, pa.string()),
+            "retry_possible": pa.array(retry, pa.bool_()),
+            "attempts": pa.array(attempts, pa.int32()),
+            "title": pa.array(titles, pa.string()),
+            "description": pa.array(descs, pa.string()),
+            "spans": build_spans_column(span_lists),
+            "n_spans": pa.array([len(s) for s in span_lists], pa.int32()),
+            "n_links": pa.array(n_links),
+            "n_images": pa.array(n_images),
+            "part_id": batch["part_id"],
+        }
+    )
 
 
 def build_spans_column(span_lists: list[list[tuple[str, str, str]]]) -> pa.ListArray:

@@ -21,6 +21,12 @@ under parallel callers — SURVEY.md §7 hard part (a)):
 2. the round's surviving candidates are exactly deduped by a
    ``groupby(url).min(cand_key)`` shuffle in the engine;
 3. ``add_batch`` inserts the deduped winners once.
+
+Checkpointing is **delta-based**: each round's snapshot is the SORTED set
+of keys added since the previous snapshot (O(new URLs), not O(capacity));
+restore replays all delta files in round order. Sorting makes the delta
+bytes independent of insertion-arrival order, preserving byte-identical
+resume.
 """
 
 from __future__ import annotations
@@ -42,6 +48,8 @@ class UrlSeenShard:
         self.mode = mode
         self.exact: set[str] = set()
         self.filter = CuckooFilter(capacity) if mode == "cuckoo" else None
+        self.delta_urls: list[str] = []
+        self.delta_hashes: list[np.ndarray] = []
 
     def contains_batch(self, urls: list[str] | None, hashes: np.ndarray) -> np.ndarray:
         if self.mode == "exact":
@@ -51,27 +59,40 @@ class UrlSeenShard:
     def add_batch(self, urls: list[str] | None, hashes: np.ndarray) -> int:
         if self.mode == "exact":
             n0 = len(self.exact)
-            self.exact.update(urls)
+            for u in urls:
+                if u not in self.exact:
+                    self.exact.add(u)
+                    self.delta_urls.append(u)
             return len(self.exact) - n0
+        fresh = ~self.filter.contains_many(hashes)
+        self.delta_hashes.append(hashes[fresh])
         return self.filter.add_many(hashes)
 
     def count(self) -> int:
         return len(self.exact) if self.mode == "exact" else self.filter.count
 
     def snapshot(self) -> bytes:
+        """Take the delta since the last snapshot (sorted -> deterministic
+        bytes regardless of add arrival order) and clear it."""
         if self.mode == "exact":
             import pickle
 
-            return pickle.dumps(sorted(self.exact), protocol=5)
-        return self.filter.snapshot()
+            blob = pickle.dumps(sorted(self.delta_urls), protocol=5)
+            self.delta_urls = []
+            return blob
+        h = (np.sort(np.concatenate(self.delta_hashes))
+             if self.delta_hashes else np.array([], dtype=np.uint64))
+        self.delta_hashes = []
+        return h.astype(np.uint64).tobytes()
 
     def restore(self, blob: bytes) -> None:
+        """Apply one delta blob (replayed in round order on resume)."""
         if self.mode == "exact":
             import pickle
 
-            self.exact = set(pickle.loads(blob))
+            self.exact.update(pickle.loads(blob))
         else:
-            self.filter = CuckooFilter.restore(blob)
+            self.filter.add_many(np.frombuffer(blob, dtype=np.uint64))
 
 
 class SeenClient:
@@ -123,8 +144,21 @@ class SeenClient:
         return int(sum(ray.get([s.count.remote() for s in self.shards])))
 
     def snapshot_all(self) -> list[bytes]:
+        """Per-shard delta blobs for this round's checkpoint."""
         return ray.get([s.snapshot.remote() for s in self.shards])
 
-    def restore_all(self, blobs: list[bytes]) -> None:
+    def restore_blobs(self, blobs: list[bytes]) -> None:
+        """Apply one delta blob per shard (index-aligned)."""
         assert len(blobs) == self.k
         ray.get([s.restore.remote(b) for s, b in zip(self.shards, blobs)])
+
+    def restore_files(self, paths: list[str]) -> None:
+        """Replay delta files (named ``.../shard-{id:03d}.bin``) in the
+        given order; caller passes them sorted by round then shard."""
+        from pathlib import Path
+
+        futs = []
+        for p in paths:
+            sid = int(Path(p).stem.split("-")[1])
+            futs.append(self.shards[sid].restore.remote(Path(p).read_bytes()))
+        ray.get(futs)

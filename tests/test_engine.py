@@ -68,11 +68,9 @@ def test_crawl_order_matches_oracle(crawl_run):
 
 def test_url_seen_set_matches_oracle(crawl_run):
     out, summary, oracle = crawl_run
+    # delta snapshots: the seen set is the union of every round's deltas
     seen = set()
-    last = max(
-        int(p.split("round-")[1]) for p in glob.glob(f"{out}/seen/round-*")
-    )
-    for p in sorted(glob.glob(f"{out}/seen/round-{last:04d}/*.bin")):
+    for p in sorted(glob.glob(f"{out}/seen/round-*/*.bin")):
         seen.update(pickle.loads(Path(p).read_bytes()))
     assert seen == oracle.seen
     assert summary["seen_total"] == len(oracle.seen)
@@ -179,3 +177,23 @@ def test_config_mismatch_rejected(tmp_path):
     bad = dataclasses.replace(CFG, n_seeds=CFG.n_seeds + 1)
     with pytest.raises(ValueError):
         CrawlEngine(bad, out).run(resume=True)
+
+
+def test_actor_fetcher_path_matches_oracle(tmp_path):
+    """rate_per_host set -> the stateful SynthFetcher actor-pool path (token
+    buckets exercised); crawl results must be identical to the fused path."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, max_rounds=1, rate_per_host=1e9)
+    out = str(tmp_path / "actorpath")
+    summary = CrawlEngine(cfg, out).run()
+    oracle = simulate_crawl(World(CFG.world), CFG.n_seeds, max_rounds=1)
+    assert summary["fetched"] == len(oracle.fetch_log)
+    docs = read_corpus(out).to_pandas().sort_values(["round", "priority", "seq"])
+    eng_log = [
+        (r, p, s, u, "ok" if st == "ok" else st)
+        for r, p, s, u, st in zip(
+            docs["round"], docs["priority"], docs["seq"], docs["url"], docs["status"]
+        )
+    ]
+    assert eng_log == oracle.fetch_log

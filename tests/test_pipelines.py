@@ -1,0 +1,328 @@
+"""Unit tests for the training-data pipeline operators (dedup, ANN, text,
+media plumbing, renderers, seed CSV source)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+def docs_ds():
+    return rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+
+# -- dedup -------------------------------------------------------------------
+
+def test_exact_dedup_matches_pandas():
+    from crawlray.pipelines.dedup import exact_dedup_groups
+
+    got = exact_dedup_groups(docs_ds()).to_pandas().sort_values("fp").reset_index(drop=True)
+    import hashlib
+
+    df = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    df["fp"] = df["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest())
+    exp = (
+        df.groupby("fp")
+        .agg(n_dups=("doc_id", "size"), keep_doc_id=("doc_id", "min"))
+        .reset_index()
+        .sort_values("fp")
+        .reset_index(drop=True)
+    )
+    assert got["fp"].tolist() == exp["fp"].tolist()
+    assert got["n_dups"].tolist() == exp["n_dups"].tolist()
+    assert got["keep_doc_id"].tolist() == exp["keep_doc_id"].tolist()
+
+
+def test_minhash_finds_planted_near_dups():
+    from crawlray.pipelines.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today " * 4
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about database query engines and shuffles " * 4
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": near},
+        {"doc_id": 3, "text": other},
+        {"doc_id": 4, "text": base},  # exact dup
+    ]
+    ds = rd.from_items(rows)
+    pairs = minhash_lsh_pairs(ds, jaccard_threshold=0.5)
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (1, 4) in got          # exact dup found
+    assert (1, 2) in got or (2, 4) in got  # near dup found
+    assert not any(3 in p for p in got)    # unrelated not paired
+
+
+def test_minhash_connected_components():
+    from crawlray.pipelines.dedup import connected_components
+
+    pairs = pd.DataFrame({"a": [1, 2], "b": [2, 5]})
+    cc = connected_components(pairs, [1, 2, 3, 5])
+    lab = dict(zip(cc["doc_id"], cc["cluster"]))
+    assert lab[1] == lab[2] == lab[5]
+    assert lab[3] != lab[1]
+
+
+def test_simhash_near_dups():
+    from crawlray.pipelines.dedup import simhash_near_dups
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 10
+    near = base.replace("kappa", "kappa")
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": near},
+        {"doc_id": 3, "text": "unrelated words entirely different topic matter here " * 10},
+    ]
+    out = simhash_near_dups(rd.from_items(rows))
+    got = {tuple(sorted((a, b))) for a, b in zip(out["a"], out["b"])}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+
+# -- ANN ---------------------------------------------------------------------
+
+def emb_ds():
+    return rd.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def test_brute_force_topk_matches_numpy():
+    from crawlray.pipelines.ann import brute_force_topk
+
+    got = brute_force_topk(emb_ds(), [0, 1], k=5)
+    df = pd.read_parquet(f"{SF}/embeddings.parquet")
+    m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ids = df["vec_id"].to_numpy()
+    for q in (0, 1):
+        qv = m[ids == q][0]
+        sims = m @ qv
+        order = np.lexsort((ids, -sims))[:5]
+        exp = ids[order].tolist()
+        sub = got[got["query_id"] == q].sort_values("rank")
+        assert sub["vec_id"].tolist() == exp
+        assert sub["rank"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_ivf_recall_reasonable():
+    from crawlray.pipelines.ann import brute_force_topk, ivf_topk
+
+    qids = [0, 1, 2, 3]
+    exact = brute_force_topk(emb_ds(), qids, k=5)
+    approx = ivf_topk(emb_ds(), qids, k=5, n_centroids=8, n_probe=4)
+    recall = 0
+    for q in qids:
+        e = set(exact[exact.query_id == q]["vec_id"])
+        a = set(approx[approx.query_id == q]["vec_id"])
+        recall += len(e & a) / 5
+    assert recall / len(qids) >= 0.5  # probing half the centroids
+    # self-match must always be rank 1
+    for q in qids:
+        assert approx[approx.query_id == q].iloc[0]["vec_id"] == q
+
+
+# -- textops -----------------------------------------------------------------
+
+def test_doc_stats_matches_python_split():
+    from crawlray.pipelines.textops import doc_stats
+
+    got = (
+        docs_ds().map_batches(doc_stats, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    df = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    for _, row in df.head(50).iterrows():
+        assert got.loc[row["doc_id"], "word_count"] == len(row["text"].split())
+        assert got.loc[row["doc_id"], "char_count"] == len(row["text"])
+
+
+def test_langid_runs_and_is_deterministic():
+    from crawlray.pipelines.textops import LangId
+
+    out1 = docs_ds().map_batches(LangId, batch_format="pandas", concurrency=2).to_pandas()
+    out2 = docs_ds().map_batches(LangId, batch_format="pandas", concurrency=2).to_pandas()
+    a = out1.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert set(a["lang_pred"]) <= {"en", "de", "fr", "es", "und"}
+
+
+def test_rolling_hashes():
+    from crawlray.pipelines.textops import rolling_hashes
+
+    h1 = rolling_hashes("abcdefghij" * 10, window=8)
+    h2 = rolling_hashes("abcdefghij" * 10, window=8)
+    assert (h1 == h2).all()
+    assert len(h1) == 100 - 8 + 1
+    assert rolling_hashes("short", window=16).size == 0
+
+
+# -- media plumbing ----------------------------------------------------------
+
+def test_media_pipeline_plumbing():
+    from crawlray.htmlx import parse_document
+    from crawlray.pipelines.media import (
+        MediaDecoder,
+        MediaFetcher,
+        infer_extension,
+        media_refs_from_docs,
+    )
+    from crawlray.stages.parse import build_spans_column
+
+    html = (
+        '<html><body><img src="https://cdn.x.com/a.png" alt="A">'
+        '<p>text</p><img src="/b" alt="B"></body></html>'
+    )
+    res = parse_document(html, "https://e.com")
+    docs = pa.table(
+        {"doc_id": pa.array(["d1"]), "spans": build_spans_column([res.spans])}
+    )
+    work = media_refs_from_docs(docs)
+    assert work["media_ref"].to_pylist() == [
+        "https://cdn.x.com/a.png",
+        "https://e.com/b",
+    ]
+    ds = rd.from_arrow(work)
+    fetched = ds.map_batches(
+        MediaFetcher, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+    decoded = fetched.map_batches(
+        MediaDecoder, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+    out = decoded.to_pandas()
+    assert set(out.columns) >= {"doc_id", "media_ref", "media_status", "n_bytes",
+                                "ext", "width", "height", "feature"}
+    ok = out[out["media_status"] == "ok"]
+    assert (ok["n_bytes"] > 0).all()
+    assert infer_extension("https://x.com/a.png") == ".png"
+    assert infer_extension("https://x.com/a", "image/jpeg") == ".jpg"
+    assert infer_extension("https://x.com/a") == ".jpg"
+
+
+def test_media_decoder_stub_raises():
+    from crawlray.pipelines.media import MediaDecoder
+
+    with pytest.raises(NotImplementedError):
+        MediaDecoder(backend="stub")(pa.table({"payload": pa.array([b"x"], pa.binary())}))
+
+
+def test_media_size_cap():
+    from crawlray.pipelines.media import MediaFetcher
+
+    f = MediaFetcher(max_bytes=100)
+    t = f(pa.table({"media_ref": pa.array([f"https://x.com/{i}" for i in range(50)])}))
+    status = set(t["media_status"].to_pylist())
+    assert "too_large" in status  # cap rows present (image_downloader.py:122-124)
+    ok_sizes = [
+        s for s, st in zip(t["n_bytes"].to_pylist(), t["media_status"].to_pylist())
+        if st == "ok"
+    ]
+    assert all(s <= 100 for s in ok_sizes)
+
+
+# -- renderers ---------------------------------------------------------------
+
+def test_renderers():
+    from crawlray.stages.render import render_batch
+    from crawlray.stages.parse import build_spans_column
+
+    spans = [
+        ("heading", "Head", ""),
+        ("text", "Body line", ""),
+        ("image", "alt", "https://x.com/i.png"),
+        ("link", "click", "https://x.com/p"),
+    ]
+    t = pa.table(
+        {
+            "title": pa.array(["Page Title"]),
+            "spans": build_spans_column([spans]),
+        }
+    )
+    out = render_batch(t, ("txt", "md", "html"))
+    txt = out["render_txt"][0].as_py()
+    md = out["render_md"][0].as_py()
+    html = out["render_html"][0].as_py()
+    assert txt == "Head\nBody line"
+    assert "# Page Title" in md and "## Head" in md
+    assert "![alt](https://x.com/i.png)" in md
+    assert "[click](https://x.com/p)" in md
+    assert "<title>Page Title</title>" in html and "<h2>Head</h2>" in html
+    assert "<style>" in html  # styling template (converters.py:108-183)
+
+
+def test_media_ref_rewrite_join():
+    import ray
+
+    from crawlray.stages.parse import build_spans_column
+    from crawlray.stages.render import MediaRefRewriter
+
+    spans = [("image", "a", "https://x.com/i.png"), ("text", "t", "")]
+    t = pa.table({"doc_id": pa.array(["d"]), "spans": build_spans_column([spans])})
+    mapping = ray.put({"https://x.com/i.png": "images/i_local.png"})
+    out = MediaRefRewriter(mapping)(t)
+    got = out["spans"][0].as_py()
+    assert got[0]["media_ref"] == "images/i_local.png"
+    assert got[1] == {"kind": "text", "text": "t", "media_ref": "", "offset": 1}
+
+
+def test_combined_text_ordered():
+    from crawlray.stages.parse import build_spans_column
+    from crawlray.stages.render import combined_text
+
+    rows = []
+    for i, seq in enumerate([2, 0, 1]):
+        rows.append(
+            {
+                "seq": seq,
+                "url": f"https://e.com/{seq}",
+                "title": "t",
+                "spans": None,
+            }
+        )
+    t = pa.table(
+        {
+            "seq": pa.array([2, 0, 1], pa.int64()),
+            "url": pa.array([f"https://e.com/{s}" for s in [2, 0, 1]]),
+            "title": pa.array(["t"] * 3),
+            "spans": build_spans_column(
+                [[("text", f"doc{s}", "")] for s in [2, 0, 1]]
+            ),
+        }
+    )
+    ds = rd.from_arrow(t)
+    out = combined_text(ds)
+    i0 = out.index("doc0")
+    i1 = out.index("doc1")
+    i2 = out.index("doc2")
+    assert i0 < i1 < i2  # S10 order by seq
+
+
+# -- seed CSV source ---------------------------------------------------------
+
+def test_read_seed_csv(tmp_path):
+    from crawlray.stages.sources import read_seed_csv
+
+    csv = tmp_path / "seeds.csv"
+    csv.write_text(
+        "url,mode,format,download_images,link_type,exclude_anchors\n"
+        "https://A.com/Page#x,content,\"txt, md\",yes,internal,true\n"
+        "https://b.com/,LINK,,no,bogus,0\n"
+        "not-a-url,content,txt,,all,\n"
+        "https://c.com/x,,HTML json,1,external,y\n"
+    )
+    seeds, rejects = read_seed_csv(str(csv))
+    df = seeds.to_pandas().sort_values("seed_rank").reset_index(drop=True)
+    assert df["url"].tolist() == [
+        "https://a.com/Page",          # canonicalized (host folded, fragment off)
+        "https://b.com/",
+        "https://c.com/x",
+    ]
+    assert df["mode"].tolist() == ["content", "link", "content"]
+    assert [list(f) for f in df["formats"]] == [["txt", "md"], ["txt"], ["html", "json"]]
+    assert df["download_images"].tolist() == [True, False, True]
+    assert df["link_type"].tolist() == ["internal", "all", "external"]
+    assert df["exclude_anchors"].tolist() == [True, False, True]
+    assert rejects.to_pandas()["url_raw"].tolist() == ["not-a-url"]

@@ -74,10 +74,10 @@ def test_seen_shards(mode):
     hits = client.contains(other, oh)
     assert hits.mean() < 0.01  # exact: 0; cuckoo: tiny fp rate
 
-    # snapshot / restore into a fresh set of shards
+    # delta snapshot / restore into a fresh set of shards
     blobs = client.snapshot_all()
     client2 = SeenClient.create(4, mode=mode, capacity_per_shard=1 << 14)
-    client2.restore_all(blobs)
+    client2.restore_blobs(blobs)
     assert client2.contains(urls, hashes).all()
     assert client2.total() == 500
 
