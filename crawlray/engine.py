@@ -131,6 +131,30 @@ class _DocWriter:
         return explode_outlinks(docs, 0)
 
 
+class _PartWorker:
+    """Fused per-partition crawl worker: one ``groupby(part_id)`` group of
+    FRONTIER rows (url/host/seq only — a few bytes each) -> fetch+parse ->
+    deterministic corpus+metrics partition files -> outlink candidates.
+
+    Only tiny frontier rows and tiny candidate rows ever cross task
+    boundaries; HTML and span payloads are born, written to the corpus
+    file, and freed inside a single task. This removes the round's only
+    large shuffle (docs-by-part_id) entirely — the partition key is
+    applied BEFORE the data gets wide.
+    """
+
+    def __init__(self, corpus_dir: str, metrics_dir: str, round_idx: int, world_cfg):
+        self.writer = _DocWriter(corpus_dir, metrics_dir, round_idx)
+        self.world_cfg = world_cfg
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        group = group.take(
+            pc.sort_indices(group, sort_keys=[("seq", "ascending")])
+        )
+        docs = fetch_parse_batch(group, self.world_cfg)
+        return self.writer(docs)
+
+
 class _SeenFilter:
     """map_batches anti-join against the URL-seen shards (prior rounds)."""
 
@@ -139,10 +163,15 @@ class _SeenFilter:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return batch
+            return batch.append_column("url_hash", pa.array([], pa.int64()))
         urls = batch["url"].to_pylist()
         hashes = hash64(batch["url"])
         seen = self.client.contains(urls, hashes)
+        import numpy as _np
+
+        batch = batch.append_column(
+            "url_hash", pa.array(hashes.view(_np.int64))
+        )
         return batch.filter(pa.array(~seen))
 
 
@@ -317,27 +346,31 @@ class CrawlEngine:
                 num_cpus=1,
             )
             docs = fetched.map_batches(parse_batch, batch_format="pyarrow")
-        else:
-            # fused stateless fetch+parse (World cached per worker process):
-            # no per-round actor spin-up, HTML never enters the object store
-            docs = fetchset.map_batches(
-                lambda t: fetch_parse_batch(t, world_cfg),
-                batch_format="pyarrow",
-                batch_size=cfg.fetch_batch_size,
+            cdir, mdir = self.store.corpus_dir(r), self.store.metrics_dir(r)
+            doc_writer = _DocWriter(str(cdir), str(mdir), r)
+            candidates = docs.groupby("part_id").map_groups(
+                lambda g: doc_writer(g), batch_format="pyarrow"
             )
-
-        cdir, mdir = self.store.corpus_dir(r), self.store.metrics_dir(r)
-        doc_writer = _DocWriter(str(cdir), str(mdir), r)
-        candidates = docs.groupby("part_id").map_groups(
-            lambda g: doc_writer(g), batch_format="pyarrow"
-        )
-
-        tm.lap("build-pipelines")
+        else:
+            # fused per-partition worker: partition the (tiny) frontier rows
+            # by part_id, then fetch+parse+write+extract-candidates run
+            # inside ONE task per partition — the wide doc payloads never
+            # enter a shuffle or the object store at all
+            cdir, mdir = self.store.corpus_dir(r), self.store.metrics_dir(r)
+            worker = _PartWorker(str(cdir), str(mdir), r, world_cfg)
+            candidates = fetchset.groupby("part_id").map_groups(
+                lambda g: worker(g), batch_format="pyarrow"
+            )
+        tm.lap("build-candidates-pipeline")
         unseen = candidates.map_batches(
             _SeenFilter(self.seen), batch_format="pyarrow"
         )
-        uniq = unique_keep_first(unseen, "url", "cand_key")
-        tm.lap("fetch+parse+write+dedup-sort")
+        # dedup on the 64-bit url hash (already computed by the seen filter):
+        # int sort keys shuffle far cheaper than url strings; a 64-bit
+        # collision merges two URLs with probability ~n^2/2^65 — the same
+        # accepted-approximation class as the cuckoo filter's FP rate
+        uniq = unique_keep_first(unseen, "url_hash", "cand_key")
+        tm.lap("candidates+dedup")
         ordered = uniq.sort("cand_key")
         indexed, n_new = zip_with_index(ordered, "rank")
         tm.lap("order+index")

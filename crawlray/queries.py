@@ -433,6 +433,62 @@ SELECT lang, source, count(*)::BIGINT AS n FROM documents GROUP BY lang, source
 # ANN over embeddings
 # ---------------------------------------------------------------------------
 
+def q_ngram_jaccard(sf_dir: str):
+    """n-gram Jaccard similarity join: exact pairwise word-3-gram Jaccard
+    over a bounded doc subset (the standalone verify kernel of the
+    MinHash-LSH path). Integer intersection/union sizes -> exact oracle."""
+    import ray
+
+    from .pipelines.dedup import word_shingles
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 30)), batch_format="pyarrow"
+    )
+    small = ds.to_pandas().sort_values("doc_id")
+    sh = {int(d): set(word_shingles(t, 3)) for d, t in zip(small["doc_id"], small["text"])}
+    ref = ray.put(sh)
+
+    def pairs_batch(t: pa.Table) -> pa.Table:
+        shingles = ray.get(ref)
+        rows_a, rows_b, inter, union = [], [], [], []
+        for a in t["doc_id"].to_pylist():
+            sa = shingles[int(a)]
+            for b in sorted(shingles):
+                if b <= a:
+                    continue
+                sb = shingles[b]
+                ni = len(sa & sb)
+                if ni > 0:
+                    rows_a.append(int(a)); rows_b.append(b)
+                    inter.append(ni); union.append(len(sa) + len(sb) - ni)
+        return pa.table(
+            {
+                "a": pa.array(rows_a, pa.int64()),
+                "b": pa.array(rows_b, pa.int64()),
+                "n_inter": pa.array(inter, pa.int64()),
+                "n_union": pa.array(union, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(pairs_batch, batch_format="pyarrow")
+
+
+SQL_NGRAM_JACCARD = """
+WITH d AS (
+  SELECT doc_id,
+         list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                        for i in range(1, len(words) - 1)]) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        FROM documents WHERE doc_id < 30)
+)
+SELECT x.doc_id::BIGINT AS a, y.doc_id::BIGINT AS b,
+       len(list_intersect(x.sh, y.sh))::BIGINT AS n_inter,
+       (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::BIGINT AS n_union
+FROM d x JOIN d y ON x.doc_id < y.doc_id
+WHERE len(list_intersect(x.sh, y.sh)) > 0
+"""
+
+
 ANN_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
 ANN_K = 5
 
@@ -626,6 +682,7 @@ def catalog():
         "token_totals": (q_token_totals, SQL_TOKEN_TOTALS),
         "distinct_pairs": (q_distinct_pairs, SQL_DISTINCT_PAIRS),
         "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
+        "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
         # rows-only (non-SQL-expressible)
         "crawl": (q_crawl, None),
         "crawl_outlinks": (q_crawl_outlinks, None),

@@ -37,10 +37,12 @@ import ray
 from .cuckoo import CuckooFilter
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0)
 class UrlSeenShard:
-    """One membership shard. num_cpus=0.25 so K shards + worker pools
-    co-schedule on one node (membership calls are short and bursty)."""
+    """One membership shard. num_cpus=0: membership calls are short and
+    bursty (vectorized set/filter probes), so shards must never reserve
+    CPU slots away from the map/shuffle stages — K shards at num_cpus>0
+    can starve a small cluster outright."""
 
     def __init__(self, shard_id: int, mode: str = "exact", capacity: int = 1 << 20):
         assert mode in ("exact", "cuckoo")

@@ -54,6 +54,7 @@ class WorldConfig:
     fanout_min: int = 5
     fanout_max: int = 30
     politeness_budget: int = 64   # max fetches per host per round
+    page_scale: int = 1           # multiplies page body size (bench realism)
 
 
 class World:
@@ -127,7 +128,7 @@ class World:
         out.append(f"<h1>{words(2, 6)}</h1>")
         cls = _CLASSES[rng.randrange(len(_CLASSES))]
         out.append(f'<div class="{cls}" id="pg-{path}">')
-        n_paras = rng.randint(3, 14)
+        n_paras = rng.randint(3, 14) * cfg.page_scale
         for _ in range(n_paras):
             if rng.random() < 0.15:
                 out.append(f"<span>{words(2, 6)}</span>")
