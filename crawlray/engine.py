@@ -86,6 +86,15 @@ class EngineConfig:
     fetch_batch_size: int = 256
     fetch_concurrency: tuple[int, int] = (2, 8)
     rate_per_host: float | None = None # wall-clock token bucket (None = off)
+    # Frontier rounds at or below this row count run their CONTROL-PLANE
+    # steps (politeness selection, membership filter, dedup, seq assignment,
+    # frontier build) on the driver: the frontier is a checkpoint-
+    # materialized table either way, and numpy beats a latency-bound
+    # small-table shuffle by ~10x. The heavy data plane (fetch/parse/
+    # corpus-write/candidate-extract) is ALWAYS distributed. Above the
+    # threshold every step runs distributed (same semantics, byte-identical
+    # outputs — asserted in tests). Not part of the config hash.
+    driver_threshold: int = 2_000_000
 
     @property
     def round_budget(self) -> int:
@@ -96,14 +105,18 @@ class _DocWriter:
     """Per-corpus-partition sink: writes the round's docs + metrics files
     deterministically, returns the partition's outlink candidates."""
 
-    def __init__(self, corpus_dir: str, metrics_dir: str, round_idx: int):
+    def __init__(self, corpus_dir: str, metrics_dir: str, round_idx: int, seed: int = 0):
         self.corpus_dir = corpus_dir
         self.metrics_dir = metrics_dir
         self.round_idx = round_idx
+        self.seed = seed
 
     def __call__(self, group: pa.Table) -> pa.Table:
         part_id = int(group["part_id"][0].as_py())
         docs = group.take(pc.sort_indices(group, sort_keys=[("seq", "ascending")]))
+        # canonical bytes: schema metadata (e.g. pandas round-trip info)
+        # varies by physical plan — never let it into checkpoint files
+        docs = docs.replace_schema_metadata(None)
         fname = part_name(self.round_idx, part_id)
         pq.write_table(docs, Path(self.corpus_dir) / fname)
         status = docs["status"].to_pylist()
@@ -128,7 +141,7 @@ class _DocWriter:
             }
         )
         pq.write_table(metric, Path(self.metrics_dir) / fname)
-        return explode_outlinks(docs, 0)
+        return explode_outlinks(docs, self.seed)
 
 
 class _PartWorker:
@@ -144,7 +157,7 @@ class _PartWorker:
     """
 
     def __init__(self, corpus_dir: str, metrics_dir: str, round_idx: int, world_cfg):
-        self.writer = _DocWriter(corpus_dir, metrics_dir, round_idx)
+        self.writer = _DocWriter(corpus_dir, metrics_dir, round_idx, world_cfg.seed)
         self.world_cfg = world_cfg
 
     def __call__(self, group: pa.Table) -> pa.Table:
@@ -184,6 +197,7 @@ class _FrontierWriter:
         fp = int(group["fpart"][0].as_py())
         t = group.select(FRONTIER_COLS)
         t = t.take(pc.sort_indices(t, sort_keys=[("priority", "ascending"), ("seq", "ascending")]))
+        t = t.replace_schema_metadata(None)
         path = Path(self.frontier_dir) / part_name(self.round_idx, fp)
         pq.write_table(t, path)
         return pa.table({"fpart": pa.array([fp], pa.int32()),
@@ -258,8 +272,8 @@ class CrawlEngine:
     # -- lifecycle -------------------------------------------------------
     def _bootstrap(self) -> dict:
         seeds = self.world.seed_table(self.cfg.n_seeds)
-        ray.get(_add_seen_block.remote(self.seen, seeds))
-        frontier_files = self._write_frontier(rd.from_arrow(seeds), 0)
+        self.seen.add(seeds["url"].to_pylist(), hash64(seeds["url"]))
+        frontier_files = self._write_frontier_driver(seeds, 0)
         seen_files = self._snapshot_seen(0)
         manifest = {
             "next_round": 0,
@@ -301,6 +315,165 @@ class CrawlEngine:
 
     # -- one round -------------------------------------------------------
     def _run_round(self, r: int, manifest: dict) -> dict:
+        """Dispatch: control-plane on driver for checkpoint-sized frontiers,
+        fully distributed above ``driver_threshold`` (or when the wall-clock
+        politeness actor pool is on). Both paths produce byte-identical
+        artifacts."""
+        n_frontier = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in self._abs(manifest["frontier_files"])
+        )
+        if self.cfg.rate_per_host is None and n_frontier <= self.cfg.driver_threshold:
+            return self._run_round_driver(r, manifest)
+        return self._run_round_dist(r, manifest)
+
+    def _write_frontier_driver(self, t: pa.Table, round_idx: int) -> list[str]:
+        """Driver-side frontier partition writer — byte-identical layout to
+        the distributed ``_FrontierWriter`` (same partitioning key, same
+        per-file sort, same schema/order)."""
+        fdir = self.store.frontier_dir(round_idx)
+        if t.num_rows:
+            t = t.select(FRONTIER_COLS)
+            fp = (hash64(t["url"]) % np.uint64(self.cfg.n_frontier_parts)).astype(np.int32)
+            for part in np.unique(fp):
+                sub = t.filter(pa.array(fp == part))
+                sub = sub.take(
+                    pc.sort_indices(
+                        sub,
+                        sort_keys=[("priority", "ascending"), ("seq", "ascending")],
+                    )
+                )
+                pq.write_table(
+                    sub.replace_schema_metadata(None),
+                    fdir / part_name(round_idx, int(part)),
+                )
+        return sorted(str(p) for p in fdir.glob("*.parquet"))
+
+    def _run_round_driver(self, r: int, manifest: dict) -> dict:
+        import pandas as pd
+
+        cfg = self.cfg
+        budget = cfg.round_budget
+        next_seq = manifest["next_seq"]
+        tm = _Timer(f"r{r}")
+
+        fr = pq.read_table(self._abs(manifest["frontier_files"]), columns=FRONTIER_COLS)
+        # exact per-host politeness budget in (priority, seq) order
+        order = np.lexsort((fr["seq"].to_numpy(), fr["priority"].to_numpy()))
+        hosts_sorted = pd.Series(fr["host"].to_pandas().to_numpy()[order])
+        ranks = hosts_sorted.groupby(hosts_sorted, sort=False).cumcount().to_numpy()
+        sel = np.zeros(fr.num_rows, dtype=bool)
+        sel[order] = ranks < budget
+        fetch_tbl = fr.filter(pa.array(sel))
+        deferred_tbl = fr.filter(pa.array(~sel))
+        tm.lap("politeness-select")
+
+        # data plane: distributed fused per-partition workers
+        world_cfg = cfg.world
+        part = (hash64(fetch_tbl["url"]) % np.uint64(cfg.n_parts)).astype(np.int32)
+        fetch_tbl = fetch_tbl.append_column(
+            "round", pa.array(np.full(fetch_tbl.num_rows, r, np.int32))
+        ).append_column("part_id", pa.array(part))
+        cdir, mdir = self.store.corpus_dir(r), self.store.metrics_dir(r)
+        worker = _PartWorker(str(cdir), str(mdir), r, world_cfg)
+        # from_arrow yields ONE block; without a repartition the groupby
+        # collapses to a single map_groups task and the whole data plane
+        # serializes — split to n_parts blocks so all partitions run wide
+        cand_refs = (
+            rd.from_arrow(fetch_tbl)
+            .repartition(cfg.n_parts)
+            .groupby("part_id")
+            .map_groups(lambda g: worker(g), batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        cand_tbls = [t for t in ray.get(cand_refs) if t.num_rows]
+        tm.lap("fetch+parse+write+extract")
+
+        if cand_tbls:
+            cand = pa.concat_tables(cand_tbls)
+            hashes = hash64(cand["url"])
+            urls_list = (
+                cand["url"].to_pylist() if self.seen.mode == "exact" else None
+            )
+            seen_mask = self.seen.contains(urls_list, hashes)
+            keep = ~seen_mask
+            h = hashes[keep]
+            ck = cand["cand_key"].to_numpy()[keep]
+            # within-round dedup: keep the min cand_key per url hash
+            o = np.lexsort((ck, h))
+            first = np.r_[True, h[o][1:] != h[o][:-1]] if len(o) else np.array([], bool)
+            winners_idx = np.flatnonzero(keep)[o[first]]
+            # crawl order: dense seq by ascending cand_key
+            w_ck = cand["cand_key"].to_numpy()[winners_idx]
+            winners_idx = winners_idx[np.argsort(w_ck, kind="stable")]
+            win = cand.take(pa.array(winners_idx))
+            n_new = win.num_rows
+            new_tbl = pa.table(
+                {
+                    "url": win["url"],
+                    "host": win["host"],
+                    "priority": win["priority"],
+                    "depth": win["depth"],
+                    "seq": pa.array(
+                        np.arange(next_seq, next_seq + n_new, dtype=np.int64)
+                    ),
+                }
+            )
+            tm.lap("dedup+seq")
+            self.seen.add(
+                new_tbl["url"].to_pylist() if self.seen.mode == "exact" else None,
+                hash64(new_tbl["url"]),
+            )
+            tm.lap("seen-add")
+        else:
+            n_new = 0
+            new_tbl = deferred_tbl.select(FRONTIER_COLS).slice(0, 0)
+
+        next_frontier = pa.concat_tables(
+            [deferred_tbl.select(FRONTIER_COLS), new_tbl]
+        )
+        frontier_files = self._write_frontier_driver(next_frontier, r + 1)
+        tm.lap("write-frontier")
+        return self._commit_round(r, manifest, frontier_files, next_seq, n_new, tm)
+
+    def _commit_round(
+        self, r: int, manifest: dict, frontier_files: list[str],
+        next_seq: int, n_new: int, tm: "_Timer",
+    ) -> dict:
+        seen_files = sorted(
+            set(manifest["seen_files"]) | set(self._rel(self._snapshot_seen(r + 1)))
+        )
+        tm.lap("snapshot-seen")
+        metric_files = sorted(str(p) for p in self.store.metrics_dir(r).glob("*.parquet"))
+        corpus_files = sorted(str(p) for p in self.store.corpus_dir(r).glob("*.parquet"))
+        totals = {"urls_in": 0, "fetched_ok": 0, "failed": 0,
+                  "robots_denied": 0, "spans": 0, "links": 0}
+        if metric_files:
+            mt = pq.read_table(metric_files)
+            for k in totals:
+                totals[k] = int(pc.sum(mt[k]).as_py() or 0)
+        totals["new_urls"] = n_new
+
+        new_manifest = {
+            "next_round": r + 1,
+            "next_seq": next_seq + n_new,
+            "config_hash": self.cfg_hash,
+            "frontier_files": self._rel(frontier_files),
+            "seen_files": seen_files,
+            "lineage": {
+                "corpus_files": self._rel(corpus_files),
+                "metric_files": self._rel(metric_files),
+                "input_frontier_round": r,
+                "input_frontier_files": manifest["frontier_files"],
+            },
+            "totals": totals,
+        }
+        from .checkpoint import atomic_write_json
+
+        atomic_write_json(self.store.manifest_path(r + 1), new_manifest)
+        return new_manifest
+
+    def _run_round_dist(self, r: int, manifest: dict) -> dict:
         cfg = self.cfg
         budget = cfg.round_budget
         next_seq = manifest["next_seq"]
@@ -347,7 +520,7 @@ class CrawlEngine:
             )
             docs = fetched.map_batches(parse_batch, batch_format="pyarrow")
             cdir, mdir = self.store.corpus_dir(r), self.store.metrics_dir(r)
-            doc_writer = _DocWriter(str(cdir), str(mdir), r)
+            doc_writer = _DocWriter(str(cdir), str(mdir), r, world_cfg.seed)
             candidates = docs.groupby("part_id").map_groups(
                 lambda g: doc_writer(g), batch_format="pyarrow"
             )
@@ -375,17 +548,13 @@ class CrawlEngine:
         indexed, n_new = zip_with_index(ordered, "rank")
         tm.lap("order+index")
 
-        seed = world_cfg.seed
-
         def finalize_new(t: pa.Table) -> pa.Table:
-            urls = t["url"].to_pylist()
+            # host/priority were computed in the parallel explode stage
             return pa.table(
                 {
                     "url": t["url"],
-                    "host": pa.array([host_of(u) for u in urls], pa.string()),
-                    "priority": pa.array(
-                        [h64(seed, "prio", u) % 4 for u in urls], pa.int32()
-                    ),
+                    "host": t["host"],
+                    "priority": t["priority"],
                     "depth": t["depth"],
                     "seq": pc.add(t["rank"], pa.scalar(next_seq, pa.int64())),
                 }
@@ -408,36 +577,4 @@ class CrawlEngine:
         next_frontier = deferred.union(new_ds)
         frontier_files = self._write_frontier(next_frontier, r + 1)
         tm.lap("write-frontier")
-
-        seen_files = sorted(
-            set(manifest["seen_files"]) | set(self._rel(self._snapshot_seen(r + 1)))
-        )
-        tm.lap("snapshot-seen")
-        metric_files = sorted(str(p) for p in self.store.metrics_dir(r).glob("*.parquet"))
-        corpus_files = sorted(str(p) for p in self.store.corpus_dir(r).glob("*.parquet"))
-        totals = {"urls_in": 0, "fetched_ok": 0, "failed": 0,
-                  "robots_denied": 0, "spans": 0, "links": 0}
-        if metric_files:
-            mt = pq.read_table(metric_files)
-            for k in totals:
-                totals[k] = int(pc.sum(mt[k]).as_py() or 0)
-        totals["new_urls"] = n_new
-
-        new_manifest = {
-            "next_round": r + 1,
-            "next_seq": next_seq + n_new,
-            "config_hash": self.cfg_hash,
-            "frontier_files": self._rel(frontier_files),
-            "seen_files": seen_files,
-            "lineage": {
-                "corpus_files": self._rel(corpus_files),
-                "metric_files": self._rel(metric_files),
-                "input_frontier_round": r,
-                "input_frontier_files": manifest["frontier_files"],
-            },
-            "totals": totals,
-        }
-        from .checkpoint import atomic_write_json
-
-        atomic_write_json(self.store.manifest_path(r + 1), new_manifest)
-        return new_manifest
+        return self._commit_round(r, manifest, frontier_files, next_seq, n_new, tm)

@@ -252,12 +252,26 @@ def explode_outlinks(docs: pa.Table, seed: int) -> pa.Table:
                 "url": pa.array([], pa.string()),
                 "cand_key": pa.array([], pa.int64()),
                 "depth": pa.array([], pa.int32()),
+                "host": pa.array([], pa.string()),
+                "priority": pa.array([], pa.int32()),
             }
         )
+    url_arr = pa.concat_arrays([u.cast(pa.string()) for u in out_urls])
+    # host + priority are pure functions of the canonical URL; computing
+    # them here (inside the parallel worker) keeps the downstream frontier
+    # build a pure column shuffle/sort with no per-row recompute
+    from ..canon import host_of
+    from ..synth import h64
+
+    url_list = url_arr.to_pylist()
+    hosts = pa.array([host_of(u) for u in url_list], pa.string())
+    prios = pa.array([h64(seed, "prio", u) % 4 for u in url_list], pa.int32())
     return pa.table(
         {
-            "url": pa.concat_arrays([u.cast(pa.string()) for u in out_urls]),
+            "url": url_arr,
             "cand_key": pa.array(np.concatenate(out_keys), pa.int64()),
             "depth": pa.array(np.concatenate(out_depths).astype(np.int32)),
+            "host": hosts,
+            "priority": prios,
         }
     )

@@ -118,15 +118,15 @@ class SeenClient:
         ]
         return SeenClient(shards, mode)
 
-    def _route(self, urls: list[str], hashes: np.ndarray):
+    def _route(self, urls: list[str] | None, hashes: np.ndarray):
         shard_of = (hashes % np.uint64(self.k)).astype(np.int64)
         for sid in np.unique(shard_of):
             idx = np.nonzero(shard_of == sid)[0]
             sub_urls = [urls[i] for i in idx] if self.mode == "exact" else None
             yield int(sid), idx, sub_urls, hashes[idx]
 
-    def contains(self, urls: list[str], hashes: np.ndarray) -> np.ndarray:
-        out = np.zeros(len(urls), dtype=bool)
+    def contains(self, urls: list[str] | None, hashes: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(hashes), dtype=bool)
         futs, idxs = [], []
         for sid, idx, sub_urls, sub_h in self._route(urls, hashes):
             futs.append(self.shards[sid].contains_batch.remote(sub_urls, sub_h))
@@ -135,7 +135,7 @@ class SeenClient:
             out[idx] = res
         return out
 
-    def add(self, urls: list[str], hashes: np.ndarray) -> int:
+    def add(self, urls: list[str] | None, hashes: np.ndarray) -> int:
         futs = [
             self.shards[sid].add_batch.remote(sub_urls, sub_h)
             for sid, _idx, sub_urls, sub_h in self._route(urls, hashes)

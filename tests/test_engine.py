@@ -197,3 +197,18 @@ def test_actor_fetcher_path_matches_oracle(tmp_path):
         )
     ]
     assert eng_log == oracle.fetch_log
+
+
+def test_distributed_path_byte_identical(crawl_run, tmp_path):
+    """driver_threshold=0 forces the fully distributed control plane; the
+    artifact tree must byte-match the driver-path run (same semantics,
+    different physical plan)."""
+    import dataclasses
+
+    out_full, _, _ = crawl_run
+    out2 = str(tmp_path / "dist")
+    cfg = dataclasses.replace(CFG, driver_threshold=0)
+    CrawlEngine(cfg, out2).run()
+    a, b = tree_bytes(out_full), tree_bytes(out2)
+    assert set(a) == set(b)
+    assert [k for k in a if a[k] != b[k]] == []
