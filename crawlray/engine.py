@@ -205,6 +205,12 @@ class _FrontierWriter:
 
 
 @ray.remote
+def _part_task(worker: "_PartWorker", group: pa.Table) -> pa.Table:
+    """One corpus partition of one round (driver-path data plane)."""
+    return worker(group)
+
+
+@ray.remote
 def _add_seen_block(client: SeenClient, t: pa.Table) -> int:
     urls = t["url"].to_pylist()
     if not urls:
@@ -376,26 +382,28 @@ class CrawlEngine:
         ).append_column("part_id", pa.array(part))
         cdir, mdir = self.store.corpus_dir(r), self.store.metrics_dir(r)
         worker = _PartWorker(str(cdir), str(mdir), r, world_cfg)
-        # from_arrow yields ONE block; without a repartition the groupby
-        # collapses to a single map_groups task and the whole data plane
-        # serializes — split to n_parts blocks so all partitions run wide
-        cand_refs = (
-            rd.from_arrow(fetch_tbl)
-            .repartition(cfg.n_parts)
-            .groupby("part_id")
-            .map_groups(lambda g: worker(g), batch_format="pyarrow")
-            .to_arrow_refs()
-        )
-        cand_tbls = [t for t in ray.get(cand_refs) if t.num_rows]
+        # explicit task fan-out: the fetch table is already on the driver, so
+        # partitioning it ourselves guarantees n_parts-wide parallelism
+        # (a Ray Data groupby re-coalesces small sorted data into a handful
+        # of target_max_block_size blocks and quietly serializes map_groups)
+        pid = fetch_tbl["part_id"].to_numpy(zero_copy_only=False)
+        futs = [
+            _part_task.remote(worker, fetch_tbl.filter(pa.array(pid == p)))
+            for p in np.unique(pid)
+        ]
+        cand_tbls = [t for t in ray.get(futs) if t.num_rows]
         tm.lap("fetch+parse+write+extract")
 
         if cand_tbls:
-            cand = pa.concat_tables(cand_tbls)
+            cand = pa.concat_tables(cand_tbls).combine_chunks()
+            tm.lap("cand-concat")
             hashes = hash64(cand["url"])
+            tm.lap("cand-hash")
             urls_list = (
                 cand["url"].to_pylist() if self.seen.mode == "exact" else None
             )
             seen_mask = self.seen.contains(urls_list, hashes)
+            tm.lap("cand-contains")
             keep = ~seen_mask
             h = hashes[keep]
             ck = cand["cand_key"].to_numpy()[keep]
@@ -406,7 +414,9 @@ class CrawlEngine:
             # crawl order: dense seq by ascending cand_key
             w_ck = cand["cand_key"].to_numpy()[winners_idx]
             winners_idx = winners_idx[np.argsort(w_ck, kind="stable")]
+            tm.lap("cand-lexsort")
             win = cand.take(pa.array(winners_idx))
+            tm.lap("cand-take")
             n_new = win.num_rows
             new_tbl = pa.table(
                 {
