@@ -173,6 +173,10 @@ def scaling() -> None:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             CRAWL_BENCH_ONLY="1",
+            # the scale-representative job: rounds big enough that the
+            # distributed data plane dominates the round barriers
+            CRAWL_BENCH_URLS=os.environ.get("CRAWL_BENCH_URLS", "3000000"),
+            CRAWL_BENCH_SEEDS=os.environ.get("CRAWL_BENCH_SEEDS", "8000"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
