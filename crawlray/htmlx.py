@@ -295,12 +295,18 @@ class _SpanParser(HTMLParser):
             return
         if not self._collecting():
             return
-        text = data.strip()
-        if not text:
-            return
-        if self.anchor_text:
-            self.anchor_text[-1].append(text)
-        self.line.append(text)
+        # a newline inside a text node becomes a line break in the output —
+        # the reference's final split('\n') pass (parser.py:175-178) turns
+        # source newlines into separate emitted lines
+        for i, piece in enumerate(data.split("\n")):
+            if i > 0:
+                self._flush()
+            text = piece.strip()
+            if not text:
+                continue
+            if self.anchor_text:
+                self.anchor_text[-1].append(text)
+            self.line.append(text)
 
     def close(self):
         super().close()
