@@ -433,6 +433,188 @@ SELECT lang, source, count(*)::BIGINT AS n FROM documents GROUP BY lang, source
 # ANN over embeddings
 # ---------------------------------------------------------------------------
 
+def q_order_priority_revenue(sf_dir: str):
+    """Both-sides-large equi-join (bucketed hash join, ray_guide pattern):
+    orders x lineitem on the order key, revenue per order priority."""
+    from .pipelines.relational import bucketed_hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "rev_centicents": pc.multiply(
+                    _cents(t["l_extendedprice"]),
+                    pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])),
+                ),
+            }
+        )
+
+    items_p = items.map_batches(prep, batch_format="pyarrow")
+    joined = bucketed_hash_join(orders, items_p, "o_orderkey", n_buckets=16)
+    return joined.groupby("o_orderpriority").aggregate(
+        Sum("rev_centicents", alias_name="rev_centicents"),
+        Count(alias_name="n_items"),
+    )
+
+
+SQL_ORDER_PRIORITY_REVENUE = """
+SELECT o.o_orderpriority,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT AS rev_centicents,
+       count(*)::BIGINT AS n_items
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+def q_daily_top_event(sf_dir: str):
+    """Window-function analog (row_number()=1 per partition): per
+    (user_id, day) the highest-value event; partial per-batch argmax then
+    a tiny grouped reduce — the full table never shuffles."""
+    from .pipelines.relational import grouped_argmax
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "day": pc.floor_temporal(t["ts"], unit="day"),
+                "event_id": t["event_id"],
+                "cents": _cents(t["value"]),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    out = grouped_argmax(prepped, ["user_id", "day"], "cents", "event_id")
+    return out.select_columns(["user_id", "day", "event_id", "cents"])
+
+
+SQL_DAILY_TOP_EVENT = """
+SELECT user_id, day, event_id, cents FROM (
+  SELECT user_id, date_trunc('day', ts) AS day, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (
+           PARTITION BY user_id, date_trunc('day', ts)
+           ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id
+         ) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+EMB_NEARDUP_LIMIT = 1000
+EMB_NEARDUP_THRESHOLD = 0.35
+
+
+def q_embedding_near_dups(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs: all (a < b) pairs of the
+    first EMB_NEARDUP_LIMIT vectors with cosine >= threshold. Batch-vs-
+    broadcast float64 matmul per block; only pairs above threshold leave
+    a task."""
+    import ray
+
+    from .pipelines.ann import _matrix, _normalize
+
+    ds = _read(sf_dir, "embeddings").map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], EMB_NEARDUP_LIMIT)),
+        batch_format="pyarrow",
+    )
+    full = ds.to_pandas().sort_values("vec_id")
+    ids = full["vec_id"].to_numpy().astype(np.int64)
+    m = _normalize(np.stack(full["embedding"].to_numpy()).astype(np.float64))
+    ref = ray.put({"ids": ids, "m": m})
+
+    def pairs(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        d = ray.get(ref)
+        sub = _normalize(_matrix(t))
+        sub_ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(_np.int64)
+        sims = sub @ d["m"].T                      # (B, N)
+        rows, cols = _np.nonzero(sims >= EMB_NEARDUP_THRESHOLD)
+        a = sub_ids[rows]
+        b = d["ids"][cols]
+        mask = a < b
+        # pair identity only: DuckDB's list_cosine_similarity computes in
+        # float32, so the value itself can't be matched exactly
+        return pa.table({"a": pa.array(a[mask]), "b": pa.array(b[mask])})
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_NEAR_DUPS = f"""
+SELECT a.vec_id::BIGINT AS a, b.vec_id::BIGINT AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < {EMB_NEARDUP_LIMIT} AND b.vec_id < {EMB_NEARDUP_LIMIT}
+  AND list_cosine_similarity(a.embedding, b.embedding) >= {EMB_NEARDUP_THRESHOLD}
+"""
+
+
+def q_running_sum(sf_dir: str):
+    """Stateful streaming: per-user running value sum in event-time order
+    (incremental keyed state in bucket actors; the SUM OVER (PARTITION BY
+    user ORDER BY ts, id) analog)."""
+    from .pipelines.streaming import running_sum_per_key
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "user_id": t["user_id"],
+                "cents": _cents(t["value"]),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    return running_sum_per_key(prepped, "user_id", "ts", "cents", "event_id")
+
+
+SQL_RUNNING_SUM = """
+SELECT event_id,
+       sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING
+       )::BIGINT AS running
+FROM events
+"""
+
+
+def q_span_histogram(sf_dir: str):
+    """Span-kind histogram over a deterministic synthetic mini-corpus —
+    grouped count over the interleaved doc table (A5 family, rows-only)."""
+    from .htmlx import parse_document
+    from .synth import World
+
+    cfg = _crawl_cfg(sf_dir)
+    world = World(cfg.world)
+    urls = [world.url(i % cfg.world.n_hosts, i // cfg.world.n_hosts)
+            for i in range(min(300, cfg.world.n_urls))]
+    ds = rd.from_items([{"url": u} for u in urls])
+
+    def count_kinds(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for u in t["url"].to_pylist():
+            for k, _t, _m in parse_document(world.gen_page(u), u).spans:
+                c[k] += 1
+        kinds = sorted(c)
+        return pa.table(
+            {"kind": pa.array(kinds), "n": pa.array([c[k] for k in kinds], pa.int64())}
+        )
+
+    return ds.map_batches(count_kinds, batch_format="pyarrow").groupby(
+        "kind"
+    ).aggregate(Sum("n", alias_name="n"))
+
+
 def q_ngram_jaccard(sf_dir: str):
     """n-gram Jaccard similarity join: exact pairwise word-3-gram Jaccard
     over a bounded doc subset (the standalone verify kernel of the
@@ -683,6 +865,10 @@ def catalog():
         "distinct_pairs": (q_distinct_pairs, SQL_DISTINCT_PAIRS),
         "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
         "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+        "order_priority_revenue": (q_order_priority_revenue, SQL_ORDER_PRIORITY_REVENUE),
+        "daily_top_event": (q_daily_top_event, SQL_DAILY_TOP_EVENT),
+        "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
+        "running_sum": (q_running_sum, SQL_RUNNING_SUM),
         # rows-only (non-SQL-expressible)
         "crawl": (q_crawl, None),
         "crawl_outlinks": (q_crawl_outlinks, None),
@@ -691,4 +877,5 @@ def catalog():
         "lang_id": (q_lang_id, None),
         "ann_ivf": (q_ann_ivf, None),
         "media_pipeline": (q_media_pipeline, None),
+        "span_histogram": (q_span_histogram, None),
     }

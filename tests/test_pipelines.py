@@ -326,3 +326,54 @@ def test_read_seed_csv(tmp_path):
     assert df["link_type"].tolist() == ["internal", "all", "external"]
     assert df["exclude_anchors"].tolist() == [True, False, True]
     assert rejects.to_pandas()["url_raw"].tolist() == ["not-a-url"]
+
+
+# -- relational / streaming ---------------------------------------------------
+
+def test_bucketed_hash_join_matches_pandas():
+    from crawlray.pipelines.relational import bucketed_hash_join
+
+    left = rd.from_items([{"k": i % 7, "lv": i} for i in range(100)])
+    right = rd.from_items([{"k": j, "rv": j * 10} for j in range(5)])
+    out = bucketed_hash_join(left, right, "k", n_buckets=4).to_pandas()
+    lf = pd.DataFrame([{"k": i % 7, "lv": i} for i in range(100)])
+    rf = pd.DataFrame([{"k": j, "rv": j * 10} for j in range(5)])
+    exp = lf.merge(rf, on="k")
+    got = out.sort_values(["k", "lv"]).reset_index(drop=True)
+    exp = exp.sort_values(["k", "lv"]).reset_index(drop=True)
+    assert got[["k", "lv", "rv"]].astype(int).equals(exp[["k", "lv", "rv"]].astype(int))
+
+
+def test_grouped_argmax():
+    from crawlray.pipelines.relational import grouped_argmax
+
+    rows = [
+        {"g": "a", "v": 3, "id": 2},
+        {"g": "a", "v": 5, "id": 9},
+        {"g": "a", "v": 5, "id": 1},   # tie -> smaller id wins
+        {"g": "b", "v": 1, "id": 7},
+    ]
+    out = grouped_argmax(rd.from_items(rows).repartition(3), ["g"], "v", "id").to_pandas()
+    got = {r["g"]: (r["v"], r["id"]) for _, r in out.iterrows()}
+    assert got == {"a": (5, 1), "b": (1, 7)}
+
+
+def test_running_sum_matches_pandas():
+    from crawlray.pipelines.streaming import running_sum_per_key
+
+    rs = np.random.RandomState(0)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "ts": rs.permutation(n),
+            "user_id": rs.randint(0, 20, n),
+            "cents": rs.randint(1, 100, n),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(5)
+    got = running_sum_per_key(ds, "user_id", "ts", "cents", "event_id")
+    exp = df.sort_values(["ts", "event_id"]).copy()
+    exp["running"] = exp.groupby("user_id")["cents"].cumsum()
+    exp = exp.sort_values("event_id")[["event_id", "running"]].reset_index(drop=True)
+    assert got["running"].astype(int).tolist() == exp["running"].astype(int).tolist()
