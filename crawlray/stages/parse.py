@@ -275,3 +275,42 @@ def explode_outlinks(docs: pa.Table, seed: int) -> pa.Table:
             "priority": prios,
         }
     )
+
+
+def scoped_parse_batch(batch: pa.Table) -> pa.Table:
+    """Per-row scoped extraction (M2/M3 as a batch stage): rows carry
+    (url, payload, scope_class, scope_id) — the reference's per-row UDF
+    parameters (``backend/api/models.py:19-34``). Scope misses become
+    structured error rows (status='failed', error_code='ELEMENT_NOT_FOUND'
+    with the <=20-class diagnostic), mirroring ``backend/api/tasks.py:90-141``.
+    """
+    urls = batch["url"].to_pylist()
+    payloads = batch["payload"].to_pylist()
+    sc = batch["scope_class"].to_pylist() if "scope_class" in batch.column_names else [None] * batch.num_rows
+    si = batch["scope_id"].to_pylist() if "scope_id" in batch.column_names else [None] * batch.num_rows
+    span_lists, status, err_code, err_msg, titles = [], [], [], [], []
+    for i in range(batch.num_rows):
+        html = payloads[i].decode("utf-8", "replace") if isinstance(payloads[i], bytes) else payloads[i]
+        res = parse_document(html, urls[i], scope_id=si[i] or None, scope_class=sc[i] or None)
+        if res.error_code:
+            status.append("failed")
+            err_code.append(res.error_code)
+            err_msg.append(res.error_msg)
+            span_lists.append([])
+            titles.append("")
+        else:
+            status.append("ok")
+            err_code.append("")
+            err_msg.append("")
+            span_lists.append(res.spans)
+            titles.append(res.title)
+    return pa.table(
+        {
+            "url": batch["url"],
+            "status": pa.array(status, pa.string()),
+            "error_code": pa.array(err_code, pa.string()),
+            "error_msg": pa.array(err_msg, pa.string()),
+            "title": pa.array(titles, pa.string()),
+            "spans": build_spans_column(span_lists),
+        }
+    )

@@ -377,3 +377,33 @@ def test_running_sum_matches_pandas():
     exp["running"] = exp.groupby("user_id")["cents"].cumsum()
     exp = exp.sort_values("event_id")[["event_id", "running"]].reset_index(drop=True)
     assert got["running"].astype(int).tolist() == exp["running"].astype(int).tolist()
+
+
+def test_scoped_parse_batch_stage():
+    from crawlray.stages.parse import scoped_parse_batch
+
+    rows = pa.table(
+        {
+            "url": pa.array(["https://e.com/1", "https://e.com/2", "https://e.com/3"]),
+            "payload": pa.array(
+                [
+                    b'<html><body><div class="content"><p>A</p></div><p>outside</p></body></html>',
+                    b'<html><body><div id="main"><p>B</p></div></body></html>',
+                    b'<html><body><div class="other"><p>C</p></div></body></html>',
+                ],
+                pa.binary(),
+            ),
+            "scope_class": pa.array(["content", "", "missing"]),
+            "scope_id": pa.array(["", "main", ""]),
+        }
+    )
+    ds = rd.from_arrow(rows)
+    out = ds.map_batches(scoped_parse_batch, batch_format="pyarrow").to_pandas()
+    out = out.sort_values("url").reset_index(drop=True)
+    assert out.loc[0, "status"] == "ok"
+    assert [d["text"] for d in out.loc[0, "spans"]] == ["A"]   # scope respected
+    assert out.loc[1, "status"] == "ok"
+    assert [d["text"] for d in out.loc[1, "spans"]] == ["B"]
+    assert out.loc[2, "status"] == "failed"
+    assert out.loc[2, "error_code"] == "ELEMENT_NOT_FOUND"
+    assert "other" in out.loc[2, "error_msg"]  # class diagnostics
