@@ -38,6 +38,10 @@ BENCH_QUERIES = [
     "token_totals",
     "quality",
     "ann_cosine",
+    "order_priority_revenue",
+    "daily_top_event",
+    "running_sum",
+    "embedding_near_dups",
     "minhash_dedup",
     "simhash",
     "lang_id",
@@ -93,7 +97,9 @@ def run_crawl() -> tuple[float, int]:
             n_seeds=20, max_rounds=1, n_parts=32, n_frontier_parts=16,
             n_seen_shards=16, seen_mode="cuckoo",
         )
-        CrawlEngine(warm_cfg, warm_dir).run()
+        warm_eng = CrawlEngine(warm_cfg, warm_dir)
+        warm_eng.run()
+        warm_eng.shutdown()
     finally:
         shutil.rmtree(warm_dir, ignore_errors=True)
 
@@ -104,6 +110,7 @@ def run_crawl() -> tuple[float, int]:
         t0 = time.perf_counter()
         summary = eng.run()
         dt = time.perf_counter() - t0
+        eng.shutdown()
         return dt, summary["fetched"]
     finally:
         shutil.rmtree(out, ignore_errors=True)

@@ -232,6 +232,12 @@ class CrawlEngine:
             cfg.n_seen_shards, mode=cfg.seen_mode, capacity_per_shard=cfg.seen_capacity
         )
 
+    def shutdown(self) -> None:
+        """Kill the URL-seen shard actors (for ephemeral engines created
+        inside long-lived driver processes). The engine is unusable after."""
+        for shard in self.seen.shards:
+            ray.kill(shard, no_restart=True)
+
     # -- helpers ---------------------------------------------------------
     def _rel(self, paths: list[str]) -> list[str]:
         root = self.store.root

@@ -729,9 +729,11 @@ def q_crawl(sf_dir: str):
     from .engine import CrawlEngine
 
     out = tempfile.mkdtemp(prefix="crawlq_")
+    eng = None
     try:
         cfg = _crawl_cfg(sf_dir)
-        CrawlEngine(cfg, out).run()
+        eng = CrawlEngine(cfg, out)
+        eng.run()
         import glob
 
         import pyarrow.parquet as pq
@@ -745,6 +747,8 @@ def q_crawl(sf_dir: str):
             pc.sort_indices(docs, sort_keys=[("seq", "ascending")])
         )
     finally:
+        if eng is not None:
+            eng.shutdown()
         shutil.rmtree(out, ignore_errors=True)
 
 
