@@ -202,7 +202,7 @@ def scaling() -> None:
     lo, hi = 4, 16
     # the sandbox shows heavy noisy-neighbor variance (identical runs span
     # 2x); best-of-3 per level measures capability rather than host noise
-    reps = int(os.environ.get("SCALING_REPS", "3"))
+    reps = int(os.environ.get("SCALING_REPS", "2"))
     runs_lo = [run(lo) for _ in range(reps)]
     runs_hi = [run(hi) for _ in range(reps)]
     r_lo = min(runs_lo, key=lambda r: r["value"])
