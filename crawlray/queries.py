@@ -299,6 +299,47 @@ GROUP BY c.c_mktsegment
 # URL / string functions (SURVEY.md §2.8) on a constructed column
 # ---------------------------------------------------------------------------
 
+def q_supplier_regions(sf_dir: str):
+    """Dimension-chain broadcast join (supplier -> nation -> region):
+    classic small-side star lookup, no shuffle join."""
+    import ray
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    ref = ray.put((n2r, r2name))
+
+    class AddRegion:
+        def __init__(self):
+            self.n2r, self.r2name = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            rk = df["s_nationkey"].map(self.n2r)
+            return pd.DataFrame(
+                {
+                    "r_name": rk.map(self.r2name),
+                    "cents": (df["s_acctbal"] * 100).round().astype("int64"),
+                }
+            )
+
+    sup = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+    return sup.map_batches(AddRegion, batch_format="pandas", concurrency=2).groupby(
+        "r_name"
+    ).aggregate(Count(alias_name="n_suppliers"), Sum("cents", alias_name="acctbal_cents"))
+
+
+SQL_SUPPLIER_REGIONS = """
+SELECT r.r_name,
+       count(*)::BIGINT AS n_suppliers,
+       sum(CAST(round(s.s_acctbal * 100) AS BIGINT))::BIGINT AS acctbal_cents
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
 def q_url_canon(sf_dir: str):
     """M13/M14/M15: canonicalization over a deterministic URL family built
     from table columns (mixed-case scheme/host, default port, fragment)."""
@@ -874,6 +915,7 @@ def catalog():
         "brand_revenue": (q_brand_revenue, SQL_BRAND_REVENUE),
         "customer_orders": (q_customer_orders, SQL_CUSTOMER_ORDERS),
         "url_canon": (q_url_canon, SQL_URL_CANON),
+        "supplier_regions": (q_supplier_regions, SQL_SUPPLIER_REGIONS),
         "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
         "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
         "quality": (q_quality, SQL_QUALITY),

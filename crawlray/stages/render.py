@@ -154,3 +154,37 @@ def combined_text(docs: rd.Dataset) -> str:
         for url, txt in zip(b["url"].to_pylist(), b["txt"].to_pylist()):
             parts.append(f"===== {url} =====\n{txt}")
     return "\n\n".join(parts)
+
+
+def filter_outlinks(
+    links: pa.Table,
+    link_type: str = "all",
+    exclude_anchors: bool = False,
+    same_domain_only: bool = False,
+) -> pa.Table:
+    """The reference's ``filter_links`` (link_extractor.py:131-171) over an
+    outlinks table (columns: url, is_internal, ...): filter by type,
+    optionally strip fragments and re-dedup first-occurrence (D2)."""
+    import pyarrow.compute as pc
+
+    from ..canon import canonicalize
+
+    t = links
+    if link_type == "internal" or same_domain_only:
+        t = t.filter(t["is_internal"])
+    elif link_type == "external":
+        t = t.filter(pc.invert(t["is_internal"]))
+    if exclude_anchors:
+        urls = [canonicalize(u) for u in t["url"].to_pylist()]
+        seen: set[str] = set()
+        keep = []
+        for u in urls:
+            if u in seen:
+                keep.append(False)
+            else:
+                seen.add(u)
+                keep.append(True)
+        idx = t.schema.get_field_index("url")
+        t = t.set_column(idx, "url", pa.array(urls, pa.string()))
+        t = t.filter(pa.array(keep))
+    return t

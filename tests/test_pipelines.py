@@ -407,3 +407,26 @@ def test_scoped_parse_batch_stage():
     assert out.loc[2, "status"] == "failed"
     assert out.loc[2, "error_code"] == "ELEMENT_NOT_FOUND"
     assert "other" in out.loc[2, "error_msg"]  # class diagnostics
+
+
+def test_filter_outlinks():
+    from crawlray.stages.render import filter_outlinks
+
+    t = pa.table(
+        {
+            "url": pa.array(
+                [
+                    "https://a.com/x#s",
+                    "https://a.com/x",       # dup after anchor strip
+                    "https://b.com/y",
+                ]
+            ),
+            "is_internal": pa.array([True, True, False]),
+        }
+    )
+    assert filter_outlinks(t, "internal").num_rows == 2
+    assert filter_outlinks(t, "external").num_rows == 1
+    assert filter_outlinks(t, "all").num_rows == 3
+    out = filter_outlinks(t, "all", exclude_anchors=True)
+    assert out["url"].to_pylist() == ["https://a.com/x", "https://b.com/y"]
+    assert filter_outlinks(t, "all", same_domain_only=True).num_rows == 2
