@@ -1,32 +1,32 @@
-"""CrawlEngine — the round-based Ray Data crawl driver (SURVEY.md §3.4).
+"""CrawlEngine — the round-based crawl driver (SURVEY.md §3.4, SCALE.md).
 
-Each round is one streaming Ray Data pipeline:
+Each round has a DATA PLANE and a CONTROL PLANE:
 
-    frontier_r (parquet checkpoint)
-      -> phase-A politeness mark (vectorized map_batches)           [no shuffle]
-      -> phase-B exact per-host top-budget (groupby(host) over the
-         phase-A-bounded survivor set)                              [shuffle #1: bounded]
-      -> SynthFetcher actor pool (robots + token buckets + retries) [actor pool]
-      -> parse_batch (payload -> interleaved spans, zero-copy out)  [stateless tasks]
-      -> groupby(part_id): write corpus+metrics partition files,
-         emit outlink candidates                                    [shuffle #2: round docs]
-      -> URL-seen shard contains() filter (anti-join vs prior rounds)
-      -> exact within-round dedup (sort + adjacent-drop)            [shuffle #3: new URLs]
-      -> sort(cand_key) + dense seq assignment (zip_with_index)
-      -> union(deferred) -> frontier_{r+1} partition files
-      -> manifest commit (atomic)
+Data plane (always distributed): the frontier's selected rows — a few
+bytes each — are hash(url)-partitioned into ``n_parts`` fused tasks, each
+doing fetch (robots gate, <=3-attempt retries) -> single-pass HTML->span
+parse -> deterministic corpus+metrics partition file -> outlink candidate
+extraction. Wide payloads (HTML, spans) are born, written and freed
+inside one task; only tiny frontier/candidate rows cross task boundaries.
 
-Shuffle inventory and keys are the design (SURVEY.md §7): corpus write is
-hash(url)-partitioned; the politeness groupby is host-keyed but phase A
-bounds every host group to <= budget x n_blocks rows, which is the
-hot-host salting strategy; dedup/seq shuffles touch only the round's NEW
-URLs, never the corpus. Raw HTML payloads are dropped at parse and never
-enter a shuffle.
+Control plane (politeness top-budget selection, URL-seen anti-join,
+within-round dedup, dense seq assignment, frontier build):
+- frontier <= ``driver_threshold`` rows: numpy/pandas on the driver — the
+  frontier is a checkpoint-materialized table either way, and local
+  vector ops beat latency-bound small-table shuffles ~10x;
+- above the threshold (the multi-node regime), the identical semantics
+  run as Ray Data pipelines: two-phase salted per-host top-k
+  (phase A bounds every host group to budget x n_blocks — the hot-host
+  strategy), shard-actor membership filter, sort + adjacent-drop dedup,
+  zip_with_index seq assignment, partitioned frontier write.
+Both plans emit byte-identical artifacts (asserted in tests).
 
-Determinism contract (verified against ``crawlray.oracle.simulate_crawl``):
-fetch set + logical order ``(round, priority, seq)`` + URL-seen set are
-exactly the sequential oracle's; all output files are byte-identical across
-re-runs and resumes.
+Determinism contract (verified against ``crawlray.oracle.simulate_crawl``
+in exact AND cuckoo modes): fetch set + logical order
+``(round, priority, seq)`` + URL-seen set are exactly the sequential
+oracle's; every artifact is byte-identical across re-runs and resumes
+(deterministic partition files, sorted writes, schema metadata stripped,
+sorted per-round seen deltas).
 """
 
 from __future__ import annotations

@@ -430,3 +430,31 @@ def test_filter_outlinks():
     out = filter_outlinks(t, "all", exclude_anchors=True)
     assert out["url"].to_pylist() == ["https://a.com/x", "https://b.com/y"]
     assert filter_outlinks(t, "all", same_domain_only=True).num_rows == 2
+
+
+def test_outlinks_export_sinks(tmp_path):
+    """S8/S9: outlinks/metrics Datasets export through write_csv/write_json."""
+    t = pa.table(
+        {
+            "src": pa.array(["https://a.com/"] * 2),
+            "url": pa.array(["https://a.com/x", "https://b.com/y"]),
+            "is_internal": pa.array([True, False]),
+        }
+    )
+    ds = rd.from_arrow(t)
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    ds.write_csv(csv_dir)
+    ds.write_json(json_dir)
+    import glob as g
+
+    csv_text = "".join(open(p).read() for p in g.glob(f"{csv_dir}/*"))
+    assert "https://b.com/y" in csv_text
+    import json as _json
+
+    json_rows = [
+        _json.loads(line)
+        for p in g.glob(f"{json_dir}/*")
+        for line in open(p)
+        if line.strip()
+    ]
+    assert {r["url"] for r in json_rows} == {"https://a.com/x", "https://b.com/y"}
