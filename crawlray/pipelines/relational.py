@@ -3,13 +3,20 @@
 - ``bucketed_hash_join``: the portable both-sides-large equi-join
   (ray_guide "Joins and lookups"): null-pad both sides to a common
   schema, tag, union, shuffle ONCE by ``bucket = hash(key) % B``, then
-  pandas-merge inside each bucket group. B bounds per-task memory; skew
-  is handled by raising B (salting hot keys into more buckets). Explicit
-  and version-independent, unlike ``Dataset.join``.
+  an Arrow (Acero) hash join inside each bucket group. Staying in Arrow
+  end-to-end preserves dtypes exactly — a pandas merge here degrades
+  null-padded int64 payload columns to float64, which changes the
+  emitted schema (round-1 ``order_priority_revenue`` hash mismatch).
+  B bounds per-task memory; skew is handled by raising B (salting hot
+  keys into more buckets). Explicit and version-independent, unlike
+  ``Dataset.join``.
 - ``grouped_argmax``: per-group top-1 by a value column (the
   ``row_number() OVER (PARTITION BY ...) = 1`` window analog) via
-  per-batch partial argmax + a final small groupby — the full table never
-  shuffles, only one candidate row per (batch, group).
+  per-batch partial argmax (one candidate row per (batch, group) — the
+  full table never shuffles) + a sort-based reduce: sort candidates by
+  (group, value desc, tiebreak) and keep the first adjacent row per
+  group. Avoids a tiny-group ``map_groups`` call explosion when there
+  are thousands of groups.
 """
 
 from __future__ import annotations
@@ -17,9 +24,10 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
-from ..util import hash64
+from ..util import hash64, keep_first_sorted
 
 
 def _bucket_of(col: pa.ChunkedArray | pa.Array, n_buckets: int) -> np.ndarray:
@@ -65,15 +73,19 @@ def bucketed_hash_join(
     lb = left.map_batches(pad("l"), batch_format="pyarrow")
     rb = right.map_batches(pad("r"), batch_format="pyarrow")
 
-    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        l = df[df["side"] == "l"][[*l_cols]]
-        r = df[df["side"] == "r"][[key, *r_cols]]
-        if l.empty or r.empty:
-            return pd.DataFrame(columns=all_cols)
-        return l.merge(r, on=key, how="inner")[all_cols]
+    empty = pa.table({c: pa.nulls(0, types[c]) for c in all_cols})
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        lmask = pc.equal(t["side"], "l")
+        l = t.filter(lmask).select(l_cols)
+        r = t.filter(pc.invert(lmask)).select([key, *r_cols])
+        if l.num_rows == 0 or r.num_rows == 0:
+            return empty
+        # Acero hash join; single-threaded — the task already owns 1 CPU.
+        return l.join(r, keys=key, join_type="inner", use_threads=False).select(all_cols)
 
     return lb.union(rb).groupby("bucket").map_groups(
-        join_bucket, batch_format="pandas"
+        join_bucket, batch_format="pyarrow"
     )
 
 
@@ -91,4 +103,8 @@ def grouped_argmax(
         )
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby(group_keys).map_groups(partial, batch_format="pandas")
+    ordered = partials.sort(
+        [*group_keys, value, tiebreak],
+        descending=[False] * len(group_keys) + [True, False],
+    )
+    return keep_first_sorted(ordered, list(group_keys))

@@ -37,49 +37,59 @@ def _with_index(t: pa.Table, col: str, start: int) -> pa.Table:
 
 
 @ray.remote
-def _block_edges(t: pa.Table, col: str) -> tuple[str | None, str | None]:
+def _block_edges(t: pa.Table, cols: list[str]) -> tuple[tuple | None, tuple | None]:
     if t.num_rows == 0:
         return None, None
-    c = t[col]
-    return c[0].as_py(), c[-1].as_py()
+    first = tuple(t[c][0].as_py() for c in cols)
+    last = tuple(t[c][-1].as_py() for c in cols)
+    return first, last
 
 
 @ray.remote
-def _dedup_block(t: pa.Table, col: str, carry: str | None) -> pa.Table:
-    """Keep the first row per key within an (already sorted) block, dropping
-    leading rows whose key continues the previous block (``carry``)."""
+def _dedup_block(t: pa.Table, cols: list[str], carry: tuple | None) -> pa.Table:
+    """Keep the first row per key-tuple within an (already sorted) block,
+    dropping leading rows whose key continues the previous block
+    (``carry``)."""
     import numpy as np
 
     if t.num_rows == 0:
         return t
-    keys = t[col].to_pandas().to_numpy()
-    keep = np.r_[True, keys[1:] != keys[:-1]]
-    if carry is not None and keys[0] == carry:
+    arrs = [t[c].to_pandas().to_numpy() for c in cols]
+    keep = np.zeros(t.num_rows, dtype=bool)
+    keep[0] = True
+    for a in arrs:
+        keep[1:] |= a[1:] != a[:-1]
+    if carry is not None and tuple(a[0] for a in arrs) == tuple(carry):
         keep[0] = False
     return t.filter(pa.array(keep))
 
 
-def unique_keep_first(ds: rd.Dataset, key: str, order: str) -> rd.Dataset:
-    """Exact dedup: one row per ``key``, keeping the row minimal in
-    ``order``. Implemented as sort([key, order]) + adjacent-dup drop with
-    block-boundary carry (the driver only ever sees per-block first/last
-    keys) — avoids a per-key ``map_groups`` call explosion when most keys
-    are unique (the crawl-frontier case)."""
-    sorted_ds = ds.sort([key, order])
+def keep_first_sorted(sorted_ds: rd.Dataset, keys: list[str]) -> rd.Dataset:
+    """Adjacent-dup drop over an ALREADY-SORTED dataset: one row per
+    ``keys``-tuple, keeping the first in dataset order, with block-boundary
+    carry (the driver only ever sees per-block first/last key tuples).
+    The sort-based reduce idiom — avoids a per-key ``map_groups`` call
+    explosion when groups are tiny/numerous."""
     refs = sorted_ds.to_arrow_refs()
     if not refs:
         return sorted_ds
-    edges = ray.get([_block_edges.remote(r, key) for r in refs])
-    carries: list[str | None] = []
-    last_seen: str | None = None
+    edges = ray.get([_block_edges.remote(r, keys) for r in refs])
+    carries: list[tuple | None] = []
+    last_seen: tuple | None = None
     for first, last in edges:
         carries.append(last_seen)
         if last is not None:
             last_seen = last
     new_refs = [
-        _dedup_block.remote(r, key, c) for r, c in zip(refs, carries)
+        _dedup_block.remote(r, keys, c) for r, c in zip(refs, carries)
     ]
     return rd.from_arrow_refs(new_refs)
+
+
+def unique_keep_first(ds: rd.Dataset, key: str, order: str) -> rd.Dataset:
+    """Exact dedup: one row per ``key``, keeping the row minimal in
+    ``order``. sort([key, order]) + :func:`keep_first_sorted`."""
+    return keep_first_sorted(ds.sort([key, order]), [key])
 
 
 def zip_with_index(ds: rd.Dataset, col: str = "_idx", start: int = 0) -> tuple[rd.Dataset, int]:

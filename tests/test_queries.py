@@ -57,6 +57,15 @@ def test_query_matches_oracle(name):
         f"{name}: columns {list(got.columns)} != {list(exp.columns)}"
     )
     assert len(got) == len(exp), f"{name}: {len(got)} rows != {len(exp)}"
+    # dtype-class equality: the driver's value hash distinguishes int64 from
+    # float64 even when values are numerically equal (round-1
+    # order_priority_revenue lesson), so an int column degrading to float
+    # must fail here, not at the driver.
+    kind = {"i": "int", "u": "int", "f": "float", "M": "datetime",
+            "m": "timedelta", "b": "bool", "O": "obj", "U": "obj", "S": "obj"}
+    for c in got.columns:
+        gk, ek = kind.get(got[c].dtype.kind), kind.get(exp[c].dtype.kind)
+        assert gk == ek, f"{name}.{c}: dtype {got[c].dtype} vs oracle {exp[c].dtype}"
     # order-insensitive value equality (exact; floats were converted to
     # integer-cent domains inside the queries)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
