@@ -2,10 +2,19 @@
 
 Ray Data has no event-time watermarks; the engine's contract (ray_guide
 "Streaming-shaped workloads") is: treat the input as an ordered,
-key-partitioned log — sort by event time, hash keys into K bucket actors,
-feed each bucket's batches IN TIME ORDER, keep incremental state inside
-the actor. Here: per-key running aggregates (the incremental analog of
-``SUM(...) OVER (PARTITION BY key ORDER BY ts)``).
+key-partitioned log. Two implementations of the per-key running sum (the
+``SUM(...) OVER (PARTITION BY key ORDER BY ts)`` analog):
+
+- :func:`running_sum_per_key` — the BATCH/scale plan: the window needs
+  only *within-key* order, so hash-partition by key (one shuffle), then
+  per-partition vectorized sort + segmented cumsum inside ``map_groups``.
+  Fully parallel; no global sort, no driver pass, result stays a lazy
+  ``Dataset``.
+- :func:`running_sum_incremental` — the STREAMING-ARRIVAL demo: batches
+  arriving in event-time order stream through K keyed bucket actors that
+  hold incremental state across batches (the shape a true unbounded
+  stream forces). Driver routes block references; test-scale only — at
+  100 TB use the batch plan.
 
 The crawl engine's round-based frontier is the same pattern at a larger
 granularity (rounds = windows, seen-shards = keyed state).
@@ -18,6 +27,50 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
+
+from .relational import _bucket_of
+
+
+def running_sum_per_key(
+    events: rd.Dataset,
+    key: str,
+    ts: str,
+    value: str,
+    id_col: str,
+    n_partitions: int = 32,
+) -> rd.Dataset:
+    """(id_col, running) — cumulative per-key sum in (ts, id) order.
+
+    One shuffle: ``part = hash(key) % n_partitions`` so every key's rows
+    land in exactly one partition, then a vectorized per-partition
+    lexsort + segmented cumsum. Skewed keys cost at most one partition's
+    worth of work; raise ``n_partitions`` to bound partition size.
+    """
+    schema = events.schema()
+    id_type = dict(zip(schema.names, schema.types))[id_col]
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("part", pa.array(_bucket_of(t[key], n_partitions)))
+
+    def seg_cumsum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.nulls(0, id_type),
+                             "running": pa.nulls(0, pa.int64())})
+        keys = t[key].to_numpy(zero_copy_only=False)
+        tss = t[ts].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        vals = t[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, tss, keys))
+        k, v = keys[order], vals[order]
+        cs = np.cumsum(v)
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        bases = np.r_[0, cs[starts[1:] - 1]]
+        running = cs - np.repeat(bases, np.diff(np.r_[starts, len(k)]))
+        return pa.table({id_col: pa.array(ids[order]).cast(id_type),
+                         "running": pa.array(running, pa.int64())})
+
+    tagged = events.map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby("part").map_groups(seg_cumsum, batch_format="pyarrow")
 
 
 @ray.remote(num_cpus=0)
@@ -39,7 +92,7 @@ class _RunningAggBucket:
         return ids, out
 
 
-def running_sum_per_key(
+def running_sum_incremental(
     events: rd.Dataset,
     key: str,
     ts: str,
@@ -47,13 +100,11 @@ def running_sum_per_key(
     id_col: str,
     n_buckets: int = 8,
 ) -> pd.DataFrame:
-    """(id_col, running) — cumulative per-key sum in (ts, id) order.
-
-    Implementation: global sort by (ts, id) -> stream batches through K
-    keyed bucket actors (state lives in the actor across batches). The
-    driver only routes references; per-batch work is vectorized routing +
-    one RPC per touched bucket.
-    """
+    """Incremental-arrival variant of :func:`running_sum_per_key`: global
+    sort by (ts, id) -> stream batches through K keyed bucket actors
+    (state lives in the actor across batches). The driver routes every
+    batch, so this is the unbounded-stream DEMO, not the batch plan —
+    use :func:`running_sum_per_key` for data at rest."""
     buckets = [_RunningAggBucket.remote() for _ in range(n_buckets)]
     ordered = events.sort([ts, id_col])
     out_ids: list[np.ndarray] = []

@@ -608,9 +608,11 @@ WHERE a.vec_id < {EMB_NEARDUP_LIMIT} AND b.vec_id < {EMB_NEARDUP_LIMIT}
 
 
 def q_running_sum(sf_dir: str):
-    """Stateful streaming: per-user running value sum in event-time order
-    (incremental keyed state in bucket actors; the SUM OVER (PARTITION BY
-    user ORDER BY ts, id) analog)."""
+    """Per-user running value sum in event-time order (the SUM OVER
+    (PARTITION BY user ORDER BY ts, id) analog): hash-partition by user,
+    per-partition segmented cumsum — one shuffle, no global sort, no
+    driver pass. The incremental bucket-actor variant lives in
+    ``streaming.running_sum_incremental``."""
     from .pipelines.streaming import running_sum_per_key
 
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
