@@ -81,32 +81,9 @@ class CheckpointStore:
         return self.root / "manifests" / f"manifest-{round_idx:04d}.json"
 
     # -- manifests -------------------------------------------------------
-    def commit_round(
-        self,
-        round_idx: int,
-        *,
-        next_seq: int,
-        frontier_files: list[str],
-        seen_files: list[str],
-        corpus_files: list[str],
-        metric_files: list[str],
-        totals: dict,
-        cfg_hash: str,
-    ) -> None:
-        manifest = {
-            "round": round_idx,
-            "next_seq": next_seq,
-            "config_hash": cfg_hash,
-            "frontier_files": sorted(frontier_files),
-            "seen_files": sorted(seen_files),
-            "lineage": {
-                "corpus_files": sorted(corpus_files),
-                "metric_files": sorted(metric_files),
-                "input_frontier_round": round_idx,
-            },
-            "totals": totals,
-        }
-        atomic_write_json(self.manifest_path(round_idx), manifest)
+    # (the single manifest writer is CrawlEngine._commit_round; a second
+    # writer here once drifted from the shape the resume path reads and
+    # was removed)
 
     def latest_manifest(self) -> dict | None:
         files = sorted((self.root / "manifests").glob("manifest-*.json"))

@@ -223,10 +223,16 @@ class CrawlEngine:
         self.cfg = cfg
         self.store = CheckpointStore(out_dir)
         self.world = World(cfg.world)
+        # every knob that changes on-disk state layout or crawl semantics
+        # must be hashed: a resume under a different seen config would
+        # misread delta blobs / route hashes to shards contains() never
+        # queries, silently re-crawling seen URLs
         self.cfg_hash = config_hash(
             {"world": asdict(cfg.world), "n_seeds": cfg.n_seeds,
              "budget": cfg.round_budget, "n_parts": cfg.n_parts,
-             "n_frontier_parts": cfg.n_frontier_parts}
+             "n_frontier_parts": cfg.n_frontier_parts,
+             "seen_mode": cfg.seen_mode, "n_seen_shards": cfg.n_seen_shards,
+             "seen_capacity": cfg.seen_capacity}
         )
         self.seen = SeenClient.create(
             cfg.n_seen_shards, mode=cfg.seen_mode, capacity_per_shard=cfg.seen_capacity

@@ -8,19 +8,27 @@ Exact + near-dup operators, each expressed Ray-Data-first:
 - **MinHash + LSH**: per-batch shingle->minhash signatures (numpy,
   vectorized over each doc's shingle-hash array), explode to
   ``(band_id, band_hash)`` rows, ``groupby`` band buckets to candidate
-  pairs, verify exact Jaccard, connected components by iterated min-label
-  propagation (a few small groupby rounds — no driver union-find on big
-  data).
+  pairs (bucket-min star pairing: connectivity-preserving, O(bucket)
+  rows), distributed pair dedup, then a DISTRIBUTED exact-Jaccard verify:
+  the distinct candidate ids (an int64 vector — the only thing the driver
+  ever holds) broadcast-filter the corpus, shingle-hash sets pack to
+  binary, join back to the pairs via ``bucketed_hash_join``, and the
+  Jaccard check runs inside ``map_batches``. No full-corpus driver scan.
 - **SimHash**: 64-bit signatures via sign-aggregated token hashes;
-  near-dup blocking by 4x16-bit band exact match (Hamming<=3 within
-  verified pairs).
+  near-dup blocking by 4x16-bit band exact match (complete for
+  Hamming<=3 by pigeonhole). ALL intra-bucket pairs are emitted and
+  Hamming-verified vectorized inside the bucket task; buckets larger
+  than ``max_bucket`` (hash-degenerate hot buckets) degrade to
+  bucket-min star pairing, which preserves connectivity but not pair
+  completeness — documented, bounded fallback.
 - **n-gram Jaccard**: exact pairwise Jaccard over word n-gram sets for a
   bounded candidate set (the verify kernel of the LSH path, exposed
   standalone).
 
-At 100 TB, only hashes/signatures ever shuffle (fixed-width, ~100 bytes/doc);
-payload text stays columnar at rest. The small sf tables here exercise the
-same plans.
+At 100 TB, only hashes/signatures and candidate-pair ids ever shuffle
+(fixed-width); payload text stays columnar at rest — the verify join ships
+packed shingle hashes for candidate docs only. The small sf tables here
+exercise the same plans.
 """
 
 from __future__ import annotations
@@ -48,9 +56,13 @@ def _stable_u64(tokens: list[str]) -> np.ndarray:
 
 
 def word_shingles(text: str, n: int = 3) -> list[str]:
+    """Word n-grams; docs shorter than ``n`` words have NO shingles (the
+    same contract as the DuckDB oracle's range comprehension in
+    ``SQL_NGRAM_JACCARD`` — two shingle-less docs are trivially identical
+    under Jaccard-with-empty-union = 1)."""
     words = text.split()
     if len(words) < n:
-        return [" ".join(words)] if words else []
+        return []
     return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
 
 
@@ -96,28 +108,74 @@ class MinHasher:
 
 
 def _band_rows(batch: pd.DataFrame, bands: int, rows_per_band: int) -> pd.DataFrame:
-    doc_ids, band_ids, band_hashes = [], [], []
-    for doc_id, sig in zip(batch["doc_id"], batch["sig"]):
-        sig = np.asarray(sig, dtype=np.uint64)
-        for b in range(bands):
-            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-            h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-            doc_ids.append(doc_id)
-            band_ids.append(b)
-            band_hashes.append(int.from_bytes(h, "little") >> 1)  # fits int64
+    """Explode signatures to (doc_id, band_id, band_hash) rows. The band
+    hash is a vectorized FNV-1a fold over the band's minhash values — one
+    numpy pass per band column, no per-row Python hashing."""
+    n = len(batch)
+    if n == 0:
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype=np.int64),
+            "band_id": pd.Series([], dtype=np.int64),
+            "band_hash": pd.Series([], dtype=np.int64),
+        })
+    sig = np.stack([np.asarray(s, dtype=np.uint64) for s in batch["sig"]])
+    hashes = np.empty((n, bands), dtype=np.uint64)
+    for b in range(bands):
+        chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+        h = np.full(n, 0xCBF29CE484222325, np.uint64)
+        for c in range(chunk.shape[1]):
+            h = (h ^ chunk[:, c]) * np.uint64(0x100000001B3)
+        hashes[:, b] = h
+    ids = batch["doc_id"].to_numpy().astype(np.int64)
     return pd.DataFrame(
-        {"doc_id": doc_ids, "band_id": band_ids, "band_hash": band_hashes}
+        {
+            "doc_id": np.repeat(ids, bands),
+            "band_id": np.tile(np.arange(bands, dtype=np.int64), n),
+            "band_hash": (hashes >> np.uint64(1)).astype(np.int64).ravel(),
+        }
     )
 
 
+_EMPTY_PAIRS = pd.DataFrame(
+    {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)}
+)
+
+
 def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    ids = sorted(group["doc_id"].unique())
+    ids = np.sort(group["doc_id"].unique()).astype(np.int64)
     if len(ids) < 2:
-        return pd.DataFrame({"a": [], "b": []})
+        return _EMPTY_PAIRS
     # pair every member with the bucket minimum — enough for connectivity,
     # O(bucket) rows instead of O(bucket^2)
-    a0 = ids[0]
-    return pd.DataFrame({"a": [a0] * (len(ids) - 1), "b": ids[1:]})
+    return pd.DataFrame({"a": np.full(len(ids) - 1, ids[0]), "b": ids[1:]})
+
+
+class ShinglePacker:
+    """(doc_id, sh) for docs in the broadcast candidate-id set: sorted
+    unique shingle hashes packed as little-endian uint64 bytes (binary is
+    joinable through Acero, list columns are not). Id set fetched from the
+    object store once per actor."""
+
+    def __init__(self, ids_ref, shingle_n: int):
+        import ray
+
+        self.ids = ray.get(ids_ref)  # sorted int64 np.ndarray
+        self.shingle_n = shingle_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.isin(ids, self.ids)
+        texts = batch["text"].to_pylist()
+        packs = [
+            np.unique(_stable_u64(word_shingles(texts[i], self.shingle_n))).tobytes()
+            for i in np.flatnonzero(m)
+        ]
+        # typed Arrow output even when empty: an empty pandas frame here
+        # degrades the unioned block schema (null/float columns) and breaks
+        # the downstream Acero joins
+        return pa.table(
+            {"doc_id": pa.array(ids[m], pa.int64()), "sh": pa.array(packs, pa.binary())}
+        )
 
 
 def minhash_lsh_pairs(
@@ -126,14 +184,21 @@ def minhash_lsh_pairs(
     bands: int = 32,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
-) -> pd.DataFrame:
-    """Candidate near-dup pairs via banded MinHash-LSH, verified with exact
-    n-gram Jaccard. Returns a small pandas frame (a, b, jaccard>=thr).
+) -> rd.Dataset:
+    """Verified near-dup pairs (a, b, jaccard >= threshold) via banded
+    MinHash-LSH. Every stage is distributed:
 
-    Verification broadcasts only the texts of docs appearing in candidate
-    pairs (small side); at 100 TB you would hash-join candidates back to
-    the corpus instead — documented scale path.
+    band rows -> bucket groupby -> star pairs -> sort+keep-first dedup ->
+    [distinct candidate ids, the one driver-resident artifact: an int64
+    vector, broadcast via ``ray.put``] -> shingle packs for candidate docs
+    only -> two ``bucketed_hash_join``s pairs<-shingles -> exact-Jaccard
+    verify inside ``map_batches``.
     """
+    import ray
+
+    from ..util import keep_first_sorted
+    from .relational import bucketed_hash_join
+
     rows_per_band = num_perm // bands
     sigs = docs.map_batches(
         MinHasher,
@@ -145,29 +210,68 @@ def minhash_lsh_pairs(
     banded = sigs.map_batches(
         lambda df: _band_rows(df, bands, rows_per_band), batch_format="pandas"
     )
-    pairs = (
-        banded.groupby(["band_id", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pandas")
-        .to_pandas()
+    cand = banded.groupby(["band_id", "band_hash"]).map_groups(
+        _bucket_pairs, batch_format="pandas"
     )
-    if pairs.empty:
-        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-    pairs = pairs.drop_duplicates().reset_index(drop=True)
-    # verify with exact Jaccard over the involved docs only
-    involved = set(pairs["a"]) | set(pairs["b"])
-    texts = {}
-    for b in docs.iter_batches(batch_size=4096, batch_format="pandas"):
-        m = b[b["doc_id"].isin(involved)]
-        texts.update(zip(m["doc_id"], m["text"]))
-    out = []
-    for a, bb in zip(pairs["a"], pairs["b"]):
-        sa = set(word_shingles(texts[a], shingle_n))
-        sb = set(word_shingles(texts[bb], shingle_n))
-        union = len(sa | sb)
-        j = (len(sa & sb) / union) if union else 1.0
-        if j >= jaccard_threshold:
-            out.append((a, bb, round(j, 6)))
-    return pd.DataFrame(out, columns=["a", "b", "jaccard"])
+    # distinct (a, b): sort + adjacent keep-first, no driver pass
+    cand = keep_first_sorted(cand.sort(["a", "b"]), ["a", "b"])
+
+    def ids_of(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()]
+        )
+        import pyarrow.compute as pc
+
+        return pa.table({"doc_id": pc.unique(both)})
+
+    involved = np.array(
+        sorted(cand.map_batches(ids_of, batch_format="pyarrow").unique("doc_id")),
+        dtype=np.int64,
+    )
+    empty = pa.table(
+        {"a": pa.nulls(0, pa.int64()), "b": pa.nulls(0, pa.int64()),
+         "jaccard": pa.nulls(0, pa.float64())}
+    )
+    if involved.size == 0:
+        return rd.from_arrow(empty)
+    ids_ref = ray.put(involved)
+    shingles = docs.map_batches(
+        ShinglePacker,
+        fn_constructor_args=(ids_ref, shingle_n),
+        batch_format="pyarrow",
+        concurrency=2,
+        num_cpus=0.5,
+    ).materialize()  # small side (candidate docs only); joined twice below
+    sh_a = shingles.map_batches(
+        lambda t: t.rename_columns(["a", "sh_a"]), batch_format="pyarrow"
+    )
+    sh_b = shingles.map_batches(
+        lambda t: t.rename_columns(["b", "sh_b"]), batch_format="pyarrow"
+    )
+    joined = bucketed_hash_join(
+        bucketed_hash_join(cand, sh_a, "a", n_buckets=8), sh_b, "b", n_buckets=8
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        sha = t["sh_a"].to_pylist()
+        shb = t["sh_b"].to_pylist()
+        oa, ob, oj = [], [], []
+        for i in range(t.num_rows):
+            A = np.frombuffer(sha[i], dtype=np.uint64)
+            B = np.frombuffer(shb[i], dtype=np.uint64)
+            ni = np.intersect1d(A, B, assume_unique=True).size
+            union = A.size + B.size - ni
+            j = (ni / union) if union else 1.0
+            if j >= jaccard_threshold:
+                oa.append(int(a[i])); ob.append(int(b[i])); oj.append(round(j, 6))
+        return pa.table(
+            {"a": pa.array(oa, pa.int64()), "b": pa.array(ob, pa.int64()),
+             "jaccard": pa.array(oj, pa.float64())}
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 def connected_components(pairs: pd.DataFrame, ids: list) -> pd.DataFrame:
@@ -219,42 +323,78 @@ class SimHasher:
         return out
 
 
-def simhash_near_dups(docs: rd.Dataset, max_hamming: int = 3) -> pd.DataFrame:
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy<2 has no bitwise_count)."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    if x.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    return np.unpackbits(x.view(np.uint8)).reshape(x.size, 64).sum(axis=1).astype(np.int64)
+
+
+def _ham_pairs(group: pd.DataFrame, max_hamming: int, max_bucket: int) -> pd.DataFrame:
+    """All intra-bucket pairs with Hamming <= max_hamming, vectorized
+    (triu index fan-out + popcount of xor). Buckets over ``max_bucket``
+    fall back to bucket-min star pairing: still verified, connectivity-
+    preserving, but pair-incomplete — the documented hot-bucket bound."""
+    g = group.sort_values("doc_id")
+    n = len(g)
+    empty = pd.DataFrame(
+        {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64),
+         "hamming": pd.Series([], dtype=np.int64)}
+    )
+    if n < 2:
+        return empty
+    ids = g["doc_id"].to_numpy().astype(np.int64)
+    h = g["simhash"].to_numpy().astype(np.int64).astype(np.uint64)
+    if n > max_bucket:
+        a, b = np.full(n - 1, ids[0]), ids[1:]
+        x = h[0] ^ h[1:]
+    else:
+        ii, jj = np.triu_indices(n, 1)
+        a, b = ids[ii], ids[jj]
+        x = h[ii] ^ h[jj]
+    ham = _popcount64(x)
+    m = ham <= max_hamming
+    if not m.any():
+        return empty
+    return pd.DataFrame({"a": a[m], "b": b[m], "hamming": ham[m]})
+
+
+def simhash_near_dups(
+    docs: rd.Dataset, max_hamming: int = 3, max_bucket: int = 2048
+) -> rd.Dataset:
     """Near-dup pairs by SimHash banding: any pair with Hamming distance
     <= 3 shares at least one of the 4 16-bit bands (pigeonhole), so
-    band-exact-match buckets are a complete candidate blocking."""
+    band-exact-match buckets are a complete candidate blocking — and all
+    intra-bucket pairs are emitted and verified (complete for buckets up
+    to ``max_bucket``; larger hash-degenerate buckets degrade to
+    connectivity-only star pairing, see :func:`_ham_pairs`).
+
+    One melt pass -> ONE ``groupby`` over (band_id, band_key) with the
+    Hamming verify vectorized inside each bucket task -> distributed
+    sort+keep-first pair dedup. Nothing funnels through the driver.
+    """
+    from ..util import keep_first_sorted
+
     sigs = docs.map_batches(SimHasher, batch_format="pandas", concurrency=2, num_cpus=0.5)
-    frames = []
-    for band in range(4):
-        buckets = (
-            sigs.select_columns(["doc_id", "simhash", f"sh_band{band}"])
-            .groupby(f"sh_band{band}")
-            .map_groups(_bucket_pairs_sim, batch_format="pandas")
-        )
-        frames.append(buckets.to_pandas())
-    cand = pd.concat(frames, ignore_index=True).drop_duplicates(["a", "b"])
-    if cand.empty:
-        return pd.DataFrame({"a": [], "b": [], "hamming": []})
-    ham = [
-        int(bin(int(x) ^ int(y)).count("1"))
-        for x, y in zip(cand["ha"].astype(np.uint64), cand["hb"].astype(np.uint64))
-    ]
-    cand = cand.assign(hamming=ham)
-    keep = cand[cand["hamming"] <= max_hamming]
-    return keep[["a", "b", "hamming"]].reset_index(drop=True)
 
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        frames = [
+            pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+                    "band_id": np.int64(band),
+                    "band_key": df[f"sh_band{band}"].to_numpy().astype(np.int64),
+                    "simhash": df["simhash"].to_numpy().astype(np.int64),
+                }
+            )
+            for band in range(4)
+        ]
+        return pd.concat(frames, ignore_index=True)
 
-def _bucket_pairs_sim(group: pd.DataFrame) -> pd.DataFrame:
-    g = group.sort_values("doc_id")
-    if len(g) < 2:
-        return pd.DataFrame({"a": [], "b": [], "ha": [], "hb": []})
-    a0 = g.iloc[0]
-    rest = g.iloc[1:]
-    return pd.DataFrame(
-        {
-            "a": [a0["doc_id"]] * len(rest),
-            "b": rest["doc_id"].tolist(),
-            "ha": [np.uint64(a0["simhash"])] * len(rest),
-            "hb": rest["simhash"].astype(np.int64).astype(np.uint64).tolist(),
-        }
+    melted = sigs.map_batches(melt, batch_format="pandas")
+    pairs = melted.groupby(["band_id", "band_key"]).map_groups(
+        lambda g: _ham_pairs(g, max_hamming, max_bucket), batch_format="pandas"
     )
+    # a pair can surface from several bands with identical hamming — dedup
+    return keep_first_sorted(pairs.sort(["a", "b"]), ["a", "b"])

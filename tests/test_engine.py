@@ -177,6 +177,13 @@ def test_config_mismatch_rejected(tmp_path):
     bad = dataclasses.replace(CFG, n_seeds=CFG.n_seeds + 1)
     with pytest.raises(ValueError):
         CrawlEngine(bad, out).run(resume=True)
+    # seen-state layout knobs are part of the hashed config too: a resume
+    # under a different seen config would misread delta blobs / shard
+    # routing and silently re-crawl seen URLs
+    for change in ({"seen_mode": "cuckoo"}, {"n_seen_shards": CFG.n_seen_shards + 1},
+                   {"seen_capacity": CFG.seen_capacity * 2}):
+        with pytest.raises(ValueError):
+            CrawlEngine(dataclasses.replace(cfg1, **change), out).run(resume=True)
 
 
 def test_actor_fetcher_path_matches_oracle(tmp_path):
