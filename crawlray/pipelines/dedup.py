@@ -297,16 +297,37 @@ def connected_components(pairs: pd.DataFrame, ids: list) -> pd.DataFrame:
 # -- SimHash -----------------------------------------------------------------
 
 class SimHasher:
-    """64-bit SimHash over word tokens (Charikar's similarity hash)."""
+    """64-bit SimHash over word tokens (Charikar's similarity hash).
+
+    Token hash = first 8 md5 bytes little-endian, which is exactly
+    DuckDB's ``md5_number_upper`` — chosen so the whole signature is
+    restatable in the SQL oracle (``SQL_SIMHASH``). A per-actor token
+    cache amortizes the md5 cost over repeated vocabulary."""
+
+    _CACHE_CAP = 1 << 20
 
     def __init__(self):
         self.bit_weights = 1 << np.arange(64, dtype=np.uint64)
+        self._cache: dict[str, int] = {}
+
+    def _token_u64(self, tokens: list[str]) -> np.ndarray:
+        cache = self._cache
+        if len(cache) > self._CACHE_CAP:
+            cache.clear()
+        out = np.empty(len(tokens), dtype=np.uint64)
+        for i, t in enumerate(tokens):
+            v = cache.get(t)
+            if v is None:
+                v = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+                cache[t] = v
+            out[i] = v
+        return out
 
     def simhash(self, text: str) -> int:
         words = text.split()
         if not words:
             return 0
-        h = _stable_u64(words)
+        h = self._token_u64(words)
         bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
         v = (2 * bits - 1).sum(axis=0)
         return int(((v > 0).astype(np.uint64) * self.bit_weights).sum())

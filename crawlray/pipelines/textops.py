@@ -94,22 +94,36 @@ class QualityScorer:
 
 class LangId:
     """Stopword-hit language heuristic: argmax over per-language function
-    word hits; ties and zero-hit docs -> 'und' (undetermined)."""
+    word hits (occurrences, not distinct words); ties break to the
+    alphabetically first language, zero-hit docs -> 'und'. Vectorized:
+    explode words, merge against the stopword table, grouped count,
+    sort-based argmax — no per-row Python loop. SQL-restatable
+    (``SQL_LANG_ID``)."""
 
     def __init__(self):
-        self.tables = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
+        rows = sorted(
+            (w, lang) for lang, ws in STOPWORDS.items() for w in ws
+        )
+        self.stop_df = pd.DataFrame(rows, columns=["word", "lang"])
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        preds = []
-        for text in batch["text"]:
-            words = text.lower().split()
-            best, best_hits = "und", 0
-            for lang in sorted(self.tables):
-                hits = sum(1 for w in words if w in self.tables[lang])
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            preds.append(best)
-        return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": preds})
+        ids = batch["doc_id"].to_numpy()
+        ex = pd.DataFrame(
+            {"doc_id": ids, "word": batch["text"].str.lower().str.split().to_numpy()}
+        ).explode("word").dropna(subset=["word"])
+        hits = ex.merge(self.stop_df, on="word")
+        if hits.empty:
+            return pd.DataFrame({"doc_id": ids, "lang_pred": ["und"] * len(ids)})
+        counts = hits.groupby(["doc_id", "lang"]).size().reset_index(name="n")
+        best = (
+            counts.sort_values(["n", "lang"], ascending=[False, True], kind="stable")
+            .groupby("doc_id", sort=False)
+            .head(1)
+        )
+        pred = dict(zip(best["doc_id"], best["lang"]))
+        return pd.DataFrame(
+            {"doc_id": ids, "lang_pred": [pred.get(i, "und") for i in ids]}
+        )
 
 
 def rolling_hashes(text: str, window: int = 16, base: int = 257,

@@ -851,12 +851,49 @@ def q_minhash_dedup(sf_dir: str):
 
 
 def q_simhash(sf_dir: str):
-    """SimHash signatures per doc (rows-only; signature column int64)."""
+    """SimHash signatures per doc. Token hash = md5-upper-8 little-endian
+    == DuckDB ``md5_number_upper``, so the full 64-bit signature AND the
+    4x16-bit band decomposition are restated exactly in SQL."""
     from .pipelines.dedup import SimHasher
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         SimHasher, batch_format="pandas", concurrency=2
     )
+
+
+# sign-aggregate each md5 token-hash bit over the doc's words, assemble the
+# positive-sum bits into a 64-bit signature (unsigned, then two's-complement
+# to BIGINT to match the int64 Ray column), and slice the 16-bit bands
+SQL_SIMHASH = """
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents WHERE trim(text) <> ''
+),
+bits AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (md5_number_upper(word) >> b.bit) & 1 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM w CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS u
+  FROM bits GROUP BY doc_id
+),
+full_sig AS (
+  SELECT d.doc_id, coalesce(sig.u, 0::HUGEINT) AS u
+  FROM documents d LEFT JOIN sig USING (doc_id)
+)
+SELECT doc_id,
+       (CASE WHEN u >= 9223372036854775808::HUGEINT
+             THEN u - 18446744073709551616::HUGEINT ELSE u END)::BIGINT AS simhash,
+       ((u >> 0) & 65535)::BIGINT AS sh_band0,
+       ((u >> 16) & 65535)::BIGINT AS sh_band1,
+       ((u >> 32) & 65535)::BIGINT AS sh_band2,
+       ((u >> 48) & 65535)::BIGINT AS sh_band3
+FROM full_sig
+"""
 
 
 def q_lang_id(sf_dir: str):
@@ -867,10 +904,56 @@ def q_lang_id(sf_dir: str):
     )
 
 
+def _lang_id_sql() -> str:
+    from .pipelines.textops import STOPWORDS
+
+    values = ", ".join(
+        f"('{w}', '{lang}')"
+        for lang, ws in sorted(STOPWORDS.items())
+        for w in sorted(ws)
+    )
+    return f"""
+WITH stop(word, lang) AS (VALUES {values}),
+w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+  FROM documents WHERE trim(text) <> ''
+),
+hits AS (
+  SELECT w.doc_id, s.lang, count(*)::BIGINT AS n
+  FROM w JOIN stop s ON w.word = s.word
+  GROUP BY w.doc_id, s.lang
+),
+best AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, lang) AS rn
+  FROM hits
+)
+SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred
+FROM documents d
+LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b USING (doc_id)
+"""
+
+
+SQL_LANG_ID = _lang_id_sql()
+
+
 def q_ann_ivf(sf_dir: str):
     from .pipelines.ann import ivf_topk
 
     return ivf_topk(_read(sf_dir, "embeddings"), ANN_QUERY_IDS, k=ANN_K)
+
+
+def q_ann_ivf_exhaustive(sf_dir: str):
+    """IVF with n_probe == n_centroids: every bucket probed, so the result
+    must EQUAL exact brute force — which makes the whole IVF machinery
+    (centroid training, bucket assignment, pruned scan, partial top-k
+    merge) verifiable against the same SQL oracle as ``ann_cosine``."""
+    from .pipelines.ann import ivf_topk
+
+    return ivf_topk(
+        _read(sf_dir, "embeddings"), ANN_QUERY_IDS, k=ANN_K,
+        n_centroids=16, n_probe=16,
+    )
 
 
 def q_media_pipeline(sf_dir: str):
@@ -929,12 +1012,13 @@ def catalog():
         "daily_top_event": (q_daily_top_event, SQL_DAILY_TOP_EVENT),
         "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
         "running_sum": (q_running_sum, SQL_RUNNING_SUM),
+        "simhash": (q_simhash, SQL_SIMHASH),
+        "lang_id": (q_lang_id, SQL_LANG_ID),
+        "ann_ivf_exhaustive": (q_ann_ivf_exhaustive, SQL_ANN_COSINE),
         # rows-only (non-SQL-expressible)
         "crawl": (q_crawl, None),
         "crawl_outlinks": (q_crawl_outlinks, None),
         "minhash_dedup": (q_minhash_dedup, None),
-        "simhash": (q_simhash, None),
-        "lang_id": (q_lang_id, None),
         "ann_ivf": (q_ann_ivf, None),
         "media_pipeline": (q_media_pipeline, None),
         "span_histogram": (q_span_histogram, None),

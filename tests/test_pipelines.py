@@ -72,11 +72,11 @@ def test_simhash_near_dups():
     from crawlray.pipelines.dedup import simhash_near_dups
 
     # 120 distinct words so a single substitution flips few sign-sums;
-    # w001 -> w001bb gives simhash Hamming distance 2 (deterministic:
-    # blake2b token hashes), inside the <=3 blocking guarantee
+    # w001 -> w001y gives simhash Hamming distance 1 (deterministic: md5
+    # token hashes), inside the <=3 blocking guarantee
     words = [f"w{i:03d}" for i in range(120)]
     base = " ".join(words)
-    near = " ".join(w + "bb" if w == "w001" else w for w in words)
+    near = " ".join(w + "y" if w == "w001" else w for w in words)
     rows = [
         {"doc_id": 1, "text": base},
         {"doc_id": 2, "text": near},
