@@ -28,8 +28,8 @@ from hashlib import blake2b
 from pathlib import Path
 
 
-def part_name(round_idx: int, part_id: int) -> str:
-    return f"part-{round_idx:04d}-{part_id:05d}.parquet"
+def part_name(round_idx: int, part_id: int, ext: str = ".parquet") -> str:
+    return f"part-{round_idx:04d}-{part_id:05d}{ext}"
 
 
 def atomic_write_json(path: Path, obj: dict) -> None:

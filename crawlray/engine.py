@@ -86,6 +86,11 @@ class EngineConfig:
     fetch_batch_size: int = 256
     fetch_concurrency: tuple[int, int] = (2, 8)
     rate_per_host: float | None = None # wall-clock token bucket (None = off)
+    # doc-corpus storage format: "auto" = Lance when the package imports
+    # (north-rule corpus format), Parquet otherwise; or a concrete name
+    # from crawlray.storage.FORMATS. Byte-identity e2e contract holds for
+    # parquet/ipc; lance guarantees row-identity (versioned dir trees).
+    corpus_format: str = "auto"
     # Frontier rounds at or below this row count run their CONTROL-PLANE
     # steps (politeness selection, membership filter, dedup, seq assignment,
     # frontier build) on the driver: the frontier is a checkpoint-
@@ -101,15 +106,29 @@ class EngineConfig:
         return self.budget if self.budget is not None else self.world.politeness_budget
 
 
+def _tree_size(path: Path) -> int:
+    """File size, or total size of a dataset directory (Lance corpora are
+    versioned directory trees, not single files)."""
+    if path.is_dir():
+        return sum(f.stat().st_size for f in path.rglob("*") if f.is_file())
+    return path.stat().st_size
+
+
 class _DocWriter:
     """Per-corpus-partition sink: writes the round's docs + metrics files
-    deterministically, returns the partition's outlink candidates."""
+    deterministically through the pluggable storage format
+    (``crawlray.storage``; north-rule corpus format = Lance when
+    importable), returns the partition's outlink candidates."""
 
-    def __init__(self, corpus_dir: str, metrics_dir: str, round_idx: int, seed: int = 0):
+    def __init__(self, corpus_dir: str, metrics_dir: str, round_idx: int,
+                 seed: int = 0, fmt_name: str = "parquet"):
+        from .storage import resolve_format
+
         self.corpus_dir = corpus_dir
         self.metrics_dir = metrics_dir
         self.round_idx = round_idx
         self.seed = seed
+        self.fmt = resolve_format(fmt_name)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         part_id = int(group["part_id"][0].as_py())
@@ -117,8 +136,8 @@ class _DocWriter:
         # canonical bytes: schema metadata (e.g. pandas round-trip info)
         # varies by physical plan — never let it into checkpoint files
         docs = docs.replace_schema_metadata(None)
-        fname = part_name(self.round_idx, part_id)
-        pq.write_table(docs, Path(self.corpus_dir) / fname)
+        fname = part_name(self.round_idx, part_id, self.fmt.ext)
+        self.fmt.write(docs, Path(self.corpus_dir) / fname)
         status = docs["status"].to_pylist()
         metric = pa.table(
             {
@@ -137,10 +156,11 @@ class _DocWriter:
                 "spans": pa.array([int(pc.sum(docs["n_spans"]).as_py() or 0)], pa.int64()),
                 "links": pa.array([int(pc.sum(docs["n_links"]).as_py() or 0)], pa.int64()),
                 "new_urls": pa.array([0], pa.int64()),
-                "bytes": pa.array([(Path(self.corpus_dir) / fname).stat().st_size], pa.int64()),
+                "bytes": pa.array([_tree_size(Path(self.corpus_dir) / fname)], pa.int64()),
             }
         )
-        pq.write_table(metric, Path(self.metrics_dir) / fname)
+        # metrics are control-plane: always parquet regardless of corpus fmt
+        pq.write_table(metric, Path(self.metrics_dir) / part_name(self.round_idx, part_id))
         return explode_outlinks(docs, self.seed)
 
 
@@ -156,8 +176,10 @@ class _PartWorker:
     applied BEFORE the data gets wide.
     """
 
-    def __init__(self, corpus_dir: str, metrics_dir: str, round_idx: int, world_cfg):
-        self.writer = _DocWriter(corpus_dir, metrics_dir, round_idx, world_cfg.seed)
+    def __init__(self, corpus_dir: str, metrics_dir: str, round_idx: int,
+                 world_cfg, fmt_name: str = "parquet"):
+        self.writer = _DocWriter(corpus_dir, metrics_dir, round_idx,
+                                 world_cfg.seed, fmt_name)
         self.world_cfg = world_cfg
 
     def __call__(self, group: pa.Table) -> pa.Table:
@@ -227,12 +249,18 @@ class CrawlEngine:
         # must be hashed: a resume under a different seen config would
         # misread delta blobs / route hashes to shards contains() never
         # queries, silently re-crawling seen URLs
+        from .storage import resolve_format
+
+        self.corpus_fmt = resolve_format(cfg.corpus_format)
         self.cfg_hash = config_hash(
             {"world": asdict(cfg.world), "n_seeds": cfg.n_seeds,
              "budget": cfg.round_budget, "n_parts": cfg.n_parts,
              "n_frontier_parts": cfg.n_frontier_parts,
              "seen_mode": cfg.seen_mode, "n_seen_shards": cfg.n_seen_shards,
-             "seen_capacity": cfg.seen_capacity}
+             "seen_capacity": cfg.seen_capacity,
+             # RESOLVED name, not "auto": resuming an auto=parquet tree in
+             # an env where lance became importable must be rejected
+             "corpus_format": self.corpus_fmt.name}
         )
         self.seen = SeenClient.create(
             cfg.n_seen_shards, mode=cfg.seen_mode, capacity_per_shard=cfg.seen_capacity
@@ -393,7 +421,8 @@ class CrawlEngine:
             "round", pa.array(np.full(fetch_tbl.num_rows, r, np.int32))
         ).append_column("part_id", pa.array(part))
         cdir, mdir = self.store.corpus_dir(r), self.store.metrics_dir(r)
-        worker = _PartWorker(str(cdir), str(mdir), r, world_cfg)
+        worker = _PartWorker(str(cdir), str(mdir), r, world_cfg,
+                             self.corpus_fmt.name)
         # explicit task fan-out: the fetch table is already on the driver, so
         # partitioning it ourselves guarantees n_parts-wide parallelism
         # (a Ray Data groupby re-coalesces small sorted data into a handful
@@ -542,7 +571,8 @@ class CrawlEngine:
             )
             docs = fetched.map_batches(parse_batch, batch_format="pyarrow")
             cdir, mdir = self.store.corpus_dir(r), self.store.metrics_dir(r)
-            doc_writer = _DocWriter(str(cdir), str(mdir), r, world_cfg.seed)
+            doc_writer = _DocWriter(str(cdir), str(mdir), r, world_cfg.seed,
+                                    self.corpus_fmt.name)
             candidates = docs.groupby("part_id").map_groups(
                 lambda g: doc_writer(g), batch_format="pyarrow"
             )
@@ -552,7 +582,8 @@ class CrawlEngine:
             # inside ONE task per partition — the wide doc payloads never
             # enter a shuffle or the object store at all
             cdir, mdir = self.store.corpus_dir(r), self.store.metrics_dir(r)
-            worker = _PartWorker(str(cdir), str(mdir), r, world_cfg)
+            worker = _PartWorker(str(cdir), str(mdir), r, world_cfg,
+                                 self.corpus_fmt.name)
             candidates = fetchset.groupby("part_id").map_groups(
                 lambda g: worker(g), batch_format="pyarrow"
             )

@@ -86,6 +86,9 @@ def simulate_crawl(
             if world.robots_disallowed(host, path):
                 res.fetch_log.append((rnd, priority, seq, url, "robots_denied"))
                 continue
+            if world.auth_required(host):
+                res.fetch_log.append((rnd, priority, seq, url, "http_401"))
+                continue
             status, _attempts = world.fetch_plan(url)
             if status == 404:
                 res.fetch_log.append((rnd, priority, seq, url, "http_404"))

@@ -789,12 +789,10 @@ def q_crawl(sf_dir: str):
         cfg = _crawl_cfg(sf_dir)
         eng = CrawlEngine(cfg, out)
         eng.run()
-        import glob
+        from .storage import read_corpus
 
-        import pyarrow.parquet as pq
-
-        docs = pq.read_table(
-            sorted(glob.glob(f"{out}/corpus/round-*/*.parquet")),
+        docs = read_corpus(
+            out,
             columns=["doc_id", "url", "host", "round", "priority", "seq",
                      "status", "n_spans", "n_links", "n_images"],
         )

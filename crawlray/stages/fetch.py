@@ -25,13 +25,31 @@ MAX_ATTEMPTS = 3  # fetcher.py:11-14
 
 
 class SynthFetcher:
-    def __init__(self, cfg: WorldConfig, rate_per_host: float | None = None):
+    def __init__(self, cfg: WorldConfig, rate_per_host: float | None = None,
+                 global_auth: dict | None = None):
         self.world = World(cfg)
         self.politeness = HostPoliteness(rate_per_host)
+        self.global_auth = global_auth
+
+    def _row_auth(self, batch: pa.Table):
+        """Per-row resolved credentials when the batch carries M18 auth
+        columns; a row of (None,)-equivalents otherwise (open crawl)."""
+        from .sources import resolve_auth
+
+        n = batch.num_rows
+        cols = set(batch.column_names)
+        auth_cols = ("auth_enabled", "auth_type", "cookies", "auth_headers",
+                     "basic_auth_username", "basic_auth_password")
+        if not (cols & set(auth_cols)) and self.global_auth is None:
+            return [({}, {}, None)] * n
+        getl = lambda c: batch[c].to_pylist() if c in cols else [None] * n
+        rows = [dict(zip(auth_cols, vals)) for vals in zip(*(getl(c) for c in auth_cols))]
+        return [resolve_auth(r, self.global_auth) for r in rows]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
         hosts = batch["host"].to_pylist()
+        auths = self._row_auth(batch)
         status: list[str] = []
         codes: list[int] = []
         errt: list[str] = []
@@ -39,7 +57,7 @@ class SynthFetcher:
         retry: list[bool] = []
         attempts: list[int] = []
         payloads: list[bytes | None] = []
-        for url, host in zip(urls, hosts):
+        for url, host, (cookies, headers, basic) in zip(urls, hosts, auths):
             path = split_url(url)[2]
             if self.world.robots_disallowed(host, path):
                 status.append("robots_denied")
@@ -48,6 +66,17 @@ class SynthFetcher:
                 errc.append("ROBOTS_DENIED")
                 retry.append(False)
                 attempts.append(0)
+                payloads.append(None)
+                continue
+            if not self.world.auth_ok(host, basic, cookies, headers):
+                # credential-gated host without valid auth: 401 as data,
+                # not retryable (4xx classification, error_handler.py)
+                status.append("http_401")
+                codes.append(401)
+                errt.append("http_error")
+                errc.append("401")
+                retry.append(False)
+                attempts.append(1)
                 payloads.append(None)
                 continue
             self.politeness.acquire(host)

@@ -69,6 +69,13 @@ def fetch_parse_batch(batch: pa.Table, world_cfg) -> pa.Table:
             errc.append("ROBOTS_DENIED"); retry.append(False); attempts.append(0)
             span_lists.append([]); titles.append(""); descs.append("")
             continue
+        if world.auth_required(host):
+            # engine crawls carry no credentials: gated hosts 401 (kept
+            # identical across fused path, actor path and oracle)
+            status.append("http_401"); errt.append("http_error")
+            errc.append("401"); retry.append(False); attempts.append(1)
+            span_lists.append([]); titles.append(""); descs.append("")
+            continue
         final_status, need = world.fetch_plan(url)
         if final_status == 404:
             status.append("http_404"); errt.append("http_error")

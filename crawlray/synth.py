@@ -55,6 +55,7 @@ class WorldConfig:
     fanout_max: int = 30
     politeness_budget: int = 64   # max fetches per host per round
     page_scale: int = 1           # multiplies page body size (bench realism)
+    auth_every: int = 0           # >0: host idx % auth_every == 1 needs auth
 
 
 class World:
@@ -92,6 +93,33 @@ class World:
     def priority(self, url: str) -> int:
         """Synthetic Mercator front-queue priority, 0 (high) .. 3 (low)."""
         return h64(self.cfg.seed, "prio", url) % 4
+
+    # -- auth gating (M18 exercise; opt-in via cfg.auth_every) ------------
+    def auth_token(self, host: str, kind: str) -> str:
+        """Deterministic per-host credential of a given kind ('pw' for
+        basic auth, 'stok' session cookie, 'htok' auth header)."""
+        return f"{kind}{h64(self.cfg.seed, 'auth', kind, host) % (1 << 32)}"
+
+    def auth_required(self, host: str) -> bool:
+        i = self.host_index.get(host)
+        return bool(self.cfg.auth_every) and i is not None \
+            and i % self.cfg.auth_every == 1
+
+    def auth_ok(self, host: str, basic: tuple | None, cookies: dict,
+                headers: dict) -> bool:
+        """True when the host is open, or any one of the three credential
+        kinds matches (reference auth types: basic / cookies / headers,
+        ``backend/api/tasks.py:506-547``)."""
+        i = self.host_index.get(host)
+        if not self.auth_required(host):
+            return True
+        if basic is not None and basic == (f"user{i}", self.auth_token(host, "pw")):
+            return True
+        if cookies.get("session") == self.auth_token(host, "stok"):
+            return True
+        if headers.get("X-Auth-Token") == self.auth_token(host, "htok"):
+            return True
+        return False
 
     # -- fetch simulation ------------------------------------------------
     def fetch_plan(self, url: str) -> tuple[int, int]:

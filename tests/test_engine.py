@@ -27,8 +27,9 @@ CFG = EngineConfig(
 
 
 def read_corpus(out_dir: str):
-    files = sorted(glob.glob(f"{out_dir}/corpus/round-*/*.parquet"))
-    return pq.read_table(files)
+    from crawlray.storage import read_corpus as _rc
+
+    return _rc(out_dir)
 
 
 def tree_bytes(root: str) -> dict[str, bytes]:

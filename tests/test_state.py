@@ -98,3 +98,88 @@ def test_host_politeness_isolates_hosts():
     p.acquire("a.com")
     p.acquire("b.com")
     assert set(p.buckets) == {"a.com", "b.com"}
+
+
+def test_per_host_qps_actually_bounded():
+    """Wall-clock assertion (dev-spec rate-limit requirement): K fetches
+    through one host's token bucket cannot finish faster than
+    (K - burst) / rate seconds."""
+    import time
+
+    import pyarrow as pa
+
+    from crawlray.stages.fetch import SynthFetcher
+    from crawlray.synth import World, WorldConfig
+
+    cfg = WorldConfig(n_urls=200, n_hosts=4)
+    world = World(cfg)
+    host = world.hosts[2]
+    rate, burst, k = 200.0, 4.0, 30
+    f = SynthFetcher(cfg, rate_per_host=rate)
+    f.politeness.burst = burst  # default burst is 8; tighten for the bound
+    f.politeness.buckets.clear()
+    batch = pa.table({"url": [f"https://{host}/p/{i}" for i in range(k)],
+                      "host": [host] * k})
+    t0 = time.monotonic()
+    out = f(batch)
+    elapsed = time.monotonic() - t0
+    assert out.num_rows == k
+    assert elapsed >= (k - burst) / rate * 0.95   # bucket actually throttled
+    assert elapsed < 5.0                          # and did not wedge
+
+
+def test_per_host_buckets_refill_independently():
+    """Two hosts at the same rate, interleaved: independent buckets refill
+    concurrently, so total elapsed ~= one host's bound, not 2x."""
+    import time
+
+    p = HostPoliteness(rate_per_host=200.0, burst=4.0)
+    k = 30
+    t0 = time.monotonic()
+    for i in range(k):
+        p.acquire("a.com")
+        p.acquire("b.com")
+    elapsed = time.monotonic() - t0
+    single = (k - 4.0) / 200.0
+    assert elapsed >= single * 0.95
+    assert elapsed < single * 1.75  # NOT serialized host-after-host
+
+
+def test_hot_host_salted_selection_exact():
+    """Two-phase salted per-host top-k (SURVEY §4.2): a hot host spread
+    over many salt blocks still selects exactly the global per-host
+    top-budget in (priority, seq) order, with one owner group per host,
+    and phase A bounds the shuffle to <= budget x n_blocks rows/host."""
+    import numpy as np
+    import pandas as pd
+
+    from crawlray.stages.frontier import mark_candidates, select_per_host
+
+    rs = np.random.RandomState(7)
+    budget, n_blocks = 5, 6
+    rows = []
+    seq = 0
+    for _ in range(240):
+        host = "hot.example.org" if rs.rand() < 0.5 else f"h{rs.randint(4)}.org"
+        rows.append({"host": host, "priority": int(rs.randint(4)), "seq": seq})
+        seq += 1
+    df = pd.DataFrame(rows)
+    blocks = np.array_split(df.sample(frac=1.0, random_state=3), n_blocks)
+    survivors = pd.concat([mark_candidates(b, budget) for b in blocks])
+    survivors = survivors[survivors["cand"]]
+    per_host_surv = survivors.groupby("host").size()
+    assert (per_host_surv <= budget * n_blocks).all()
+    selected = pd.concat(
+        [select_per_host(g, budget) for _, g in survivors.groupby("host")]
+    )
+    selected = selected[selected["sel"]]
+    # exactness: equals the naive single-pass per-host top-budget
+    exp = (
+        df.sort_values(["priority", "seq"], kind="stable")
+        .groupby("host", sort=False)
+        .head(budget)
+    )
+    got_keys = set(zip(selected["host"], selected["seq"]))
+    exp_keys = set(zip(exp["host"], exp["seq"]))
+    assert got_keys == exp_keys
+    assert (selected.groupby("host").size() <= budget).all()
