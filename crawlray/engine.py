@@ -53,7 +53,13 @@ from .state.seen import SeenClient
 from .synth import World, WorldConfig, h64
 from .util import hash64, unique_keep_first, zip_with_index
 
-FRONTIER_COLS = ["url", "host", "priority", "depth", "seq"]
+FRONTIER_COLS = ["url", "host", "priority", "depth", "seq", "url_hash"]
+
+
+def _uhash(t: "pa.Table") -> "np.ndarray":
+    """The frontier/candidate url_hash column as uint64 (computed ONCE in
+    the parallel workers / seed builder; never re-hashed on the driver)."""
+    return t["url_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
 
 _TRACE = bool(os.environ.get("CRAWLRAY_TRACE"))
 
@@ -198,15 +204,9 @@ class _SeenFilter:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return batch.append_column("url_hash", pa.array([], pa.int64()))
+            return batch
         urls = batch["url"].to_pylist()
-        hashes = hash64(batch["url"])
-        seen = self.client.contains(urls, hashes)
-        import numpy as _np
-
-        batch = batch.append_column(
-            "url_hash", pa.array(hashes.view(_np.int64))
-        )
+        seen = self.client.contains(urls, _uhash(batch))
         return batch.filter(pa.array(~seen))
 
 
@@ -233,11 +233,26 @@ def _part_task(worker: "_PartWorker", group: pa.Table) -> pa.Table:
 
 
 @ray.remote
+def _write_frontier_part(t: pa.Table, fdir: str, round_idx: int,
+                         part: int, k: int) -> None:
+    """One frontier partition file (driver-path write fan-out); the part
+    mask is a trivial vector op over the already-present url_hash."""
+    fp = (_uhash(t) % np.uint64(k)).astype(np.int32)
+    sub = t.filter(pa.array(fp == part))
+    sub = sub.take(
+        pc.sort_indices(sub, sort_keys=[("priority", "ascending"), ("seq", "ascending")])
+    )
+    pq.write_table(
+        sub.replace_schema_metadata(None), Path(fdir) / part_name(round_idx, part)
+    )
+
+
+@ray.remote
 def _add_seen_block(client: SeenClient, t: pa.Table) -> int:
     urls = t["url"].to_pylist()
     if not urls:
         return 0
-    return client.add(urls, hash64(t["url"]))
+    return client.add(urls, _uhash(t))
 
 
 class CrawlEngine:
@@ -294,7 +309,7 @@ class CrawlEngine:
         def add_fpart(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
                 return t.append_column("fpart", pa.array([], pa.int32()))
-            fp = (hash64(t["url"]) % np.uint64(k)).astype(np.int32)
+            fp = (_uhash(t) % np.uint64(k)).astype(np.int32)
             return t.append_column("fpart", pa.array(fp))
 
         writer = _FrontierWriter(str(fdir), round_idx)
@@ -318,7 +333,7 @@ class CrawlEngine:
     # -- lifecycle -------------------------------------------------------
     def _bootstrap(self) -> dict:
         seeds = self.world.seed_table(self.cfg.n_seeds)
-        self.seen.add(seeds["url"].to_pylist(), hash64(seeds["url"]))
+        self.seen.add(seeds["url"].to_pylist(), _uhash(seeds))
         frontier_files = self._write_frontier_driver(seeds, 0)
         seen_files = self._snapshot_seen(0)
         manifest = {
@@ -376,23 +391,21 @@ class CrawlEngine:
     def _write_frontier_driver(self, t: pa.Table, round_idx: int) -> list[str]:
         """Driver-side frontier partition writer — byte-identical layout to
         the distributed ``_FrontierWriter`` (same partitioning key, same
-        per-file sort, same schema/order)."""
+        per-file sort, same schema/order). The per-part filter+sort+write
+        fan out as parallel tasks over one object-store copy of the
+        table — the driver only computes the part ids."""
         fdir = self.store.frontier_dir(round_idx)
         if t.num_rows:
             t = t.select(FRONTIER_COLS)
-            fp = (hash64(t["url"]) % np.uint64(self.cfg.n_frontier_parts)).astype(np.int32)
-            for part in np.unique(fp):
-                sub = t.filter(pa.array(fp == part))
-                sub = sub.take(
-                    pc.sort_indices(
-                        sub,
-                        sort_keys=[("priority", "ascending"), ("seq", "ascending")],
-                    )
+            fp = (_uhash(t) % np.uint64(self.cfg.n_frontier_parts)).astype(np.int32)
+            tref = ray.put(t)
+            ray.get([
+                _write_frontier_part.remote(
+                    tref, str(fdir), round_idx, int(part),
+                    self.cfg.n_frontier_parts,
                 )
-                pq.write_table(
-                    sub.replace_schema_metadata(None),
-                    fdir / part_name(round_idx, int(part)),
-                )
+                for part in np.unique(fp)
+            ])
         return sorted(str(p) for p in fdir.glob("*.parquet"))
 
     def _run_round_driver(self, r: int, manifest: dict) -> dict:
@@ -416,7 +429,7 @@ class CrawlEngine:
 
         # data plane: distributed fused per-partition workers
         world_cfg = cfg.world
-        part = (hash64(fetch_tbl["url"]) % np.uint64(cfg.n_parts)).astype(np.int32)
+        part = (_uhash(fetch_tbl) % np.uint64(cfg.n_parts)).astype(np.int32)
         fetch_tbl = fetch_tbl.append_column(
             "round", pa.array(np.full(fetch_tbl.num_rows, r, np.int32))
         ).append_column("part_id", pa.array(part))
@@ -438,24 +451,20 @@ class CrawlEngine:
         if cand_tbls:
             cand = pa.concat_tables(cand_tbls).combine_chunks()
             tm.lap("cand-concat")
-            hashes = hash64(cand["url"])
-            tm.lap("cand-hash")
+            # url_hash was computed inside the parallel extract workers;
+            # membership + within-round min-cand_key dedup run fused inside
+            # the K seen shards in parallel (UrlSeenShard.winners_batch) —
+            # the driver never hashes or lexsorts the candidate set
+            hashes = _uhash(cand)
+            ck = cand["cand_key"].to_numpy(zero_copy_only=False)
             urls_list = (
                 cand["url"].to_pylist() if self.seen.mode == "exact" else None
             )
-            seen_mask = self.seen.contains(urls_list, hashes)
-            tm.lap("cand-contains")
-            keep = ~seen_mask
-            h = hashes[keep]
-            ck = cand["cand_key"].to_numpy()[keep]
-            # within-round dedup: keep the min cand_key per url hash
-            o = np.lexsort((ck, h))
-            first = np.r_[True, h[o][1:] != h[o][:-1]] if len(o) else np.array([], bool)
-            winners_idx = np.flatnonzero(keep)[o[first]]
+            mask = self.seen.winners(urls_list, hashes, ck)
+            tm.lap("cand-winners")
+            winners_idx = np.flatnonzero(mask)
             # crawl order: dense seq by ascending cand_key
-            w_ck = cand["cand_key"].to_numpy()[winners_idx]
-            winners_idx = winners_idx[np.argsort(w_ck, kind="stable")]
-            tm.lap("cand-lexsort")
+            winners_idx = winners_idx[np.argsort(ck[winners_idx], kind="stable")]
             win = cand.take(pa.array(winners_idx))
             tm.lap("cand-take")
             n_new = win.num_rows
@@ -468,12 +477,13 @@ class CrawlEngine:
                     "seq": pa.array(
                         np.arange(next_seq, next_seq + n_new, dtype=np.int64)
                     ),
+                    "url_hash": win["url_hash"],
                 }
             )
             tm.lap("dedup+seq")
             self.seen.add(
                 new_tbl["url"].to_pylist() if self.seen.mode == "exact" else None,
-                hash64(new_tbl["url"]),
+                hashes[winners_idx],
             )
             tm.lap("seen-add")
         else:
@@ -550,7 +560,7 @@ class CrawlEngine:
 
         def prep_fetch(t: pa.Table) -> pa.Table:
             t = t.select(FRONTIER_COLS)
-            part = (hash64(t["url"]) % np.uint64(n_parts)).astype(np.int32)
+            part = (_uhash(t) % np.uint64(n_parts)).astype(np.int32)
             return t.append_column("round", pa.array(np.full(t.num_rows, r, np.int32))) \
                     .append_column("part_id", pa.array(part))
 
@@ -602,7 +612,7 @@ class CrawlEngine:
         tm.lap("order+index")
 
         def finalize_new(t: pa.Table) -> pa.Table:
-            # host/priority were computed in the parallel explode stage
+            # host/priority/url_hash were computed in the parallel explode
             return pa.table(
                 {
                     "url": t["url"],
@@ -610,6 +620,7 @@ class CrawlEngine:
                     "priority": t["priority"],
                     "depth": t["depth"],
                     "seq": pc.add(t["rank"], pa.scalar(next_seq, pa.int64())),
+                    "url_hash": t["url_hash"],
                 }
             )
 

@@ -261,14 +261,17 @@ def explode_outlinks(docs: pa.Table, seed: int) -> pa.Table:
                 "depth": pa.array([], pa.int32()),
                 "host": pa.array([], pa.string()),
                 "priority": pa.array([], pa.int32()),
+                "url_hash": pa.array([], pa.int64()),
             }
         )
     url_arr = pa.concat_arrays([u.cast(pa.string()) for u in out_urls])
-    # host + priority are pure functions of the canonical URL; computing
-    # them here (inside the parallel worker) keeps the downstream frontier
-    # build a pure column shuffle/sort with no per-row recompute
+    # host + priority + url_hash are pure functions of the canonical URL;
+    # computing them here (inside the parallel worker) keeps the downstream
+    # membership/dedup/frontier steps pure column ops with no per-row
+    # recompute and no serial driver-side hashing
     from ..canon import host_of
     from ..synth import h64
+    from ..util import hash64
 
     url_list = url_arr.to_pylist()
     hosts = pa.array([host_of(u) for u in url_list], pa.string())
@@ -280,6 +283,7 @@ def explode_outlinks(docs: pa.Table, seed: int) -> pa.Table:
             "depth": pa.array(np.concatenate(out_depths).astype(np.int32)),
             "host": hosts,
             "priority": prios,
+            "url_hash": pa.array(hash64(url_arr).view(np.int64)),
         }
     )
 

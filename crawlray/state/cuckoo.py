@@ -55,12 +55,50 @@ class CuckooFilter:
     def add_many(self, hashes: np.ndarray) -> int:
         """Insert hashes (idempotent-ish: skips values already present).
         Returns the number actually inserted. Raises if the filter is full
-        (kick chain exhausted) — size capacity generously."""
-        h = hashes.astype(np.uint64, copy=False)
-        fp_all = self._fingerprint(h)
-        i1_all = (h & self.mask).astype(np.int64)
+        (kick chain exhausted) — size capacity generously.
+
+        Vectorized fast path: dedup on (bucket, fp), drop already-present
+        values, place every item whose ``i1`` bucket has a free slot in
+        one numpy pass; only bucket-overflow leftovers (a small fraction
+        at sane load factors) take the sequential cuckoo-kick loop."""
+        h = np.unique(hashes.astype(np.uint64, copy=False))
+        fp_u = self._fingerprint(h)
+        i1_u = (h & self.mask).astype(np.int64)
+        # one candidate per (bucket, fp): duplicates are skips by contract
+        _, uniq_idx = np.unique(
+            (i1_u.astype(np.uint64) << np.uint64(16)) | fp_u.astype(np.uint64),
+            return_index=True,
+        )
+        fp_u, i1_u, h = fp_u[uniq_idx], i1_u[uniq_idx], h[uniq_idx]
+        i2_u = self._index2(i1_u.astype(np.uint64), fp_u).astype(np.int64)
+        present = ((self.table[i1_u] == fp_u[:, None]).any(axis=1)
+                   | (self.table[i2_u] == fp_u[:, None]).any(axis=1))
+        fp_u, i1_u = fp_u[~present], i1_u[~present]
         inserted = 0
-        for k in range(len(h)):
+        if len(fp_u):
+            # rank of each item within its i1 bucket (items sorted by bucket)
+            order = np.argsort(i1_u, kind="stable")
+            bs, fs = i1_u[order], fp_u[order]
+            starts = np.r_[True, bs[1:] != bs[:-1]]
+            rank = np.arange(len(bs)) - np.repeat(np.flatnonzero(starts),
+                                                  np.diff(np.r_[np.flatnonzero(starts), len(bs)]))
+            rows = self.table[bs]
+            empty = rows == 0                       # (n, 4) free-slot map
+            n_free = empty.sum(axis=1)
+            fits = rank < n_free
+            if fits.any():
+                # slot index = (rank+1)-th empty column of the row
+                cum = np.cumsum(empty[fits], axis=1)
+                slot = (cum == (rank[fits] + 1)[:, None]).argmax(axis=1)
+                self.table[bs[fits], slot] = fs[fits]
+                inserted += int(fits.sum())
+            # leftover: bucket overflow -> classic per-item path below
+            fp_all = fs[~fits]
+            i1_all = bs[~fits]
+        else:
+            fp_all = fp_u
+            i1_all = i1_u
+        for k in range(len(fp_all)):
             fp = int(fp_all[k])
             i1 = int(i1_all[k])
             i2 = int((np.uint64(i1) ^ (np.uint64(fp) * _FP_MIX)) & self.mask)

@@ -58,6 +58,30 @@ class UrlSeenShard:
             return np.fromiter((u in self.exact for u in urls), dtype=bool, count=len(urls))
         return self.filter.contains_many(hashes)
 
+    def winners_batch(self, urls: list[str] | None, hashes: np.ndarray,
+                      cand_keys: np.ndarray) -> np.ndarray:
+        """Fused anti-join + within-round dedup for this shard's hash
+        partition: mask of rows that are (a) unseen in prior rounds and
+        (b) the minimal-``cand_key`` occurrence of their url hash in this
+        batch. Hash-partitioning guarantees shard-local min == global min,
+        so the round's dedup runs inside K shards in parallel instead of
+        one driver-side lexsort."""
+        if self.mode == "exact":
+            seen = np.fromiter(
+                (u in self.exact for u in urls), dtype=bool, count=len(urls)
+            )
+        else:
+            seen = self.filter.contains_many(hashes)
+        keep = ~seen
+        h = hashes[keep]
+        ck = cand_keys[keep]
+        mask = np.zeros(len(hashes), dtype=bool)
+        if len(h):
+            o = np.lexsort((ck, h))
+            first = np.r_[True, h[o][1:] != h[o][:-1]]
+            mask[np.flatnonzero(keep)[o[first]]] = True
+        return mask
+
     def add_batch(self, urls: list[str] | None, hashes: np.ndarray) -> int:
         if self.mode == "exact":
             n0 = len(self.exact)
@@ -130,6 +154,22 @@ class SeenClient:
         futs, idxs = [], []
         for sid, idx, sub_urls, sub_h in self._route(urls, hashes):
             futs.append(self.shards[sid].contains_batch.remote(sub_urls, sub_h))
+            idxs.append(idx)
+        for idx, res in zip(idxs, ray.get(futs)):
+            out[idx] = res
+        return out
+
+    def winners(self, urls: list[str] | None, hashes: np.ndarray,
+                cand_keys: np.ndarray) -> np.ndarray:
+        """Fused contains + within-round min-cand_key dedup (see
+        ``UrlSeenShard.winners_batch``); one RPC per touched shard, all
+        shards work in parallel."""
+        out = np.zeros(len(hashes), dtype=bool)
+        futs, idxs = [], []
+        for sid, idx, sub_urls, sub_h in self._route(urls, hashes):
+            futs.append(
+                self.shards[sid].winners_batch.remote(sub_urls, sub_h, cand_keys[idx])
+            )
             idxs.append(idx)
         for idx, res in zip(idxs, ray.get(futs)):
             out[idx] = res

@@ -219,8 +219,12 @@ class World:
         return seeds[:n_seeds]
 
     def seed_table(self, n_seeds: int) -> pa.Table:
-        """Round-0 frontier (FIXTURES.md §2 shape, engine columns)."""
+        """Round-0 frontier (FIXTURES.md §2 shape, engine columns).
+        ``url_hash`` rides the frontier from birth: it is a pure function
+        of the canonical URL, computed once here / in the extract workers
+        and reused by every membership, partitioning and dedup step."""
         from .canon import canonicalize, host_of
+        from .util import hash64
 
         urls = [canonicalize(u) for u in self.seed_urls(n_seeds)]
         return pa.table(
@@ -230,5 +234,8 @@ class World:
                 "priority": pa.array([self.priority(u) for u in urls], pa.int32()),
                 "depth": pa.array([0] * len(urls), pa.int32()),
                 "seq": pa.array(list(range(len(urls))), pa.int64()),
+                "url_hash": pa.array(
+                    hash64(urls).view(np.int64) if urls else np.array([], np.int64)
+                ),
             }
         )
