@@ -22,6 +22,7 @@ logical ``seq`` column, not physical block order.
 from __future__ import annotations
 
 import html as _html
+from dataclasses import dataclass
 
 import pyarrow as pa
 import ray
@@ -48,21 +49,51 @@ def spans_to_text(spans: list[dict]) -> str:
     return out.strip()
 
 
-def spans_to_markdown(spans: list[dict], title: str) -> str:
-    parts = [f"# {title}", ""] if title else []
+@dataclass(frozen=True)
+class MarkdownOptions:
+    """The html2text knobs the reference exposes
+    (``backend/crawler/converters.py:35-43``), restated over spans:
+    ``ignore_links`` keeps only anchor text, ``ignore_images`` drops image
+    spans, ``body_width`` wraps text blocks (0 = no wrap, the reference
+    default), ``single_line_break`` drops the blank line between blocks.
+    The reference's ``ignore_emphasis`` has no span analog: the span
+    parser (M4 invariant) normalizes inline emphasis into plain text, so
+    emphasis is always 'ignored' — documented simplification."""
+
+    ignore_links: bool = False
+    ignore_images: bool = False
+    body_width: int = 0
+    single_line_break: bool = False
+
+
+_MD_DEFAULTS = MarkdownOptions()
+
+
+def spans_to_markdown(spans: list[dict], title: str,
+                      opts: MarkdownOptions = _MD_DEFAULTS) -> str:
+    import textwrap
+
+    gap = [] if opts.single_line_break else [""]
+    parts = [f"# {title}", *gap] if title else []
     for s in spans:
         k = s["kind"]
         if k == "heading":
             parts.append(f"## {s['text']}")
-            parts.append("")
+            parts.extend(gap)
         elif k == "text":
-            parts.append(s["text"])
-            parts.append("")
+            body = (textwrap.fill(s["text"], opts.body_width)
+                    if opts.body_width > 0 else s["text"])
+            parts.append(body)
+            parts.extend(gap)
         elif k == "image":
-            parts.append(f"![{s['text']}]({s['media_ref']})")
-            parts.append("")
+            if not opts.ignore_images:
+                parts.append(f"![{s['text']}]({s['media_ref']})")
+                parts.extend(gap)
         elif k == "link":
-            parts.append(f"[{s['text']}]({s['media_ref']})")
+            parts.append(
+                s["text"] if opts.ignore_links
+                else f"[{s['text']}]({s['media_ref']})"
+            )
     return "\n".join(parts).strip() + "\n"
 
 
@@ -86,7 +117,8 @@ def spans_to_html(spans: list[dict], title: str) -> str:
     )
 
 
-def render_batch(batch: pa.Table, formats: tuple[str, ...] = ("txt",)) -> pa.Table:
+def render_batch(batch: pa.Table, formats: tuple[str, ...] = ("txt",),
+                 md_options: MarkdownOptions = _MD_DEFAULTS) -> pa.Table:
     """Add one rendered column per requested format (txt/md/html)."""
     spans_col = _spans_of(batch)
     titles = batch["title"].to_pylist()
@@ -97,7 +129,7 @@ def render_batch(batch: pa.Table, formats: tuple[str, ...] = ("txt",)) -> pa.Tab
             if f == "txt":
                 rendered[f].append(spans_to_text(spans))
             elif f == "md":
-                rendered[f].append(spans_to_markdown(spans, titles[i]))
+                rendered[f].append(spans_to_markdown(spans, titles[i], md_options))
             elif f == "html":
                 rendered[f].append(spans_to_html(spans, titles[i]))
             else:

@@ -367,6 +367,60 @@ def test_read_seed_csv(tmp_path):
     assert rejects.to_pandas()["url_raw"].tolist() == ["not-a-url"]
 
 
+def test_pipeline_api_composition():
+    """SURVEY §2.10: the declared Pipeline(steps=[...]) surface — stock
+    stage + user lambda + stateful class compose into one lazy plan equal
+    to the hand-chained map_batches calls."""
+    import pyarrow.compute as pc
+
+    from crawlray.pipeline import Pipeline, Step
+    from crawlray.pipelines.textops import QualityScorer, doc_stats
+
+    ds = docs_ds()
+    pipe = Pipeline([
+        Step("quality", QualityScorer, batch_format="pandas", concurrency=2),
+        Step("good", lambda t: t.filter(pc.greater(t["n_stopwords"], 0))),
+    ])
+    out = pipe.apply(ds)
+    assert isinstance(out, rd.Dataset)  # still lazy
+    got = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    exp = (
+        ds.map_batches(QualityScorer, batch_format="pandas", concurrency=2)
+        .map_batches(lambda t: t.filter(pc.greater(t["n_stopwords"], 0)),
+                     batch_format="pyarrow")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got.equals(exp)
+    # composition operator + describe + duplicate-name guard
+    p2 = Pipeline([Step("stats", doc_stats)]) | pipe
+    assert [d.split(":")[0] for d in p2.describe()] == ["stats", "quality", "good"]
+    with pytest.raises(ValueError):
+        Pipeline([Step("x", doc_stats), Step("x", doc_stats)])
+
+
+def test_markdown_options():
+    from crawlray.stages.render import MarkdownOptions, spans_to_markdown
+
+    spans = [
+        {"kind": "heading", "text": "H", "media_ref": ""},
+        {"kind": "text", "text": "word " * 30, "media_ref": ""},
+        {"kind": "image", "text": "alt", "media_ref": "http://x/i.png"},
+        {"kind": "link", "text": "anchor", "media_ref": "http://x/p"},
+    ]
+    full = spans_to_markdown(spans, "T")
+    assert "![alt](http://x/i.png)" in full and "[anchor](http://x/p)" in full
+    no_media = spans_to_markdown(
+        spans, "T", MarkdownOptions(ignore_links=True, ignore_images=True)
+    )
+    assert "![" not in no_media and "](" not in no_media
+    assert "anchor" in no_media  # anchor text kept, html2text-style
+    wrapped = spans_to_markdown(spans, "T", MarkdownOptions(body_width=20))
+    body_lines = [l for l in wrapped.splitlines() if l.startswith("word")]
+    assert all(len(l) <= 20 for l in body_lines) and len(body_lines) > 3
+    tight = spans_to_markdown(spans, "T", MarkdownOptions(single_line_break=True))
+    assert "\n\n" not in tight
+
+
 # -- relational / streaming ---------------------------------------------------
 
 def test_bucketed_hash_join_matches_pandas():
