@@ -7,13 +7,14 @@ Exact + near-dup operators, each expressed Ray-Data-first:
   payload; keep min doc_id.
 - **MinHash + LSH**: per-batch shingle->minhash signatures (numpy,
   vectorized over each doc's shingle-hash array), explode to
-  ``(band_id, band_hash)`` rows, ``groupby`` band buckets to candidate
-  pairs (bucket-min star pairing: connectivity-preserving, O(bucket)
-  rows), distributed pair dedup, then a DISTRIBUTED exact-Jaccard verify:
-  the distinct candidate ids (an int64 vector — the only thing the driver
-  ever holds) broadcast-filter the corpus, shingle-hash sets pack to
-  binary, join back to the pairs via ``bucketed_hash_join``, and the
-  Jaccard check runs inside ``map_batches``. No full-corpus driver scan.
+  ``(band_id, band_hash)`` rows, sort by (band, hash, doc) and extract
+  adjacent chain pairs per bucket vectorized (connectivity-equivalent to
+  star pairing, O(bucket) rows, NO per-group ``map_groups`` call
+  explosion), distributed pair dedup, then a DISTRIBUTED exact-Jaccard
+  verify: candidate docs' shingle-hash sets pack to binary and resolve
+  via a broadcast dict (small-candidate regime) or two
+  ``bucketed_hash_join``s (huge-candidate regime); the Jaccard check
+  runs inside ``map_batches``. No full-corpus driver scan.
 - **SimHash**: 64-bit signatures via sign-aggregated token hashes;
   near-dup blocking by 4x16-bit band exact match (complete for
   Hamming<=3 by pigeonhole). ALL intra-bucket pairs are emitted and
@@ -46,13 +47,14 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _stable_u64(tokens: list[str]) -> np.ndarray:
-    """Stable 64-bit hashes of a token list (blake2b, process-independent)."""
-    out = np.empty(len(tokens), dtype=np.uint64)
-    for i, t in enumerate(tokens):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
-        )
-    return out
+    """Stable 64-bit hashes of a token list (polars SipHash with a fixed
+    seed — process-independent and vectorized; a per-token Python
+    hashlib loop here was the MinHash signature stage's bottleneck)."""
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    from ..util import hash64
+
+    return hash64(tokens)
 
 
 def word_shingles(text: str, n: int = 3) -> list[str]:
@@ -136,20 +138,6 @@ def _band_rows(batch: pd.DataFrame, bands: int, rows_per_band: int) -> pd.DataFr
     )
 
 
-_EMPTY_PAIRS = pd.DataFrame(
-    {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)}
-)
-
-
-def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    ids = np.sort(group["doc_id"].unique()).astype(np.int64)
-    if len(ids) < 2:
-        return _EMPTY_PAIRS
-    # pair every member with the bucket minimum — enough for connectivity,
-    # O(bucket) rows instead of O(bucket^2)
-    return pd.DataFrame({"a": np.full(len(ids) - 1, ids[0]), "b": ids[1:]})
-
-
 class ShinglePacker:
     """(doc_id, sh) for docs in the broadcast candidate-id set: sorted
     unique shingle hashes packed as little-endian uint64 bytes (binary is
@@ -178,25 +166,66 @@ class ShinglePacker:
         )
 
 
+def _jaccard_rows(a, b, packs_a, packs_b, threshold: float) -> pa.Table:
+    """Exact-Jaccard verify kernel over packed shingle-hash arrays."""
+    oa, ob, oj = [], [], []
+    for i in range(len(a)):
+        A = np.frombuffer(packs_a[i], dtype=np.uint64)
+        B = np.frombuffer(packs_b[i], dtype=np.uint64)
+        ni = np.intersect1d(A, B, assume_unique=True).size
+        union = A.size + B.size - ni
+        j = (ni / union) if union else 1.0
+        if j >= threshold:
+            oa.append(int(a[i])); ob.append(int(b[i])); oj.append(round(j, 6))
+    return pa.table(
+        {"a": pa.array(oa, pa.int64()), "b": pa.array(ob, pa.int64()),
+         "jaccard": pa.array(oj, pa.float64())}
+    )
+
+
+class _VerifyBroadcast:
+    """Exact-Jaccard verify against a broadcast {doc_id: packed shingles}
+    dict (candidate docs only — the small side; ``ray.put`` once, fetched
+    per actor)."""
+
+    def __init__(self, lookup_ref, threshold: float):
+        import ray
+
+        self.lookup = ray.get(lookup_ref)
+        self.threshold = threshold
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        lk = self.lookup
+        return _jaccard_rows(a, b, [lk[int(x)] for x in a],
+                             [lk[int(x)] for x in b], self.threshold)
+
+
 def minhash_lsh_pairs(
     docs: rd.Dataset,
     num_perm: int = 128,
     bands: int = 32,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    broadcast_max_docs: int = 1 << 20,
 ) -> rd.Dataset:
     """Verified near-dup pairs (a, b, jaccard >= threshold) via banded
     MinHash-LSH. Every stage is distributed:
 
-    band rows -> bucket groupby -> star pairs -> sort+keep-first dedup ->
-    [distinct candidate ids, the one driver-resident artifact: an int64
-    vector, broadcast via ``ray.put``] -> shingle packs for candidate docs
-    only -> two ``bucketed_hash_join``s pairs<-shingles -> exact-Jaccard
-    verify inside ``map_batches``.
+    band rows -> sort by (band, hash, doc) -> vectorized adjacent chain
+    pairs per bucket (connectivity-equivalent to star pairing, no
+    per-group map_groups call explosion) -> sort+keep-first pair dedup ->
+    [distinct candidate ids, an int64 vector on the driver, broadcast via
+    ``ray.put``] -> shingle packs for candidate docs only -> exact-Jaccard
+    verify inside ``map_batches``. The verify side resolves shingles via a
+    broadcast dict while candidate docs fit (``broadcast_max_docs``) and
+    switches to two ``bucketed_hash_join``s pairs<-shingles beyond that —
+    the huge-candidate regime where a broadcast would not fit.
     """
     import ray
 
-    from ..util import keep_first_sorted
+    from ..util import adjacent_pairs_sorted, keep_first_sorted
     from .relational import bucketed_hash_join
 
     rows_per_band = num_perm // bands
@@ -204,14 +233,16 @@ def minhash_lsh_pairs(
         MinHasher,
         fn_constructor_args=(num_perm, shingle_n),
         batch_format="pandas",
-        concurrency=2,
-        num_cpus=0.5,
+        batch_size=1024,
+        concurrency=(2, 12),
+        num_cpus=1,
     )
     banded = sigs.map_batches(
         lambda df: _band_rows(df, bands, rows_per_band), batch_format="pandas"
     )
-    cand = banded.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
+    cand = adjacent_pairs_sorted(
+        banded.sort(["band_id", "band_hash", "doc_id"]),
+        ["band_id", "band_hash"], "doc_id",
     )
     # distinct (a, b): sort + adjacent keep-first, no driver pass
     cand = keep_first_sorted(cand.sort(["a", "b"]), ["a", "b"])
@@ -239,9 +270,23 @@ def minhash_lsh_pairs(
         ShinglePacker,
         fn_constructor_args=(ids_ref, shingle_n),
         batch_format="pyarrow",
-        concurrency=2,
-        num_cpus=0.5,
-    ).materialize()  # small side (candidate docs only); joined twice below
+        concurrency=(2, 8),
+        num_cpus=1,
+    ).materialize()  # small side (candidate docs only)
+
+    if involved.size <= broadcast_max_docs:
+        lookup: dict[int, bytes] = {}
+        for t in ray.get(shingles.to_arrow_refs()):
+            lookup.update(zip(t["doc_id"].to_pylist(), t["sh"].to_pylist()))
+        lk_ref = ray.put(lookup)
+        return cand.map_batches(
+            _VerifyBroadcast,
+            fn_constructor_args=(lk_ref, jaccard_threshold),
+            batch_format="pyarrow",
+            concurrency=2,
+            num_cpus=0.5,
+        )
+
     sh_a = shingles.map_batches(
         lambda t: t.rename_columns(["a", "sh_a"]), batch_format="pyarrow"
     )
@@ -253,22 +298,10 @@ def minhash_lsh_pairs(
     )
 
     def verify(t: pa.Table) -> pa.Table:
-        a = t["a"].to_numpy(zero_copy_only=False)
-        b = t["b"].to_numpy(zero_copy_only=False)
-        sha = t["sh_a"].to_pylist()
-        shb = t["sh_b"].to_pylist()
-        oa, ob, oj = [], [], []
-        for i in range(t.num_rows):
-            A = np.frombuffer(sha[i], dtype=np.uint64)
-            B = np.frombuffer(shb[i], dtype=np.uint64)
-            ni = np.intersect1d(A, B, assume_unique=True).size
-            union = A.size + B.size - ni
-            j = (ni / union) if union else 1.0
-            if j >= jaccard_threshold:
-                oa.append(int(a[i])); ob.append(int(b[i])); oj.append(round(j, 6))
-        return pa.table(
-            {"a": pa.array(oa, pa.int64()), "b": pa.array(ob, pa.int64()),
-             "jaccard": pa.array(oj, pa.float64())}
+        return _jaccard_rows(
+            t["a"].to_numpy(zero_copy_only=False),
+            t["b"].to_numpy(zero_copy_only=False),
+            t["sh_a"].to_pylist(), t["sh_b"].to_pylist(), jaccard_threshold,
         )
 
     return joined.map_batches(verify, batch_format="pyarrow")
@@ -397,7 +430,7 @@ def simhash_near_dups(
     """
     from ..util import keep_first_sorted
 
-    sigs = docs.map_batches(SimHasher, batch_format="pandas", concurrency=2, num_cpus=0.5)
+    sigs = docs.map_batches(SimHasher, batch_format="pandas", batch_size=1024, concurrency=(2, 12), num_cpus=1)
 
     def melt(df: pd.DataFrame) -> pd.DataFrame:
         frames = [

@@ -92,6 +92,63 @@ def unique_keep_first(ds: rd.Dataset, key: str, order: str) -> rd.Dataset:
     return keep_first_sorted(ds.sort([key, order]), [key])
 
 
+@ray.remote
+def _block_edge_kv(t: pa.Table, keys: list[str], val: str):
+    if t.num_rows == 0:
+        return None
+    return (tuple(t[k][-1].as_py() for k in keys), t[val][-1].as_py())
+
+
+@ray.remote
+def _adj_pairs_block(t: pa.Table, keys: list[str], val: str, carry) -> pa.Table:
+    """Pairs of consecutive ``val``s sharing the same ``keys`` tuple within
+    an (already sorted) block; ``carry`` = (key_tuple, val) of the nearest
+    previous non-empty block's last row, so runs spanning blocks chain."""
+    import numpy as np
+
+    empty = pa.table({"a": pa.nulls(0, pa.int64()), "b": pa.nulls(0, pa.int64())})
+    n = t.num_rows
+    if n == 0:
+        return empty
+    karrs = [t[k].to_pandas().to_numpy() for k in keys]
+    v = t[val].to_pandas().to_numpy()
+    same = np.ones(n, dtype=bool)
+    for a in karrs:
+        same[1:] &= a[1:] == a[:-1]
+    same[0] = carry is not None and tuple(a[0] for a in karrs) == tuple(carry[0])
+    if not same.any():
+        return empty
+    prev = np.empty(n, dtype=v.dtype)
+    prev[1:] = v[:-1]
+    prev[0] = carry[1] if same[0] else 0
+    return pa.table(
+        {"a": pa.array(prev[same].astype(np.int64)),
+         "b": pa.array(v[same].astype(np.int64))}
+    )
+
+
+def adjacent_pairs_sorted(sorted_ds: rd.Dataset, keys: list[str], val: str) -> rd.Dataset:
+    """(a, b) pairs of consecutive ``val``s per ``keys`` group over an
+    ALREADY-SORTED dataset (sorted by keys then val). Emits n-1 chain
+    pairs per n-member group — connectivity-equivalent to star pairing
+    and O(group) — WITHOUT a per-group ``map_groups`` call (millions of
+    1-member groups make map_groups a call-explosion pathology; this is
+    one vector pass per block with a block-boundary carry)."""
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return sorted_ds
+    edges = ray.get([_block_edge_kv.remote(r, keys, val) for r in refs])
+    carries = []
+    last = None
+    for e in edges:
+        carries.append(last)
+        if e is not None:
+            last = e
+    return rd.from_arrow_refs(
+        [_adj_pairs_block.remote(r, keys, val, c) for r, c in zip(refs, carries)]
+    )
+
+
 def zip_with_index(ds: rd.Dataset, col: str = "_idx", start: int = 0) -> tuple[rd.Dataset, int]:
     """Append a global dense index column (dataset order). Returns
     ``(dataset, total_rows)``. Executes the dataset (blocks stay in the

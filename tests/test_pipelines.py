@@ -53,9 +53,43 @@ def test_minhash_finds_planted_near_dups():
     assert isinstance(pairs_ds, rd.Dataset)  # verify is distributed, not a driver pass
     pairs = pairs_ds.to_pandas()
     got = {tuple(sorted((a, b))) for a, b in zip(pairs["a"], pairs["b"])}
-    assert (1, 4) in got          # exact dup found
-    assert (1, 2) in got or (2, 4) in got  # near dup found
     assert not any(3 in p for p in got)    # unrelated not paired
+    # chain pairing guarantees CONNECTIVITY, not specific pairs: docs
+    # 1, 2, 4 must land in one cluster, doc 3 alone
+    from crawlray.pipelines.dedup import connected_components
+
+    lab = dict(zip(*connected_components(pairs, [1, 2, 3, 4]).to_dict("list").values()))
+    assert lab[1] == lab[2] == lab[4]
+    assert lab[3] != lab[1]
+    # every emitted pair is exact-verified
+    assert (pairs["jaccard"] >= 0.5).all()
+
+
+def test_minhash_join_verify_path_matches_broadcast():
+    # broadcast_max_docs=0 forces the bucketed-join verify (the
+    # huge-candidate regime); results must equal the broadcast path
+    from crawlray.pipelines.dedup import minhash_lsh_pairs
+
+    rows = [{"doc_id": i, "text": "alpha beta gamma delta epsilon zeta " * 6}
+            for i in (1, 2)] + [{"doc_id": 3, "text": "unrelated totally different corpus text " * 6}]
+    ds = rd.from_items(rows)
+    def norm(d):
+        return sorted(map(tuple, d[["a", "b", "jaccard"]].itertuples(index=False)))
+    bc = norm(minhash_lsh_pairs(ds, jaccard_threshold=0.5).to_pandas())
+    jn = norm(minhash_lsh_pairs(ds, jaccard_threshold=0.5,
+                                broadcast_max_docs=0).to_pandas())
+    assert bc == jn and len(bc) == 1 and bc[0][:2] == (1, 2)
+
+
+def test_adjacent_pairs_sorted():
+    from crawlray.util import adjacent_pairs_sorted
+
+    rows = [{"g": g, "v": v} for g, v in
+            [(1, 10), (1, 11), (1, 12), (2, 20), (3, 30), (3, 31)]]
+    ds = rd.from_items(rows).repartition(4).sort(["g", "v"])
+    out = adjacent_pairs_sorted(ds, ["g"], "v").to_pandas()
+    got = sorted(map(tuple, out[["a", "b"]].itertuples(index=False)))
+    assert got == [(10, 11), (11, 12), (30, 31)]  # chains, runs span blocks
 
 
 def test_minhash_connected_components():
