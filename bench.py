@@ -63,6 +63,7 @@ def crawl_bench_config():
     n_seeds = int(os.environ.get("CRAWL_BENCH_SEEDS", n_seeds))
     rounds = int(os.environ.get("CRAWL_BENCH_ROUNDS", rounds))
     n_hosts = max(20, n_urls // 400)
+    n_parts = int(os.environ.get("CRAWL_BENCH_PARTS", "64"))
     return EngineConfig(
         world=WorldConfig(n_urls=n_urls, n_hosts=n_hosts, politeness_budget=768,
                           page_scale=3),
@@ -70,7 +71,7 @@ def crawl_bench_config():
         max_rounds=rounds,
         # identical physical plan at every parallelism level: the scaling
         # run must compare the SAME job, so partition/shard counts are fixed
-        n_parts=32,
+        n_parts=n_parts,
         n_frontier_parts=16,
         n_seen_shards=16,
         seen_mode="cuckoo",
@@ -200,11 +201,16 @@ def scaling() -> None:
     # so 8->32 is hardware-capped at ~0.57 efficiency for perfectly
     # parallel work. 4 vs 16 keeps both levels inside real capacity.
     lo, hi = 4, 16
-    # the sandbox shows heavy noisy-neighbor variance (identical runs span
-    # 2x); best-of-3 per level measures capability rather than host noise
-    reps = int(os.environ.get("SCALING_REPS", "2"))
-    runs_lo = [run(lo) for _ in range(reps)]
-    runs_hi = [run(hi) for _ in range(reps)]
+    # the sandbox shows heavy noisy-neighbor variance (identical 16-cpu
+    # runs measured 54.4s and 118.8s on 2026-08-17); noise only ever ADDS
+    # time, so min-of-N per level is the sound estimator of quiet-host
+    # capability. Runs INTERLEAVE lo/hi so both levels sample the same
+    # host conditions rather than one level landing in a noisy window.
+    reps = int(os.environ.get("SCALING_REPS", "3"))
+    runs_lo, runs_hi = [], []
+    for _ in range(reps):
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
     r_lo = min(runs_lo, key=lambda r: r["value"])
     r_hi = min(runs_hi, key=lambda r: r["value"])
     thr_lo = r_lo["crawl_urls_per_sec"]
