@@ -39,6 +39,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 from ray.data.aggregate import Count, Min
@@ -307,10 +308,100 @@ def minhash_lsh_pairs(
     return joined.map_batches(verify, batch_format="pyarrow")
 
 
+_CC_PHI = 0x9E3779B97F4A7C15
+
+
+def _cc_shard_of(v: np.ndarray, k: int) -> np.ndarray:
+    return ((v.astype(np.uint64) * np.uint64(_CC_PHI)) % np.uint64(k)).astype(np.int64)
+
+
+def _cc_split(src: np.ndarray, dst: np.ndarray, k: int) -> list:
+    sh = _cc_shard_of(src, k)
+    return [(src[sh == i], dst[sh == i]) for i in range(k)]
+
+
+def connected_components_ds(pairs: rd.Dataset, n_shards: int = 8,
+                            max_iters: int = 200) -> rd.Dataset:
+    """(doc_id, cluster) for every node in the pair graph — distributed
+    min-label propagation over hash-sharded state held in the object
+    store. This is the one operator implemented with RAW Ray tasks (the
+    prompt's case (c)): an iterative graph algorithm whose per-round
+    working set is tiny keyed state — Ray Data's per-operator overhead on
+    such iterations dwarfs the compute, while K plain tasks per round are
+    milliseconds.
+
+    Partitioning assumption: nodes (and the symmetric edge set, by src)
+    are hash-sharded; every node's label lives in exactly one shard, so a
+    shard-local ``np.minimum.at`` reduce is the global min. Rounds =
+    graph diameter; fixpoint detected by the monotone label-sum going
+    flat (one scalar per shard per round reaches the driver)."""
+    import ray
+
+    k = n_shards
+
+    @ray.remote(num_returns=k)
+    def split_block(t: pa.Table):
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = _cc_split(np.r_[a, b], np.r_[b, a], k)
+        return out if k > 1 else out[0]
+
+    @ray.remote
+    def build_shard(*parts) -> dict:
+        src = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+        dst = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.int64)
+        nodes = np.unique(src)       # symmetric edges: every node appears as src
+        order = np.argsort(src, kind="stable")
+        return {"src": src[order], "dst": dst[order], "nodes": nodes,
+                "labels": nodes.copy()}
+
+    @ray.remote(num_returns=k)
+    def propose(state: dict):
+        # current label of each edge's src, shipped to the dst's shard
+        lab = state["labels"][np.searchsorted(state["nodes"], state["src"])]
+        sh = _cc_shard_of(state["dst"], k)
+        out = [(state["dst"][sh == i], lab[sh == i]) for i in range(k)]
+        return out if k > 1 else out[0]
+
+    @ray.remote(num_returns=2)
+    def reduce_shard(state: dict, *proposals):
+        d = np.concatenate([p[0] for p in proposals]) if proposals else np.empty(0, np.int64)
+        l = np.concatenate([p[1] for p in proposals]) if proposals else np.empty(0, np.int64)
+        new = state["labels"].copy()
+        if len(d):
+            np.minimum.at(new, np.searchsorted(state["nodes"], d), l)
+        return {**state, "labels": new}, int(new.sum())
+
+    @ray.remote
+    def to_table(state: dict) -> pa.Table:
+        return pa.table({"doc_id": pa.array(state["nodes"], pa.int64()),
+                         "cluster": pa.array(state["labels"], pa.int64())})
+
+    block_parts = [split_block.remote(r) for r in pairs.to_arrow_refs()]
+    if k == 1:
+        block_parts = [[bp] for bp in block_parts]
+    states = [build_shard.remote(*[bp[i] for bp in block_parts]) for i in range(k)]
+    prev = None
+    for _ in range(max_iters):
+        prop_refs = [propose.remote(s) for s in states]
+        if k == 1:
+            prop_refs = [[pr] for pr in prop_refs]
+        stepped = [
+            reduce_shard.remote(states[i], *[pr[i] for pr in prop_refs])
+            for i in range(k)
+        ]
+        states = [st for st, _ in stepped]
+        s = sum(ray.get([ssum for _, ssum in stepped]))
+        if prev is not None and s == prev:
+            break
+        prev = s
+    return rd.from_arrow_refs([to_table.remote(s) for s in states])
+
+
 def connected_components(pairs: pd.DataFrame, ids: list) -> pd.DataFrame:
-    """Min-label propagation over verified pairs (driver-side here because
-    the verified pair set is small; the same iteration is expressible as
-    repeated groupby-min rounds for huge graphs)."""
+    """Min-label propagation over verified pairs (driver-side variant for
+    small pair sets; :func:`connected_components_ds` is the distributed
+    groupby-min form of the same iteration)."""
     label = {i: i for i in ids}
     edges = list(zip(pairs["a"], pairs["b"]))
     changed = True
@@ -446,8 +537,42 @@ def simhash_near_dups(
         ]
         return pd.concat(frames, ignore_index=True)
 
-    melted = sigs.map_batches(melt, batch_format="pandas")
-    pairs = melted.groupby(["band_id", "band_key"]).map_groups(
+    melted = sigs.map_batches(melt, batch_format="pandas").materialize()
+    # prefilter to multi-member buckets before the grouped pairing: most
+    # (band, key) buckets are singletons, and a map_groups over millions
+    # of one-member groups is the tiny-group call pathology. The
+    # multi-member key set is bounded by 4 x 2^16 composites (~2 MB),
+    # always broadcastable.
+    import ray
+    from ray.data.aggregate import Count
+
+    sizes = melted.groupby(["band_id", "band_key"]).aggregate(Count(alias_name="n"))
+    multi_tbls = ray.get(
+        sizes.map_batches(
+            lambda t: t.filter(pc.greater(t["n"], 1)).select(["band_id", "band_key"]),
+            batch_format="pyarrow",
+        ).to_arrow_refs()
+    )
+    multi = np.sort(np.concatenate(
+        [(t["band_id"].to_numpy(zero_copy_only=False).astype(np.int64) << 16)
+         | t["band_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+         for t in multi_tbls]
+    )) if multi_tbls else np.array([], np.int64)
+    if multi.size == 0:
+        return rd.from_arrow(pa.table(
+            {"a": pa.nulls(0, pa.int64()), "b": pa.nulls(0, pa.int64()),
+             "hamming": pa.nulls(0, pa.int64())}
+        ))
+    multi_ref = ray.put(multi)
+
+    def keep_multi(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(multi_ref)
+        comp = (df["band_id"].to_numpy() << 16) | df["band_key"].to_numpy()
+        return df[np.isin(comp, keys)]
+
+    pairs = melted.map_batches(keep_multi, batch_format="pandas").groupby(
+        ["band_id", "band_key"]
+    ).map_groups(
         lambda g: _ham_pairs(g, max_hamming, max_bucket), batch_format="pandas"
     )
     # a pair can surface from several bands with identical hamming — dedup

@@ -73,6 +73,78 @@ def running_sum_per_key(
     return tagged.groupby("part").map_groups(seg_cumsum, batch_format="pyarrow")
 
 
+def sessionize(
+    events: rd.Dataset,
+    key: str,
+    ts: str,
+    value: str,
+    id_col: str,
+    gap_seconds: float = 1800.0,
+    n_partitions: int = 32,
+) -> rd.Dataset:
+    """Gap-based session windows (the streaming sessionization analog):
+    one row per (key, session_id) with session_start / session_end /
+    n_events / cents_sum. A session breaks when the time since the
+    previous event of the same key exceeds ``gap_seconds``.
+
+    Same shape as :func:`running_sum_per_key`: hash-partition by key (one
+    shuffle), then a vectorized per-partition lexsort + segment reduce —
+    boundaries from a single gap comparison, per-key session numbering
+    and min/max/count/sum via numpy segment ops. No driver pass.
+    """
+    from .relational import _bucket_of
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("part", pa.array(_bucket_of(t[key], n_partitions)))
+
+    gap_ns = np.int64(round(gap_seconds * 1e9))
+
+    def sessions(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            key: pa.nulls(0, pa.int64()),
+            "session_id": pa.nulls(0, pa.int64()),
+            "session_start": pa.nulls(0, pa.timestamp("us")),
+            "session_end": pa.nulls(0, pa.timestamp("us")),
+            "n_events": pa.nulls(0, pa.int64()),
+            "cents_sum": pa.nulls(0, pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        keys = t[key].to_numpy(zero_copy_only=False)
+        tss = t[ts].to_numpy(zero_copy_only=False).astype("datetime64[ns]")
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        vals = t[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, tss, keys))
+        k, tv, v = keys[order], tss[order], vals[order]
+        tns = tv.view(np.int64)
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        boundary = new_key.copy()
+        boundary[1:] |= (tns[1:] - tns[:-1]) > gap_ns
+        seg = np.cumsum(boundary) - 1                     # global segment idx
+        starts = np.flatnonzero(boundary)
+        sizes = np.diff(np.r_[starts, len(k)])
+        # per-key session numbering: global seg idx minus the key's first
+        key_starts = np.flatnonzero(new_key)
+        seg_at_key_start = seg[key_starts]                # per key block
+        key_sizes = np.diff(np.r_[key_starts, len(k)])
+        base = np.repeat(seg_at_key_start, key_sizes)
+        session_id = (seg - base + 1)[starts]             # one per segment
+        cs = np.cumsum(v)
+        ends = starts + sizes - 1
+        seg_sum = np.diff(np.r_[0, cs[ends]])
+        return pa.table({
+            key: pa.array(k[starts].astype(np.int64)),
+            "session_id": pa.array(session_id.astype(np.int64)),
+            "session_start": pa.array(tv[starts]).cast(pa.timestamp("us")),
+            "session_end": pa.array(tv[starts + sizes - 1]).cast(pa.timestamp("us")),
+            "n_events": pa.array(sizes.astype(np.int64)),
+            "cents_sum": pa.array(seg_sum.astype(np.int64)),
+        })
+
+    tagged = events.map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby("part").map_groups(sessions, batch_format="pyarrow")
+
+
 @ray.remote(num_cpus=0)
 class _RunningAggBucket:
     """Keyed incremental state: key -> running sum. Batches MUST arrive in

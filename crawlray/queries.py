@@ -641,6 +641,54 @@ FROM events
 """
 
 
+SESSION_GAP_SECONDS = 1800
+
+
+def q_sessions(sf_dir: str):
+    """Gap-based session windows over the events log (streaming
+    sessionization): per (user, session) start/end/count/value-sum,
+    sessions split at >30 min of inactivity. Hash-partitioned segment
+    reduce — one shuffle, no driver pass."""
+    from .pipelines.streaming import sessionize
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "user_id": t["user_id"],
+                "cents": _cents(t["value"]),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    return sessionize(prepped, "user_id", "ts", "cents", "event_id",
+                      gap_seconds=SESSION_GAP_SECONDS)
+
+
+SQL_SESSIONS = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_SECONDS} SECOND
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM e
+)
+SELECT user_id, session_id::BIGINT AS session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events, sum(cents)::BIGINT AS cents_sum
+FROM s GROUP BY user_id, session_id
+"""
+
+
 def q_span_histogram(sf_dir: str):
     """Span-kind histogram over a deterministic synthetic mini-corpus —
     grouped count over the interleaved doc table (A5 family, rows-only)."""
@@ -935,6 +983,34 @@ LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b USING (doc_id)
 SQL_LANG_ID = _lang_id_sql()
 
 
+def q_minhash_clusters(sf_dir: str):
+    """Near-dup CLUSTERS: MinHash-LSH verified pairs -> distributed
+    min-label-propagation connected components (doc_id, cluster)."""
+    from .pipelines.dedup import connected_components_ds, minhash_lsh_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.4)
+    return connected_components_ds(pairs)
+
+
+def q_embedding_lsh_dups(sf_dir: str):
+    """Embedding near-dup pairs at scale: random-hyperplane LSH blocking
+    + exact cosine verify (the scale path of embedding_near_dups). The
+    band shape is tuned to the threshold: 16 bands x 4 bits gives ~0.96
+    detection at cos 0.45 (the synthetic table's near-dup band; its max
+    off-diagonal cosine is ~0.51)."""
+    import ray
+
+    from .pipelines.ann import embedding_lsh_pairs
+
+    res = embedding_lsh_pairs(_read(sf_dir, "embeddings"),
+                              cos_threshold=0.45, n_planes=64, bands=16)
+    # collect to a typed Arrow table: Ray's to_pandas drops the schema of
+    # an all-empty Dataset, and near-dup pair sets can legitimately be
+    # empty (they are the small side by construction)
+    return pa.concat_tables(ray.get(res.to_arrow_refs()))
+
+
 def q_ann_ivf(sf_dir: str):
     from .pipelines.ann import ivf_topk
 
@@ -1010,6 +1086,7 @@ def catalog():
         "daily_top_event": (q_daily_top_event, SQL_DAILY_TOP_EVENT),
         "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
         "running_sum": (q_running_sum, SQL_RUNNING_SUM),
+        "sessions": (q_sessions, SQL_SESSIONS),
         "simhash": (q_simhash, SQL_SIMHASH),
         "lang_id": (q_lang_id, SQL_LANG_ID),
         "ann_ivf_exhaustive": (q_ann_ivf_exhaustive, SQL_ANN_COSINE),
@@ -1017,6 +1094,8 @@ def catalog():
         "crawl": (q_crawl, None),
         "crawl_outlinks": (q_crawl_outlinks, None),
         "minhash_dedup": (q_minhash_dedup, None),
+        "minhash_clusters": (q_minhash_clusters, None),
+        "embedding_lsh_dups": (q_embedding_lsh_dups, None),
         "ann_ivf": (q_ann_ivf, None),
         "media_pipeline": (q_media_pipeline, None),
         "span_histogram": (q_span_histogram, None),

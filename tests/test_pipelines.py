@@ -92,6 +92,45 @@ def test_adjacent_pairs_sorted():
     assert got == [(10, 11), (11, 12), (30, 31)]  # chains, runs span blocks
 
 
+def test_connected_components_ds_matches_driver():
+    # random graph: distributed groupby-min label propagation must equal
+    # the driver-side propagation on the same edges
+    from crawlray.pipelines.dedup import connected_components, connected_components_ds
+
+    rs = np.random.RandomState(3)
+    edges = sorted({tuple(sorted(p)) for p in rs.randint(0, 60, size=(50, 2)) if p[0] != p[1]})
+    pairs_df = pd.DataFrame(edges, columns=["a", "b"])
+    ids = sorted(set(pairs_df["a"]) | set(pairs_df["b"]))
+    exp = connected_components(pairs_df, ids)
+    exp_map = dict(zip(exp["doc_id"], exp["cluster"]))
+    got = connected_components_ds(rd.from_pandas(pairs_df).repartition(4)).to_pandas()
+    got_map = dict(zip(got["doc_id"], got["cluster"]))
+    assert got_map == exp_map
+
+
+def test_embedding_lsh_finds_planted_dups():
+    from crawlray.pipelines.ann import embedding_lsh_pairs
+
+    rs = np.random.RandomState(0)
+    base = rs.randn(40, 16)
+    vecs = {i: base[i] for i in range(40)}
+    vecs[40] = base[7] + rs.randn(16) * 0.01   # near-dup of 7
+    vecs[41] = base[7].copy()                  # exact dup of 7
+    rows = [{"vec_id": i, "embedding": v.tolist()} for i, v in vecs.items()]
+    out = embedding_lsh_pairs(rd.from_items(rows), cos_threshold=0.95).to_pandas()
+    comp = {tuple(sorted((a, b))) for a, b in zip(out["a"], out["b"])}
+    # chain pairing: 7, 40, 41 must be pairwise-connected through pairs
+    from crawlray.pipelines.dedup import connected_components
+
+    lab = dict(zip(*connected_components(
+        out[["a", "b"]], sorted({x for p in comp for x in p} | {7, 40, 41})
+    ).to_dict("list").values()))
+    assert lab[7] == lab[40] == lab[41]
+    assert (out["cos"] >= 0.95).all()          # every pair exact-verified
+    # random 16-d vectors virtually never reach cos 0.95: no false joins
+    assert not any((a < 40 and b < 40 and a != 7 and b != 7) for a, b in comp)
+
+
 def test_minhash_connected_components():
     from crawlray.pipelines.dedup import connected_components
 
