@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "minhash_dedup",
     "simhash",
     "lang_id",
+    "sessions",
+    "bpe_tokens",
+    "embedding_lsh_dups",
 ]
 
 

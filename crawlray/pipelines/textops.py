@@ -92,6 +92,31 @@ class QualityScorer:
         )
 
 
+# GPT-2-style pretokenizer shape, restricted to the RE2-safe subset so
+# the DuckDB oracle (regexp_extract_all) tokenizes identically: contraction
+# suffixes, space-prefixed letter/digit runs, punctuation runs, whitespace
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+class BpeTokenCounter:
+    """BPE-ish token counting (the pretokenizer pass of byte-pair
+    encoders): one vectorized regex count per batch; the compiled pattern
+    lives in the actor."""
+
+    def __init__(self):
+        import re
+
+        self.pat = re.compile(BPE_TOKEN_PATTERN)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bpe_tokens": batch["text"].str.count(self.pat).astype("int64"),
+            }
+        )
+
+
 class LangId:
     """Stopword-hit language heuristic: argmax over per-language function
     word hits (occurrences, not distinct words); ties break to the

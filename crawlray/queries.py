@@ -942,6 +942,31 @@ FROM full_sig
 """
 
 
+def q_bpe_tokens(sf_dir: str):
+    """BPE-ish token counts per doc (the pretokenizer pass of byte-pair
+    encoders) — compiled-regex count in an actor pool, restated exactly
+    by DuckDB's regexp_extract_all (RE2-safe pattern)."""
+    from .pipelines.textops import BpeTokenCounter
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        BpeTokenCounter, batch_format="pandas", concurrency=2
+    )
+
+
+def _bpe_sql() -> str:
+    from .pipelines.textops import BPE_TOKEN_PATTERN
+
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_bpe_tokens
+FROM documents
+"""
+
+
+SQL_BPE_TOKENS = _bpe_sql()
+
+
 def q_lang_id(sf_dir: str):
     from .pipelines.textops import LangId
 
@@ -1089,6 +1114,7 @@ def catalog():
         "sessions": (q_sessions, SQL_SESSIONS),
         "simhash": (q_simhash, SQL_SIMHASH),
         "lang_id": (q_lang_id, SQL_LANG_ID),
+        "bpe_tokens": (q_bpe_tokens, SQL_BPE_TOKENS),
         "ann_ivf_exhaustive": (q_ann_ivf_exhaustive, SQL_ANN_COSINE),
         # rows-only (non-SQL-expressible)
         "crawl": (q_crawl, None),
