@@ -1008,6 +1008,37 @@ LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b USING (doc_id)
 SQL_LANG_ID = _lang_id_sql()
 
 
+def q_bulk_crawl(sf_dir: str):
+    """The reference's primary user flow end-to-end (bulk CSV crawl):
+    per-row configs incl. modes/formats/scope/auth/images -> fused
+    fetch+parse+render+write partitions -> per-row result records."""
+    import shutil
+    import tempfile
+
+    from .pipelines.bulk import bulk_crawl
+    from .synth import World
+
+    cfg = _crawl_cfg(sf_dir)
+    wcfg = cfg.world
+    world = World(wcfg)
+    tmp = tempfile.mkdtemp(prefix="bulkq_")
+    try:
+        n_rows = min(60, wcfg.n_urls // 4)
+        lines = ["url,mode,format,link_type"]
+        for i in range(n_rows):
+            host = world.hosts[i % wcfg.n_hosts]
+            mode = "link" if i % 5 == 4 else "content"
+            fmt = ["txt", "md", '"txt,json"'][i % 3]
+            lines.append(f"https://{host}/p/{i % 7},{mode},{fmt},all")
+        csv_path = f"{tmp}/seeds.csv"
+        with open(csv_path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        results, _rejects = bulk_crawl(csv_path, f"{tmp}/out", wcfg, n_parts=4)
+        return results.to_pandas().sort_values("seed_rank").reset_index(drop=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_minhash_clusters(sf_dir: str):
     """Near-dup CLUSTERS: MinHash-LSH verified pairs -> distributed
     min-label-propagation connected components (doc_id, cluster)."""
@@ -1119,6 +1150,7 @@ def catalog():
         # rows-only (non-SQL-expressible)
         "crawl": (q_crawl, None),
         "crawl_outlinks": (q_crawl_outlinks, None),
+        "bulk_crawl": (q_bulk_crawl, None),
         "minhash_dedup": (q_minhash_dedup, None),
         "minhash_clusters": (q_minhash_clusters, None),
         "embedding_lsh_dups": (q_embedding_lsh_dups, None),
