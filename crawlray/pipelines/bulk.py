@@ -216,6 +216,40 @@ def bulk_crawl(
     return results, rejects
 
 
+def package_outputs(out_dir: str, zip_path: str) -> str:
+    """S12 analog of the reference's download-all endpoint
+    (``backend/main.py`` zip download): deterministically package every
+    bulk output file into one zip (sorted entries, zeroed timestamps so
+    re-packaging the same tree is byte-identical)."""
+    import zipfile
+
+    root = Path(out_dir)
+    files = sorted(p for p in root.rglob("*") if p.is_file())
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for p in files:
+            info = zipfile.ZipInfo(str(p.relative_to(root)), date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(info, p.read_bytes())
+    return zip_path
+
+
+def preview(out_dir: str, max_chars: int = 400) -> list[dict]:
+    """S12 analog of the preview endpoint: first ``max_chars`` of every
+    text output file (binary media listed with size only)."""
+    root = Path(out_dir)
+    out = []
+    for p in sorted(root.rglob("*")):
+        if not p.is_file():
+            continue
+        rel = str(p.relative_to(root))
+        if rel.startswith("media/"):
+            out.append({"file": rel, "bytes": p.stat().st_size, "preview": None})
+        else:
+            out.append({"file": rel, "bytes": p.stat().st_size,
+                        "preview": p.read_text(errors="replace")[:max_chars]})
+    return out
+
+
 def bulk_summary(results: rd.Dataset) -> dict:
     """Job summary (the reference's job store counters) via one grouped
     aggregate — no row-wise driver pass."""

@@ -80,6 +80,28 @@ def test_bulk_crawl_end_to_end(tmp_path):
     assert summary["total_images"] == df.loc[1, "n_images"]
 
 
+def test_package_and_preview(tmp_path):
+    """S12 analog: zip packaging is byte-deterministic; preview lists
+    every output with truncated text (media by size only)."""
+    import zipfile
+
+    from crawlray.pipelines.bulk import package_outputs, preview
+
+    world = World(CFG)
+    out = tmp_path / "pkgout"
+    bulk_crawl(_csv(tmp_path, world), str(out), CFG, n_parts=2)[0].to_pandas()
+    z1 = package_outputs(str(out), str(tmp_path / "a.zip"))
+    z2 = package_outputs(str(out), str(tmp_path / "b.zip"))
+    assert Path(z1).read_bytes() == Path(z2).read_bytes()  # deterministic
+    names = zipfile.ZipFile(z1).namelist()
+    assert "docs/000000.txt" in names and any(n.startswith("links/") for n in names)
+    pv = preview(str(out), max_chars=50)
+    by_file = {e["file"]: e for e in pv}
+    assert len(by_file["docs/000000.txt"]["preview"]) <= 50
+    media = [e for e in pv if e["file"].startswith("media/")]
+    assert media and all(e["preview"] is None and e["bytes"] > 0 for e in media)
+
+
 def test_bulk_crawl_global_auth(tmp_path):
     world = World(CFG)
     gated = world.hosts[1]
