@@ -38,6 +38,47 @@ from ..stages.sources import read_seed_csv
 from .media import MediaFetcher, infer_extension
 
 
+def extract_domain_and_path(url: str) -> tuple[str, str]:
+    """The reference's filename stem kernel (``writer.py:25-53``):
+    www-stripped dot->underscore domain + sanitized first path segment
+    (<=50 chars)."""
+    import re
+    from urllib.parse import urlparse
+
+    parsed = urlparse(url)
+    domain = parsed.netloc.replace("www.", "").replace(".", "_")
+    path_parts = [p for p in parsed.path.strip("/").split("/") if p]
+    path_segment = ""
+    if path_parts:
+        path_segment = re.sub(r"[^\w\-_]", "_", "_" + path_parts[0])[:50]
+    return domain, path_segment
+
+
+def generate_folder_name(url: str, timestamp: str, bulk_index: int | None = None) -> str:
+    """``writer.py:55-78`` naming: ``[NNN_]{domain}{path}_{YYYYMMDD_HHMM}``,
+    filesystem-hostile chars sanitized. ``timestamp`` is INJECTED (the
+    reference calls ``datetime.now()``; wall-clock stamping happens at the
+    driver here so partition tasks stay deterministic)."""
+    import re
+
+    domain, path = extract_domain_and_path(url)
+    name = f"{domain}{path}_{timestamp}"
+    if bulk_index is not None:
+        name = f"{bulk_index:03d}_{name}"
+    return re.sub(r'[<>:"/\\|?*]', "_", name)
+
+
+def generate_filename(url: str, fmt: str, timestamp: str) -> str:
+    """``writer.py:80-98``: ``{domain}{path}_{timestamp}.{format}``,
+    sanitized. The bulk pipeline itself names files by ``seed_rank`` (a
+    per-run-stable key the reference lacks) so resumes are byte-stable;
+    these kernels exist for name parity with reference output trees."""
+    import re
+
+    domain, path = extract_domain_and_path(url)
+    return re.sub(r'[<>:"/\\|?*]', "_", f"{domain}{path}_{timestamp}.{fmt}")
+
+
 def _span_dicts(spans) -> list[dict]:
     return [{"kind": k, "text": t, "media_ref": m} for k, t, m in spans]
 

@@ -80,6 +80,27 @@ def test_bulk_crawl_end_to_end(tmp_path):
     assert summary["total_images"] == df.loc[1, "n_images"]
 
 
+def test_reference_naming_kernels():
+    """writer.py naming semantics: www/dot cleanup, first path segment
+    sanitized+truncated, bulk index prefix, hostile chars replaced."""
+    from crawlray.pipelines.bulk import (
+        extract_domain_and_path,
+        generate_filename,
+        generate_folder_name,
+    )
+
+    assert extract_domain_and_path("https://www.ex.com/a/b?x=1") == ("ex_com", "_a")
+    assert extract_domain_and_path("https://h.org/") == ("h_org", "")
+    long = "https://h.org/" + "s" * 80
+    assert len(extract_domain_and_path(long)[1]) == 50
+    assert generate_folder_name("https://www.ex.com/docs", "20260817_1200") == \
+        "ex_com_docs_20260817_1200"
+    assert generate_folder_name("https://ex.com/a", "20260817_1200", bulk_index=7) == \
+        "007_ex_com_a_20260817_1200"
+    assert generate_filename("https://ex.com/a*b", "md", "20260817_1200") == \
+        "ex_com_a_b_20260817_1200.md"
+
+
 def test_package_and_preview(tmp_path):
     """S12 analog: zip packaging is byte-deterministic; preview lists
     every output with truncated text (media by size only)."""
