@@ -81,3 +81,118 @@ def test_link_dedup_first_occurrence(hrefs):
             expected.append(u)
     assert got == expected
     assert [l.rank for l in res.links] == list(range(len(got)))
+
+
+# -- round-2 kernels ---------------------------------------------------------
+
+@given(
+    n=st.integers(1, 300),
+    n_keys=st.integers(1, 8),
+    gap=st.integers(1, 50),
+    seed=st.integers(0, 1000),
+)
+@settings(max_examples=60, deadline=None)
+def test_session_segmentation_matches_pandas(n, n_keys, gap, seed):
+    """The vectorized segment kernel inside sessionize (boundaries,
+    per-key numbering, per-segment aggregates) vs a pandas reference."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from crawlray.pipelines.streaming import sessionize
+
+    rs = np.random.RandomState(seed)
+    df = pd.DataFrame({
+        "event_id": np.arange(n),
+        "ts": pd.to_datetime(rs.randint(0, 500, n), unit="s"),
+        "user_id": rs.randint(0, n_keys, n),
+        "cents": rs.randint(1, 100, n).astype("int64"),
+    })
+    # reference: per-user sorted gap segmentation
+    ref = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    newkey = ref["user_id"].ne(ref["user_id"].shift())
+    gap_break = (ref["ts"] - ref["ts"].shift()).dt.total_seconds() > gap
+    bound = (newkey | gap_break)
+    ref["sid"] = bound.cumsum()
+    base = ref.loc[newkey, ["user_id", "sid"]].rename(columns={"sid": "base"})
+    ref = ref.merge(base, on="user_id")
+    ref["session_id"] = ref["sid"] - ref["base"] + 1
+    exp = (ref.groupby(["user_id", "session_id"])
+           .agg(session_start=("ts", "min"), session_end=("ts", "max"),
+                n_events=("cents", "size"), cents_sum=("cents", "sum"))
+           .reset_index())
+    # kernel under test (single in-process call of the map_groups fn)
+    import crawlray.pipelines.streaming as strm
+
+    tagged = pa.Table.from_pandas(df, preserve_index=False)
+    got = None
+    # run the inner sessions() by borrowing sessionize's machinery on one
+    # partition: n_partitions=1 puts every key in one group
+    import ray.data as rd
+
+    out = sessionize(rd.from_pandas(df).repartition(3), "user_id", "ts",
+                     "cents", "event_id", gap_seconds=float(gap),
+                     n_partitions=2).to_pandas()
+    got = out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    exp = exp.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    assert got["n_events"].tolist() == exp["n_events"].tolist()
+    assert got["cents_sum"].tolist() == exp["cents_sum"].tolist()
+    assert got["session_start"].tolist() == exp["session_start"].tolist()
+    assert got["session_end"].tolist() == exp["session_end"].tolist()
+
+
+@given(
+    n=st.integers(0, 200),
+    n_groups=st.integers(1, 10),
+    seed=st.integers(0, 1000),
+)
+@settings(max_examples=40, deadline=None)
+def test_adjacent_pairs_chain_property(n, n_groups, seed):
+    """adjacent_pairs_sorted emits exactly (size-1) chain pairs per group
+    regardless of how block boundaries split the runs."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from crawlray.util import adjacent_pairs_sorted
+
+    rs = np.random.RandomState(seed)
+    df = pd.DataFrame({
+        "g": rs.randint(0, n_groups, n),
+        "v": np.arange(n),
+    })
+    if n == 0:
+        return
+    ds = rd.from_pandas(df).repartition(4).sort(["g", "v"])
+    out = adjacent_pairs_sorted(ds, ["g"], "v").to_pandas()
+    sizes = df.groupby("g").size()
+    expected = int((sizes - 1).clip(lower=0).sum())
+    assert len(out) == expected
+    if expected == 0:
+        return  # empty Datasets lose their schema at to_pandas (known Ray quirk)
+    # every pair is consecutive within its group
+    byg = {g: sorted(s["v"]) for g, s in df.groupby("g")}
+    pos = {g: {v: i for i, v in enumerate(vs)} for g, vs in byg.items()}
+    gof = df.set_index("v")["g"].to_dict()
+    for a, b in zip(out["a"], out["b"]):
+        g = gof[a]
+        assert gof[b] == g and pos[g][b] - pos[g][a] == 1
+
+
+@given(seed=st.integers(0, 2000), n=st.integers(0, 600))
+@settings(max_examples=40, deadline=None)
+def test_cuckoo_vectorized_insert_properties(seed, n):
+    """No false negatives after the vectorized insert path; idempotent."""
+    import numpy as np
+
+    from crawlray.state.cuckoo import CuckooFilter
+
+    rs = np.random.RandomState(seed)
+    h = rs.randint(0, 1 << 63, size=n, dtype=np.int64).astype(np.uint64)
+    f = CuckooFilter(capacity=max(64, n * 2))
+    f.add_many(h)
+    if n:
+        assert f.contains_many(h).all()       # zero false negatives
+    before = f.count
+    f.add_many(h)                             # re-add: all present -> no-op
+    assert f.count == before
