@@ -178,38 +178,41 @@ def embedding_lsh_pairs(
         m = np.isin(ids, ray.get(inv_ref))
         return t.filter(pa.array(m))
 
-    # candidate vectors only (small side): broadcast as {id: unit vector}
+    # candidate vectors only (small side): broadcast as a sorted id
+    # vector + unit-vector matrix so the verify is a single row-wise dot
     vec_tbls = ray.get(
         embeddings.map_batches(pick, batch_format="pyarrow").to_arrow_refs()
     )
-    lookup: dict[int, np.ndarray] = {}
-    for t in vec_tbls:
-        if t.num_rows:
-            m = _normalize(_matrix(t))
-            for i, vid in enumerate(t["vec_id"].to_pylist()):
-                lookup[int(vid)] = m[i]
-    lk_ref = ray.put(lookup)
+    parts = [t for t in vec_tbls if t.num_rows]
+    all_ids = np.concatenate(
+        [t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64) for t in parts]
+    )
+    all_mat = np.vstack([_normalize(_matrix(t)) for t in parts])
+    order = np.argsort(all_ids, kind="stable")
+    lk_ref = ray.put((all_ids[order], np.ascontiguousarray(all_mat[order])))
 
     class VerifyCos:
         def __init__(self, lk, thr):
-            self.lk = ray.get(lk)
+            self.ids, self.mat = ray.get(lk)
             self.thr = thr
 
         def __call__(self, t: pa.Table) -> pa.Table:
             a = t["a"].to_numpy(zero_copy_only=False)
             b = t["b"].to_numpy(zero_copy_only=False)
-            oa, ob, oc = [], [], []
-            for i in range(t.num_rows):
-                c = float(self.lk[int(a[i])] @ self.lk[int(b[i])])
-                if c >= self.thr:
-                    oa.append(int(a[i])); ob.append(int(b[i])); oc.append(round(c, 6))
-            return pa.table({"a": pa.array(oa, pa.int64()),
-                             "b": pa.array(ob, pa.int64()),
-                             "cos": pa.array(oc, pa.float64())})
+            # vectorized gather + row-wise dot (no per-pair Python loop)
+            cos = np.einsum(
+                "ij,ij->i",
+                self.mat[np.searchsorted(self.ids, a)],
+                self.mat[np.searchsorted(self.ids, b)],
+            )
+            m = cos >= self.thr
+            return pa.table({"a": pa.array(a[m].astype(np.int64)),
+                             "b": pa.array(b[m].astype(np.int64)),
+                             "cos": pa.array(np.round(cos[m], 6), pa.float64())})
 
     verified = cand.map_batches(
         VerifyCos, fn_constructor_args=(lk_ref, cos_threshold),
-        batch_format="pyarrow", concurrency=2, num_cpus=0.5,
+        batch_format="pyarrow", concurrency=(2, 8), num_cpus=1,
     )
     # typed 0-row head block: an all-empty Dataset otherwise loses its
     # schema at to_pandas/driver-check time
