@@ -180,10 +180,19 @@ def q_pricing_summary(sf_dir: str):
                 "n": pa.array(np.ones(t.num_rows, np.int64)),
             }
         )
-        df = tmp.to_pandas().groupby(
-            ["l_returnflag", "l_linestatus"], as_index=False
-        ).sum()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # Arrow-native partial aggregation (no pandas round-trip; int64
+        # sums stay int64)
+        g = tmp.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("sum_qty", "sum"), ("sum_price_cents", "sum"),
+             ("sum_disc_centicents", "sum"), ("n", "sum")]
+        )
+        renames = {"sum_qty_sum": "sum_qty",
+                   "sum_price_cents_sum": "sum_price_cents",
+                   "sum_disc_centicents_sum": "sum_disc_centicents",
+                   "n_sum": "n"}
+        g = g.rename_columns([renames.get(c, c) for c in g.column_names])
+        return g.select(["l_returnflag", "l_linestatus", "sum_qty",
+                         "sum_price_cents", "sum_disc_centicents", "n"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(

@@ -52,6 +52,52 @@ def test_resolve_format():
             resolve_format("lance")
 
 
+def test_lance_seam_with_stub_module(tmp_path):
+    """Exercise the LanceFormat code path (write_dataset / dataset().
+    to_table — the real public API surface) via a stub lance module, and
+    verify 'auto' flips to Lance the moment the package imports."""
+    import importlib
+    import sys
+    import types
+
+    import pyarrow.parquet as pq
+
+    from pathlib import Path as _P
+
+    fake = types.ModuleType("lance")
+
+    def write_dataset(table, path, mode="create"):
+        p = _P(path)
+        p.mkdir(parents=True, exist_ok=True)
+        pq.write_table(table, p / "data.parquet")
+
+    class _DS:
+        def __init__(self, p):
+            self.p = _P(p)
+
+        def to_table(self, columns=None):
+            return pq.read_table(self.p / "data.parquet", columns=columns)
+
+    fake.write_dataset = write_dataset
+    fake.dataset = _DS
+    sys.modules["lance"] = fake
+    import crawlray.storage as storage
+
+    try:
+        storage = importlib.reload(storage)
+        assert storage.LanceFormat.available
+        assert storage.resolve_format("auto") is storage.LanceFormat
+        t = _sample_table()
+        d = tmp_path / "part-0000-00000.lance"
+        storage.LanceFormat.write(t, d)
+        assert d.is_dir()
+        assert storage.LanceFormat.read(d).equals(t)
+        assert storage.LanceFormat.read(d, columns=["seq"]).column_names == ["seq"]
+    finally:
+        del sys.modules["lance"]
+        importlib.reload(storage)  # restore real availability for other tests
+
+
 def test_engine_crawl_through_ipc_seam(tmp_path):
     """Same crawl, non-default corpus format: fetch log identical to the
     sequential oracle, corpus readable through the seam, no parquet files
