@@ -332,9 +332,13 @@ def connected_components_ds(pairs: rd.Dataset, n_shards: int = 8,
 
     Partitioning assumption: nodes (and the symmetric edge set, by src)
     are hash-sharded; every node's label lives in exactly one shard, so a
-    shard-local ``np.minimum.at`` reduce is the global min. Rounds =
-    graph diameter; fixpoint detected by the monotone label-sum going
-    flat (one scalar per shard per round reaches the driver)."""
+    shard-local ``np.minimum.at`` reduce is the global min. Every round
+    also POINTER-JUMPS (``label <- label[label]`` via a cross-shard
+    lookup wave), halving distances to each component's minimum —
+    O(log diameter) rounds instead of O(diameter). Fixpoint detected by
+    the monotone label-sum going flat (one scalar per shard per round
+    reaches the driver; all arrays stay in the object store via
+    ``num_returns``)."""
     import ray
 
     k = n_shards
@@ -363,13 +367,42 @@ def connected_components_ds(pairs: rd.Dataset, n_shards: int = 8,
         out = [(state["dst"][sh == i], lab[sh == i]) for i in range(k)]
         return out if k > 1 else out[0]
 
-    @ray.remote(num_returns=2)
-    def reduce_shard(state: dict, *proposals):
+    @ray.remote
+    def reduce_shard(state: dict, *proposals) -> dict:
         d = np.concatenate([p[0] for p in proposals]) if proposals else np.empty(0, np.int64)
         l = np.concatenate([p[1] for p in proposals]) if proposals else np.empty(0, np.int64)
         new = state["labels"].copy()
         if len(d):
             np.minimum.at(new, np.searchsorted(state["nodes"], d), l)
+        return {**state, "labels": new}
+
+    @ray.remote(num_returns=k)
+    def split_labels(state: dict):
+        # (positions, label values) per owner shard of each label value
+        sh = _cc_shard_of(state["labels"], k)
+        out = [(np.flatnonzero(sh == i), state["labels"][sh == i]) for i in range(k)]
+        return out if k > 1 else out[0]
+
+    @ray.remote(num_returns=k)
+    def answer(state: dict, *queries):
+        # label-of-label lookups for each querying shard (label values are
+        # node ids, and every node id lives in exactly its owner shard)
+        outs = []
+        for _pos, vals in queries:
+            outs.append(
+                state["labels"][np.searchsorted(state["nodes"], vals)]
+                if len(vals) else np.empty(0, np.int64)
+            )
+        return outs if k > 1 else outs[0]
+
+    @ray.remote(num_returns=2)
+    def apply_jump(state: dict, *refs):
+        # refs = k (pos, vals) splits followed by k answer arrays
+        splits, answers = refs[:k], refs[k:]
+        new = state["labels"].copy()
+        for (pos, _vals), ans in zip(splits, answers):
+            if len(pos):
+                new[pos] = ans          # label <- label[label] (monotone)
         return {**state, "labels": new}, int(new.sum())
 
     @ray.remote
@@ -377,17 +410,30 @@ def connected_components_ds(pairs: rd.Dataset, n_shards: int = 8,
         return pa.table({"doc_id": pa.array(state["nodes"], pa.int64()),
                          "cluster": pa.array(state["labels"], pa.int64())})
 
-    block_parts = [split_block.remote(r) for r in pairs.to_arrow_refs()]
-    if k == 1:
-        block_parts = [[bp] for bp in block_parts]
+    def _rows(refs):
+        return [[r] for r in refs] if k == 1 else refs
+
+    block_parts = _rows([split_block.remote(r) for r in pairs.to_arrow_refs()])
     states = [build_shard.remote(*[bp[i] for bp in block_parts]) for i in range(k)]
     prev = None
     for _ in range(max_iters):
-        prop_refs = [propose.remote(s) for s in states]
-        if k == 1:
-            prop_refs = [[pr] for pr in prop_refs]
-        stepped = [
+        prop_refs = _rows([propose.remote(s) for s in states])
+        states = [
             reduce_shard.remote(states[i], *[pr[i] for pr in prop_refs])
+            for i in range(k)
+        ]
+        # pointer jump: label <- label[label] across shards
+        splits = _rows([split_labels.remote(s) for s in states])
+        answers = _rows([
+            answer.remote(states[j], *[splits[i][j] for i in range(k)])
+            for j in range(k)
+        ])
+        stepped = [
+            apply_jump.remote(
+                states[i],
+                *[splits[i][j] for j in range(k)],
+                *[answers[j][i] for j in range(k)],
+            )
             for i in range(k)
         ]
         states = [st for st, _ in stepped]

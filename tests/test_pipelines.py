@@ -108,6 +108,21 @@ def test_connected_components_ds_matches_driver():
     assert got_map == exp_map
 
 
+def test_connected_components_ds_deep_chain():
+    # worst-case diameter: a path graph. Pointer jumping must converge in
+    # O(log n) rounds (linear propagation would need ~n/2 rounds and hit
+    # max_iters)
+    from crawlray.pipelines.dedup import connected_components_ds
+
+    n = 2000
+    pairs = pd.DataFrame({"a": np.arange(n - 1), "b": np.arange(1, n)})
+    out = connected_components_ds(
+        rd.from_pandas(pairs).repartition(4), max_iters=40
+    ).to_pandas()
+    assert len(out) == n
+    assert (out["cluster"] == 0).all()
+
+
 def test_embedding_lsh_finds_planted_dups():
     from crawlray.pipelines.ann import embedding_lsh_pairs
 
