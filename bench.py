@@ -2,11 +2,13 @@
 
 ``python bench.py``            -> ONE JSON line: headline crawl seconds +
                                   per-query seconds at $GRAFT_SF_DIR.
-``python bench.py --scaling``  -> runs the headline crawl at num_cpus=8 and
-                                  num_cpus=32 in fresh processes on the SAME
-                                  input; prints throughputs + N->4N scaling
-                                  efficiency (sandbox evidence protocol for
-                                  the north rule, SURVEY.md §4.3).
+``python bench.py --scaling``  -> runs the headline crawl at num_cpus=4 and
+                                  num_cpus=16 (the N->4N pair inside this
+                                  box's ~16 effective cores) in fresh
+                                  interleaved processes on the SAME input;
+                                  prints throughputs + scaling efficiency
+                                  (sandbox evidence protocol for the north
+                                  rule, SURVEY.md §4.3).
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
      RAY_GRAFT_CPUS (default 32),
