@@ -51,7 +51,7 @@ from .stages.frontier import mark_candidates, select_per_host
 from .stages.parse import explode_outlinks, fetch_parse_batch, parse_batch
 from .state.seen import SeenClient
 from .synth import World, WorldConfig, h64
-from .util import hash64, unique_keep_first, zip_with_index
+from .util import hash64, hash_impl_stamp, unique_keep_first, zip_with_index
 
 FRONTIER_COLS = ["url", "host", "priority", "depth", "seq", "url_hash"]
 
@@ -275,7 +275,12 @@ class CrawlEngine:
              "seen_capacity": cfg.seen_capacity,
              # RESOLVED name, not "auto": resuming an auto=parquet tree in
              # an env where lance became importable must be rejected
-             "corpus_format": self.corpus_fmt.name}
+             "corpus_format": self.corpus_fmt.name,
+             # url_hash / cuckoo fingerprints persist in checkpoints and
+             # are trusted verbatim on resume; a changed hash64
+             # implementation (e.g. a polars upgrade) must reject like
+             # any other config drift, not silently mis-route shards
+             "hash_impl": hash_impl_stamp()}
         )
         self.seen = SeenClient.create(
             cfg.n_seen_shards, mode=cfg.seen_mode, capacity_per_shard=cfg.seen_capacity
@@ -506,7 +511,13 @@ class CrawlEngine:
         )
         tm.lap("snapshot-seen")
         metric_files = sorted(str(p) for p in self.store.metrics_dir(r).glob("*.parquet"))
-        corpus_files = sorted(str(p) for p in self.store.corpus_dir(r).glob("*.parquet"))
+        # lineage must follow the RESOLVED corpus format: ipc partitions are
+        # .arrow files and lance partitions are .lance directories — a
+        # "*.parquet" glob here silently recorded [] for exactly the
+        # north-rule production format
+        corpus_files = sorted(
+            str(p) for p in self.store.corpus_dir(r).glob(f"part-*{self.corpus_fmt.ext}")
+        )
         totals = {"urls_in": 0, "fetched_ok": 0, "failed": 0,
                   "robots_denied": 0, "spans": 0, "links": 0}
         if metric_files:

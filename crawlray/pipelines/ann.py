@@ -110,28 +110,86 @@ def brute_force_topk(
     ]
 
 
+def _cos_rows_packed(a, b, packs_a, packs_b, threshold: float) -> pa.Table:
+    """Exact-cosine verify kernel over packed float64 unit vectors — the
+    ONE kernel both candidate-resolution regimes (broadcast and join)
+    feed, so their outputs are bit-identical by construction."""
+    n = len(a)
+    empty = pa.table({"a": pa.nulls(0, pa.int64()), "b": pa.nulls(0, pa.int64()),
+                      "cos": pa.nulls(0, pa.float64())})
+    if n == 0:
+        return empty
+    ma = np.frombuffer(b"".join(packs_a), dtype=np.float64).reshape(n, -1)
+    mb = np.frombuffer(b"".join(packs_b), dtype=np.float64).reshape(n, -1)
+    cos = np.einsum("ij,ij->i", ma, mb)
+    m = cos >= threshold
+    return pa.table({
+        "a": pa.array(np.asarray(a)[m].astype(np.int64)),
+        "b": pa.array(np.asarray(b)[m].astype(np.int64)),
+        "cos": pa.array(np.round(cos[m], 6), pa.float64()),
+    })
+
+
+class _VecPacker:
+    """(vec_id, vec) for vectors in the broadcast candidate-id set: the
+    L2-normalized float64 vector packed as bytes (binary is joinable
+    through Acero, list columns are not) — the ShinglePacker analog."""
+
+    def __init__(self, ids_ref):
+        self.ids = ray.get(ids_ref)  # sorted int64 np.ndarray
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.isin(ids, self.ids)
+        if not m.any():
+            return pa.table({"vec_id": pa.nulls(0, pa.int64()),
+                             "vec": pa.nulls(0, pa.binary())})
+        sub = t.filter(pa.array(m))
+        mat = np.ascontiguousarray(_normalize(_matrix(sub)))
+        return pa.table({
+            "vec_id": pa.array(ids[m], pa.int64()),
+            "vec": pa.array([mat[i].tobytes() for i in range(len(mat))], pa.binary()),
+        })
+
+
 def embedding_lsh_pairs(
     embeddings: rd.Dataset,
     cos_threshold: float = 0.9,
     n_planes: int = 64,
     bands: int = 8,
     seed: int = 11,
+    broadcast_max_docs: int = 1 << 20,
 ) -> rd.Dataset:
     """Embedding near-dup pairs at scale: random-hyperplane (SRP) LSH.
 
     Sign-bit signatures against ``n_planes`` fixed random hyperplanes,
     banded into ``bands`` keys; same candidate machinery as the MinHash
     path (sort + adjacent chain pairs + distributed dedup), then an EXACT
-    cosine verify against a broadcast matrix of candidate vectors — every
-    emitted pair is exact, LSH only bounds recall. Detection probability
-    for a pair at cosine c is 1-(1-(1-acos(c)/pi)^(planes/bands))^bands
-    (~0.93 at c=0.9 with 64/8); intended domain is near-duplicates, the
-    brute-force ``embedding_near_dups`` covers low thresholds exactly.
+    cosine verify — every emitted pair is exact, LSH only bounds recall.
+    Detection probability for a pair at cosine c is
+    1-(1-(1-acos(c)/pi)^(planes/bands))^bands (~0.93 at c=0.9 with 64/8);
+    intended domain is near-duplicates, the brute-force
+    ``embedding_near_dups`` covers low thresholds exactly.
+
+    Candidate vectors resolve via a broadcast (ids + unit-vector matrix,
+    ``ray.put`` once) while the candidate set fits
+    (``broadcast_max_docs``), and via two ``bucketed_hash_join``s against
+    a packed-vector table beyond that — the huge-candidate regime where a
+    low threshold makes "the small side" approach the corpus and a
+    driver-side materialization would not fit (the mirror of
+    ``minhash_lsh_pairs``'s ``broadcast_max_docs`` switch). Both regimes
+    share the :func:`_cos_rows_packed` numerics, asserted bit-identical
+    in tests.
     """
     from ..util import adjacent_pairs_sorted, keep_first_sorted
+    from .relational import bucketed_hash_join
 
     rows_per_band = n_planes // bands
+    empty = pa.table({"a": pa.nulls(0, pa.int64()), "b": pa.nulls(0, pa.int64()),
+                      "cos": pa.nulls(0, pa.float64())})
     first = embeddings.limit(1).take_all()
+    if not first:
+        return rd.from_arrow(empty)
     dim = len(first[0]["embedding"])
     rs = np.random.RandomState(seed)
     planes = rs.randn(n_planes, dim)
@@ -167,56 +225,86 @@ def embedding_lsh_pairs(
         sorted(cand.map_batches(ids_of, batch_format="pyarrow").unique("vec_id")),
         dtype=np.int64,
     )
-    empty = pa.table({"a": pa.nulls(0, pa.int64()), "b": pa.nulls(0, pa.int64()),
-                      "cos": pa.nulls(0, pa.float64())})
     if involved.size == 0:
         return rd.from_arrow(empty)
     inv_ref = ray.put(involved)
 
-    def pick(t: pa.Table) -> pa.Table:
-        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = np.isin(ids, ray.get(inv_ref))
-        return t.filter(pa.array(m))
+    if involved.size <= broadcast_max_docs:
+        # small-candidate regime: candidate vectors only (the small side)
+        # collected once and broadcast as a sorted id vector + contiguous
+        # unit-vector matrix so the verify is a single row-wise dot
+        def pick(t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = np.isin(ids, ray.get(inv_ref))
+            return t.filter(pa.array(m))
 
-    # candidate vectors only (small side): broadcast as a sorted id
-    # vector + unit-vector matrix so the verify is a single row-wise dot
-    vec_tbls = ray.get(
-        embeddings.map_batches(pick, batch_format="pyarrow").to_arrow_refs()
-    )
-    parts = [t for t in vec_tbls if t.num_rows]
-    all_ids = np.concatenate(
-        [t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64) for t in parts]
-    )
-    all_mat = np.vstack([_normalize(_matrix(t)) for t in parts])
-    order = np.argsort(all_ids, kind="stable")
-    lk_ref = ray.put((all_ids[order], np.ascontiguousarray(all_mat[order])))
+        vec_tbls = ray.get(
+            embeddings.map_batches(pick, batch_format="pyarrow").to_arrow_refs()
+        )
+        parts = [t for t in vec_tbls if t.num_rows]
+        all_ids = np.concatenate(
+            [t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64) for t in parts]
+        )
+        all_mat = np.vstack([_normalize(_matrix(t)) for t in parts])
+        order = np.argsort(all_ids, kind="stable")
+        lk_ref = ray.put((all_ids[order], np.ascontiguousarray(all_mat[order])))
 
-    class VerifyCos:
-        def __init__(self, lk, thr):
-            self.ids, self.mat = ray.get(lk)
-            self.thr = thr
+        class VerifyCos:
+            def __init__(self, lk, thr):
+                self.ids, self.mat = ray.get(lk)
+                self.thr = thr
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            a = t["a"].to_numpy(zero_copy_only=False)
-            b = t["b"].to_numpy(zero_copy_only=False)
-            # vectorized gather + row-wise dot (no per-pair Python loop)
-            cos = np.einsum(
-                "ij,ij->i",
-                self.mat[np.searchsorted(self.ids, a)],
-                self.mat[np.searchsorted(self.ids, b)],
-            )
-            m = cos >= self.thr
-            return pa.table({"a": pa.array(a[m].astype(np.int64)),
-                             "b": pa.array(b[m].astype(np.int64)),
-                             "cos": pa.array(np.round(cos[m], 6), pa.float64())})
+            def __call__(self, t: pa.Table) -> pa.Table:
+                a = t["a"].to_numpy(zero_copy_only=False)
+                b = t["b"].to_numpy(zero_copy_only=False)
+                # fancy-index gather copies to CONTIGUOUS (n, dim) arrays —
+                # the same einsum input layout as the join regime's
+                # unpacked buffers, so both regimes round identically
+                cos = np.einsum(
+                    "ij,ij->i",
+                    self.mat[np.searchsorted(self.ids, a)],
+                    self.mat[np.searchsorted(self.ids, b)],
+                )
+                m = cos >= self.thr
+                return pa.table({"a": pa.array(a[m].astype(np.int64)),
+                                 "b": pa.array(b[m].astype(np.int64)),
+                                 "cos": pa.array(np.round(cos[m], 6), pa.float64())})
 
-    verified = cand.map_batches(
-        VerifyCos, fn_constructor_args=(lk_ref, cos_threshold),
+        verified = cand.map_batches(
+            VerifyCos, fn_constructor_args=(lk_ref, cos_threshold),
+            batch_format="pyarrow", concurrency=(2, 8), num_cpus=1,
+        )
+        # typed 0-row head block: an all-empty Dataset otherwise loses its
+        # schema at to_pandas/driver-check time
+        return rd.from_arrow(empty).union(verified)
+
+    # huge-candidate regime: NOTHING materializes on the driver — packed
+    # unit vectors resolve to the pair rows via two explicit hash-exchange
+    # joins, and the verify runs inside map_batches over the joined rows
+    vecs = embeddings.map_batches(
+        _VecPacker, fn_constructor_args=(inv_ref,),
         batch_format="pyarrow", concurrency=(2, 8), num_cpus=1,
+    ).materialize()
+    va = vecs.map_batches(
+        lambda t: t.rename_columns(["a", "vec_a"]), batch_format="pyarrow"
     )
-    # typed 0-row head block: an all-empty Dataset otherwise loses its
-    # schema at to_pandas/driver-check time
-    return rd.from_arrow(empty).union(verified)
+    vb = vecs.map_batches(
+        lambda t: t.rename_columns(["b", "vec_b"]), batch_format="pyarrow"
+    )
+    joined = bucketed_hash_join(
+        bucketed_hash_join(cand, va, "a", n_buckets=8), vb, "b", n_buckets=8
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        return _cos_rows_packed(
+            t["a"].to_numpy(zero_copy_only=False),
+            t["b"].to_numpy(zero_copy_only=False),
+            t["vec_a"].to_pylist(), t["vec_b"].to_pylist(), cos_threshold,
+        )
+
+    return rd.from_arrow(empty).union(
+        joined.map_batches(verify, batch_format="pyarrow")
+    )
 
 
 # -- IVF scale path ----------------------------------------------------------
@@ -239,6 +327,30 @@ def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 8,
     return c
 
 
+def seeded_id_sample(
+    embeddings: rd.Dataset, sample_rows: int, seed: int = 5
+) -> pd.DataFrame:
+    """~``sample_rows`` rows drawn uniformly over the ``vec_id`` space via
+    a seeded multiplicative hash-mod filter — NOT ``limit(n)``: a head
+    sample follows storage order, which at corpus scale correlates with
+    source/time and biases anything trained on it (IVF centroids would
+    under-cover the tail). Deterministic for a fixed seed; one cheap
+    metadata count + one filtered scan."""
+    n = embeddings.count()
+    if n <= sample_rows:
+        return embeddings.to_pandas()
+    cut = np.uint64(min(int(sample_rows / n * 2.0**64), 2**64 - 1))
+    phi = np.uint64(0x9E3779B97F4A7C15)
+    s = np.uint64(seed)
+
+    def pick(t: pa.Table) -> pa.Table:
+        v = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = np.multiply(v + s, phi)        # wraps mod 2^64
+        return t.filter(pa.array(h < cut))
+
+    return embeddings.map_batches(pick, batch_format="pyarrow").to_pandas()
+
+
 def ivf_topk(
     embeddings: rd.Dataset,
     query_ids: list[int],
@@ -249,7 +361,7 @@ def ivf_topk(
 ) -> pd.DataFrame:
     """IVF-bucketed ANN: probe only the n_probe nearest centroid buckets.
     Approximate by design; recall measured against brute force in tests."""
-    sample = embeddings.limit(sample_rows).to_pandas()
+    sample = seeded_id_sample(embeddings, sample_rows).sort_values("vec_id")
     sm = _normalize(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
     cents = train_centroids(sm, n_centroids)
     cref = ray.put(cents)

@@ -84,16 +84,34 @@ def _span_dicts(spans) -> list[dict]:
 
 
 class _BulkPartWorker:
-    """One partition of seed rows -> output files + result rows."""
+    """One partition of seed rows -> output files + result rows.
+
+    Node-safety contract: ``out_dir`` must be a filesystem shared by all
+    worker nodes (the same contract as the engine's checkpoint root) —
+    partition tasks write their output files directly. The object pickled
+    into each task carries ONLY config; the heavy state (fetcher world,
+    media fetcher) and the output subdirs are created lazily inside the
+    task via :meth:`_ensure_ready` (idempotent mkdir), never on the
+    driver, so a multi-node cluster works without the driver's filesystem
+    view leaking into remote tasks."""
 
     def __init__(self, out_dir: str, world_cfg, global_auth: dict | None,
                  md_options: MarkdownOptions | None = None):
-        self.fetcher = SynthFetcher(world_cfg, None, global_auth)
         self.out = Path(out_dir)
+        self.world_cfg = world_cfg
+        self.global_auth = global_auth
+        self.md_options = md_options or MarkdownOptions()
+        self.fetcher = None
+        self.media = None
+
+    def _ensure_ready(self) -> None:
+        """Task-side init: build per-task state and create output dirs on
+        the EXECUTING node (idempotent — safe under concurrent tasks)."""
+        if self.fetcher is None:
+            self.fetcher = SynthFetcher(self.world_cfg, None, self.global_auth)
+            self.media = MediaFetcher(self.world_cfg.seed)
         for sub in ("docs", "links", "media"):
             (self.out / sub).mkdir(parents=True, exist_ok=True)
-        self.media = MediaFetcher(world_cfg.seed)
-        self.md_options = md_options or MarkdownOptions()
 
     # -- per-row helpers -------------------------------------------------
     def _write(self, rel: str, data: str | bytes) -> str:
@@ -165,6 +183,7 @@ class _BulkPartWorker:
 
     # -- the fused partition task ---------------------------------------
     def __call__(self, group: pa.Table) -> pa.Table:
+        self._ensure_ready()
         group = group.take(
             pa.compute.sort_indices(group, sort_keys=[("seed_rank", "ascending")])
         )
@@ -241,7 +260,11 @@ def bulk_crawl(
 ) -> tuple[rd.Dataset, rd.Dataset]:
     """-> (results, rejects): the full reference bulk flow over Ray Data.
     ``results`` has one row per valid CSV row (status/error as data, the
-    written files as a JSON list); ``rejects`` the invalid-URL rows."""
+    written files as a JSON list); ``rejects`` the invalid-URL rows.
+
+    ``out_dir`` must be shared storage visible to every worker node
+    (NFS-like or single-node): partition tasks create their own output
+    subdirs and write files task-side (see :class:`_BulkPartWorker`)."""
     seeds, rejects = read_seed_csv(csv_path)
 
     def add_part(t: pa.Table) -> pa.Table:

@@ -471,8 +471,11 @@ class SimHasher:
 
     Token hash = first 8 md5 bytes little-endian, which is exactly
     DuckDB's ``md5_number_upper`` — chosen so the whole signature is
-    restatable in the SQL oracle (``SQL_SIMHASH``). A per-actor token
-    cache amortizes the md5 cost over repeated vocabulary."""
+    restatable in the SQL oracle (``SQL_SIMHASH``). The md5 Python loop
+    runs ONCE per unique batch-vocabulary token (``np.unique`` over the
+    whole batch, then a gather), with a per-actor cache carrying the
+    vocabulary across batches — the per-token-occurrence loop this
+    replaces was the signature stage's hot spot."""
 
     _CACHE_CAP = 1 << 20
 
@@ -480,18 +483,25 @@ class SimHasher:
         self.bit_weights = 1 << np.arange(64, dtype=np.uint64)
         self._cache: dict[str, int] = {}
 
-    def _token_u64(self, tokens: list[str]) -> np.ndarray:
+    def _vocab_u64(self, uniq: np.ndarray) -> np.ndarray:
+        """md5-upper-8 of each UNIQUE token (cached across batches)."""
         cache = self._cache
         if len(cache) > self._CACHE_CAP:
             cache.clear()
-        out = np.empty(len(tokens), dtype=np.uint64)
-        for i, t in enumerate(tokens):
+        out = np.empty(len(uniq), dtype=np.uint64)
+        for i, t in enumerate(uniq):
             v = cache.get(t)
             if v is None:
                 v = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
                 cache[t] = v
             out[i] = v
         return out
+
+    def _token_u64(self, tokens: list[str]) -> np.ndarray:
+        if not tokens:
+            return np.empty(0, dtype=np.uint64)
+        uniq, inv = np.unique(np.asarray(tokens, dtype=object), return_inverse=True)
+        return self._vocab_u64(uniq)[inv]
 
     def simhash(self, text: str) -> int:
         words = text.split()
@@ -503,10 +513,25 @@ class SimHasher:
         return int(((v > 0).astype(np.uint64) * self.bit_weights).sum())
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sh = np.fromiter(
-            (self.simhash(t) for t in batch["text"]), dtype=np.uint64,
-            count=len(batch),
-        )
+        n = len(batch)
+        words_per_doc = [t.split() for t in batch["text"]]
+        counts = np.array([len(w) for w in words_per_doc], dtype=np.int64)
+        sh = np.zeros(n, dtype=np.uint64)
+        nz = np.flatnonzero(counts)
+        if nz.size:
+            all_words = np.concatenate(
+                [np.asarray(words_per_doc[i], dtype=object) for i in nz]
+            )
+            # ONE unique+md5 pass for the whole batch, then gather
+            uniq, inv = np.unique(all_words, return_inverse=True)
+            h = self._vocab_u64(uniq)[inv]
+            bits = (
+                (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+            ).astype(np.int32)
+            contrib = 2 * bits - 1                       # (total_words, 64)
+            starts = np.r_[0, np.cumsum(counts[nz])[:-1]]
+            sums = np.add.reduceat(contrib, starts, axis=0)   # (n_docs, 64)
+            sh[nz] = ((sums > 0).astype(np.uint64) * self.bit_weights).sum(axis=1)
         out = pd.DataFrame({"doc_id": batch["doc_id"]})
         out["simhash"] = sh.astype(np.int64)  # arrow-friendly
         for band in range(4):

@@ -46,13 +46,13 @@ def running_sum_per_key(
     lexsort + segmented cumsum. Skewed keys cost at most one partition's
     worth of work; raise ``n_partitions`` to bound partition size.
     """
-    schema = events.schema()
-    id_type = dict(zip(schema.names, schema.types))[id_col]
-
     def tag(t: pa.Table) -> pa.Table:
         return t.append_column("part", pa.array(_bucket_of(t[key], n_partitions)))
 
     def seg_cumsum(t: pa.Table) -> pa.Table:
+        # id type from the BATCH schema (always Arrow here; Dataset.schema()
+        # yields non-Arrow types for pandas-backed blocks)
+        id_type = t.schema.field(id_col).type
         if t.num_rows == 0:
             return pa.table({id_col: pa.nulls(0, id_type),
                              "running": pa.nulls(0, pa.int64())})
@@ -100,8 +100,12 @@ def sessionize(
     gap_ns = np.int64(round(gap_seconds * 1e9))
 
     def sessions(t: pa.Table) -> pa.Table:
+        # the key output column carries the INPUT key type (string/int32
+        # keys must round-trip; a hardcoded int64 corrupted them), taken
+        # from the batch schema — always Arrow here
+        key_type = t.schema.field(key).type
         empty = pa.table({
-            key: pa.nulls(0, pa.int64()),
+            key: pa.nulls(0, key_type),
             "session_id": pa.nulls(0, pa.int64()),
             "session_start": pa.nulls(0, pa.timestamp("us")),
             "session_end": pa.nulls(0, pa.timestamp("us")),
@@ -133,7 +137,7 @@ def sessionize(
         ends = starts + sizes - 1
         seg_sum = np.diff(np.r_[0, cs[ends]])
         return pa.table({
-            key: pa.array(k[starts].astype(np.int64)),
+            key: pa.array(k[starts]).cast(key_type),
             "session_id": pa.array(session_id.astype(np.int64)),
             "session_start": pa.array(tv[starts]).cast(pa.timestamp("us")),
             "session_end": pa.array(tv[starts + sizes - 1]).cast(pa.timestamp("us")),

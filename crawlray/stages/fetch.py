@@ -15,6 +15,8 @@ In this sandbox the network is replaced by the deterministic page generator
 
 from __future__ import annotations
 
+from typing import Protocol, runtime_checkable
+
 import pyarrow as pa
 
 from ..canon import split_url
@@ -22,6 +24,61 @@ from ..state.politeness import HostPoliteness
 from ..synth import World, WorldConfig
 
 MAX_ATTEMPTS = 3  # fetcher.py:11-14
+
+#: The fetch-stage column contract AS CODE: every Fetcher implementation
+#: appends exactly these columns (these names, these types) to its input
+#: batch. This is the swap surface between the sandbox SynthFetcher and a
+#: real-network fetcher — the rest of the engine reads only these columns.
+FETCH_OUTPUT_COLUMNS: dict[str, pa.DataType] = {
+    "status": pa.string(),          # ok | http_<code> | robots_denied | timeout | connection_error
+    "status_code": pa.int32(),      # HTTP status, 0 when none was received
+    "error_type": pa.string(),      # errors.ErrorRecord.error_type, "" on ok
+    "error_code": pa.string(),      # errors.ErrorRecord.error_code, "" on ok
+    "retry_possible": pa.bool_(),   # caller MAY re-enqueue (5xx/timeout/conn)
+    "attempts": pa.int32(),         # fetch attempts consumed (<= MAX_ATTEMPTS)
+    "payload": pa.binary(),         # response body, null unless status == ok
+}
+
+
+@runtime_checkable
+class Fetcher(Protocol):
+    """Protocol for fetch stages (a callable class for
+    ``map_batches(Cls, concurrency=N)``): takes an Arrow batch with at
+    least ``url`` and ``host`` columns (plus optional M18 auth columns),
+    returns the batch with :data:`FETCH_OUTPUT_COLUMNS` appended.
+    Implementations hold session state (politeness buckets, robots cache,
+    HTTP session) per actor, built once in ``__init__``."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table: ...
+
+
+def validate_fetch_output(batch_in: pa.Table, batch_out: pa.Table) -> None:
+    """Assert a fetch stage honored the column contract (used by the
+    conformance test that every Fetcher implementation must pass)."""
+    for name in batch_in.column_names:
+        assert name in batch_out.column_names, f"input column {name} dropped"
+    for name, typ in FETCH_OUTPUT_COLUMNS.items():
+        assert name in batch_out.column_names, f"missing contract column {name}"
+        got = batch_out.schema.field(name).type
+        assert got == typ, f"column {name}: expected {typ}, got {got}"
+    assert batch_out.num_rows == batch_in.num_rows
+
+
+def resolve_batch_auth(batch: pa.Table, global_auth: dict | None):
+    """Per-row resolved credentials when the batch carries M18 auth
+    columns; a row of (None,)-equivalents otherwise (open crawl). Shared
+    by every Fetcher implementation."""
+    from .sources import resolve_auth
+
+    n = batch.num_rows
+    cols = set(batch.column_names)
+    auth_cols = ("auth_enabled", "auth_type", "cookies", "auth_headers",
+                 "basic_auth_username", "basic_auth_password")
+    if not (cols & set(auth_cols)) and global_auth is None:
+        return [({}, {}, None)] * n
+    getl = lambda c: batch[c].to_pylist() if c in cols else [None] * n
+    rows = [dict(zip(auth_cols, vals)) for vals in zip(*(getl(c) for c in auth_cols))]
+    return [resolve_auth(r, global_auth) for r in rows]
 
 
 class SynthFetcher:
@@ -32,19 +89,7 @@ class SynthFetcher:
         self.global_auth = global_auth
 
     def _row_auth(self, batch: pa.Table):
-        """Per-row resolved credentials when the batch carries M18 auth
-        columns; a row of (None,)-equivalents otherwise (open crawl)."""
-        from .sources import resolve_auth
-
-        n = batch.num_rows
-        cols = set(batch.column_names)
-        auth_cols = ("auth_enabled", "auth_type", "cookies", "auth_headers",
-                     "basic_auth_username", "basic_auth_password")
-        if not (cols & set(auth_cols)) and self.global_auth is None:
-            return [({}, {}, None)] * n
-        getl = lambda c: batch[c].to_pylist() if c in cols else [None] * n
-        rows = [dict(zip(auth_cols, vals)) for vals in zip(*(getl(c) for c in auth_cols))]
-        return [resolve_auth(r, self.global_auth) for r in rows]
+        return resolve_batch_auth(batch, self.global_auth)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
@@ -107,3 +152,119 @@ class SynthFetcher:
             .append_column("retry_possible", pa.array(retry, pa.bool_())) \
             .append_column("attempts", pa.array(attempts, pa.int32())) \
             .append_column("payload", pa.array(payloads, pa.binary()))
+
+
+class HttpFetcher:
+    """Real-network Fetcher over urllib (stdlib — no HTTP client packages
+    in this sandbox), honoring the same column contract, politeness and
+    error taxonomy as :class:`SynthFetcher`; the constructor seam mirrors
+    the storage seam so swapping synth->real is one argument at the call
+    site. Mirrors the reference's fetch semantics
+    (``backend/crawler/fetcher.py:52-95``): <=MAX_ATTEMPTS tries with
+    retry on 5xx/timeout/connection errors, per-row credentials, errors
+    as data. Per-actor state: robots cache + politeness token buckets.
+
+    The sandbox has no network, so this class is exercised by (a) the
+    protocol/contract conformance test, (b) an offline connection-refused
+    drive (the error path is fully real), and (c) a live test that skips
+    unless the network is reachable.
+    """
+
+    def __init__(self, rate_per_host: float | None = None,
+                 global_auth: dict | None = None, timeout: float = 10.0,
+                 user_agent: str = "crawlray/1.0", respect_robots: bool = True):
+        self.politeness = HostPoliteness(rate_per_host)
+        self.global_auth = global_auth
+        self.timeout = timeout
+        self.user_agent = user_agent
+        self.respect_robots = respect_robots
+        self._robots: dict[str, object] = {}   # host -> RobotFileParser | None
+
+    # -- per-actor robots cache (ST3) ------------------------------------
+    def _robots_allowed(self, url: str, host: str) -> bool:
+        if not self.respect_robots:
+            return True
+        rp = self._robots.get(host, False)
+        if rp is False:
+            import urllib.robotparser
+
+            rp = urllib.robotparser.RobotFileParser()
+            scheme = url.split("://", 1)[0] if "://" in url else "https"
+            try:
+                rp.set_url(f"{scheme}://{host}/robots.txt")
+                rp.read()
+            except Exception:
+                rp = None                      # unreachable robots -> allow
+            self._robots[host] = rp
+        return True if rp is None else rp.can_fetch(self.user_agent, url)
+
+    def _fetch_one(self, url: str, cookies: dict, headers: dict,
+                   basic: tuple | None):
+        """One URL with the reference's retry loop; returns the 7 contract
+        values (status, code, error_type, error_code, retry, attempts,
+        payload)."""
+        import socket
+        import urllib.error
+        import urllib.request
+
+        from ..errors import classify
+
+        hdrs = {"User-Agent": self.user_agent, **(headers or {})}
+        if cookies:
+            hdrs["Cookie"] = "; ".join(f"{k}={v}" for k, v in cookies.items())
+        if basic:
+            import base64
+
+            tok = base64.b64encode(f"{basic[0]}:{basic[1]}".encode()).decode()
+            hdrs["Authorization"] = f"Basic {tok}"
+        last = None
+        for attempt in range(1, MAX_ATTEMPTS + 1):
+            try:
+                req = urllib.request.Request(url, headers=hdrs)
+                with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                    return ("ok", int(resp.status), "", "", False, attempt,
+                            resp.read())
+            except urllib.error.HTTPError as e:
+                rec = classify("http", e.code)
+                last = (f"http_{e.code}", int(e.code), rec.error_type,
+                        rec.error_code, rec.retry_possible, attempt, None)
+                if not rec.retry_possible:
+                    return last                # 4xx: no retry (fetcher.py)
+            except (TimeoutError, socket.timeout):
+                rec = classify("timeout")
+                last = ("timeout", 0, rec.error_type, rec.error_code,
+                        rec.retry_possible, attempt, None)
+            except urllib.error.URLError as e:
+                kind = ("timeout" if isinstance(
+                    getattr(e, "reason", None), (TimeoutError, socket.timeout))
+                    else "connection")
+                rec = classify(kind)
+                last = (kind if kind == "timeout" else "connection_error", 0,
+                        rec.error_type, rec.error_code, rec.retry_possible,
+                        attempt, None)
+            except (ConnectionError, OSError):
+                rec = classify("connection")
+                last = ("connection_error", 0, rec.error_type, rec.error_code,
+                        rec.retry_possible, attempt, None)
+        return last
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..errors import classify
+
+        urls = batch["url"].to_pylist()
+        hosts = batch["host"].to_pylist()
+        auths = resolve_batch_auth(batch, self.global_auth)
+        rows = []
+        for url, host, (cookies, headers, basic) in zip(urls, hosts, auths):
+            if not self._robots_allowed(url, host):
+                rec = classify("robots")
+                rows.append(("robots_denied", 0, rec.error_type,
+                             rec.error_code, False, 0, None))
+                continue
+            self.politeness.acquire(host)
+            rows.append(self._fetch_one(url, cookies, headers, basic))
+        cols = list(zip(*rows)) if rows else [[]] * 7
+        out = batch
+        for (name, typ), vals in zip(FETCH_OUTPUT_COLUMNS.items(), cols):
+            out = out.append_column(name, pa.array(list(vals), typ))
+        return out

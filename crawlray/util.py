@@ -26,6 +26,18 @@ def hash64(arr: "pa.Array | list[str]") -> np.ndarray:
     return s.hash(seed=0x9E3779B9).to_numpy().astype(np.uint64)
 
 
+def hash_impl_stamp() -> int:
+    """Sentinel value identifying the live :func:`hash64` implementation.
+
+    polars does not guarantee ``Series.hash`` stable across library
+    versions, and hash64 outputs PERSIST across engine runs (``url_hash``
+    in frontier checkpoints, cuckoo fingerprints in seen snapshots) and
+    are trusted verbatim on resume. Stamping the hash of a fixed probe
+    string into the engine's config hash turns a changed hash function
+    into rejected config drift instead of silent mis-routing."""
+    return int(hash64(["crawlray/hash-impl-probe/v1"])[0])
+
+
 @ray.remote
 def _num_rows(t: pa.Table) -> int:
     return t.num_rows

@@ -115,6 +115,11 @@ def test_engine_crawl_through_ipc_seam(tmp_path):
     eng.run()
     assert glob.glob(f"{out}/corpus/round-*/*.parquet") == []
     assert glob.glob(f"{out}/corpus/round-*/*.arrow") != []
+    # manifest lineage must record the NON-parquet corpus partitions (the
+    # round-2 defect: a "*.parquet" lineage glob silently recorded [])
+    manifest = eng.store.latest_manifest()
+    lin = manifest["lineage"]["corpus_files"]
+    assert lin and all(f.endswith(".arrow") for f in lin)
     docs = read_corpus(out).to_pandas().sort_values(["round", "priority", "seq"])
     orc = simulate_crawl(World(cfg.world), 10, max_rounds=2)
     got = [(r, p, s, u, "ok" if st == "ok" else st) for r, p, s, u, st in
