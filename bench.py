@@ -180,6 +180,32 @@ def main() -> None:
     ray.shutdown()
 
 
+def _burn_task(iters: int) -> int:
+    x = 0
+    for i in range(iters):
+        x += i * i
+    return x
+
+
+def burn_speedup(nproc: int, iters: int = 4_000_000) -> float:
+    """Effective parallel speedup of a pure-CPU burn at ``nproc`` workers
+    — the host-capacity probe. The sandbox advertises 32 vCPUs but
+    sustains ~16 effective cores with heavy noisy-neighbor variance;
+    probing right before each timed rep makes every scaling draw
+    normalizable by the capacity the host ACTUALLY offered during it."""
+    import concurrent.futures as cf
+
+    t0 = time.perf_counter()
+    _burn_task(iters)
+    ser = time.perf_counter() - t0
+    with cf.ProcessPoolExecutor(nproc) as ex:
+        list(ex.map(_burn_task, [1000] * nproc))      # warm the pool
+        t0 = time.perf_counter()
+        list(ex.map(_burn_task, [iters] * nproc))
+        par = time.perf_counter() - t0
+    return nproc * ser / par
+
+
 def scaling() -> None:
     def run(ncpu: int) -> dict:
         env = dict(
@@ -209,18 +235,37 @@ def scaling() -> None:
     # the sandbox shows heavy noisy-neighbor variance (identical 16-cpu
     # runs measured 54.4s and 118.8s on 2026-08-17); noise only ever ADDS
     # time, so min-of-N per level is the sound estimator of quiet-host
-    # capability. Runs INTERLEAVE lo/hi so both levels sample the same
-    # host conditions rather than one level landing in a noisy window.
-    reps = int(os.environ.get("SCALING_REPS", "3"))
-    runs_lo, runs_hi = [], []
+    # capability (median reported alongside for robustness). Runs
+    # INTERLEAVE lo/hi so both levels sample the same host conditions,
+    # and a burn-capacity probe runs before each rep so every draw is
+    # normalizable by the parallel capacity the host actually offered.
+    import statistics
+
+    reps = int(os.environ.get("SCALING_REPS", "5"))
+    runs_lo, runs_hi, probes = [], [], []
     for _ in range(reps):
+        cap_lo = burn_speedup(lo)
+        cap_hi = burn_speedup(hi)
+        probes.append({
+            "burn_speedup_lo": round(cap_lo, 2),
+            "burn_speedup_hi": round(cap_hi, 2),
+            "capacity_ratio": round((cap_hi / cap_lo) / (hi / lo), 3),
+        })
         runs_lo.append(run(lo))
         runs_hi.append(run(hi))
-    r_lo = min(runs_lo, key=lambda r: r["value"])
-    r_hi = min(runs_hi, key=lambda r: r["value"])
+    i_lo = min(range(reps), key=lambda i: runs_lo[i]["value"])
+    i_hi = min(range(reps), key=lambda i: runs_hi[i]["value"])
+    r_lo, r_hi = runs_lo[i_lo], runs_hi[i_hi]
     thr_lo = r_lo["crawl_urls_per_sec"]
     thr_hi = r_hi["crawl_urls_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
+    med_lo = statistics.median(r["value"] for r in runs_lo)
+    med_hi = statistics.median(r["value"] for r in runs_hi)
+    eff_median = (med_lo / med_hi) / (hi / lo)
+    # capacity measured at the reps the min draws came from: if the host
+    # could only offer e.g. 0.8 of ideal burn scaling during those reps,
+    # the job's efficiency is normalized by that observed ceiling
+    cap = (probes[i_hi]["burn_speedup_hi"] / probes[i_lo]["burn_speedup_lo"]) / (hi / lo)
     print(
         json.dumps(
             {
@@ -229,12 +274,18 @@ def scaling() -> None:
                 "cpus_hi": hi,
                 "sec_lo": r_lo["value"],
                 "sec_hi": r_hi["value"],
+                "sec_lo_median": med_lo,
+                "sec_hi_median": med_hi,
                 "urls": r_lo["crawl_urls"],
                 "throughput_lo_urls_per_sec": thr_lo,
                 "throughput_hi_urls_per_sec": thr_hi,
                 "scaling_efficiency": round(eff, 3),
+                "scaling_efficiency_median": round(eff_median, 3),
+                "capacity_ratio_min_draws": round(cap, 3),
+                "scaling_efficiency_normalized": round(eff / cap, 3),
                 "all_sec_lo": [r["value"] for r in runs_lo],
                 "all_sec_hi": [r["value"] for r in runs_hi],
+                "capacity_probes": probes,
             }
         )
     )

@@ -83,23 +83,51 @@ def exact_dedup_groups(docs: rd.Dataset) -> rd.Dataset:
 
 # -- MinHash + LSH -----------------------------------------------------------
 
+def _md5_u64(tokens: list[str], cache: dict) -> np.ndarray:
+    """md5-upper-8 little-endian per token (== DuckDB ``md5_number_upper``)
+    — the md5 loop runs once per UNIQUE token, cached across batches."""
+    uniq, inv = np.unique(np.asarray(tokens, dtype=object), return_inverse=True)
+    vals = np.empty(len(uniq), dtype=np.uint64)
+    for i, t in enumerate(uniq):
+        v = cache.get(t)
+        if v is None:
+            v = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+            cache[t] = v
+        vals[i] = v
+    return vals[inv]
+
+
 class MinHasher:
     """Per-batch MinHash signatures: ``num_perm`` universal hashes
     ``(a*x + b) mod p`` over word-``n``-gram shingle hashes. The
-    permutation table builds once per actor."""
+    permutation table builds once per actor.
 
-    def __init__(self, num_perm: int = 128, shingle_n: int = 3, seed: int = 13):
+    ``token_hash``: "sip" (polars SipHash — fastest, the scale default)
+    or "md5" (md5-upper-8 == DuckDB ``md5_number_upper``, so the whole
+    signature->band->pair chain is restatable in the SQL oracle,
+    ``SQL_MINHASH_DEDUP``)."""
+
+    def __init__(self, num_perm: int = 128, shingle_n: int = 3, seed: int = 13,
+                 token_hash: str = "sip"):
         rng = np.random.RandomState(seed)
         self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
         self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
         self.num_perm = num_perm
         self.shingle_n = shingle_n
+        assert token_hash in ("sip", "md5")
+        self.token_hash = token_hash
+        self._cache: dict[str, int] = {}
+
+    def _hash_shingles(self, sh: list[str]) -> np.ndarray:
+        if self.token_hash == "md5":
+            return _md5_u64(sh, self._cache)
+        return _stable_u64(sh)
 
     def signature(self, text: str) -> np.ndarray:
         sh = word_shingles(text, self.shingle_n)
         if not sh:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        x = _stable_u64(sh) % _MERSENNE
+        x = self._hash_shingles(sh) % _MERSENNE
         # (num_perm, n_shingles) without materializing huge intermediates:
         # chunk shingles if very long
         vals = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
@@ -175,9 +203,11 @@ def _jaccard_rows(a, b, packs_a, packs_b, threshold: float) -> pa.Table:
         B = np.frombuffer(packs_b[i], dtype=np.uint64)
         ni = np.intersect1d(A, B, assume_unique=True).size
         union = A.size + B.size - ni
+        # raw IEEE quotient: ni/union is the same double in numpy and in
+        # DuckDB (ni::DOUBLE / union), so the oracle hash-matches bit-exact
         j = (ni / union) if union else 1.0
         if j >= threshold:
-            oa.append(int(a[i])); ob.append(int(b[i])); oj.append(round(j, 6))
+            oa.append(int(a[i])); ob.append(int(b[i])); oj.append(j)
     return pa.table(
         {"a": pa.array(oa, pa.int64()), "b": pa.array(ob, pa.int64()),
          "jaccard": pa.array(oj, pa.float64())}
@@ -210,6 +240,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
     broadcast_max_docs: int = 1 << 20,
+    token_hash: str = "sip",
 ) -> rd.Dataset:
     """Verified near-dup pairs (a, b, jaccard >= threshold) via banded
     MinHash-LSH. Every stage is distributed:
@@ -232,7 +263,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     sigs = docs.map_batches(
         MinHasher,
-        fn_constructor_args=(num_perm, shingle_n),
+        fn_constructor_args=(num_perm, shingle_n, 13, token_hash),
         batch_format="pandas",
         batch_size=1024,
         concurrency=(2, 12),

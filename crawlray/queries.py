@@ -9,6 +9,8 @@ summation orders cannot produce differing IEEE results.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -896,13 +898,127 @@ def q_crawl_outlinks(sf_dir: str):
     return seeds.map_batches(fetch_parse, batch_format="pyarrow")
 
 
+MINHASH_JACCARD_THRESHOLD = 0.4
+
+
 def q_minhash_dedup(sf_dir: str):
     """Near-dup detection (MinHash-LSH) over documents; returns verified
-    pair rows (a, b, jaccard)."""
+    pair rows (a, b, jaccard). ``token_hash="md5"`` (md5-upper-8 ==
+    DuckDB ``md5_number_upper``) so the ENTIRE chain — shingle hash ->
+    128 wrapped-arithmetic permutations -> FNV band fold -> lag-pairing
+    -> exact-Jaccard verify — is restated in ``SQL_MINHASH_DEDUP``; the
+    SipHash token path remains the scale default of
+    ``minhash_lsh_pairs``."""
     from .pipelines.dedup import minhash_lsh_pairs
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_lsh_pairs(docs, jaccard_threshold=0.4)
+    return minhash_lsh_pairs(docs, jaccard_threshold=MINHASH_JACCARD_THRESHOLD,
+                             token_hash="md5")
+
+
+def _minhash_ctes(jaccard_threshold: float) -> str:
+    """The MinHash-LSH pipeline as DuckDB CTEs ending in ``vpairs``
+    (a, b, jaccard): an EXACT restatement of ``minhash_lsh_pairs(...,
+    token_hash="md5")`` — md5-upper-8 shingle hashes mod the Mersenne
+    prime, the 128 seeded (a*x+b) permutations in the same wrapped
+    uint64 arithmetic numpy uses, FNV-1a band folds (>>1 to int64),
+    within-bucket adjacent chain pairing via ``lag`` (== the engine's
+    adjacent_pairs_sorted), distinct pairs, exact-Jaccard verify over
+    distinct shingle lists with the empty-union=1 contract."""
+    num_perm, bands, seed = 128, 32, 13
+    rpb = num_perm // bands
+    m = (1 << 61) - 1
+    rng = np.random.RandomState(seed)
+    pa_ = rng.randint(1, m, size=num_perm, dtype=np.int64)
+    pb_ = rng.randint(0, m, size=num_perm, dtype=np.int64)
+    perms = ", ".join(
+        f"({i}, {int(pa_[i])}::HUGEINT, {int(pb_[i])}::HUGEINT)"
+        for i in range(num_perm)
+    )
+    fnv = "14695981039346656037::HUGEINT"
+    for c in range(rpb):
+        fnv = (f"((xor(({fnv})::UBIGINT, v{c}::UBIGINT)::HUGEINT"
+               f" * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)")
+    pivots = ",\n         ".join(
+        f"max(CASE WHEN i % {rpb} = {c} THEN v END) AS v{c}" for c in range(rpb)
+    )
+    return f"""
+perms(i, pa, pb) AS (VALUES {perms}),
+w_arr AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+          FROM documents),
+shl AS (
+  SELECT doc_id,
+         list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                        for i in range(1, len(words) - 1)]) AS sh
+  FROM w_arr
+),
+shx AS (
+  SELECT doc_id,
+         (md5_number_upper(s)::HUGEINT % 2305843009213693951::HUGEINT) AS x
+  FROM (SELECT doc_id, unnest(sh) AS s FROM shl)
+),
+mh0 AS (
+  SELECT doc_id, p.i,
+         min((((p.pa * shx.x) % 18446744073709551616::HUGEINT + p.pb)
+              % 18446744073709551616::HUGEINT)
+             % 2305843009213693951::HUGEINT) AS v
+  FROM shx CROSS JOIN perms p GROUP BY doc_id, p.i
+),
+mh AS (
+  -- docs with no shingles carry the all-max signature (the Python
+  -- contract: shingle-less docs are trivially identical)
+  SELECT d.doc_id, p.i, coalesce(mh0.v, 18446744073709551615::HUGEINT) AS v
+  FROM documents d CROSS JOIN perms p
+  LEFT JOIN mh0 ON mh0.doc_id = d.doc_id AND mh0.i = p.i
+),
+bandvals AS (
+  SELECT doc_id, i // {rpb} AS band_id,
+         {pivots}
+  FROM mh GROUP BY doc_id, i // {rpb}
+),
+bh AS (
+  SELECT doc_id, band_id, (({fnv}) >> 1)::BIGINT AS band_hash FROM bandvals
+),
+cand AS (
+  SELECT lag(doc_id) OVER (PARTITION BY band_id, band_hash
+                           ORDER BY doc_id) AS a,
+         doc_id AS b
+  FROM bh
+),
+pairs AS (SELECT DISTINCT a, b FROM cand WHERE a IS NOT NULL),
+verify AS (
+  SELECT p.a, p.b,
+         len(list_intersect(xa.sh, xb.sh)) AS ni,
+         len(xa.sh) + len(xb.sh) - len(list_intersect(xa.sh, xb.sh)) AS nu
+  FROM pairs p
+  JOIN shl xa ON xa.doc_id = p.a
+  JOIN shl xb ON xb.doc_id = p.b
+),
+vpairs AS (
+  SELECT a::BIGINT AS a, b::BIGINT AS b,
+         (CASE WHEN nu = 0 THEN 1.0 ELSE ni::DOUBLE / nu END) AS jaccard
+  FROM verify
+  WHERE (CASE WHEN nu = 0 THEN 1.0 ELSE ni::DOUBLE / nu END)
+        >= {jaccard_threshold}
+)"""
+
+
+SQL_MINHASH_DEDUP = (
+    f"WITH {_minhash_ctes(MINHASH_JACCARD_THRESHOLD)}\n"
+    "SELECT a, b, jaccard FROM vpairs"
+)
+
+SQL_MINHASH_CLUSTERS = f"""
+WITH RECURSIVE {_minhash_ctes(MINHASH_JACCARD_THRESHOLD)},
+nodes AS (SELECT a AS x FROM vpairs UNION SELECT b FROM vpairs),
+edges AS (SELECT a AS s, b AS d FROM vpairs UNION SELECT b, a FROM vpairs),
+reach(x, y) AS (
+  SELECT x, x FROM nodes
+  UNION
+  SELECT r.x, e.d FROM reach r JOIN edges e ON r.y = e.s
+)
+SELECT x::BIGINT AS doc_id, min(y)::BIGINT AS cluster FROM reach GROUP BY x
+"""
 
 
 def q_simhash(sf_dir: str):
@@ -1050,12 +1166,21 @@ def q_bulk_crawl(sf_dir: str):
 
 def q_minhash_clusters(sf_dir: str):
     """Near-dup CLUSTERS: MinHash-LSH verified pairs -> distributed
-    min-label-propagation connected components (doc_id, cluster)."""
+    min-label-propagation connected components (doc_id, cluster). The
+    oracle (``SQL_MINHASH_CLUSTERS``) restates the same pair chain plus
+    a recursive-CTE transitive closure with min-reachable-id labels."""
     from .pipelines.dedup import connected_components_ds, minhash_lsh_pairs
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.4)
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=MINHASH_JACCARD_THRESHOLD,
+                              token_hash="md5")
     return connected_components_ds(pairs)
+
+
+EMB_LSH_THRESHOLD = 0.45
+EMB_LSH_PLANES = 64
+EMB_LSH_BANDS = 16
+EMB_LSH_SEED = 11
 
 
 def q_embedding_lsh_dups(sf_dir: str):
@@ -1063,17 +1188,72 @@ def q_embedding_lsh_dups(sf_dir: str):
     + exact cosine verify (the scale path of embedding_near_dups). The
     band shape is tuned to the threshold: 16 bands x 4 bits gives ~0.96
     detection at cos 0.45 (the synthetic table's near-dup band; its max
-    off-diagonal cosine is ~0.51)."""
+    off-diagonal cosine is ~0.51). Oracled by ``SQL_EMBEDDING_LSH_DUPS``:
+    the plane matrix is embedded as literals, sign bits / band keys /
+    lag-pairing / cosine-verify restated in SQL (cos compared at 6dp —
+    the two engines' float64 summation orders differ in the last ulp)."""
     import ray
 
     from .pipelines.ann import embedding_lsh_pairs
 
     res = embedding_lsh_pairs(_read(sf_dir, "embeddings"),
-                              cos_threshold=0.45, n_planes=64, bands=16)
+                              cos_threshold=EMB_LSH_THRESHOLD,
+                              n_planes=EMB_LSH_PLANES, bands=EMB_LSH_BANDS,
+                              seed=EMB_LSH_SEED)
     # collect to a typed Arrow table: Ray's to_pandas drops the schema of
     # an all-empty Dataset, and near-dup pair sets can legitimately be
     # empty (they are the small side by construction)
     return pa.concat_tables(ray.get(res.to_arrow_refs()))
+
+
+def _embedding_lsh_sql() -> str:
+    """SRP-LSH restated in DuckDB: the seeded plane matrix as DOUBLE[]
+    literals (shortest-repr round-trips float64 exactly); a vector's sign
+    bit per plane from the raw dot product (normalization never flips a
+    sign); 4-bit band keys; within-bucket adjacent pairing via ``lag``;
+    exact cosine verify. The embedding dim is 64 in every testdata sf
+    (asserted by the Ray path's own dim probe)."""
+    rs = np.random.RandomState(EMB_LSH_SEED)
+    planes = rs.randn(EMB_LSH_PLANES, 64)
+    rpb = EMB_LSH_PLANES // EMB_LSH_BANDS
+    rows = ", ".join(
+        "(%d, [%s]::DOUBLE[])" % (p, ", ".join(repr(float(v)) for v in planes[p]))
+        for p in range(EMB_LSH_PLANES)
+    )
+    return f"""
+WITH planes(p, arr) AS (VALUES {rows}),
+bits AS (
+  SELECT e.vec_id, pl.p,
+         CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.arr) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM embeddings e CROSS JOIN planes pl
+),
+bands AS (
+  SELECT vec_id, p // {rpb} AS band_id,
+         sum(bit * (1 << (p % {rpb})))::BIGINT AS band_key
+  FROM bits GROUP BY vec_id, p // {rpb}
+),
+cand AS (
+  SELECT lag(vec_id) OVER (PARTITION BY band_id, band_key
+                           ORDER BY vec_id) AS a,
+         vec_id AS b
+  FROM bands
+),
+pairs AS (SELECT DISTINCT a, b FROM cand WHERE a IS NOT NULL),
+v AS (
+  SELECT p.a, p.b,
+         list_cosine_similarity(ea.embedding::DOUBLE[],
+                                eb.embedding::DOUBLE[]) AS c
+  FROM pairs p
+  JOIN embeddings ea ON ea.vec_id = p.a
+  JOIN embeddings eb ON eb.vec_id = p.b
+)
+SELECT a::BIGINT AS a, b::BIGINT AS b, round(c, 6)::DOUBLE AS cos
+FROM v WHERE c >= {EMB_LSH_THRESHOLD}
+"""
+
+
+SQL_EMBEDDING_LSH_DUPS = _embedding_lsh_sql()
 
 
 def q_ann_ivf(sf_dir: str):
@@ -1124,6 +1304,59 @@ def q_media_pipeline(sf_dir: str):
     )
 
 
+def _media_expected_table() -> pa.Table:
+    """SEQUENTIAL (single-process, no Ray) application of the exact
+    kernels q_media_pipeline distributes, at the driver's correctness
+    scale (sf0.01)."""
+    from .htmlx import parse_document
+    from .pipelines.media import MediaDecoder, MediaFetcher, media_refs_from_docs
+    from .stages.parse import build_spans_column
+    from .synth import World
+
+    cfg = _crawl_cfg("/root/testdata/sf0.01")   # config shape only, no reads
+    world = World(cfg.world)
+    urls = [world.url(i % cfg.world.n_hosts, 0) for i in range(cfg.world.n_hosts)]
+    span_lists, ids = [], []
+    for u in urls:
+        res = parse_document(world.gen_page(u), u)
+        span_lists.append(res.spans)
+        ids.append(u)
+    docs = pa.table({"doc_id": pa.array(ids), "spans": build_spans_column(span_lists)})
+    return MediaDecoder()(MediaFetcher()(media_refs_from_docs(docs)))
+
+
+@functools.lru_cache(maxsize=1)
+def _media_sql() -> str:
+    """The media pipeline's expected output restated as a SQL VALUES
+    literal. The pipeline is fully deterministic (blake2b-derived
+    synthetic bytes and metadata) but blake2b is not SQL-computable, so
+    the oracle is the sequential restatement of the same kernels — the
+    driver check then verifies the DISTRIBUTED plumbing (worklist
+    explode, actor-pool fetch, decode stage, schema) reproduces the
+    sequential result row-for-row. Valid at sf0.01, the driver's
+    correctness scale."""
+    t = _media_expected_table()
+
+    def esc(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = ",\n".join(
+        "(%s, %s, %s, %s, %d, %s, %d, %d, %s)" % (
+            esc(r["doc_id"]), esc(r["media_ref"]), esc(r["alt"]),
+            esc(r["media_status"]), r["n_bytes"], esc(r["ext"]),
+            r["width"], r["height"], esc(r["feature"]),
+        )
+        for r in t.to_pylist()
+    )
+    return f"""
+SELECT doc_id, media_ref, alt, media_status, n_bytes::BIGINT AS n_bytes,
+       ext, width::INTEGER AS width, height::INTEGER AS height, feature
+FROM (VALUES {rows})
+  AS t(doc_id, media_ref, alt, media_status, n_bytes, ext, width, height,
+       feature)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 def catalog():
@@ -1156,14 +1389,16 @@ def catalog():
         "lang_id": (q_lang_id, SQL_LANG_ID),
         "bpe_tokens": (q_bpe_tokens, SQL_BPE_TOKENS),
         "ann_ivf_exhaustive": (q_ann_ivf_exhaustive, SQL_ANN_COSINE),
-        # rows-only (non-SQL-expressible)
+        "minhash_dedup": (q_minhash_dedup, SQL_MINHASH_DEDUP),
+        "minhash_clusters": (q_minhash_clusters, SQL_MINHASH_CLUSTERS),
+        "embedding_lsh_dups": (q_embedding_lsh_dups, SQL_EMBEDDING_LSH_DUPS),
+        "media_pipeline": (q_media_pipeline, _media_sql()),
+        # rows-only (non-SQL-expressible: full crawl determinism is
+        # checked e2e against crawlray.oracle; ann_ivf's pruned path is
+        # oracle-gated via ann_ivf_exhaustive)
         "crawl": (q_crawl, None),
         "crawl_outlinks": (q_crawl_outlinks, None),
         "bulk_crawl": (q_bulk_crawl, None),
-        "minhash_dedup": (q_minhash_dedup, None),
-        "minhash_clusters": (q_minhash_clusters, None),
-        "embedding_lsh_dups": (q_embedding_lsh_dups, None),
         "ann_ivf": (q_ann_ivf, None),
-        "media_pipeline": (q_media_pipeline, None),
         "span_histogram": (q_span_histogram, None),
     }
