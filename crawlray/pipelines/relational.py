@@ -102,6 +102,120 @@ def bucketed_hash_join(
     return rd.from_arrow_refs(joined)
 
 
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """Backward as-of LEFT join: for every left row, attach the right row
+    with the same ``key`` and the greatest ``right_ts`` <= ``left_ts``
+    (``ASOF LEFT JOIN`` in DuckDB; an operator Ray Data has no native
+    call for). Unmatched left rows keep nulls in the right columns.
+
+    Plan (SURVEY.md §2.4 custom-operator case (a)): the same B-wide
+    explicit hash exchange as ``bucketed_hash_join`` — key-hash bucket
+    both sides, then ONE vectorized merge task per bucket: tag rows
+    (right before left at equal ts, so "<=" matches), lexsort the union
+    by (key, ts, tag), ``np.maximum.accumulate`` over right-row merged
+    positions = "latest right row at or before me", validated against a
+    forward-filled key. O(n log n) per bucket, no per-row Python.
+    Partitioning assumption: a key's rows co-locate in one bucket (hash
+    on ``key``); skewed hot keys bound per-task memory via ``n_buckets``.
+
+    Ties on (key, ts) between right rows resolve to the right row latest
+    in its bucket-sort order — timestamps at microsecond grain make ties
+    measure-zero; callers needing total determinism under ties should
+    pass a tie-broken ts column. Column names of the two sides must be
+    disjoint apart from ``key``. Executes its inputs (an exchange, not a
+    lazy stage).
+    """
+    import ray
+
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_cols = list(l_schema.names)
+    r_cols = [c for c in r_schema.names if c != key]
+    types = {
+        **dict(zip(l_schema.names, l_schema.types)),
+        **dict(zip(r_schema.names, r_schema.types)),
+    }
+    all_cols = l_cols + r_cols
+    empty = pa.table({c: pa.nulls(0, types[c]) for c in all_cols})
+    b = n_buckets
+
+    @ray.remote(num_returns=b)
+    def split(t: pa.Table, side_empty: pa.Table):
+        if t.num_rows == 0:
+            out = [side_empty] * b
+        else:
+            buckets = _bucket_of(t[key], b)
+            out = [t.filter(pa.array(buckets == i)) for i in range(b)]
+        return out if b > 1 else out[0]
+
+    @ray.remote
+    def merge_bucket(n_l: int, *shards) -> pa.Table:
+        l = pa.concat_tables(shards[:n_l])
+        if l.num_rows == 0:
+            return empty
+        r = pa.concat_tables(shards[n_l:])
+        lk = l[key].to_numpy(zero_copy_only=False)
+        lt = l[left_ts].to_numpy(zero_copy_only=False).view(np.int64)
+        if r.num_rows == 0:
+            match = np.full(l.num_rows, -1, np.int64)
+        else:
+            rk = r[key].to_numpy(zero_copy_only=False)
+            rt = r[right_ts].to_numpy(zero_copy_only=False).view(np.int64)
+            nl, nr = len(lk), len(rk)
+            k = np.concatenate([lk, rk])
+            t = np.concatenate([lt, rt])
+            tag = np.concatenate([np.ones(nl, np.int8), np.zeros(nr, np.int8)])
+            order = np.lexsort((tag, t, k))
+            k_s, tag_s = k[order], tag[order]
+            # merged position of the latest right row at or before each row
+            ridx = np.where(tag_s == 0, np.arange(nl + nr), -1)
+            last_r = np.maximum.accumulate(ridx)
+            valid = (last_r >= 0)
+            valid &= k_s[np.maximum(last_r, 0)] == k_s
+            # original right-row index for each left row, -1 = no match
+            match = np.full(l.num_rows, -1, np.int64)
+            is_left = tag_s == 1
+            l_orig = order[is_left]                       # left original idx
+            lr = last_r[is_left]
+            lv = valid[is_left]
+            match[l_orig] = np.where(lv, order[np.maximum(lr, 0)] - nl, -1)
+        cols = {c: l[c] for c in l_cols}
+        hit = match >= 0
+        take = pa.array(np.where(hit, match, 0), pa.int64())
+        mask = pa.array(~hit)
+        for c in r_cols:
+            if r.num_rows == 0:
+                cols[c] = pa.nulls(l.num_rows, types[c])
+            else:
+                taken = r[c].take(take).combine_chunks()
+                cols[c] = pc.if_else(mask, pa.nulls(l.num_rows, types[c]), taken)
+        return pa.table({c: cols[c] for c in all_cols})
+
+    def _rows(refs):
+        return [[r] for r in refs] if b == 1 else refs
+
+    l_empty = pa.table({c: pa.nulls(0, types[c]) for c in l_cols})
+    r_empty = pa.table({c: pa.nulls(0, types[c]) for c in [key, *r_cols]})
+    lsplit = _rows([split.remote(t, l_empty) for t in left.to_arrow_refs()])
+    rsplit = _rows([split.remote(t, r_empty) for t in right.to_arrow_refs()])
+    merged = [
+        merge_bucket.remote(
+            len(lsplit),
+            *[ls[i] for ls in lsplit],
+            *[rs[i] for rs in rsplit],
+        )
+        for i in range(b)
+    ]
+    return rd.from_arrow_refs(merged)
+
+
 def grouped_argmax(
     ds: rd.Dataset, group_keys: list[str], value: str, tiebreak: str
 ) -> rd.Dataset:

@@ -149,6 +149,62 @@ def sessionize(
     return tagged.groupby("part").map_groups(sessions, batch_format="pyarrow")
 
 
+def sliding_window_agg(
+    events: rd.Dataset,
+    ts: str,
+    value: str,
+    width_hours: int = 3,
+    slide_hours: int = 1,
+) -> rd.Dataset:
+    """Sliding event-time windows (the hopping-window aggregate):
+    one row per window start with n_events / cents_sum, windows of
+    ``width_hours`` advancing every ``slide_hours`` (width % slide == 0).
+
+    Plan: an event at slide-index ``b`` belongs to exactly
+    ``width/slide`` windows — explode each batch into its (window,
+    cents) pairs and PARTIALLY aggregate inside the batch (np.unique +
+    bincount), so the shuffle carries one row per (batch, window), not
+    per (event, window); a final small groupby sums the partials. The
+    §2.5 pre-aggregation rule applied to overlapping windows.
+    """
+    if width_hours % slide_hours:
+        raise ValueError("width_hours must be a multiple of slide_hours")
+    k = width_hours // slide_hours
+    slide_us = np.int64(slide_hours * 3_600_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "window_start": pa.nulls(0, pa.timestamp("us")),
+            "n_events": pa.nulls(0, pa.int64()),
+            "cents_sum": pa.nulls(0, pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        tus = t[ts].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        cents = np.rint(t[value].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        base = tus // slide_us
+        ws = (base[:, None] - np.arange(k, dtype=np.int64)[None, :]).ravel()
+        vals = np.repeat(cents, k)
+        uws, inv = np.unique(ws, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uws)).astype(np.int64)
+        s = np.zeros(len(uws), np.int64)
+        np.add.at(s, inv, vals)
+        return pa.table({
+            "window_start": pa.array((uws * slide_us).view("datetime64[us]")),
+            "n_events": pa.array(n),
+            "cents_sum": pa.array(s),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("cents_sum", alias_name="cents_sum"))
+    )
+
+
 @ray.remote(num_cpus=0)
 class _RunningAggBucket:
     """Keyed incremental state: key -> running sum. Batches MUST arrive in

@@ -117,6 +117,54 @@ class BpeTokenCounter:
         )
 
 
+def repetition_stats(batch: pd.DataFrame) -> pd.DataFrame:
+    """Gopher-style repetition signals per doc (Rae et al. 2021 §A1.1):
+    the filters a training-data pipeline cuts boilerplate/spam with.
+    Emitted as EXACT integer counts (numerator/denominator pairs) so the
+    DuckDB oracle reproduces them bit-for-bit; callers derive the ratio
+    thresholds (e.g. drop if top_word_n/n_words > 0.2).
+
+    - ``top_word_n``   occurrences of the doc's most frequent word
+      (ties irrelevant: count of the max)
+    - ``dup_word_n``   words occurring more than once (sum of their counts)
+    - ``top_bigram_n`` occurrences of the most frequent adjacent word pair
+    - ``n_words`` / ``n_bigrams`` denominators
+
+    Vectorized: one explode per batch, C-level pandas groupbys — no
+    per-row Python loop.
+    """
+    ids = batch["doc_id"].to_numpy()
+    words = batch["text"].str.split()
+    n_words = words.str.len().fillna(0).astype("int64").to_numpy()
+    ex = pd.DataFrame({"row": np.repeat(np.arange(len(ids)), n_words),
+                       "word": np.concatenate([w for w in words if w] or [[]])})
+    out = pd.DataFrame({
+        "doc_id": ids,
+        "n_words": n_words,
+        "top_word_n": np.zeros(len(ids), np.int64),
+        "dup_word_n": np.zeros(len(ids), np.int64),
+        "n_bigrams": np.maximum(n_words - 1, 0),
+        "top_bigram_n": np.zeros(len(ids), np.int64),
+    })
+    if len(ex):
+        wc = ex.groupby(["row", "word"], sort=False).size()
+        per_row = wc.groupby(level=0)
+        top = per_row.max()
+        dup = wc[wc > 1].groupby(level=0).sum()
+        out.loc[top.index, "top_word_n"] = top.to_numpy()
+        out.loc[dup.index, "dup_word_n"] = dup.to_numpy()
+        # adjacent bigrams: shift the exploded words within each row
+        nxt = ex["word"].shift(-1)
+        same_row = ex["row"].shift(-1) == ex["row"]
+        bg = pd.DataFrame({"row": ex["row"][same_row],
+                           "bigram": ex["word"][same_row] + " " + nxt[same_row]})
+        if len(bg):
+            bc = bg.groupby(["row", "bigram"], sort=False).size()
+            topb = bc.groupby(level=0).max()
+            out.loc[topb.index, "top_bigram_n"] = topb.to_numpy()
+    return out
+
+
 class LangId:
     """Stopword-hit language heuristic: argmax over per-language function
     word hits (occurrences, not distinct words); ties break to the
@@ -149,6 +197,38 @@ class LangId:
         return pd.DataFrame(
             {"doc_id": ids, "lang_pred": [pred.get(i, "und") for i in ids]}
         )
+
+
+SPLIT_FRACTIONS = (("train", 0.90), ("val", 0.05), ("test", 0.05))
+
+
+def stratified_split(batch: pa.Table, salt: str = "split-v1",
+                     fractions=SPLIT_FRACTIONS) -> pa.Table:
+    """Deterministic train/val/test assignment — the reproducible-split
+    primitive a training-data pipeline needs: membership is a pure
+    function of (salt, doc_id), so re-runs, resumes and incremental
+    corpus additions never migrate a document across splits. Hash is
+    md5-upper-8 (== DuckDB ``md5_number_upper``, the SimHash/MinHash
+    oracle idiom) mod 1e6 against cumulative fraction thresholds.
+    Per-row md5 is inherent to the md5 contract (cf. ``fingerprint``)."""
+    ids = batch["doc_id"].to_pylist()
+    buckets = np.array(
+        [int.from_bytes(hashlib.md5(f"{salt}:{i}".encode()).digest()[:8],
+                        "little") % 1_000_000 for i in ids],
+        dtype=np.int64,
+    )
+    labels = np.empty(len(ids), dtype=object)
+    lo = 0
+    for name, frac in fractions:
+        hi = lo + int(round(frac * 1_000_000))
+        labels[(buckets >= lo) & (buckets < hi)] = name
+        lo = hi
+    labels[buckets >= lo] = fractions[-1][0]
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "bucket": pa.array(buckets),
+        "split": pa.array(labels.tolist(), pa.string()),
+    })
 
 
 def rolling_hashes(text: str, window: int = 16, base: int = 257,

@@ -785,6 +785,153 @@ WHERE len(list_intersect(x.sh, y.sh)) > 0
 """
 
 
+def q_asof_last_view(sf_dir: str):
+    """As-of join (backward): every purchase event joined to the same
+    user's most recent view event at or before it (nulls when none).
+    The custom-operator case the brief names: Ray Data has no asof
+    call; ``relational.asof_join`` is the bucketed merge implementation,
+    DuckDB ``ASOF LEFT JOIN`` is the oracle."""
+    from .pipelines.relational import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def side(t: pa.Table, kind: str, rename: bool) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], kind))
+        if rename:
+            return pa.table({"user_id": t["user_id"],
+                             "view_event_id": t["event_id"],
+                             "view_ts": t["ts"]})
+        return t.select(["event_id", "user_id", "ts"])
+
+    left = ev.map_batches(
+        functools.partial(side, kind="purchase", rename=False),
+        batch_format="pyarrow")
+    right = ev.map_batches(
+        functools.partial(side, kind="view", rename=True),
+        batch_format="pyarrow")
+    joined = asof_join(left, right, key="user_id",
+                       left_ts="ts", right_ts="view_ts")
+
+    def sentinels(t: pa.Table) -> pa.Table:
+        # unmatched-row nulls -> fixed sentinels so the driver's value
+        # hash sees identical bytes from Ray and DuckDB
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts": t["ts"],
+            "view_event_id": pc.fill_null(t["view_event_id"], -1),
+            "view_ts": pc.fill_null(
+                t["view_ts"], pa.scalar(0, pa.timestamp("us"))),
+        })
+
+    return joined.map_batches(sentinels, batch_format="pyarrow")
+
+
+SQL_ASOF_LAST_VIEW = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, event_id AS view_event_id, ts AS view_ts
+      FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id, p.ts,
+       coalesce(v.view_event_id, -1) AS view_event_id,
+       coalesce(v.view_ts, TIMESTAMP '1970-01-01') AS view_ts
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND p.ts >= v.view_ts
+"""
+
+
+def q_sliding_windows(sf_dir: str):
+    """Hopping-window aggregate: 3-hour windows advancing hourly over
+    events — count + cents sum per window (streaming §2.9 family;
+    partial-aggregated explode, see ``streaming.sliding_window_agg``)."""
+    from .pipelines.streaming import sliding_window_agg
+
+    ev = _read(sf_dir, "events", ["ts", "value"])
+    return sliding_window_agg(ev, ts="ts", value="value",
+                              width_hours=3, slide_hours=1)
+
+
+SQL_SLIDING_WINDOWS = """
+WITH e AS (
+  SELECT epoch_us(ts) // 3600000000 AS base,
+         round(value * 100)::BIGINT AS cents
+  FROM events
+),
+w AS (SELECT unnest([base - 2, base - 1, base]) AS ws, cents FROM e)
+SELECT make_timestamp(ws * 3600000000) AS window_start,
+       count(*)::BIGINT AS n_events,
+       sum(cents)::BIGINT AS cents_sum
+FROM w GROUP BY 1
+"""
+
+
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition filters over documents: exact integer
+    numerator/denominator pairs for top-word, duplicate-word and
+    top-bigram fractions (``textops.repetition_stats``)."""
+    from .pipelines.textops import repetition_stats
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        repetition_stats, batch_format="pandas"
+    )
+
+
+SQL_REPETITION = """
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents WHERE trim(text) <> ''
+),
+w AS (SELECT doc_id, unnest(ws) AS word FROM d),
+wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+wagg AS (
+  SELECT doc_id, max(c) AS top_word_n,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_word_n,
+         sum(c) AS n_words
+  FROM wc GROUP BY 1
+),
+bg AS (
+  SELECT doc_id,
+         unnest([ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))]) AS bigram
+  FROM d
+),
+bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+bagg AS (SELECT doc_id, max(c) AS top_bigram_n FROM bc GROUP BY 1)
+SELECT docs.doc_id,
+       coalesce(wagg.n_words, 0)::BIGINT AS n_words,
+       coalesce(wagg.top_word_n, 0)::BIGINT AS top_word_n,
+       coalesce(wagg.dup_word_n, 0)::BIGINT AS dup_word_n,
+       greatest(coalesce(wagg.n_words, 0) - 1, 0)::BIGINT AS n_bigrams,
+       coalesce(bagg.top_bigram_n, 0)::BIGINT AS top_bigram_n
+FROM documents docs
+LEFT JOIN wagg ON docs.doc_id = wagg.doc_id
+LEFT JOIN bagg ON docs.doc_id = bagg.doc_id
+"""
+
+
+def q_split(sf_dir: str):
+    """Deterministic stratified train/val/test split over documents
+    (``textops.stratified_split``; md5-mod membership -> SQL-restatable)."""
+    from .pipelines.textops import stratified_split
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        stratified_split, batch_format="pyarrow"
+    )
+
+
+SQL_SPLIT = """
+WITH b AS (
+  SELECT doc_id,
+         (md5_number_upper('split-v1:' || doc_id::VARCHAR)::HUGEINT
+          % 1000000)::BIGINT AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 900000 THEN 'train'
+            WHEN bucket < 950000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
 ANN_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
 ANN_K = 5
 
@@ -896,6 +1043,175 @@ def q_crawl_outlinks(sf_dir: str):
         )
 
     return seeds.map_batches(fetch_parse, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Sequential VALUES-literal oracles for the crawl family.
+#
+# The crawl queries are deterministic functions of the synthetic world but
+# not SQL-computable (span parser, round-based frontier). Following the
+# ``_media_sql`` precedent the oracle is a SEQUENTIAL single-process
+# (no-Ray) restatement of the same kernels — ``crawlray.oracle`` for the
+# frontier semantics, ``parse_document`` for the page kernels — rendered as
+# a SQL VALUES literal at the driver's correctness scale (sf0.01). The
+# driver check then proves the DISTRIBUTED engine reproduces the sequential
+# oracle row-for-row (the north rule's crawl-determinism contract, made a
+# hash-checked oracle instead of a pytest-only assertion).
+# ---------------------------------------------------------------------------
+
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"   # config shape only, no reads
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _values_sql(t: pa.Table, casts: dict[str, str]) -> str:
+    """Render an Arrow table as ``SELECT ... FROM (VALUES ...)`` with
+    explicit casts so DuckDB's inferred types match the Ray schema."""
+    cols = t.column_names
+    parts = []
+    for r in t.to_pylist():
+        vals = []
+        for c in cols:
+            v = r[c]
+            if isinstance(v, str):
+                vals.append(_sql_str(v))
+            elif isinstance(v, bool):
+                vals.append("true" if v else "false")
+            else:
+                vals.append(str(v))
+        parts.append("(" + ", ".join(vals) + ")")
+    sel = ", ".join(
+        f"{c}::{casts[c]} AS {c}" if c in casts else c for c in cols
+    )
+    return (
+        f"SELECT {sel} FROM (VALUES\n"
+        + ",\n".join(parts)
+        + f"\n) AS t({', '.join(cols)})"
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _crawl_expected_table() -> pa.Table:
+    """Sequential restatement of ``q_crawl`` at sf0.01: the pure-Python
+    crawl simulator (``crawlray/oracle.py``) supplies the fetch log
+    (round/priority/seq/url/status); per-page counts re-run the same
+    ``parse_document`` kernel the engine's fused fetch+parse stage uses."""
+    from .canon import host_of
+    from .htmlx import KIND_IMAGE, parse_document
+    from .oracle import simulate_crawl
+    from .synth import World
+
+    cfg = _crawl_cfg(_ORACLE_SF_DIR)
+    world = World(cfg.world)
+    res = simulate_crawl(world, cfg.n_seeds, cfg.max_rounds)
+    rows = sorted(res.fetch_log, key=lambda r: r[2])   # by seq
+    out = {k: [] for k in ("doc_id", "url", "host", "round", "priority",
+                           "seq", "status", "n_spans", "n_links", "n_images")}
+    for rnd, pri, seq, url, status in rows:
+        if status == "ok":
+            p = parse_document(world.gen_page(url), url)
+            ns, nl = len(p.spans), len(p.links)
+            ni = sum(1 for k, _, _ in p.spans if k == KIND_IMAGE)
+        else:
+            ns = nl = ni = 0
+        out["doc_id"].append(f"d{seq:012d}")
+        out["url"].append(url)
+        out["host"].append(host_of(url))
+        out["round"].append(rnd)
+        out["priority"].append(pri)
+        out["seq"].append(seq)
+        out["status"].append(status)
+        out["n_spans"].append(ns)
+        out["n_links"].append(nl)
+        out["n_images"].append(ni)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.string()),
+            "url": pa.array(out["url"], pa.string()),
+            "host": pa.array(out["host"], pa.string()),
+            "round": pa.array(out["round"], pa.int32()),
+            "priority": pa.array(out["priority"], pa.int32()),
+            "seq": pa.array(out["seq"], pa.int64()),
+            "status": pa.array(out["status"], pa.string()),
+            "n_spans": pa.array(out["n_spans"], pa.int32()),
+            "n_links": pa.array(out["n_links"], pa.int32()),
+            "n_images": pa.array(out["n_images"], pa.int32()),
+        }
+    )
+
+
+def _crawl_sql() -> str:
+    return _values_sql(
+        _crawl_expected_table(),
+        casts={"round": "INTEGER", "priority": "INTEGER", "seq": "BIGINT",
+               "n_spans": "INTEGER", "n_links": "INTEGER",
+               "n_images": "INTEGER"},
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _outlinks_expected_table() -> pa.Table:
+    """Sequential restatement of ``q_crawl_outlinks`` at sf0.01 — the same
+    urls, the same ``parse_document`` kernel, one process, no Ray."""
+    from .htmlx import parse_document
+    from .synth import World
+
+    cfg = _crawl_cfg(_ORACLE_SF_DIR)
+    world = World(cfg.world)
+    urls = [world.url(i % cfg.world.n_hosts, i // cfg.world.n_hosts)
+            for i in range(min(200, cfg.world.n_urls))]
+    src, url, isint, rank, anchor = [], [], [], [], []
+    for u in urls:
+        for link in parse_document(world.gen_page(u), u).links:
+            src.append(u)
+            url.append(link.url)
+            isint.append(link.is_internal)
+            rank.append(link.rank)
+            anchor.append(link.text)
+    return pa.table(
+        {
+            "src": pa.array(src, pa.string()),
+            "url": pa.array(url, pa.string()),
+            "is_internal": pa.array(isint, pa.bool_()),
+            "discovery_rank": pa.array(rank, pa.int32()),
+            "anchor_text": pa.array(anchor, pa.string()),
+        }
+    )
+
+
+def _outlinks_sql() -> str:
+    return _values_sql(
+        _outlinks_expected_table(),
+        casts={"is_internal": "BOOLEAN", "discovery_rank": "INTEGER"},
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _span_hist_expected_table() -> pa.Table:
+    """Sequential restatement of ``q_span_histogram`` at sf0.01."""
+    from collections import Counter
+
+    from .htmlx import parse_document
+    from .synth import World
+
+    cfg = _crawl_cfg(_ORACLE_SF_DIR)
+    world = World(cfg.world)
+    urls = [world.url(i % cfg.world.n_hosts, i // cfg.world.n_hosts)
+            for i in range(min(300, cfg.world.n_urls))]
+    c: Counter = Counter()
+    for u in urls:
+        for k, _t, _m in parse_document(world.gen_page(u), u).spans:
+            c[k] += 1
+    kinds = sorted(c)
+    return pa.table(
+        {"kind": pa.array(kinds), "n": pa.array([c[k] for k in kinds], pa.int64())}
+    )
+
+
+def _span_hist_sql() -> str:
+    return _values_sql(_span_hist_expected_table(), casts={"n": "BIGINT"})
 
 
 MINHASH_JACCARD_THRESHOLD = 0.4
@@ -1393,12 +1709,18 @@ def catalog():
         "minhash_clusters": (q_minhash_clusters, SQL_MINHASH_CLUSTERS),
         "embedding_lsh_dups": (q_embedding_lsh_dups, SQL_EMBEDDING_LSH_DUPS),
         "media_pipeline": (q_media_pipeline, _media_sql()),
-        # rows-only (non-SQL-expressible: full crawl determinism is
-        # checked e2e against crawlray.oracle; ann_ivf's pruned path is
-        # oracle-gated via ann_ivf_exhaustive)
-        "crawl": (q_crawl, None),
-        "crawl_outlinks": (q_crawl_outlinks, None),
+        "asof_last_view": (q_asof_last_view, SQL_ASOF_LAST_VIEW),
+        "sliding_windows": (q_sliding_windows, SQL_SLIDING_WINDOWS),
+        "repetition": (q_repetition, SQL_REPETITION),
+        "split": (q_split, SQL_SPLIT),
+        # sequential VALUES-literal oracles (the _media_sql precedent):
+        # the distributed engine must reproduce the single-process
+        # restatement of the same kernels row-for-row
+        "crawl": (q_crawl, _crawl_sql()),
+        "crawl_outlinks": (q_crawl_outlinks, _outlinks_sql()),
+        "span_histogram": (q_span_histogram, _span_hist_sql()),
+        # rows-only (bulk_crawl emits filesystem paths; ann_ivf's pruned
+        # path is oracle-gated via ann_ivf_exhaustive)
         "bulk_crawl": (q_bulk_crawl, None),
         "ann_ivf": (q_ann_ivf, None),
-        "span_histogram": (q_span_histogram, None),
     }
