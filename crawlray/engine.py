@@ -233,12 +233,13 @@ def _part_task(worker: "_PartWorker", group: pa.Table) -> pa.Table:
 
 
 @ray.remote
-def _write_frontier_part(t: pa.Table, fdir: str, round_idx: int,
-                         part: int, k: int) -> None:
-    """One frontier partition file (driver-path write fan-out); the part
-    mask is a trivial vector op over the already-present url_hash."""
-    fp = (_uhash(t) % np.uint64(k)).astype(np.int32)
-    sub = t.filter(pa.array(fp == part))
+def _write_frontier_part(sub: pa.Table, fdir: str, round_idx: int,
+                         part: int) -> None:
+    """One frontier partition file (driver-path write fan-out). Receives
+    the part's PRE-FILTERED rows: shipping the full table and filtering
+    in every task made all K tasks page-fault the whole multi-hundred-MB
+    plasma object concurrently (measured 4 s of mmap stampede per cold
+    wave vs 0.04 s for the driver-side filter)."""
     sub = sub.take(
         pc.sort_indices(sub, sort_keys=[("priority", "ascending"), ("seq", "ascending")])
     )
@@ -285,6 +286,12 @@ class CrawlEngine:
         self.seen = SeenClient.create(
             cfg.n_seen_shards, mode=cfg.seen_mode, capacity_per_shard=cfg.seen_capacity
         )
+        # (round_idx, table): the next round's frontier, kept in memory by
+        # the driver path so round r+1 skips re-reading the files round r
+        # just wrote. The FILES remain the durable checkpoint (resume
+        # reads them); downstream steps are row-order-insensitive (total
+        # sorts / hash routing), so cache vs read-back is byte-identical.
+        self._frontier_cache: tuple[int, pa.Table] | None = None
 
     def shutdown(self) -> None:
         """Kill the URL-seen shard actors (for ephemeral engines created
@@ -403,11 +410,10 @@ class CrawlEngine:
         if t.num_rows:
             t = t.select(FRONTIER_COLS)
             fp = (_uhash(t) % np.uint64(self.cfg.n_frontier_parts)).astype(np.int32)
-            tref = ray.put(t)
             ray.get([
                 _write_frontier_part.remote(
-                    tref, str(fdir), round_idx, int(part),
-                    self.cfg.n_frontier_parts,
+                    t.filter(pa.array(fp == part)), str(fdir), round_idx,
+                    int(part),
                 )
                 for part in np.unique(fp)
             ])
@@ -421,7 +427,13 @@ class CrawlEngine:
         next_seq = manifest["next_seq"]
         tm = _Timer(f"r{r}")
 
-        fr = pq.read_table(self._abs(manifest["frontier_files"]), columns=FRONTIER_COLS)
+        cache, self._frontier_cache = self._frontier_cache, None
+        if cache is not None and cache[0] == r:
+            fr = cache[1]
+        else:
+            fr = pq.read_table(
+                self._abs(manifest["frontier_files"]), columns=FRONTIER_COLS
+            )
         # exact per-host politeness budget in (priority, seq) order
         order = np.lexsort((fr["seq"].to_numpy(), fr["priority"].to_numpy()))
         hosts_sorted = pd.Series(fr["host"].to_pandas().to_numpy()[order])
@@ -465,7 +477,10 @@ class CrawlEngine:
             urls_list = (
                 cand["url"].to_pylist() if self.seen.mode == "exact" else None
             )
-            mask = self.seen.winners(urls_list, hashes, ck)
+            # insert=True: winners are marked seen inside the same shard
+            # RPC — the winner set is exactly what gets inserted, so the
+            # old separate seen.add() round re-shipped the same hashes
+            mask = self.seen.winners(urls_list, hashes, ck, insert=True)
             tm.lap("cand-winners")
             winners_idx = np.flatnonzero(mask)
             # crawl order: dense seq by ascending cand_key
@@ -486,11 +501,6 @@ class CrawlEngine:
                 }
             )
             tm.lap("dedup+seq")
-            self.seen.add(
-                new_tbl["url"].to_pylist() if self.seen.mode == "exact" else None,
-                hashes[winners_idx],
-            )
-            tm.lap("seen-add")
         else:
             n_new = 0
             new_tbl = deferred_tbl.select(FRONTIER_COLS).slice(0, 0)
@@ -499,6 +509,7 @@ class CrawlEngine:
             [deferred_tbl.select(FRONTIER_COLS), new_tbl]
         )
         frontier_files = self._write_frontier_driver(next_frontier, r + 1)
+        self._frontier_cache = (r + 1, next_frontier.select(FRONTIER_COLS))
         tm.lap("write-frontier")
         return self._commit_round(r, manifest, frontier_files, next_seq, n_new, tm)
 

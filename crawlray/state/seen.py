@@ -59,13 +59,19 @@ class UrlSeenShard:
         return self.filter.contains_many(hashes)
 
     def winners_batch(self, urls: list[str] | None, hashes: np.ndarray,
-                      cand_keys: np.ndarray) -> np.ndarray:
+                      cand_keys: np.ndarray, insert: bool = False) -> np.ndarray:
         """Fused anti-join + within-round dedup for this shard's hash
         partition: mask of rows that are (a) unseen in prior rounds and
         (b) the minimal-``cand_key`` occurrence of their url hash in this
         batch. Hash-partitioning guarantees shard-local min == global min,
         so the round's dedup runs inside K shards in parallel instead of
-        one driver-side lexsort."""
+        one driver-side lexsort.
+
+        ``insert=True`` additionally marks the winners seen before
+        returning (the one-RPC upsert: the winner set IS what the engine
+        inserts, so a separate ``add`` round-trip re-shipping the same
+        hashes is pure overhead; delta snapshots sort, so checkpoint
+        bytes are unchanged)."""
         if self.mode == "exact":
             seen = np.fromiter(
                 (u in self.exact for u in urls), dtype=bool, count=len(urls)
@@ -80,6 +86,12 @@ class UrlSeenShard:
             o = np.lexsort((ck, h))
             first = np.r_[True, h[o][1:] != h[o][:-1]]
             mask[np.flatnonzero(keep)[o[first]]] = True
+        if insert and mask.any():
+            widx = np.flatnonzero(mask)
+            self.add_batch(
+                [urls[i] for i in widx] if self.mode == "exact" else None,
+                hashes[widx],
+            )
         return mask
 
     def add_batch(self, urls: list[str] | None, hashes: np.ndarray) -> int:
@@ -160,15 +172,17 @@ class SeenClient:
         return out
 
     def winners(self, urls: list[str] | None, hashes: np.ndarray,
-                cand_keys: np.ndarray) -> np.ndarray:
+                cand_keys: np.ndarray, insert: bool = False) -> np.ndarray:
         """Fused contains + within-round min-cand_key dedup (see
         ``UrlSeenShard.winners_batch``); one RPC per touched shard, all
-        shards work in parallel."""
+        shards work in parallel. ``insert=True`` also marks the winners
+        seen in the same RPC (no separate ``add`` round)."""
         out = np.zeros(len(hashes), dtype=bool)
         futs, idxs = [], []
         for sid, idx, sub_urls, sub_h in self._route(urls, hashes):
             futs.append(
-                self.shards[sid].winners_batch.remote(sub_urls, sub_h, cand_keys[idx])
+                self.shards[sid].winners_batch.remote(
+                    sub_urls, sub_h, cand_keys[idx], insert)
             )
             idxs.append(idx)
         for idx, res in zip(idxs, ray.get(futs)):
