@@ -50,6 +50,16 @@ BENCH_QUERIES = [
     "sessions",
     "bpe_tokens",
     "embedding_lsh_dups",
+    "asof_last_view",
+    "sliding_windows",
+    "repetition",
+    "split",
+    "range_active_events",
+    "top_events_per_type",
+    "price_quantiles",
+    "tfidf_top_terms",
+    "rebalance",
+    "pagerank",
 ]
 
 

@@ -216,6 +216,179 @@ def asof_join(
     return rd.from_arrow_refs(merged)
 
 
+def range_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    left_ts: str,
+    right_lo: str,
+    right_hi: str,
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """Keyed interval (range) join: left rows matched to every right row
+    with the same ``key`` whose interval covers the left timestamp,
+    ``right_lo <= left_ts < right_hi`` (half-open, the event-time
+    convention). Inner join — unmatched left rows drop. Another operator
+    Ray Data has no native call for (SURVEY.md §2.4 custom-op case (a)).
+
+    Plan: the equi-key range join lowered to the explicit B-wide hash
+    exchange (``bucketed_hash_join``'s split machinery) + one Acero
+    equi-join task per bucket followed by a vectorized interval filter —
+    the standard lowering when intervals per key are FEW (dimension-style
+    interval tables: promo periods, maintenance windows, user sessions).
+    Candidate work per key is ``n_left_k * n_intervals_k``; a key with
+    many overlapping intervals inflates candidates, which is inherent to
+    the join's output complexity. Partitioning assumption: a key's rows
+    co-locate in one bucket (hash on ``key``); ``n_buckets`` bounds
+    per-task memory. Column names disjoint apart from ``key``. Executes
+    its inputs (an exchange, not a lazy stage).
+    """
+    import ray
+
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_cols = list(l_schema.names)
+    r_cols = [c for c in r_schema.names if c != key]
+    types = {
+        **dict(zip(l_schema.names, l_schema.types)),
+        **dict(zip(r_schema.names, r_schema.types)),
+    }
+    all_cols = l_cols + r_cols
+    empty = pa.table({c: pa.nulls(0, types[c]) for c in all_cols})
+    b = n_buckets
+
+    @ray.remote(num_returns=b)
+    def split(t: pa.Table, side_empty: pa.Table):
+        if t.num_rows == 0:
+            out = [side_empty] * b
+        else:
+            buckets = _bucket_of(t[key], b)
+            out = [t.filter(pa.array(buckets == i)) for i in range(b)]
+        return out if b > 1 else out[0]
+
+    @ray.remote
+    def join_bucket(n_l: int, *shards) -> pa.Table:
+        l = pa.concat_tables(shards[:n_l])
+        r = pa.concat_tables(shards[n_l:])
+        if l.num_rows == 0 or r.num_rows == 0:
+            return empty
+        cand = l.join(r.select([key, *r_cols]), keys=key, join_type="inner",
+                      use_threads=False)
+        ts = cand[left_ts].to_numpy(zero_copy_only=False).view(np.int64)
+        lo = cand[right_lo].to_numpy(zero_copy_only=False).view(np.int64)
+        hi = cand[right_hi].to_numpy(zero_copy_only=False).view(np.int64)
+        return cand.filter(pa.array((lo <= ts) & (ts < hi))).select(all_cols)
+
+    def _rows(refs):
+        return [[r] for r in refs] if b == 1 else refs
+
+    l_empty = pa.table({c: pa.nulls(0, types[c]) for c in l_cols})
+    r_empty = pa.table({c: pa.nulls(0, types[c]) for c in [key, *r_cols]})
+    lsplit = _rows([split.remote(t, l_empty) for t in left.to_arrow_refs()])
+    rsplit = _rows([split.remote(t, r_empty) for t in right.to_arrow_refs()])
+    joined = [
+        join_bucket.remote(
+            len(lsplit),
+            *[ls[i] for ls in lsplit],
+            *[rs[i] for rs in rsplit],
+        )
+        for i in range(b)
+    ]
+    return rd.from_arrow_refs(joined)
+
+
+def _rank_block_impl(t: pa.Table, keys: list[str], carry, k: int) -> pa.Table:
+    """Keep rows with within-group rank < k over an (already sorted)
+    block; ``carry`` = (key_tuple, rows_already_ranked) for the group
+    continuing from previous blocks."""
+    if t.num_rows == 0:
+        return t
+    arrs = [t[c].to_pandas().to_numpy() for c in keys]
+    n = t.num_rows
+    new = np.zeros(n, dtype=bool)
+    new[0] = True
+    for a in arrs:
+        new[1:] |= a[1:] != a[:-1]
+    seg_id = np.cumsum(new) - 1
+    seg_first = np.flatnonzero(new)
+    rank = np.arange(n) - seg_first[seg_id]
+    if carry is not None and tuple(a[0] for a in arrs) == tuple(carry[0]):
+        rank[seg_id == 0] += carry[1]
+    return t.filter(pa.array(rank < k))
+
+
+def keep_first_k_sorted(sorted_ds: rd.Dataset, keys: list[str], k: int) -> rd.Dataset:
+    """Per-group head(k) over an ALREADY-SORTED dataset (sorted by keys,
+    then by the desired within-group order): ``keep_first_sorted``
+    generalized from k=1. Driver work is O(blocks): each block reports
+    (first key, last key, trailing-run length, single-key?) and a running
+    (key, count) carry threads group runs across block boundaries —
+    no per-group ``map_groups`` call explosion."""
+    import ray
+
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return sorted_ds
+
+    @ray.remote
+    def edge_info(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        arrs = [t[c].to_pandas().to_numpy() for c in keys]
+        n = t.num_rows
+        same = np.ones(n, dtype=bool)
+        for a in arrs:
+            same[1:] &= a[1:] == a[:-1]
+        # trailing run length of the last key
+        flips = np.flatnonzero(~same)
+        trail = n if len(flips) == 0 else n - flips[-1]
+        first = tuple(a[0] for a in arrs)
+        last = tuple(a[-1] for a in arrs)
+        return first, last, int(trail), bool(same[1:].all() if n > 1 else True)
+
+    edges = ray.get([edge_info.remote(r) for r in refs])
+    carries: list[tuple | None] = []
+    run_key: tuple | None = None
+    run_cnt = 0
+    for e in edges:
+        carries.append((run_key, run_cnt) if run_key is not None else None)
+        if e is None:
+            continue
+        first, last, trail, one_key = e
+        if one_key and run_key is not None and first == run_key:
+            run_cnt += trail          # the single key continues the run
+        else:
+            run_key, run_cnt = last, trail
+    rank_block = ray.remote(_rank_block_impl)
+    return rd.from_arrow_refs(
+        [rank_block.remote(r, keys, c, k) for r, c in zip(refs, carries)]
+    )
+
+
+def grouped_topk(
+    ds: rd.Dataset, group_keys: list[str], value: str, tiebreak: str, k: int
+) -> rd.Dataset:
+    """Per-group top-k rows by ``value`` desc (ties -> smallest
+    ``tiebreak``) — the ``row_number() OVER (PARTITION BY ...) <= k``
+    window analog. Per-batch partial head(k) (at most k candidate rows
+    per (batch, group) enter the shuffle) + global sort + the
+    sort-based ranked filter (``keep_first_k_sorted``)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values([value, tiebreak], ascending=[False, True], kind="stable")
+            .groupby(group_keys, sort=False)
+            .head(k)
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    ordered = partials.sort(
+        [*group_keys, value, tiebreak],
+        descending=[False] * len(group_keys) + [True, False],
+    )
+    return keep_first_k_sorted(ordered, list(group_keys), k)
+
+
 def grouped_argmax(
     ds: rd.Dataset, group_keys: list[str], value: str, tiebreak: str
 ) -> rd.Dataset:

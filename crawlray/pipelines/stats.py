@@ -1,0 +1,158 @@
+"""Distributed order statistics.
+
+``grouped_quantiles`` computes EXACT per-group discrete quantiles of an
+integer-domain column (cents, counts, sizes — the engine's money/measure
+convention, cf. the integer-cents domains of the pricing queries) without
+ever sorting the input dataset:
+
+1. per-batch partial: ``np.unique`` over (group, value) -> counts — the
+   shuffle carries one row per distinct (batch, group, value), not per
+   input row (the §2.5 pre-aggregation rule);
+2. a small ``groupby(group, value).sum`` merges partials into the global
+   value histogram;
+3. per-group totals (one tiny aggregate) are broadcast, and the sorted
+   histogram is scanned with the block-boundary-carry idiom
+   (``util.keep_first_sorted`` family): a segmented cumulative sum picks
+   the value whose cumulative count first reaches each target rank.
+
+Quantiles are specified in PER-MILLE INTEGERS (``q_pm``: 500 = median)
+and the target rank is the integer ``ceil(q_pm * n / 1000)`` — no float
+``q * n`` boundary ambiguity, so a SQL oracle restates the rank exactly.
+Scale: the shuffle is bounded by distinct (group, value) pairs; the
+broadcast assumes group cardinality is small relative to the data
+(dimension-keyed stats) — for high-cardinality groups, route the totals
+through a join instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def grouped_quantiles(
+    ds: rd.Dataset,
+    group: str,
+    value: str,
+    q_pms: list[int] = (500, 900, 990),
+) -> rd.Dataset:
+    """Exact per-group discrete quantiles: for each group g and per-mille
+    q, the smallest ``value`` whose cumulative count >= ceil(q*n/1000).
+    ``value`` must be integer-typed. Returns (group, q_pm, value)."""
+    q_arr = np.asarray(sorted(q_pms), np.int64)
+
+    def _pa_type(t):
+        """Dataset.schema() yields Arrow types for Arrow-block datasets
+        but numpy dtypes / ``object`` for pandas-block ones."""
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
+    schema = ds.schema()
+    gt = _pa_type(schema.types[schema.names.index(group)])
+    vt = _pa_type(schema.types[schema.names.index(value)])
+    hist_empty = pa.table({
+        group: pa.nulls(0, gt), value: pa.nulls(0, vt),
+        "cnt": pa.nulls(0, pa.int64()),
+    })
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby([group, value], sort=False).size().rename("cnt").reset_index()
+        )
+        return out
+
+    def as_cnt(t: pa.Table) -> pa.Table:
+        # ray's groupby .sum names the column "sum(cnt)"; aggregates can
+        # also emit schema-LESS empty blocks — replace with typed empty
+        if t.num_columns != 3:
+            return hist_empty
+        return t.rename_columns([group, value, "cnt"])
+
+    hist = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby([group, value])
+        .sum("cnt", ignore_nulls=True)
+        .map_batches(as_cnt, batch_format="pyarrow")
+    )
+    totals = hist.groupby(group).sum("cnt")
+    tots = [t for t in ray.get(totals.to_arrow_refs()) if t.num_rows]
+    tot_map = {}
+    for t in tots:
+        tot_map.update(zip(t[group].to_pylist(), t[t.column_names[1]].to_pylist()))
+    tot_ref = ray.put(tot_map)
+
+    ordered = hist.sort([group, value])
+    refs = ordered.to_arrow_refs()
+    if not refs:
+        return ordered
+
+    @ray.remote
+    def edge(t: pa.Table):
+        """(last group, count-sum of the trailing run of that group)."""
+        if t.num_rows == 0:
+            return None
+        g = t[group].to_pandas().to_numpy()
+        c = t["cnt"].to_numpy(zero_copy_only=False)
+        trail = g == g[-1]
+        return g[-1], int(c[trail].sum())
+
+    edges = ray.get([edge.remote(r) for r in refs])
+    carries: list[tuple | None] = []
+    run_g, run_c = None, 0
+    for e in edges:
+        carries.append((run_g, run_c) if run_g is not None else None)
+        if e is None:
+            continue
+        last_g, trail_c = e
+        run_c = run_c + trail_c if last_g == run_g else trail_c
+        run_g = last_g
+
+    @ray.remote
+    def pick(t: pa.Table, carry, totals_map) -> pa.Table:
+        empty = pa.table({
+            group: pa.nulls(0, gt), "q_pm": pa.nulls(0, pa.int64()),
+            value: pa.nulls(0, vt),
+        })
+        if t.num_rows == 0:
+            return empty
+        g = t[group].to_pandas().to_numpy()
+        v = t[value].to_numpy(zero_copy_only=False)
+        c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.num_rows
+        # group segments within this (sorted) block; the segments per
+        # block are few (one per group), each handled with ONE vectorized
+        # searchsorted of the q targets into the segment's cumsum
+        starts = np.r_[0, np.flatnonzero(g[1:] != g[:-1]) + 1]
+        ends = np.r_[starts[1:], n]
+        out_g, out_q, out_v = [], [], []
+        for s, e2 in zip(starts, ends):
+            gg = g[s]
+            init = carry[1] if (s == 0 and carry is not None
+                                and gg == carry[0]) else 0
+            cums = np.cumsum(c[s:e2]) + init
+            # ceil(q_pm * n_g / 1000) as pure integers — no float boundary
+            tgt = -(-(q_arr * int(totals_map[gg])) // 1000)
+            pos = np.searchsorted(cums, tgt, side="left")
+            # rank reached in THIS block: not already covered by earlier
+            # blocks (tgt > init) and reached before the segment ends
+            sel = np.flatnonzero((tgt > init) & (pos < (e2 - s)))
+            for qi in sel:
+                out_g.append(gg)
+                out_q.append(int(q_arr[qi]))
+                out_v.append(v[s + pos[qi]])
+        return pa.table({
+            group: pa.array(out_g, gt),
+            "q_pm": pa.array(out_q, pa.int64()),
+            value: pa.array(out_v, vt),
+        })
+
+    return rd.from_arrow_refs(
+        [pick.remote(r, cy, tot_ref) for r, cy in zip(refs, carries)]
+    )

@@ -231,6 +231,29 @@ def stratified_split(batch: pa.Table, salt: str = "split-v1",
     })
 
 
+def rebalance_sample(batch: pa.Table, rates_pm: dict[str, int],
+                     key: str = "lang", id_col: str = "doc_id",
+                     salt: str = "rebalance-v1") -> pa.Table:
+    """Per-class deterministic downsampling — the class-rebalancing
+    primitive (cap an over-represented language/source at a per-mille
+    rate while keeping rare classes whole). Membership is a pure
+    function of (salt, id): a row survives iff
+    ``md5_bucket(salt:id) % 1000 < rates_pm[class]`` (classes absent
+    from the map keep everything), so re-runs and incremental corpus
+    additions never flip a kept row — the same md5-upper-8 contract as
+    :func:`stratified_split`, hence exactly SQL-restatable."""
+    ids = batch[id_col].to_pylist()
+    buckets = np.array(
+        [int.from_bytes(hashlib.md5(f"{salt}:{i}".encode()).digest()[:8],
+                        "little") % 1000 for i in ids],
+        dtype=np.int64,
+    )
+    classes = batch[key].to_pylist()
+    rates = np.array([rates_pm.get(c, 1000) for c in classes], np.int64)
+    out = batch.append_column("bucket", pa.array(buckets))
+    return out.filter(pa.array(buckets < rates))
+
+
 def rolling_hashes(text: str, window: int = 16, base: int = 257,
                    mod: int = (1 << 61) - 1) -> np.ndarray:
     """Rabin-Karp rolling hash over characters (document fingerprinting /

@@ -710,7 +710,10 @@ def q_span_histogram(sf_dir: str):
     world = World(cfg.world)
     urls = [world.url(i % cfg.world.n_hosts, i // cfg.world.n_hosts)
             for i in range(min(300, cfg.world.n_urls))]
-    ds = rd.from_items([{"url": u} for u in urls])
+    # 8 blocks, not one-row-per-block: from_items defaults to ~1 block per
+    # item here, turning 300 cheap parses into 300 tasks + a 300-block
+    # aggregate (measured 34.5 s; 8 blocks run the same work in ~3 s)
+    ds = rd.from_items([{"url": u} for u in urls], override_num_blocks=8)
 
     def count_kinds(t: pa.Table) -> pa.Table:
         from collections import Counter
@@ -932,6 +935,35 @@ FROM b
 """
 
 
+REBALANCE_RATES_PM = {"en": 400, "zh": 800}   # cap over-represented classes
+
+
+def q_rebalance(sf_dir: str):
+    """Class-rebalancing downsample over documents: English capped at
+    40%, Chinese at 80% survival, other languages kept whole — per-class
+    deterministic md5 membership (``textops.rebalance_sample``)."""
+    from .pipelines.textops import rebalance_sample
+
+    return _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        functools.partial(rebalance_sample, rates_pm=REBALANCE_RATES_PM),
+        batch_format="pyarrow",
+    )
+
+
+SQL_REBALANCE = """
+WITH b AS (
+  SELECT doc_id, lang,
+         (md5_number_upper('rebalance-v1:' || doc_id::VARCHAR)::HUGEINT
+          % 1000)::BIGINT AS bucket
+  FROM documents
+),
+r(lang, rate) AS (VALUES ('en', 400), ('zh', 800))
+SELECT b.doc_id, b.lang, b.bucket
+FROM b LEFT JOIN r ON b.lang = r.lang
+WHERE b.bucket < coalesce(r.rate, 1000)
+"""
+
+
 ANN_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
 ANN_K = 5
 
@@ -1020,7 +1052,7 @@ def q_crawl_outlinks(sf_dir: str):
     world = World(cfg.world)
     urls = [world.url(i % cfg.world.n_hosts, i // cfg.world.n_hosts)
             for i in range(min(200, cfg.world.n_urls))]
-    seeds = rd.from_items([{"url": u} for u in urls])
+    seeds = rd.from_items([{"url": u} for u in urls], override_num_blocks=8)
 
     def fetch_parse(t: pa.Table) -> pa.Table:
         rows_src, rows_url, rows_int, rows_rank, rows_anchor = [], [], [], [], []
@@ -1675,6 +1707,322 @@ FROM (VALUES {rows})
 
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Round-3 wave 2: interval join, windowed top-k, exact quantiles, link-graph
+# PageRank, TF-IDF — the remaining operator families a training-data /
+# crawl-analytics pipeline needs (SURVEY.md §2.4 custom operators; §2.5
+# aggregates; graph analytics over the crawl's own outlink edges).
+# ---------------------------------------------------------------------------
+
+
+def q_range_active_events(sf_dir: str):
+    """Keyed interval (range) join: every event matched to the 3-day
+    opening window of its user's active ISO weeks — both sides derived
+    from ``events``, so DuckDB restates the join with a plain
+    ``BETWEEN``-style predicate. Exercises ``relational.range_join``
+    (the bucketed equi-key + vectorized interval filter lowering)."""
+    from .pipelines.relational import range_join
+    from .util import keep_first_sorted
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    DAY = np.int64(86_400_000_000)
+
+    def weeks(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        days = ts // DAY
+        monday = (days - (days + np.int64(3)) % 7) * DAY   # epoch was a Thursday
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(np.stack([u, monday], axis=1), axis=0)
+        return pa.table({
+            "user_id": pa.array(uniq[:, 0], pa.int64()),
+            "lo": pa.array(uniq[:, 1].view("datetime64[us]")),
+        })
+
+    # per-batch unique -> global dedup via the sort-based idiom, then
+    # attach the window end
+    w = keep_first_sorted(
+        ev.map_batches(weeks, batch_format="pyarrow").sort(["user_id", "lo"]),
+        ["user_id", "lo"],
+    )
+
+    def with_hi(t: pa.Table) -> pa.Table:
+        lo = t["lo"].to_numpy(zero_copy_only=False).view(np.int64)
+        return t.append_column(
+            "hi", pa.array((lo + 3 * DAY).view("datetime64[us]"))
+        )
+
+    right = w.map_batches(with_hi, batch_format="pyarrow")
+    return range_join(ev, right, key="user_id", left_ts="ts",
+                      right_lo="lo", right_hi="hi", n_buckets=16)
+
+
+SQL_RANGE_ACTIVE_EVENTS = """
+WITH w AS (SELECT DISTINCT user_id, date_trunc('week', ts)::TIMESTAMP AS lo
+           FROM events),
+r AS (SELECT user_id, lo, lo + INTERVAL 3 DAY AS hi FROM w)
+SELECT e.event_id, e.ts, e.user_id, r.lo, r.hi
+FROM events e JOIN r ON e.user_id = r.user_id
+WHERE e.ts >= r.lo AND e.ts < r.hi
+"""
+
+
+def q_top_events_per_type(sf_dir: str):
+    """Windowed top-k: the 5 highest-value events per event_type (ties ->
+    smallest event_id) — ``row_number() OVER (PARTITION BY ...) <= k``
+    via ``relational.grouped_topk`` (per-batch partial head(k), sort,
+    block-carry ranked filter)."""
+    from .pipelines.relational import grouped_topk
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+    return grouped_topk(ev, ["event_type"], "value", "event_id", k=5)
+
+
+SQL_TOP_EVENTS_PER_TYPE = """
+SELECT event_id, ts, user_id, event_type, value FROM events
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY value DESC, event_id ASC) <= 5
+"""
+
+
+def q_price_quantiles(sf_dir: str):
+    """Exact per-group discrete quantiles (p50/p90/p99 in per-mille
+    integers) of lineitem extended price in integer cents, grouped by
+    return flag — ``stats.grouped_quantiles`` (value-histogram partials,
+    never a full sort of the input)."""
+    from .pipelines.stats import grouped_quantiles
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "flag": t["l_returnflag"],
+            "cents": pa.array(
+                np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100)
+                .astype(np.int64)
+            ),
+        })
+
+    return grouped_quantiles(
+        li.map_batches(cents, batch_format="pyarrow"), "flag", "cents",
+        [500, 900, 990],
+    )
+
+
+SQL_PRICE_QUANTILES = """
+WITH t AS (SELECT l_returnflag AS flag,
+                  round(l_extendedprice * 100)::BIGINT AS cents
+           FROM lineitem),
+c AS (SELECT flag, cents, count(*)::BIGINT AS n FROM t GROUP BY 1, 2),
+w AS (SELECT flag, cents,
+             sum(n) OVER (PARTITION BY flag ORDER BY cents) AS cum,
+             sum(n) OVER (PARTITION BY flag) AS tot
+      FROM c),
+q AS (SELECT unnest([500, 900, 990]) AS q_pm)
+SELECT w.flag, q.q_pm::BIGINT AS q_pm, min(w.cents) AS cents
+FROM w CROSS JOIN q
+WHERE w.cum >= (q.q_pm * w.tot + 999) // 1000
+GROUP BY 1, 2
+"""
+
+
+PAGERANK_N_URLS = 150
+PAGERANK_ITERS = 5
+PAGERANK_DAMPING = 0.85
+
+
+def _pagerank_edge_lists(sf_dir: str):
+    """(src, dst) outlink edges of the bounded synthetic mini-web — the
+    SAME page kernel both the Ray query and the sequential SQL
+    restatement parse."""
+    from .htmlx import parse_document
+    from .synth import World
+
+    cfg = _crawl_cfg(sf_dir)
+    world = World(cfg.world)
+    urls = [world.url(i % cfg.world.n_hosts, i // cfg.world.n_hosts)
+            for i in range(min(PAGERANK_N_URLS, cfg.world.n_urls))]
+    src, dst = [], []
+    for u in urls:
+        for link in parse_document(world.gen_page(u), u).links:
+            src.append(u)
+            dst.append(link.url)
+    return src, dst
+
+
+def q_pagerank(sf_dir: str):
+    """PageRank over the mini-web's outlink graph: 5 synchronous power
+    iterations, damping 0.85, dangling mass not redistributed
+    (``graph.pagerank`` — sharded raw-task state, the §2.4 case-(c)
+    iterative operator). Ranks rounded to 6dp (both engines sum float64
+    in different orders; last-ulp differences are below 6dp)."""
+    from .htmlx import parse_document
+    from .pipelines.graph import pagerank
+    from .synth import World
+
+    cfg = _crawl_cfg(sf_dir)
+    world = World(cfg.world)
+    urls = [world.url(i % cfg.world.n_hosts, i // cfg.world.n_hosts)
+            for i in range(min(PAGERANK_N_URLS, cfg.world.n_urls))]
+    seeds = rd.from_items([{"url": u} for u in urls], override_num_blocks=8)
+
+    def edges_of(t: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for u in t["url"].to_pylist():
+            for link in parse_document(world.gen_page(u), u).links:
+                src.append(u)
+                dst.append(link.url)
+        return pa.table({"src": pa.array(src, pa.string()),
+                         "dst": pa.array(dst, pa.string())})
+
+    edges = seeds.map_batches(edges_of, batch_format="pyarrow")
+    pr = pagerank(edges, n_shards=8, iters=PAGERANK_ITERS,
+                  damping=PAGERANK_DAMPING)
+
+    def round6(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t["url"],
+            "rank": pa.array(np.round(t["rank"].to_numpy(zero_copy_only=False), 6)),
+        })
+
+    return pr.map_batches(round6, batch_format="pyarrow")
+
+
+@functools.lru_cache(maxsize=1)
+def _pagerank_sql() -> str:
+    """The same 5 power iterations unrolled as CTEs over a VALUES edge
+    list. The per-edge term is written ``0.85 * p.r / dg.g`` — the exact
+    operation order of the engine's ``d * rank / outdeg`` — so only
+    float64 SUMMATION order differs between the engines (handled by the
+    6dp rounding both sides apply)."""
+    src, dst = _pagerank_edge_lists(_ORACLE_SF_DIR)
+    n_nodes = len(set(src) | set(dst))
+    init = repr(1.0 / n_nodes)
+    teleport = repr((1.0 - PAGERANK_DAMPING) / n_nodes)
+    rows = ",\n".join(
+        f"({_sql_str(s)}, {_sql_str(t)})" for s, t in zip(src, dst)
+    )
+    iter_ctes = []
+    prev = "r0"
+    for i in range(1, PAGERANK_ITERS + 1):
+        iter_ctes.append(f"""
+r{i} AS (
+  SELECT n.u AS u,
+         {teleport} + coalesce(sum({PAGERANK_DAMPING!r} * p.r / dg.g), 0) AS r
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.u
+  LEFT JOIN {prev} p ON p.u = e.src
+  LEFT JOIN deg dg ON dg.src = e.src
+  GROUP BY n.u
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH edges(src, dst) AS (VALUES
+{rows}
+),
+nodes AS (SELECT src AS u FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, count(*)::DOUBLE AS g FROM edges GROUP BY 1),
+r0 AS (SELECT u, {init} AS r FROM nodes),
+{','.join(iter_ctes)}
+SELECT u AS url, round(r, 6) AS rank FROM {prev}
+"""
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-document top term by tf/df score (the exactly-restatable
+    tf-idf variant: one IEEE division, bit-identical in both engines,
+    unlike ``ln(N/df)`` whose libm differs). Emits integer (tf, df)
+    evidence columns. df resolves through ``bucketed_hash_join`` (vocab
+    is NOT assumed broadcast-small), argmax through the sort-based
+    ``grouped_argmax``."""
+    from .pipelines.relational import bucketed_hash_join, grouped_argmax
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.split()
+        n = words.str.len().fillna(0).astype("int64").to_numpy()
+        ex = pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), n),
+            "term": np.concatenate([w for w in words if w] or [[]]),
+        })
+        if not len(ex):
+            return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                                 "term": pd.array([], dtype="string"),
+                                 "tf": pd.array([], dtype="int64")})
+        return (
+            ex.groupby(["doc_id", "term"], sort=False).size()
+            .rename("tf").reset_index()
+        )
+
+    tf = docs.map_batches(tf_rows, batch_format="pandas")
+    df_ = tf.groupby("term").count()
+    df_ = df_.map_batches(lambda t: t.rename_columns(["term", "df"]),
+                          batch_format="pyarrow")
+    joined = bucketed_hash_join(tf, df_, key="term", n_buckets=16)
+
+    def score(t: pa.Table) -> pa.Table:
+        tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("score", pa.array(tfv / dfv))
+
+    top = grouped_argmax(
+        joined.map_batches(score, batch_format="pyarrow"),
+        ["doc_id"], "score", "term",
+    )
+    return top.select_columns(["doc_id", "term", "tf", "df"])
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             tf.tf::DOUBLE / df.df AS score
+      FROM tf JOIN df USING (term))
+SELECT doc_id, term, tf, df FROM s
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, term ASC) = 1
+"""
+
+
+def q_embedding_clusters(sf_dir: str):
+    """Embedding near-dup CLUSTERS: SRP-LSH verified pairs -> the same
+    distributed connected-components as the MinHash cluster path
+    (min-reachable-id labels). Closes the symmetry: both text AND
+    embedding near-dup families now have a pairs view and a clusters
+    view, each oracled."""
+    from .pipelines.ann import embedding_lsh_pairs
+    from .pipelines.dedup import connected_components_ds
+
+    pairs = embedding_lsh_pairs(_read(sf_dir, "embeddings"),
+                                cos_threshold=EMB_LSH_THRESHOLD,
+                                n_planes=EMB_LSH_PLANES, bands=EMB_LSH_BANDS,
+                                seed=EMB_LSH_SEED)
+    cc = connected_components_ds(pairs)
+    return cc.map_batches(lambda t: t.rename_columns(["vec_id", "cluster"]),
+                          batch_format="pyarrow")
+
+
+def _embedding_clusters_sql() -> str:
+    """Transitive closure over the SRP-LSH pair SQL (the
+    SQL_MINHASH_CLUSTERS idiom: recursive reach + min-reachable-id)."""
+    return f"""
+WITH RECURSIVE vp AS ({SQL_EMBEDDING_LSH_DUPS}),
+nodes AS (SELECT a AS x FROM vp UNION SELECT b FROM vp),
+edges AS (SELECT a AS s, b AS d FROM vp UNION SELECT b, a FROM vp),
+reach(x, y) AS (
+  SELECT x, x FROM nodes
+  UNION
+  SELECT r.x, e.d FROM reach r JOIN edges e ON r.y = e.s
+)
+SELECT x::BIGINT AS vec_id, min(y)::BIGINT AS cluster FROM reach GROUP BY x
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -1719,6 +2067,13 @@ def catalog():
         "crawl": (q_crawl, _crawl_sql()),
         "crawl_outlinks": (q_crawl_outlinks, _outlinks_sql()),
         "span_histogram": (q_span_histogram, _span_hist_sql()),
+        "range_active_events": (q_range_active_events, SQL_RANGE_ACTIVE_EVENTS),
+        "top_events_per_type": (q_top_events_per_type, SQL_TOP_EVENTS_PER_TYPE),
+        "price_quantiles": (q_price_quantiles, SQL_PRICE_QUANTILES),
+        "pagerank": (q_pagerank, _pagerank_sql()),
+        "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+        "embedding_clusters": (q_embedding_clusters, _embedding_clusters_sql()),
+        "rebalance": (q_rebalance, SQL_REBALANCE),
         # rows-only (bulk_crawl emits filesystem paths; ann_ivf's pruned
         # path is oracle-gated via ann_ivf_exhaustive)
         "bulk_crawl": (q_bulk_crawl, None),
