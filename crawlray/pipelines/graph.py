@@ -56,6 +56,8 @@ def pagerank(
     def split(t: pa.Table):
         """Route edges by src-shard and (hash, url) node rows by
         node-shard (both endpoints — dst-only nodes must exist too)."""
+        if not isinstance(t, pa.Table):      # pandas block via to_arrow_refs
+            t = pa.Table.from_pandas(t, preserve_index=False)
         s = t[src].to_pandas().to_numpy()
         e = t[dst].to_pandas().to_numpy()
         sh, eh = hash64(pa.array(s)), hash64(pa.array(e))

@@ -34,6 +34,15 @@ import ray.data as rd
 from ..util import hash64, keep_first_sorted
 
 
+def _as_table(t) -> pa.Table:
+    """Block refs from ``to_arrow_refs`` are NOT converted when the
+    upstream stage produced pandas blocks (a pandas-format map_batches)
+    — coerce at the task boundary so the exchanges accept either."""
+    return t if isinstance(t, pa.Table) else pa.Table.from_pandas(
+        t, preserve_index=False
+    )
+
+
 def _bucket_of(col: pa.ChunkedArray | pa.Array, n_buckets: int) -> np.ndarray:
     if pa.types.is_integer(col.type):
         v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -67,6 +76,7 @@ def bucketed_hash_join(
     def split(t: pa.Table, side_empty: pa.Table):
         # lazy upstream stages can emit schema-LESS empty blocks; replace
         # them with the side's typed empty so concat/join keep the schema
+        t = _as_table(t)
         if t.num_rows == 0:
             out = [side_empty] * b
         else:
@@ -148,6 +158,7 @@ def asof_join(
 
     @ray.remote(num_returns=b)
     def split(t: pa.Table, side_empty: pa.Table):
+        t = _as_table(t)
         if t.num_rows == 0:
             out = [side_empty] * b
         else:
@@ -259,6 +270,7 @@ def range_join(
 
     @ray.remote(num_returns=b)
     def split(t: pa.Table, side_empty: pa.Table):
+        t = _as_table(t)
         if t.num_rows == 0:
             out = [side_empty] * b
         else:

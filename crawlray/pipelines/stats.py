@@ -2,24 +2,29 @@
 
 ``grouped_quantiles`` computes EXACT per-group discrete quantiles of an
 integer-domain column (cents, counts, sizes — the engine's money/measure
-convention, cf. the integer-cents domains of the pricing queries) without
-ever sorting the input dataset:
+convention, cf. the integer-cents domains of the pricing queries):
 
-1. per-batch partial: ``np.unique`` over (group, value) -> counts — the
-   shuffle carries one row per distinct (batch, group, value), not per
-   input row (the §2.5 pre-aggregation rule);
-2. a small ``groupby(group, value).sum`` merges partials into the global
-   value histogram;
-3. per-group totals (one tiny aggregate) are broadcast, and the sorted
-   histogram is scanned with the block-boundary-carry idiom
+1. per-batch partial: ``groupby(group, value).size`` — one row per
+   distinct (batch, group, value), the §2.5 pre-aggregation rule;
+2. ONE Ray range-partitioned ``sort([group, value])`` of the partial
+   rows. There is deliberately NO global histogram merge: a near-unique
+   value domain (prices in cents) makes ``groupby(group, value)`` a
+   shuffle with ~row-count groups — measured 437 s at sf0.1 vs ~7 s for
+   this design. Duplicate (group, value) rows from different batches
+   land adjacent after the sort and simply both count in the cumulative
+   scan — merging them is pointless work;
+3. per-group totals from the SAME materialized partials (per-block
+   vectorized counts, driver-merged dict — group cardinality is
+   dimension-small by contract, documented) broadcast via ``ray.put``;
+4. the sorted blocks are scanned with the block-boundary-carry idiom
    (``util.keep_first_sorted`` family): a segmented cumulative sum picks
    the value whose cumulative count first reaches each target rank.
 
 Quantiles are specified in PER-MILLE INTEGERS (``q_pm``: 500 = median)
 and the target rank is the integer ``ceil(q_pm * n / 1000)`` — no float
 ``q * n`` boundary ambiguity, so a SQL oracle restates the rank exactly.
-Scale: the shuffle is bounded by distinct (group, value) pairs; the
-broadcast assumes group cardinality is small relative to the data
+Scale: the sort moves one row per distinct (batch, group, value); the
+totals broadcast assumes group cardinality is small relative to the data
 (dimension-keyed stats) — for high-cardinality groups, route the totals
 through a join instead.
 """
@@ -57,38 +62,39 @@ def grouped_quantiles(
     schema = ds.schema()
     gt = _pa_type(schema.types[schema.names.index(group)])
     vt = _pa_type(schema.types[schema.names.index(value)])
-    hist_empty = pa.table({
-        group: pa.nulls(0, gt), value: pa.nulls(0, vt),
-        "cnt": pa.nulls(0, pa.int64()),
-    })
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pa.Table:
         out = (
             df.groupby([group, value], sort=False).size().rename("cnt").reset_index()
         )
-        return out
+        # return Arrow so downstream block refs are Arrow tables
+        return pa.table({
+            group: pa.array(out[group], gt),
+            value: pa.array(out[value], vt),
+            "cnt": pa.array(out["cnt"].to_numpy(), pa.int64()),
+        })
 
-    def as_cnt(t: pa.Table) -> pa.Table:
-        # ray's groupby .sum names the column "sum(cnt)"; aggregates can
-        # also emit schema-LESS empty blocks — replace with typed empty
-        if t.num_columns != 3:
-            return hist_empty
-        return t.rename_columns([group, value, "cnt"])
+    parts = ds.map_batches(partial, batch_format="pandas")
 
-    hist = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby([group, value])
-        .sum("cnt", ignore_nulls=True)
-        .map_batches(as_cnt, batch_format="pyarrow")
-    )
-    totals = hist.groupby(group).sum("cnt")
-    tots = [t for t in ray.get(totals.to_arrow_refs()) if t.num_rows]
-    tot_map = {}
-    for t in tots:
-        tot_map.update(zip(t[group].to_pylist(), t[t.column_names[1]].to_pylist()))
+    @ray.remote
+    def gcounts(t: pa.Table) -> dict:
+        if t.num_rows == 0:
+            return {}
+        g = t[group].to_pandas().to_numpy()
+        c = t["cnt"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(g, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, c)
+        return dict(zip(u.tolist(), s.tolist()))
+
+    part_refs = parts.to_arrow_refs()   # materializes the partials ONCE
+    tot_map: dict = {}
+    for d in ray.get([gcounts.remote(r) for r in part_refs]):
+        for k, v in d.items():
+            tot_map[k] = tot_map.get(k, 0) + v
     tot_ref = ray.put(tot_map)
 
-    ordered = hist.sort([group, value])
+    ordered = rd.from_arrow_refs(part_refs).sort([group, value])
     refs = ordered.to_arrow_refs()
     if not refs:
         return ordered
@@ -128,7 +134,10 @@ def grouped_quantiles(
         n = t.num_rows
         # group segments within this (sorted) block; the segments per
         # block are few (one per group), each handled with ONE vectorized
-        # searchsorted of the q targets into the segment's cumsum
+        # searchsorted of the q targets into the segment's cumsum.
+        # Duplicate (group, value) rows (unmerged partials) are fine: the
+        # cumsum is still nondecreasing and the first crossing row holds
+        # the right value.
         starts = np.r_[0, np.flatnonzero(g[1:] != g[:-1]) + 1]
         ends = np.r_[starts[1:], n]
         out_g, out_q, out_v = [], [], []
