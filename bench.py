@@ -60,6 +60,10 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "rebalance",
     "pagerank",
+    "inactive_customers",
+    "event_gaps",
+    "pack_chunks",
+    "decontaminate",
 ]
 
 

@@ -49,19 +49,11 @@ def grouped_quantiles(
     ``value`` must be integer-typed. Returns (group, q_pm, value)."""
     q_arr = np.asarray(sorted(q_pms), np.int64)
 
-    def _pa_type(t):
-        """Dataset.schema() yields Arrow types for Arrow-block datasets
-        but numpy dtypes / ``object`` for pandas-block ones."""
-        if isinstance(t, pa.DataType):
-            return t
-        try:
-            return pa.from_numpy_dtype(t)
-        except (pa.ArrowNotImplementedError, TypeError):
-            return pa.string()
+    from ..util import pa_type_of
 
     schema = ds.schema()
-    gt = _pa_type(schema.types[schema.names.index(group)])
-    vt = _pa_type(schema.types[schema.names.index(value)])
+    gt = pa_type_of(schema.types[schema.names.index(group)])
+    vt = pa_type_of(schema.types[schema.names.index(value)])
 
     def partial(df: pd.DataFrame) -> pa.Table:
         out = (

@@ -149,6 +149,118 @@ def sessionize(
     return tagged.groupby("part").map_groups(sessions, batch_format="pyarrow")
 
 
+def lag_gap(
+    events: rd.Dataset,
+    key: str,
+    ts: str,
+    id_col: str,
+    n_partitions: int = 32,
+) -> rd.Dataset:
+    """Per-key previous-event gap (the ``LAG() OVER (PARTITION BY key
+    ORDER BY ts, id)`` window analog): one row per event with
+    ``gap_us`` = microseconds since the same key's previous event, or
+    ``-1`` for the key's first event.
+
+    Same single-shuffle shape as :func:`running_sum_per_key`:
+    hash-partition by key, then a vectorized per-partition lexsort +
+    shifted diff. No global sort, no driver pass."""
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("part", pa.array(_bucket_of(t[key], n_partitions)))
+
+    def gaps(t: pa.Table) -> pa.Table:
+        id_type = t.schema.field(id_col).type
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.nulls(0, id_type),
+                             "gap_us": pa.nulls(0, pa.int64())})
+        keys = t[key].to_numpy(zero_copy_only=False)
+        tus = t[ts].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, tus, keys))
+        k, tv, i = keys[order], tus[order], ids[order]
+        gap = np.empty(len(k), np.int64)
+        gap[0] = -1
+        gap[1:] = np.where(k[1:] == k[:-1], tv[1:] - tv[:-1], -1)
+        return pa.table({id_col: pa.array(i).cast(id_type),
+                         "gap_us": pa.array(gap, pa.int64())})
+
+    tagged = events.map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby("part").map_groups(gaps, batch_format="pyarrow")
+
+
+def pack_chunks(
+    docs: rd.Dataset,
+    order_col: str,
+    tokens_col: str,
+    capacity: int,
+) -> rd.Dataset:
+    """Training-sequence packing: concatenate every doc's tokens in
+    ``order_col`` order into one global token stream and cut it every
+    ``capacity`` tokens (the standard LLM-pretraining pack-and-split).
+    One row per doc: its global ``token_offset`` plus the first/last
+    chunk index it lands in (a doc may straddle chunks; a 0-token doc
+    occupies its current chunk).
+
+    This is a GLOBAL prefix scan — an operator Ray Data has no call for
+    (SURVEY.md §2.4 custom-op case (c)). Two-pass plan: sort by
+    ``order_col`` (blocks come back globally ordered — the same
+    contract ``keep_first_k_sorted`` relies on), then (1) one parallel
+    task per block computes its token sum, (2) the driver folds the
+    per-block sums into exclusive base offsets — O(blocks) scalars,
+    never rows — and (3) one parallel task per block emits its rows'
+    offsets via a local cumsum + base. Wall-clock is two short parallel
+    waves; only (order, tokens) columns move through the sort."""
+    import ray
+
+    from .relational import _as_table
+
+    refs = docs.sort(order_col).to_arrow_refs()
+    cap = int(capacity)
+
+    @ray.remote
+    def block_sum(t) -> int:
+        t = _as_table(t)
+        if t.num_rows == 0:
+            return 0
+        return int(np.sum(t[tokens_col].to_numpy(zero_copy_only=False)))
+
+    @ray.remote
+    def emit(t, base: int) -> pa.Table:
+        t = _as_table(t)
+        id_type = t.schema.field(order_col).type if t.num_rows else pa.int64()
+        if t.num_rows == 0:
+            return pa.table({
+                order_col: pa.nulls(0, id_type),
+                "n_tokens": pa.nulls(0, pa.int64()),
+                "token_offset": pa.nulls(0, pa.int64()),
+                "chunk_start": pa.nulls(0, pa.int64()),
+                "chunk_end": pa.nulls(0, pa.int64()),
+            })
+        wc = t[tokens_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        off = base + np.cumsum(wc) - wc
+        end = (off + np.maximum(wc, 1) - 1) // cap
+        return pa.table({
+            order_col: t[order_col],
+            "n_tokens": pa.array(wc),
+            "token_offset": pa.array(off),
+            "chunk_start": pa.array(off // cap),
+            "chunk_end": pa.array(end),
+        })
+
+    if not refs:
+        return rd.from_arrow(pa.table({
+            order_col: pa.nulls(0, pa.int64()),
+            "n_tokens": pa.nulls(0, pa.int64()),
+            "token_offset": pa.nulls(0, pa.int64()),
+            "chunk_start": pa.nulls(0, pa.int64()),
+            "chunk_end": pa.nulls(0, pa.int64()),
+        }))
+    sums = ray.get([block_sum.remote(r) for r in refs])
+    bases = np.concatenate([[0], np.cumsum(sums)[:-1].astype(np.int64)])
+    return rd.from_arrow_refs(
+        [emit.remote(r, int(b)) for r, b in zip(refs, bases)]
+    )
+
+
 def sliding_window_agg(
     events: rd.Dataset,
     ts: str,

@@ -1246,6 +1246,153 @@ def _span_hist_sql() -> str:
     return _values_sql(_span_hist_expected_table(), casts={"n": "BIGINT"})
 
 
+@functools.lru_cache(maxsize=1)
+def _bulk_expected_table() -> pa.Table:
+    """Sequential restatement of ``q_bulk_crawl`` at sf0.01: the same
+    per-row kernels the fused partition worker uses (``normalize_seed_rows``
+    validation, ``parse_document``, ``filter_outlinks``) driven by a flat
+    in-process loop, with the synth fetch gating (robots -> auth -> 404)
+    restated exactly as ``crawlray/oracle.py`` does for the crawl family.
+    The distributed plumbing under test: CSV indexing, hash partitioning,
+    the fused map_groups worker, deterministic rank-derived file naming."""
+    import json as _json
+
+    from .canon import split_url
+    from .htmlx import parse_document
+    from .stages.render import filter_outlinks
+    from .stages.sources import normalize_seed_rows
+    from .synth import World
+
+    cfg = _crawl_cfg(_ORACLE_SF_DIR)
+    wcfg = cfg.world
+    world = World(wcfg)
+    n_rows = min(60, wcfg.n_urls // 4)
+    raw = pd.DataFrame({
+        "url": [f"https://{world.hosts[i % wcfg.n_hosts]}/p/{i % 7}"
+                for i in range(n_rows)],
+        "mode": ["link" if i % 5 == 4 else "content" for i in range(n_rows)],
+        "format": [["txt", "md", "txt,json"][i % 3] for i in range(n_rows)],
+        "link_type": ["all"] * n_rows,
+    })
+    norm = normalize_seed_rows(raw)
+    out = {k: [] for k in ("seed_rank", "url", "mode", "status", "error_code",
+                           "title", "n_links", "n_images", "files")}
+
+    def emit(rank, url, mode, status, error_code="", title="",
+             n_links=0, files=()):
+        out["seed_rank"].append(rank)
+        out["url"].append(url)
+        out["mode"].append(mode)
+        out["status"].append(status)
+        out["error_code"].append(error_code)
+        out["title"].append(title)
+        out["n_links"].append(n_links)
+        out["n_images"].append(0)          # download_images absent -> False
+        out["files"].append(_json.dumps(list(files)))
+
+    for rank in range(n_rows):
+        r = norm.iloc[rank]
+        url, host, mode = r["url"], r["host"], r["mode"]
+        path = split_url(url)[2]
+        if world.robots_disallowed(host, path):
+            emit(rank, url, mode, "robots_denied", "ROBOTS_DENIED")
+            continue
+        if world.auth_required(host):
+            emit(rank, url, mode, "http_401", "401")
+            continue
+        if world.fetch_plan(url)[0] == 404:
+            emit(rank, url, mode, "http_404", "404")
+            continue
+        res = parse_document(world.gen_page(url), url)
+        if res.error_code:
+            emit(rank, url, mode, "failed", res.error_code)
+            continue
+        if mode == "link":
+            tbl = pa.table({
+                "url": pa.array([l.url for l in res.links], pa.string()),
+                "is_internal": pa.array([l.is_internal for l in res.links],
+                                        pa.bool_()),
+            })
+            n_links = filter_outlinks(tbl, link_type="all").num_rows
+            files = [f"links/{rank:06d}.txt", f"links/{rank:06d}.json"]
+            emit(rank, url, mode, "ok", title=res.title,
+                 n_links=n_links, files=files)
+        else:
+            files = [f"docs/{rank:06d}.{fmt}" for fmt in r["formats"]]
+            emit(rank, url, mode, "ok", title=res.title,
+                 n_links=len(res.links), files=files)
+
+    return pa.table({
+        "seed_rank": pa.array(out["seed_rank"], pa.int64()),
+        "url": pa.array(out["url"], pa.string()),
+        "mode": pa.array(out["mode"], pa.string()),
+        "status": pa.array(out["status"], pa.string()),
+        "error_code": pa.array(out["error_code"], pa.string()),
+        "title": pa.array(out["title"], pa.string()),
+        "n_links": pa.array(out["n_links"], pa.int64()),
+        "n_images": pa.array(out["n_images"], pa.int64()),
+        "files": pa.array(out["files"], pa.string()),
+    })
+
+
+def _bulk_sql() -> str:
+    return _values_sql(
+        _bulk_expected_table(),
+        casts={"seed_rank": "BIGINT", "n_links": "BIGINT",
+               "n_images": "BIGINT"},
+    )
+
+
+HLL_COLS = ("event_id", "event_type", "user_id")
+HLL_P = 12
+
+
+def q_approx_distinct(sf_dir: str):
+    """HyperLogLog approximate count-distinct over three events columns
+    (unique int, low-card string, mid-card int) in ONE streaming pass —
+    ``sketch.approx_distinct_multi``: per-block 2^p-byte registers, an
+    elementwise-max merge, never a key shuffle. ``approx_n`` is the
+    rounded estimate; the sketch is deterministic (SipHash), so the
+    estimate is reproducible bit-for-bit."""
+    from .pipelines.sketch import approx_distinct_multi
+
+    ev = _read(sf_dir, "events", list(HLL_COLS))
+    est = approx_distinct_multi(ev, list(HLL_COLS), p=HLL_P)
+    cols = sorted(HLL_COLS)
+    return pa.table({
+        "col": pa.array(cols, pa.string()),
+        "approx_n": pa.array([int(round(est[c])) for c in cols], pa.int64()),
+    })
+
+
+@functools.lru_cache(maxsize=1)
+def _approx_distinct_expected_table() -> pa.Table:
+    """Sequential restatement of ``q_approx_distinct`` at sf0.01: fold
+    each whole column through the SAME HLL kernels in one process.
+    Register-max merging is exact (``test_hll_merge_equals_single_fold``),
+    so the distributed per-block fold + merge must reproduce this
+    single-fold estimate bit-for-bit. Under test: the map_batches
+    partials, the sketch merge, and block-format / ordering invariance."""
+    import pyarrow.parquet as pq
+
+    from .pipelines.sketch import _hll_fold, hash_col, hll_estimate
+
+    t = pq.read_table(f"{_ORACLE_SF_DIR}/events.parquet",
+                      columns=list(HLL_COLS))
+    cols = sorted(HLL_COLS)
+    return pa.table({
+        "col": pa.array(cols, pa.string()),
+        "approx_n": pa.array(
+            [int(round(hll_estimate(_hll_fold(hash_col(t[c]), HLL_P))))
+             for c in cols], pa.int64()),
+    })
+
+
+def _approx_distinct_sql() -> str:
+    return _values_sql(_approx_distinct_expected_table(),
+                       casts={"approx_n": "BIGINT"})
+
+
 MINHASH_JACCARD_THRESHOLD = 0.4
 
 
@@ -2023,6 +2170,165 @@ SELECT x::BIGINT AS vec_id, min(y)::BIGINT AS cluster FROM reach GROUP BY x
 """
 
 
+def q_inactive_customers(sf_dir: str):
+    """Anti join: customers with no URGENT order (the ``NOT EXISTS``
+    shape; the synth data gives every customer SOME order, so the plain
+    version would be a degenerate all-empty result). Both sides large ->
+    ``relational.bucketed_anti_join`` hash exchange; the right side
+    reduces to distinct keys inside each bucket task. The priority
+    filter is pushed into the read batches before any shuffle."""
+    from .pipelines.relational import bucketed_anti_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def urgent(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["o_orderpriority"], "1-URGENT")
+        return t.filter(keep).select(["o_custkey"]).rename_columns(["c_custkey"])
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        urgent, batch_format="pyarrow"
+    )
+    return bucketed_anti_join(cust, orders, key="c_custkey")
+
+
+SQL_INACTIVE_CUSTOMERS = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+def q_event_gaps(sf_dir: str):
+    """Per-user inter-event gap (the ``LAG() OVER`` window analog):
+    microseconds since the user's previous event, -1 for the first
+    (``streaming.lag_gap``; one hash shuffle, vectorized diff)."""
+    from .pipelines.streaming import lag_gap
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return lag_gap(ev, key="user_id", ts="ts", id_col="event_id")
+
+
+SQL_EVENT_GAPS = """
+SELECT event_id,
+       coalesce(epoch_us(ts) - epoch_us(lag(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)), -1)::BIGINT AS gap_us
+FROM events
+"""
+
+
+PACK_CAPACITY = 2048
+
+
+def q_pack_chunks(sf_dir: str):
+    """Training-sequence packing over documents: whitespace token counts
+    concatenated in doc_id order and cut every 2048 tokens — per doc its
+    global token offset and first/last chunk index
+    (``streaming.pack_chunks``: a distributed prefix scan)."""
+    from .pipelines.streaming import pack_chunks
+    from .pipelines.textops import doc_stats
+
+    wc = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        doc_stats, batch_format="pyarrow"
+    ).select_columns(["doc_id", "word_count"])
+    return pack_chunks(wc, order_col="doc_id", tokens_col="word_count",
+                       capacity=PACK_CAPACITY)
+
+
+SQL_PACK_CHUNKS = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS off
+  FROM d
+)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens, off::BIGINT AS token_offset,
+       (off // 2048)::BIGINT AS chunk_start,
+       ((off + greatest(n_tokens, 1) - 1) // 2048)::BIGINT AS chunk_end
+FROM s
+"""
+
+
+DECON_EVAL_MOD = 97     # doc_id % 97 == 0 -> the held-out "benchmark" set
+DECON_NGRAM = 5
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: count, per training doc, how many of
+    its distinct word-5-grams appear anywhere in the held-out eval set
+    (docs with ``doc_id % 97 == 0``) — the overlap signal training-data
+    pipelines drop contaminated docs on (GPT-3 appx. C / PaLM style).
+
+    Scale plan: benchmark suites are tiny relative to the corpus, so the
+    eval side collapses to ONE broadcast set of shingles (``ray.put``
+    once, read per actor); the train side is a single embarrassingly
+    parallel ``map_batches`` pass — no shuffle at all."""
+    import ray
+
+    from .pipelines.dedup import word_shingles
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = DECON_NGRAM
+
+    def eval_side(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % DECON_EVAL_MOD == 0))
+
+    ev_docs = ds.map_batches(eval_side, batch_format="pyarrow").to_pandas()
+    ev_set: set[str] = set()
+    for text in ev_docs["text"]:
+        ev_set.update(word_shingles(text, n))
+    ref = ray.put(ev_set)
+
+    class CountHits:
+        def __init__(self):
+            self.ev = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(ids % DECON_EVAL_MOD != 0))
+            hits = [len(set(word_shingles(x, n)) & self.ev)
+                    for x in t["text"].to_pylist()]
+            return pa.table({"doc_id": t["doc_id"],
+                             "n_hits": pa.array(hits, pa.int64())})
+
+    # autoscaling pool (min 1): a fixed floor equal to the session's CPU
+    # count deadlocks small sessions (actors reserve every CPU; the read
+    # tasks starve). One broadcast-set deserialization per actor either way.
+    return ds.map_batches(CountHits, batch_format="pyarrow",
+                          concurrency=(1, 16))
+
+
+SQL_DECONTAMINATE = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents WHERE trim(text) <> ''
+),
+ev AS (
+  SELECT DISTINCT unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                          || ' ' || words[i+3] || ' ' || words[i+4]
+                          for i in range(1, len(words) - 3)]) AS g
+  FROM w WHERE doc_id % 97 = 0
+),
+tg AS (
+  SELECT doc_id, unnest(list_distinct(
+           [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+            || ' ' || words[i+3] || ' ' || words[i+4]
+            for i in range(1, len(words) - 3)])) AS g
+  FROM w WHERE doc_id % 97 <> 0
+),
+hits AS (SELECT tg.doc_id, count(*) AS n_hits FROM tg JOIN ev USING (g) GROUP BY 1)
+SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 97 <> 0
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -2074,8 +2380,13 @@ def catalog():
         "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
         "embedding_clusters": (q_embedding_clusters, _embedding_clusters_sql()),
         "rebalance": (q_rebalance, SQL_REBALANCE),
-        # rows-only (bulk_crawl emits filesystem paths; ann_ivf's pruned
-        # path is oracle-gated via ann_ivf_exhaustive)
-        "bulk_crawl": (q_bulk_crawl, None),
+        "inactive_customers": (q_inactive_customers, SQL_INACTIVE_CUSTOMERS),
+        "event_gaps": (q_event_gaps, SQL_EVENT_GAPS),
+        "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
+        "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+        "approx_distinct": (q_approx_distinct, _approx_distinct_sql()),
+        "bulk_crawl": (q_bulk_crawl, _bulk_sql()),
+        # rows-only: ann_ivf's pruned path is oracle-gated via
+        # ann_ivf_exhaustive (n_probe=all == brute force, hash-green)
         "ann_ivf": (q_ann_ivf, None),
     }

@@ -38,6 +38,20 @@ def hash_impl_stamp() -> int:
     return int(hash64(["crawlray/hash-impl-probe/v1"])[0])
 
 
+def pa_type_of(t) -> pa.DataType:
+    """Normalize a ``Dataset.schema().types`` entry to an Arrow DataType.
+
+    Ray quirk: ``Dataset.schema()`` yields Arrow types for Arrow-block
+    datasets but numpy dtypes / ``object`` for pandas-block ones (and the
+    block format can differ by scale)."""
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        return pa.from_numpy_dtype(t)
+    except (pa.ArrowNotImplementedError, TypeError):
+        return pa.string()
+
+
 @ray.remote
 def _num_rows(t: pa.Table) -> int:
     return t.num_rows
