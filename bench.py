@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "event_gaps",
     "pack_chunks",
     "decontaminate",
+    "approx_distinct",
 ]
 
 
