@@ -489,3 +489,71 @@ def grouped_argmax(
         descending=[False] * len(group_keys) + [True, False],
     )
     return keep_first_sorted(ordered, list(group_keys))
+
+def bucketed_semi_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """Semi equi-join: left rows whose ``key`` HAS a match in ``right``
+    (the ``EXISTS`` / ``IN (SELECT ...)`` analog, the complement of
+    :func:`bucketed_anti_join`). Output carries the LEFT columns only,
+    never duplicated by right-side multiplicity — the shape SQL's EXISTS
+    has and an inner join does not.
+
+    Same explicit B-wide hash exchange as :func:`bucketed_hash_join`;
+    the per-bucket task reduces the right side to its DISTINCT keys
+    before probing (``pc.is_in``), so a right side with heavy key
+    duplication costs one dedup pass per bucket, never a join blow-up.
+    Executes its inputs (an exchange, not a lazy stage)."""
+    import ray
+
+    from ..util import pa_type_of
+
+    l_schema = left.schema()
+    l_cols = list(l_schema.names)
+    types = {n: pa_type_of(t) for n, t in zip(l_schema.names, l_schema.types)}
+    empty = pa.table({c: pa.nulls(0, types[c]) for c in l_cols})
+    b = n_buckets
+
+    @ray.remote(num_returns=b)
+    def split(t: pa.Table, side_empty: pa.Table):
+        t = _as_table(t)
+        if t.num_rows == 0:
+            out = [side_empty] * b
+        else:
+            buckets = _bucket_of(t[key], b)
+            out = [t.filter(pa.array(buckets == i)) for i in range(b)]
+        return out if b > 1 else out[0]
+
+    @ray.remote
+    def semi_bucket(n_l: int, *shards) -> pa.Table:
+        l = pa.concat_tables(shards[:n_l]) if n_l else empty
+        if l.num_rows == 0:
+            return empty
+        r = pa.concat_tables(shards[n_l:]) if len(shards) > n_l else None
+        if r is None or r.num_rows == 0:
+            return empty
+        probe = pc.is_in(l[key], value_set=pc.unique(r[key]))
+        return l.filter(probe).select(l_cols)
+
+    def _rows(refs):
+        return [[r] for r in refs] if b == 1 else refs
+
+    r_key_type = pa_type_of(
+        dict(zip(right.schema().names, right.schema().types))[key]
+    )
+    r_empty = pa.table({key: pa.nulls(0, r_key_type)})
+    rkeys = right.select_columns([key])
+    lsplit = _rows([split.remote(t, empty) for t in left.to_arrow_refs()])
+    rsplit = _rows([split.remote(t, r_empty) for t in rkeys.to_arrow_refs()])
+    out = [
+        semi_bucket.remote(
+            len(lsplit),
+            *[ls[i] for ls in lsplit],
+            *[rs[i] for rs in rsplit],
+        )
+        for i in range(b)
+    ]
+    return rd.from_arrow_refs(out)

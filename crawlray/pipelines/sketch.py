@@ -19,7 +19,9 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
+from ray.data.aggregate import Sum
 
 from ..util import hash64
 
@@ -112,3 +114,102 @@ def approx_distinct(ds: rd.Dataset, col: str, p: int = 12) -> float:
     """Approximate global count-distinct of ``ds[col]`` via HyperLogLog
     (single-column convenience over :func:`approx_distinct_multi`)."""
     return approx_distinct_multi(ds, [col], p)[col]
+
+def _mg_reduce(words: np.ndarray, counts: np.ndarray, k: int):
+    """Misra-Gries reduction to at most ``k`` counters: subtract the
+    (k+1)-th largest count from all and keep the positive remainder (the
+    batch formulation of the MG stream sketch). Estimates undercount true
+    frequency by at most the subtracted mass; summed over blocks the
+    total undercount is <= N/(k+1) (MG sketches are mergeable with the
+    single-stream bound — Agarwal et al. 2013, "Mergeable Summaries")."""
+    if len(words) <= k:
+        return words, counts
+    kth = np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1]
+    c = counts - kth
+    keep = c > 0
+    return words[keep], c[keep]
+
+
+def heavy_hitters(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    threshold_pm: int = 10,
+    k: int = 2048,
+) -> rd.Dataset:
+    """EXACT global heavy hitters — every word whose corpus frequency is
+    >= threshold_pm per-mille of all words — without ever shuffling the
+    raw word stream. Two passes:
+
+    1. Per-block Misra-Gries sketches (<= k+1 rows per block: k counters
+       plus one sentinel row carrying the block's total word count) are
+       the ONLY thing that shuffles; a small ``groupby(word).sum`` merges
+       them. Words surviving ``est + N//(k+1) >= ceil(N*pm/1000)`` form
+       the candidate set — a guaranteed SUPERSET of the true heavy
+       hitters whenever ``k+1 > 1000/threshold_pm`` (MG's deterministic
+       undercount bound), which the default k=2048 satisfies for pm>=1.
+    2. The candidate set broadcasts once (``ray.put``); a second streaming
+       pass counts ONLY candidate words exactly, and the integer filter
+       ``n*1000 >= N*pm`` yields the exact answer.
+
+    Shuffle volume: O(blocks x k) sketch rows + O(candidates), both
+    independent of corpus size. Returns (word, n) rows."""
+    import ray
+
+    TOTAL = ""  # sentinel key: str.split() never yields an empty token
+
+    def sketch(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        words = [w for s in texts for w in s.split()]
+        if not words:
+            return pa.table({"word": pa.array([TOTAL]),
+                             "est": pa.array([0], pa.int64())})
+        uniq, cnts = np.unique(np.asarray(words, dtype=object), return_counts=True)
+        w, c = _mg_reduce(uniq, cnts.astype(np.int64), k)
+        return pa.table({
+            "word": pa.array(list(w) + [TOTAL], pa.string()),
+            "est": pa.array(np.r_[c, len(words)], pa.int64()),
+        })
+
+    merged = ds.map_batches(sketch, batch_format="pyarrow").groupby(
+        "word").aggregate(Sum("est", alias_name="est"))
+
+    n_total = 0
+    cand = []
+    for row in merged.iter_rows():
+        if row["word"] == TOTAL:
+            n_total = int(row["est"])
+        else:
+            cand.append((row["word"], int(row["est"])))
+    # iter_rows here drains O(sketch rows), not the corpus: bounded by
+    # blocks x k. threshold T and MG slack in exact integer math.
+    thresh = -((-n_total * threshold_pm) // 1000)   # ceil(N*pm/1000)
+    slack = n_total // (k + 1)
+    cand_set = {w for w, est in cand if est + slack >= thresh}
+    cand_ref = ray.put(cand_set)
+
+    class ExactCount:
+        def __init__(self, ref):
+            self.cands = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            texts = t[text_col].to_pylist()
+            words = [w for s in texts for w in s.split() if w in self.cands]
+            if not words:
+                return pa.table({"word": pa.nulls(0, pa.string()),
+                                 "n": pa.nulls(0, pa.int64())})
+            uniq, cnts = np.unique(np.asarray(words, dtype=object),
+                                   return_counts=True)
+            return pa.table({"word": pa.array(list(uniq), pa.string()),
+                             "n": pa.array(cnts.astype(np.int64))})
+
+    exact = ds.map_batches(
+        ExactCount, fn_constructor_args=(cand_ref,),
+        batch_format="pyarrow", concurrency=(1, 8),
+    ).groupby("word").aggregate(Sum("n", alias_name="n"))
+
+    def final_filter(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(pc.multiply(t["n"], 1000),
+                                pa.scalar(n_total * threshold_pm, pa.int64()))
+        return t.filter(keep)
+
+    return exact.map_batches(final_filter, batch_format="pyarrow")

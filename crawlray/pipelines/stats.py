@@ -34,8 +34,10 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
+from ray.data.aggregate import Max, Min, Sum
 
 
 def grouped_quantiles(
@@ -156,4 +158,42 @@ def grouped_quantiles(
 
     return rd.from_arrow_refs(
         [pick.remote(r, cy, tot_ref) for r, cy in zip(refs, carries)]
+    )
+def table_profile(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
+    """Single-pass data profiling: per column, row count / null count /
+    min / max — the sanity sweep a pipeline runs over a new corpus drop
+    before spending compute on it. One ``map_batches`` partial per block
+    emits len(cols) scalar rows; the reduce is a groupby over len(cols)
+    keys. Nothing but O(blocks x cols) scalars ever crosses the cluster.
+    Columns must be integer-typed (the profile emits BIGINT min/max so
+    the DuckDB oracle compares exactly — no float/varchar formatting
+    divergence)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, n_rows, n_nulls, mins, maxs = [], [], [], [], []
+        for c in cols:
+            col = t[c]
+            names.append(c)
+            n_rows.append(t.num_rows)
+            n_nulls.append(col.null_count)
+            valid = col.drop_null()
+            if len(valid):
+                mins.append(pc.min(valid).as_py())
+                maxs.append(pc.max(valid).as_py())
+            else:
+                mins.append(None)
+                maxs.append(None)
+        return pa.table({
+            "col": pa.array(names, pa.string()),
+            "n_rows": pa.array(n_rows, pa.int64()),
+            "n_nulls": pa.array(n_nulls, pa.int64()),
+            "min_v": pa.array(mins, pa.int64()),
+            "max_v": pa.array(maxs, pa.int64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("col").aggregate(
+        Sum("n_rows", alias_name="n_rows"),
+        Sum("n_nulls", alias_name="n_nulls"),
+        Min("min_v", alias_name="min_v"),
+        Max("max_v", alias_name="max_v"),
     )

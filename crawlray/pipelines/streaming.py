@@ -376,3 +376,49 @@ def running_sum_incremental(
         }
     )
     return df.sort_values(id_col).reset_index(drop=True)
+
+def rolling_sum_rows(
+    events: rd.Dataset,
+    key: str,
+    ts: str,
+    id_col: str,
+    val: str,
+    window: int = 4,
+    n_partitions: int = 32,
+) -> rd.Dataset:
+    """Per-key rolling sum over the last ``window`` rows — the
+    ``SUM(x) OVER (PARTITION BY key ORDER BY ts, id ROWS BETWEEN
+    window-1 PRECEDING AND CURRENT ROW)`` window analog. Values enter
+    the sum as ``floor(value)`` int64, so summation order cannot produce
+    IEEE divergence against the SQL oracle.
+
+    Same single-shuffle shape as :func:`lag_gap`: hash-partition by key,
+    then a per-partition vectorized lexsort + cumsum-difference with a
+    per-key segment clamp (``lo = max(i-window+1, segment_start)``) —
+    no per-row loop, no global sort."""
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("part", pa.array(_bucket_of(t[key], n_partitions)))
+
+    def roll(t: pa.Table) -> pa.Table:
+        id_type = t.schema.field(id_col).type
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.nulls(0, id_type),
+                             "roll_sum": pa.nulls(0, pa.int64())})
+        keys = t[key].to_numpy(zero_copy_only=False)
+        tus = t[ts].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        vals = np.floor(t[val].to_numpy(zero_copy_only=False)).astype(np.int64)
+        order = np.lexsort((ids, tus, keys))
+        k, i, v = keys[order], ids[order], vals[order]
+        n = len(k)
+        starts = np.r_[0, np.flatnonzero(k[1:] != k[:-1]) + 1]
+        counts = np.diff(np.r_[starts, n])
+        seg_start = np.repeat(starts, counts)
+        lo = np.maximum(np.arange(n) - (window - 1), seg_start)
+        cs = np.concatenate([[0], np.cumsum(v)])
+        out = cs[np.arange(1, n + 1)] - cs[lo]
+        return pa.table({id_col: pa.array(i).cast(id_type),
+                         "roll_sum": pa.array(out, pa.int64())})
+
+    tagged = events.map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby("part").map_groups(roll, batch_format="pyarrow")

@@ -271,3 +271,58 @@ def rolling_hashes(text: str, window: int = 16, base: int = 257,
         h = ((h - int(data[i - window]) * top) * base + int(data[i])) % mod
         out[i - window + 1] = h
     return out
+
+# TPC-H-shaped phone numbers; RE2-safe so the DuckDB oracle's
+# regexp_extract_all / regexp_replace tokenize and rewrite identically.
+PHONE_PATTERN = r"\d{2}-\d{3}-\d{3}-\d{4}"
+
+
+class PiiScanner:
+    """PII detection + redaction stage — the privacy pass a training-data
+    pipeline runs before anything ships: count pattern hits per row and
+    emit the redacted text. Generic over (id_col, text_col, pattern,
+    repl); the default pattern is the production phone shape, while the
+    catalog query instantiates a digit-run pattern that the test tables
+    actually contain (``events.props``). Callable class -> actor
+    pool; the regex compiles once per actor. Vectorized pandas
+    ``str.count`` / ``str.replace`` — no per-row Python loop."""
+
+    def __init__(self, id_col: str, text_col: str,
+                 pattern: str = PHONE_PATTERN, repl: str = "<PHONE>"):
+        import re
+
+        self.id_col, self.text_col = id_col, text_col
+        self.pat = re.compile(pattern)
+        self.repl = repl
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.text_col]
+        return pd.DataFrame({
+            self.id_col: batch[self.id_col],
+            "n_pii": s.str.count(self.pat).astype("int64"),
+            "redacted": s.str.replace(self.pat, self.repl, regex=True),
+        })
+
+
+class TextNormalizer:
+    """Canonical text normalization (lowercase, collapse non-alphanumeric
+    runs to single spaces, trim) + md5 of the normalized form — the
+    near-dup PREPROCESSING step exact dedup runs on when surface
+    punctuation/casing should not count as difference. The [^a-z0-9]+
+    pattern is RE2-safe, so DuckDB's ``regexp_replace(..., 'g')``
+    restates it exactly; per-row md5 is inherent to the md5 contract
+    (cf. :func:`fingerprint`)."""
+
+    def __init__(self):
+        import re
+
+        self.pat = re.compile(r"[^a-z0-9]+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        norm = (batch["text"].str.lower()
+                .str.replace(self.pat, " ", regex=True).str.strip())
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "norm_len": norm.str.len().astype("int64"),
+            "norm_fp": [hashlib.md5(t.encode()).hexdigest() for t in norm],
+        })

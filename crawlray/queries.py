@@ -2329,6 +2329,223 @@ WHERE d.doc_id % 97 <> 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave-4 operators (round 3): privacy, normalization, sketch-driven exact
+# heavy hitters, rolling windows, semi join, shared-ngram coverage, profiling
+# ---------------------------------------------------------------------------
+
+def q_pii_scan(sf_dir: str):
+    """PII-style detection + redaction (``textops.PiiScanner`` actor
+    pool; regex compiled once per actor): count pattern hits per row and
+    emit the redacted text. The test tables carry no phone/email-shaped
+    text, so the query instantiates the generic scanner with a digit-run
+    pattern over ``events.props`` — every row exercises the redaction
+    path; the default ``PHONE_PATTERN`` stays the production shape."""
+    from .pipelines.textops import PiiScanner
+
+    ev = _read(sf_dir, "events", ["event_id", "props"])
+    return ev.map_batches(
+        PiiScanner,
+        fn_constructor_args=("event_id", "props"),
+        fn_constructor_kwargs={"pattern": r"[0-9]+", "repl": "<NUM>"},
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
+
+
+SQL_PII_SCAN = r"""
+SELECT event_id,
+       len(regexp_extract_all(props, '[0-9]+'))::BIGINT AS n_pii,
+       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted
+FROM events
+"""
+
+
+def q_normalize_text(sf_dir: str):
+    """Canonical normalization + md5 of the normalized form over
+    documents (``textops.TextNormalizer`` actor pool)."""
+    from .pipelines.textops import TextNormalizer
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        TextNormalizer, batch_format="pandas", concurrency=(1, 8)
+    )
+
+
+SQL_NORMALIZE_TEXT = """
+SELECT doc_id,
+       length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))::BIGINT
+           AS norm_len,
+       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_fp
+FROM documents
+"""
+
+
+HH_THRESHOLD_PM = 10  # words covering >= 1% of the corpus word stream
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Exact global heavy hitters over document words via per-block
+    Misra-Gries sketches + an exact candidate-only second pass
+    (``sketch.heavy_hitters``; the raw word stream never shuffles)."""
+    from .pipelines.sketch import heavy_hitters
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return heavy_hitters(docs, text_col="text", threshold_pm=HH_THRESHOLD_PM)
+
+
+SQL_HEAVY_HITTERS = r"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+  FROM documents WHERE trim(text) <> ''
+),
+t AS (SELECT count(*) AS n_total FROM w)
+SELECT word, count(*)::BIGINT AS n
+FROM w, t
+GROUP BY word, n_total
+HAVING count(*) * 1000 >= n_total * 10
+"""
+
+
+ROLL_WINDOW = 4
+
+
+def q_rolling_sum(sf_dir: str):
+    """Per-user rolling sum over the last 4 events (the ROWS-window
+    analog; ``streaming.rolling_sum_rows``: one hash shuffle + vectorized
+    cumsum-difference). floor(value) int64 domain keeps IEEE out."""
+    from .pipelines.streaming import rolling_sum_rows
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return rolling_sum_rows(ev, key="user_id", ts="ts", id_col="event_id",
+                            val="value", window=ROLL_WINDOW)
+
+
+SQL_ROLLING_SUM = """
+SELECT event_id,
+       sum(CAST(floor(value) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)::BIGINT AS roll_sum
+FROM events
+"""
+
+
+def q_urgent_customers(sf_dir: str):
+    """Semi join (EXISTS): customers with at least one URGENT order —
+    the complement of ``inactive_customers``, same B-wide hash exchange
+    (``relational.bucketed_semi_join``), left columns only, no
+    multiplicity blow-up."""
+    from .pipelines.relational import bucketed_semi_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def urgent(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["o_orderpriority"], "1-URGENT")
+        return t.filter(keep).select(["o_custkey"]).rename_columns(["c_custkey"])
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        urgent, batch_format="pyarrow"
+    )
+    return bucketed_semi_join(cust, orders, key="c_custkey")
+
+
+SQL_URGENT_CUSTOMERS = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+SHARED_NGRAM_N = 4
+
+
+def q_shared_ngrams(sf_dir: str):
+    """Cross-document exact substring-duplication signal (the n-gram
+    form of Lee et al. 2022's dedup analysis): per document, its distinct
+    4-gram count and how many of those 4-grams occur in >= 2 documents.
+    Distributed shape: distinct (doc, gram) pairs -> per-gram doc counts
+    (groupby) -> ``bucketed_hash_join`` back onto the pairs (both sides
+    large — never broadcast a vocabulary) -> per-doc integer sums."""
+    from .pipelines.dedup import word_shingles
+    from .pipelines.relational import bucketed_hash_join
+
+    n = SHARED_NGRAM_N
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids, grams = [], []
+        for i, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            gs = set(word_shingles(text, n))
+            ids.extend([i] * len(gs))
+            grams.extend(sorted(gs))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "g": pa.array(grams, pa.string())})
+
+    p = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        pairs, batch_format="pyarrow"
+    )
+    counts = p.groupby("g").aggregate(Count(alias_name="nd"))
+    joined = bucketed_hash_join(p, counts, key="g")
+
+    def flag(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "shared": pc.greater_equal(t["nd"], 2).cast(pa.int64()),
+        })
+
+    return joined.map_batches(flag, batch_format="pyarrow").groupby(
+        "doc_id").aggregate(
+        Sum("one", alias_name="n_grams"),
+        Sum("shared", alias_name="n_shared"),
+    )
+
+
+SQL_SHARED_NGRAMS = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents WHERE trim(text) <> ''
+),
+g AS (
+  SELECT doc_id, unnest(list_distinct(
+           [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+            || ' ' || words[i+3] for i in range(1, len(words) - 2)])) AS g
+  FROM w WHERE len(words) >= 4
+),
+c AS (SELECT g, count(*) AS nd FROM g GROUP BY g)
+SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared
+FROM g JOIN c USING (g) GROUP BY g.doc_id
+"""
+
+
+PROFILE_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+
+
+def q_table_profile(sf_dir: str):
+    """Single-pass per-column profile (rows / nulls / min / max) over
+    lineitem's integer columns (``stats.table_profile``: only
+    O(blocks x cols) scalars cross the cluster)."""
+    from .pipelines.stats import table_profile
+
+    return table_profile(_read(sf_dir, "lineitem", PROFILE_COLS), PROFILE_COLS)
+
+
+SQL_TABLE_PROFILE = """
+SELECT 'l_orderkey' AS col, count(*)::BIGINT AS n_rows,
+       (count(*) - count(l_orderkey))::BIGINT AS n_nulls,
+       min(l_orderkey)::BIGINT AS min_v, max(l_orderkey)::BIGINT AS max_v
+FROM lineitem
+UNION ALL
+SELECT 'l_partkey', count(*), count(*) - count(l_partkey),
+       min(l_partkey), max(l_partkey) FROM lineitem
+UNION ALL
+SELECT 'l_suppkey', count(*), count(*) - count(l_suppkey),
+       min(l_suppkey), max(l_suppkey) FROM lineitem
+UNION ALL
+SELECT 'l_linenumber', count(*), count(*) - count(l_linenumber),
+       min(l_linenumber), max(l_linenumber) FROM lineitem
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -2386,6 +2603,13 @@ def catalog():
         "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
         "approx_distinct": (q_approx_distinct, _approx_distinct_sql()),
         "bulk_crawl": (q_bulk_crawl, _bulk_sql()),
+        "pii_scan": (q_pii_scan, SQL_PII_SCAN),
+        "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
+        "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+        "rolling_sum": (q_rolling_sum, SQL_ROLLING_SUM),
+        "urgent_customers": (q_urgent_customers, SQL_URGENT_CUSTOMERS),
+        "shared_ngrams": (q_shared_ngrams, SQL_SHARED_NGRAMS),
+        "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
         # rows-only: ann_ivf's pruned path is oracle-gated via
         # ann_ivf_exhaustive (n_probe=all == brute force, hash-green)
         "ann_ivf": (q_ann_ivf, None),
