@@ -65,6 +65,13 @@ BENCH_QUERIES = [
     "pack_chunks",
     "decontaminate",
     "approx_distinct",
+    "pii_scan",
+    "normalize_text",
+    "heavy_hitters",
+    "rolling_sum",
+    "urgent_customers",
+    "shared_ngrams",
+    "table_profile",
 ]
 
 

@@ -679,3 +679,107 @@ def simhash_near_dups(
     )
     # a pair can surface from several bands with identical hamming — dedup
     return keep_first_sorted(pairs.sort(["a", "b"]), ["a", "b"])
+
+# -- shared-ngram duplication signal ------------------------------------------
+
+def shared_ngram_stats(
+    docs: rd.Dataset, n: int = 4, n_buckets: int = 32
+) -> rd.Dataset:
+    """Cross-document exact substring-duplication signal (the n-gram form
+    of Lee et al. 2022's dedup analysis): per document, its distinct
+    word-n-gram count and how many of those n-grams occur in >= 2
+    documents. Output: (doc_id, n_grams, n_shared); docs with < n words
+    contribute nothing (same contract as :func:`word_shingles`).
+
+    Two explicit K x K hash exchanges and ZERO Ray-Data groupbys: the
+    Aggregate operator's sort-map coalesces many small blocks into one
+    task (the measured small-block pathology — 2 x ~5 s at sf0.1 for a
+    sub-second compute), so the per-gram doc counts, the shared flag AND
+    the per-doc partial sums all happen inside the gram-bucket task
+    (``np.unique`` over that bucket's grams only), and the partials
+    re-exchange by doc hash for the final sum. Only fixed-width
+    (doc_id, int) partials cross the second exchange; gram strings cross
+    the first once."""
+    import ray
+
+    from .relational import _as_table, _bucket_of
+
+    b = n_buckets
+    empty = pa.table({"doc_id": pa.nulls(0, pa.int64()),
+                      "n_grams": pa.nulls(0, pa.int64()),
+                      "n_shared": pa.nulls(0, pa.int64())})
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids, grams = [], []
+        for i, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            gs = set(word_shingles(text, n))
+            ids.extend([i] * len(gs))
+            grams.extend(gs)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "g": pa.array(grams, pa.string())})
+
+    @ray.remote(num_returns=b)
+    def split_by_gram(t):
+        t = _as_table(t)
+        if t.num_rows == 0:
+            pe = pa.table({"doc_id": pa.nulls(0, pa.int64()),
+                           "g": pa.nulls(0, pa.string())})
+            return [pe] * b if b > 1 else pe
+        buckets = _bucket_of(t["g"], b)
+        out = [t.filter(pa.array(buckets == i)) for i in range(b)]
+        return out if b > 1 else out[0]
+
+    @ray.remote(num_returns=b)
+    def gram_bucket(*shards):
+        tbl = pa.concat_tables([_as_table(s) for s in shards])
+        if tbl.num_rows == 0:
+            return [empty] * b if b > 1 else empty
+        g = np.asarray(tbl["g"].to_pylist(), dtype=object)
+        uniq, inv, cnt = np.unique(g, return_inverse=True, return_counts=True)
+        shared = (cnt[inv] >= 2).astype(np.int64)
+        doc = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        # per-doc partial sums within this gram bucket (sort + segment sum)
+        order = np.argsort(doc, kind="stable")
+        d, s = doc[order], shared[order]
+        starts = np.r_[0, np.flatnonzero(d[1:] != d[:-1]) + 1]
+        counts = np.diff(np.r_[starts, len(d)])
+        csum = np.concatenate([[0], np.cumsum(s)])
+        part = pa.table({
+            "doc_id": pa.array(d[starts], pa.int64()),
+            "n_grams": pa.array(counts.astype(np.int64)),
+            "n_shared": pa.array(csum[np.r_[starts[1:], len(d)]] - csum[starts],
+                                 pa.int64()),
+        })
+        buckets = _bucket_of(part["doc_id"], b)
+        out = [part.filter(pa.array(buckets == i)) for i in range(b)]
+        return out if b > 1 else out[0]
+
+    @ray.remote
+    def doc_bucket(*parts) -> pa.Table:
+        tbl = pa.concat_tables([_as_table(p) for p in parts])
+        if tbl.num_rows == 0:
+            return empty
+        doc = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        ng = tbl["n_grams"].to_numpy(zero_copy_only=False)
+        ns = tbl["n_shared"].to_numpy(zero_copy_only=False)
+        order = np.argsort(doc, kind="stable")
+        d, g_, s_ = doc[order], ng[order], ns[order]
+        starts = np.r_[0, np.flatnonzero(d[1:] != d[:-1]) + 1]
+        cg = np.concatenate([[0], np.cumsum(g_)])
+        cs = np.concatenate([[0], np.cumsum(s_)])
+        ends = np.r_[starts[1:], len(d)]
+        return pa.table({
+            "doc_id": pa.array(d[starts], pa.int64()),
+            "n_grams": pa.array(cg[ends] - cg[starts], pa.int64()),
+            "n_shared": pa.array(cs[ends] - cs[starts], pa.int64()),
+        })
+
+    p = docs.map_batches(pairs, batch_format="pyarrow")
+    def _rows(refs):
+        return [[r] for r in refs] if b == 1 else refs
+    psplit = _rows([split_by_gram.remote(t) for t in p.to_arrow_refs()])
+    gsplit = _rows([
+        gram_bucket.remote(*[ps[i] for ps in psplit]) for i in range(b)
+    ])
+    out = [doc_bucket.remote(*[gs[i] for gs in gsplit]) for i in range(b)]
+    return rd.from_arrow_refs(out)

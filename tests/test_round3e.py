@@ -167,3 +167,36 @@ def test_table_profile_nulls_and_minmax():
     assert got.loc["a", "n_rows"] == 4 and got.loc["a", "n_nulls"] == 1
     assert got.loc["a", "min_v"] == 1 and got.loc["a", "max_v"] == 5
     assert got.loc["b", "n_nulls"] == 0 and got.loc["b", "max_v"] == 40
+
+
+# -- shared ngram stats --------------------------------------------------------
+
+def test_shared_ngram_stats_matches_bruteforce():
+    from crawlray.pipelines.dedup import shared_ngram_stats, word_shingles
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "a b c d e f",          # shares 'a b c d'... with doc 2
+            "a b c d x y",
+            "p q r s t",            # unique grams
+            "too short",            # < 4 words -> no grams, absent from output
+            "a b c d e f",          # exact dup of doc 1
+        ],
+    })
+    got = shared_ngram_stats(
+        rd.from_pandas(docs), n=4, n_buckets=4
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    grams = {i: set(word_shingles(t, 4)) for i, t in
+             zip(docs["doc_id"], docs["text"])}
+    from collections import Counter
+    cnt = Counter(g for gs in grams.values() for g in gs)
+    exp = pd.DataFrame([
+        {"doc_id": i, "n_grams": len(gs),
+         "n_shared": sum(1 for g in gs if cnt[g] >= 2)}
+        for i, gs in grams.items() if gs
+    ])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # doc 4 has no 4-grams and must be absent
+    assert 4 not in set(got["doc_id"])
