@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "urgent_customers",
     "shared_ngrams",
     "table_profile",
+    "corpus_mix",
+    "group_sample",
 ]
 
 

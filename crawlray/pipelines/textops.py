@@ -326,3 +326,37 @@ class TextNormalizer:
             "norm_len": norm.str.len().astype("int64"),
             "norm_fp": [hashlib.md5(t.encode()).hexdigest() for t in norm],
         })
+
+def mix_corpora(batch: pa.Table, rates_pm: dict[str, int],
+                key: str = "source", id_col: str = "doc_id",
+                rate_salt: str = "mix-rate-v1", pos_salt: str = "mix-pos-v1",
+                pos_mod: int = 1_000_000_000) -> pa.Table:
+    """Training-mix composer: per-class per-mille sampling (the
+    :func:`rebalance_sample` contract — keep iff
+    ``md5_bucket(rate_salt:id) % 1000 < rates_pm[class]``) PLUS a
+    deterministic global shuffle key ``mix_pos = md5_bucket(pos_salt:id)
+    % pos_mod`` — sorting the surviving rows by ``mix_pos`` interleaves
+    the sources into one reproducible training stream. Both memberships
+    are pure functions of (salt, id): re-runs, resumes and incremental
+    corpus additions never flip a kept row or move it in the stream.
+    Zero shuffle (the consumer composes the sort); exactly
+    SQL-restatable via ``md5_number_upper``."""
+    ids = batch[id_col].to_pylist()
+    rb = np.array(
+        [int.from_bytes(hashlib.md5(f"{rate_salt}:{i}".encode()).digest()[:8],
+                        "little") % 1000 for i in ids],
+        dtype=np.int64,
+    )
+    pos = np.array(
+        [int.from_bytes(hashlib.md5(f"{pos_salt}:{i}".encode()).digest()[:8],
+                        "little") % pos_mod for i in ids],
+        dtype=np.int64,
+    )
+    classes = batch[key].to_pylist()
+    rates = np.array([rates_pm.get(c, 1000) for c in classes], np.int64)
+    out = pa.table({
+        id_col: batch[id_col],
+        key: batch[key],
+        "mix_pos": pa.array(pos),
+    })
+    return out.filter(pa.array(rb < rates))

@@ -2521,6 +2521,78 @@ SELECT 'l_linenumber', count(*), count(*) - count(l_linenumber),
 """
 
 
+
+MIX_RATES = {"src0": 250, "src1": 500}  # other sources keep everything
+
+
+def q_corpus_mix(sf_dir: str):
+    """Deterministic training-mix composition over documents: per-source
+    per-mille sampling + a reproducible global shuffle position
+    (``textops.mix_corpora``; zero shuffle — consumers sort by
+    ``mix_pos`` to interleave sources into one stream)."""
+    from .pipelines.textops import mix_corpora
+
+    return _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        lambda t: mix_corpora(t, MIX_RATES), batch_format="pyarrow"
+    )
+
+
+SQL_CORPUS_MIX = """
+WITH b AS (
+  SELECT doc_id, source,
+         (md5_number_upper('mix-rate-v1:' || doc_id::VARCHAR)::HUGEINT
+          % 1000)::BIGINT AS rb,
+         (md5_number_upper('mix-pos-v1:' || doc_id::VARCHAR)::HUGEINT
+          % 1000000000)::BIGINT AS mix_pos
+  FROM documents
+),
+r(source, rate) AS (VALUES ('src0', 250), ('src1', 500))
+SELECT doc_id, source, mix_pos
+FROM b LEFT JOIN r USING (source)
+WHERE b.rb < coalesce(r.rate, 1000)
+"""
+
+
+GROUP_SAMPLE_K = 20
+
+
+def q_group_sample(sf_dir: str):
+    """Deterministic per-group k-sample: for each language, the 20
+    documents with the largest md5 sample key — reproducible group-wise
+    subsampling (eval-set carving, per-class inspection) as a
+    composition of the md5 key + ``relational.grouped_topk`` (partial
+    head(k) per batch, so at most k rows per (batch, group) shuffle)."""
+    from .pipelines.relational import grouped_topk
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        import hashlib
+
+        h = np.array(
+            [int.from_bytes(
+                hashlib.md5(f"sample-v1:{i}".encode()).digest()[:8],
+                "little") % 1_000_000 for i in ids],
+            dtype=np.int64,
+        )
+        return pa.table({"lang": t["lang"], "doc_id": t["doc_id"],
+                         "h": pa.array(h)})
+
+    keyed_ds = _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        keyed, batch_format="pyarrow"
+    )
+    return grouped_topk(keyed_ds, group_keys=["lang"], value="h",
+                        tiebreak="doc_id", k=GROUP_SAMPLE_K)
+
+
+SQL_GROUP_SAMPLE = """
+SELECT lang, doc_id,
+       (md5_number_upper('sample-v1:' || doc_id::VARCHAR)::HUGEINT
+        % 1000000)::BIGINT AS h
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h DESC, doc_id) <= 20
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -2585,6 +2657,8 @@ def catalog():
         "urgent_customers": (q_urgent_customers, SQL_URGENT_CUSTOMERS),
         "shared_ngrams": (q_shared_ngrams, SQL_SHARED_NGRAMS),
         "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
+        "corpus_mix": (q_corpus_mix, SQL_CORPUS_MIX),
+        "group_sample": (q_group_sample, SQL_GROUP_SAMPLE),
         # rows-only: ann_ivf's pruned path is oracle-gated via
         # ann_ivf_exhaustive (n_probe=all == brute force, hash-green)
         "ann_ivf": (q_ann_ivf, None),

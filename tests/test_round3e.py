@@ -200,3 +200,41 @@ def test_shared_ngram_stats_matches_bruteforce():
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     # doc 4 has no 4-grams and must be absent
     assert 4 not in set(got["doc_id"])
+
+
+# -- corpus mix + group sample -------------------------------------------------
+
+def test_mix_corpora_deterministic_across_batching():
+    from crawlray.pipelines.textops import mix_corpora
+
+    t = pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                  "source": pa.array(["a" if i % 3 else "b" for i in range(200)])})
+    rates = {"b": 300}
+    whole = mix_corpora(t, rates)
+    # same rows regardless of how the input was batched
+    parts = pa.concat_tables([mix_corpora(t.slice(0, 67), rates),
+                              mix_corpora(t.slice(67, 70), rates),
+                              mix_corpora(t.slice(137), rates)])
+    assert whole.equals(parts)
+    # kept 'b' rows are a strict subset at rate 300pm; 'a' keeps all
+    kept = whole.to_pandas()
+    assert (kept[kept.source == "a"].shape[0]
+            == sum(1 for i in range(200) if i % 3))
+    assert 0 < kept[kept.source == "b"].shape[0] < sum(
+        1 for i in range(200) if i % 3 == 0)
+    # mix_pos is a pure function of doc_id (stable shuffle key)
+    again = mix_corpora(t, rates).to_pandas()
+    assert dict(zip(kept.doc_id, kept.mix_pos)) == dict(
+        zip(again.doc_id, again.mix_pos))
+
+
+def test_group_sample_query_shape():
+    import __ray_entry__ as em
+
+    df = em.queries()["group_sample"]("/root/testdata/sf0.001").to_pandas()
+    # at most k rows per group, deterministic across calls
+    assert df.groupby("lang").size().max() <= 20
+    df2 = em.queries()["group_sample"]("/root/testdata/sf0.001").to_pandas()
+    a = df.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    b = df2.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
