@@ -379,7 +379,9 @@ def ivf_topk(
         batch_format="pyarrow",
     ).to_pandas().sort_values("vec_id")
     qm = _normalize(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
-    probe = np.argsort(-(qm @ cents.T), axis=1)[:, :n_probe]          # (Q, n_probe)
+    # stable: centroid-score ties break to the LOWEST centroid id, so the
+    # probe set is deterministic and the SQL oracle can restate it
+    probe = np.argsort(-(qm @ cents.T), axis=1, kind="stable")[:, :n_probe]
     wanted = sorted({int(b) for row in probe for b in row})
     shortlist = assigned.map_batches(
         lambda t: t.filter(pa.compute.is_in(t["bucket"], value_set=pa.array(wanted, pa.int32()))),

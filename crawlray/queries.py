@@ -2593,6 +2593,72 @@ QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h DESC, doc_id) <= 20
 """
 
 
+IVF_N_CENTROIDS = 16
+IVF_N_PROBE = 4
+
+
+@functools.lru_cache(maxsize=1)
+def _ann_ivf_sql() -> str:
+    """Exact SQL restatement of the PRUNED IVF path (q_ann_ivf): the
+    centroids are deterministic (seeded k-means on the seeded id sample;
+    at sf0.01 the sample is the whole 500-row table), so they embed as
+    DOUBLE[] literals computed by the SAME training code, Ray-free.
+    Bucket assignment restates as argmax over raw inner products —
+    mathematically identical to the engine's normalized argmax because
+    normalization divides by a positive scalar — with the same
+    lowest-centroid tiebreak; the probe set is the UNION of every
+    query's n_probe nearest centroids (the engine deliberately skips
+    per-query bucket masking); the final ranking is SQL_ANN_COSINE's
+    shape restricted to the shortlist. Valid at the driver's fixed
+    sf=0.01 (centroid literals derive from that table, like every
+    VALUES-literal oracle in this catalog)."""
+    import pyarrow.parquet as pq
+
+    from .pipelines.ann import _normalize, train_centroids
+
+    tb = pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    df = tb.to_pandas().sort_values("vec_id")
+    sm = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+    cents = train_centroids(sm, IVF_N_CENTROIDS)
+    rows = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            j, ", ".join(repr(float(x)) for x in cents[j])
+        )
+        for j in range(len(cents))
+    )
+    return f"""
+WITH c(cid, cv) AS (VALUES
+    {rows}),
+e AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS ev FROM embeddings),
+ip AS (SELECT e.vec_id, c.cid, list_inner_product(e.ev, c.cv) AS ip
+       FROM e CROSS JOIN c),
+a AS (SELECT vec_id, cid AS bucket FROM ip
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ip DESC, cid) = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qe, ev AS qev FROM e
+      WHERE vec_id < {len(ANN_QUERY_IDS)}),
+qp AS (SELECT q.query_id, c.cid, list_inner_product(q.qev, c.cv) AS ip
+       FROM q CROSS JOIN c),
+probe AS (SELECT query_id, cid FROM qp
+          QUALIFY row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ip DESC, cid) <= {IVF_N_PROBE}),
+wanted AS (SELECT DISTINCT cid FROM probe),
+short AS (SELECT a.vec_id FROM a JOIN wanted w ON a.bucket = w.cid),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q CROSS JOIN e JOIN short s ON e.vec_id = s.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM sims
+)
+SELECT query_id, vec_id, rank FROM ranked WHERE rank <= {ANN_K}
+ORDER BY query_id, rank
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -2659,7 +2725,5 @@ def catalog():
         "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
         "corpus_mix": (q_corpus_mix, SQL_CORPUS_MIX),
         "group_sample": (q_group_sample, SQL_GROUP_SAMPLE),
-        # rows-only: ann_ivf's pruned path is oracle-gated via
-        # ann_ivf_exhaustive (n_probe=all == brute force, hash-green)
-        "ann_ivf": (q_ann_ivf, None),
+        "ann_ivf": (q_ann_ivf, _ann_ivf_sql()),
     }
