@@ -360,3 +360,104 @@ def mix_corpora(batch: pa.Table, rates_pm: dict[str, int],
         "mix_pos": pa.array(pos),
     })
     return out.filter(pa.array(rb < rates))
+
+def tfidf_top_terms_ds(docs, n_buckets: int = 16):
+    """Per-document top term by tf/df score (the exactly-SQL-restatable
+    tf-idf variant: one IEEE division — no libm ``ln`` divergence), with
+    integer (tf, df) evidence columns.
+
+    Two explicit K x K hash exchanges, zero Ray-Data groupbys and zero
+    sorts (the previous formulation — groupby(term) + bucketed join +
+    sort-based argmax — paid three shuffles, and the Aggregate sort-map
+    coalesces small blocks into one task): tf rows exchange ONCE by term
+    hash (a term's df is just its row count inside its bucket, since tf
+    rows are distinct per (doc, term)); scored rows re-exchange by doc
+    hash; the per-doc argmax (score desc, term asc) is a vectorized pass
+    inside the doc bucket."""
+    import ray
+    import ray.data as rd
+
+    from .relational import _as_table, _bucket_of
+
+    b = n_buckets
+    out_empty = pa.table({"doc_id": pa.nulls(0, pa.int64()),
+                          "term": pa.nulls(0, pa.string()),
+                          "tf": pa.nulls(0, pa.int64()),
+                          "df": pa.nulls(0, pa.int64())})
+    mid_empty = pa.table({"doc_id": pa.nulls(0, pa.int64()),
+                          "term": pa.nulls(0, pa.string()),
+                          "tf": pa.nulls(0, pa.int64()),
+                          "df": pa.nulls(0, pa.int64()),
+                          "score": pa.nulls(0, pa.float64())})
+
+    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.split()
+        n = words.str.len().fillna(0).astype("int64").to_numpy()
+        ex = pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), n),
+            "term": np.concatenate([w for w in words if w] or [[]]),
+        })
+        if not len(ex):
+            return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                                 "term": pd.array([], dtype="string"),
+                                 "tf": pd.array([], dtype="int64")})
+        return (
+            ex.groupby(["doc_id", "term"], sort=False).size()
+            .rename("tf").reset_index()
+        )
+
+    @ray.remote(num_returns=b)
+    def split_by_term(t):
+        t = _as_table(t)
+        if t.num_rows == 0:
+            pe = pa.table({"doc_id": pa.nulls(0, pa.int64()),
+                           "term": pa.nulls(0, pa.string()),
+                           "tf": pa.nulls(0, pa.int64())})
+            return [pe] * b if b > 1 else pe
+        buckets = _bucket_of(t["term"], b)
+        out = [t.filter(pa.array(buckets == i)) for i in range(b)]
+        return out if b > 1 else out[0]
+
+    @ray.remote(num_returns=b)
+    def term_bucket(*shards):
+        tbl = pa.concat_tables([_as_table(s) for s in shards])
+        if tbl.num_rows == 0:
+            return [mid_empty] * b if b > 1 else mid_empty
+        terms = np.asarray(tbl["term"].to_pylist(), dtype=object)
+        _, inv, cnt = np.unique(terms, return_inverse=True, return_counts=True)
+        dfv = cnt[inv].astype(np.int64)
+        tfv = tbl["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        scored = pa.table({
+            "doc_id": tbl["doc_id"].cast(pa.int64()),
+            "term": tbl["term"],
+            "tf": pa.array(tfv),
+            "df": pa.array(dfv),
+            "score": pa.array(tfv.astype(np.float64) / dfv.astype(np.float64)),
+        })
+        buckets = _bucket_of(scored["doc_id"], b)
+        out = [scored.filter(pa.array(buckets == i)) for i in range(b)]
+        return out if b > 1 else out[0]
+
+    @ray.remote
+    def doc_bucket(*parts) -> pa.Table:
+        tbl = pa.concat_tables([_as_table(p) for p in parts])
+        if tbl.num_rows == 0:
+            return out_empty
+        df = tbl.to_pandas()
+        top = (df.sort_values(["doc_id", "score", "term"],
+                              ascending=[True, False, True], kind="stable")
+               .groupby("doc_id", sort=False).head(1))
+        return pa.Table.from_pandas(
+            top[["doc_id", "term", "tf", "df"]], preserve_index=False
+        ).cast(out_empty.schema)
+
+    tf = docs.map_batches(tf_rows, batch_format="pandas")
+
+    def _rows(refs):
+        return [[r] for r in refs] if b == 1 else refs
+
+    tsplit = _rows([split_by_term.remote(t) for t in tf.to_arrow_refs()])
+    dsplit = _rows([term_bucket.remote(*[ts[i] for ts in tsplit])
+                    for i in range(b)])
+    out = [doc_bucket.remote(*[ds_[i] for ds_ in dsplit]) for i in range(b)]
+    return rd.from_arrow_refs(out)

@@ -2079,45 +2079,12 @@ def q_tfidf_top_terms(sf_dir: str):
     """Per-document top term by tf/df score (the exactly-restatable
     tf-idf variant: one IEEE division, bit-identical in both engines,
     unlike ``ln(N/df)`` whose libm differs). Emits integer (tf, df)
-    evidence columns. df resolves through ``bucketed_hash_join`` (vocab
-    is NOT assumed broadcast-small), argmax through the sort-based
-    ``grouped_argmax``."""
-    from .pipelines.relational import bucketed_hash_join, grouped_argmax
+    evidence columns. ``textops.tfidf_top_terms_ds``: two explicit
+    K x K hash exchanges (df computed inside the term bucket, argmax
+    inside the doc bucket) — no Ray-Data groupby, no sort."""
+    from .pipelines.textops import tfidf_top_terms_ds
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
-        words = df["text"].str.split()
-        n = words.str.len().fillna(0).astype("int64").to_numpy()
-        ex = pd.DataFrame({
-            "doc_id": np.repeat(df["doc_id"].to_numpy(), n),
-            "term": np.concatenate([w for w in words if w] or [[]]),
-        })
-        if not len(ex):
-            return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
-                                 "term": pd.array([], dtype="string"),
-                                 "tf": pd.array([], dtype="int64")})
-        return (
-            ex.groupby(["doc_id", "term"], sort=False).size()
-            .rename("tf").reset_index()
-        )
-
-    tf = docs.map_batches(tf_rows, batch_format="pandas")
-    df_ = tf.groupby("term").count()
-    df_ = df_.map_batches(lambda t: t.rename_columns(["term", "df"]),
-                          batch_format="pyarrow")
-    joined = bucketed_hash_join(tf, df_, key="term", n_buckets=16)
-
-    def score(t: pa.Table) -> pa.Table:
-        tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
-        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
-        return t.append_column("score", pa.array(tfv / dfv))
-
-    top = grouped_argmax(
-        joined.map_batches(score, batch_format="pyarrow"),
-        ["doc_id"], "score", "term",
-    )
-    return top.select_columns(["doc_id", "term", "tf", "df"])
+    return tfidf_top_terms_ds(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
 SQL_TFIDF_TOP_TERMS = """
