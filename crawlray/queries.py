@@ -224,24 +224,29 @@ def q_brand_revenue(sf_dir: str):
     part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
     part_ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
 
-    class JoinRev:
-        def __init__(self):
-            self.brand_of = ray.get(part_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            pk = t["l_partkey"].to_numpy(zero_copy_only=False)
-            brands = pd.Series(pk).map(self.brand_of).to_numpy()
-            price_c = _cents(t["l_extendedprice"])
-            disc_pct = _cents(t["l_discount"])
-            rev_cc = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
-            return pa.table(
-                {"p_brand": pa.array(brands, pa.string()), "rev_centicents": rev_cc}
-            )
+    def join_rev(t: pa.Table) -> pa.Table:
+        # broadcast dict: ray.get of the same ref is cached per worker
+        brand_of = ray.get(part_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        brands = pd.Series(pk).map(brand_of)
+        price_c = _cents(t["l_extendedprice"])
+        disc_pct = _cents(t["l_discount"])
+        rev_cc = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        # §2.5 pre-aggregation: collapse to <= |brands| partial rows per
+        # batch BEFORE anything shuffles (was: one row per lineitem)
+        g = pd.DataFrame({"p_brand": brands,
+                          "rev_centicents": rev_cc.to_numpy()}).groupby(
+            "p_brand", as_index=False).agg(
+            rev_centicents=("rev_centicents", "sum"), n_items=("rev_centicents", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     ds = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
-    joined = ds.map_batches(JoinRev, batch_format="pyarrow", concurrency=2)
-    return joined.groupby("p_brand").aggregate(
-        Sum("rev_centicents", alias_name="rev_centicents"), Count(alias_name="n_items")
+    partials = ds.map_batches(join_rev, batch_format="pyarrow").to_pandas()
+    # driver fold of O(blocks x |brands|) partial rows (bounded)
+    return (
+        partials.groupby("p_brand", as_index=False)
+        .agg(rev_centicents=("rev_centicents", "sum"), n_items=("n_items", "sum"))
+        .astype({"rev_centicents": "int64", "n_items": "int64"})
     )
 
 
@@ -255,45 +260,42 @@ GROUP BY p.p_brand
 
 
 def q_customer_orders(sf_dir: str):
-    """Two-large-sides join expressed as co-grouped aggregate: orders
-    pre-aggregated per customer, then broadcast-joined to customer dims."""
+    """Fact-side aggregate + broadcast dim join (J1 + §2.5
+    pre-aggregation): the small customer dim broadcasts once
+    (``ray.put``), each order batch maps custkey -> segment and
+    collapses to <= |segments| partial rows, and ONE tiny
+    ``groupby(segment)`` merges the partials — total shuffle volume
+    O(blocks x segments), never a row per order or per customer. (An
+    earlier formulation reduced per customer first; that global
+    groupby shuffled ~|customers| rows through the Aggregate
+    small-block single-task sort-map for no semantic gain.)"""
     import ray
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
 
-    def partial(t: pa.Table) -> pa.Table:
+    def seg_partial(t: pa.Table) -> pa.Table:
+        # ray.get of the same broadcast ref is cached per worker process —
+        # a task stage suffices, no actor-pool spin-up for a plain dict
+        seg = ray.get(seg_ref)
         df = pa.table(
             {"o_custkey": t["o_custkey"], "cents": _cents(t["o_totalprice"])}
         ).to_pandas()
-        g = df.groupby("o_custkey", as_index=False).agg(
+        df["c_mktsegment"] = df["o_custkey"].map(seg)
+        g = df.groupby("c_mktsegment", as_index=False).agg(
             n_orders=("cents", "size"), total_cents=("cents", "sum")
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    per_cust = (
-        orders.map_batches(partial, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(
-            Sum("n_orders", alias_name="n_orders"),
-            Sum("total_cents", alias_name="total_cents"),
-        )
-    )
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
-
-    class AddSeg:
-        def __init__(self):
-            self.seg = ray.get(seg_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["c_mktsegment"] = df["o_custkey"].map(self.seg)
-            return df
-
-    with_seg = per_cust.map_batches(AddSeg, batch_format="pandas", concurrency=2)
-    return with_seg.groupby("c_mktsegment").aggregate(
-        Sum("n_orders", alias_name="n_orders"),
-        Sum("total_cents", alias_name="total_cents"),
+    partials = orders.map_batches(seg_partial, batch_format="pyarrow").to_pandas()
+    # driver fold of O(blocks x |segments|) partial rows (bounded, the
+    # grouped_quantiles totals precedent) — a Dataset groupby here pays
+    # the Aggregate's multi-second fixed cost for a 5-row result
+    return (
+        partials.groupby("c_mktsegment", as_index=False)
+        .agg(n_orders=("n_orders", "sum"), total_cents=("total_cents", "sum"))
+        .astype({"n_orders": "int64", "total_cents": "int64"})
     )
 
 
