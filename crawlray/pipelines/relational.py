@@ -31,7 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from ..util import hash64, keep_first_sorted
+from ..util import hash64, keep_first_sorted, pa_type_of
 
 
 def _as_table(t) -> pa.Table:
@@ -55,18 +55,24 @@ def bucketed_hash_join(
     right: rd.Dataset,
     key: str,
     n_buckets: int = 32,
+    join_type: str = "inner",
 ) -> rd.Dataset:
-    """Inner equi-join of two large Datasets on ``key``. Column names of
-    the two sides must be disjoint apart from ``key``."""
+    """Equi-join of two large Datasets on ``key`` (``join_type``:
+    "inner" or "left outer" — unmatched left rows keep null right
+    columns). Column names of the two sides must be disjoint apart
+    from ``key``."""
     import ray
 
     l_schema = left.schema()
     r_schema = right.schema()
     l_cols = list(l_schema.names)
     r_cols = [c for c in r_schema.names if c != key]
+    # pa_type_of: pandas-block datasets report numpy dtypes (quirk), and
+    # the typed empties / null-fill columns need real Arrow types
     types = {
-        **dict(zip(l_schema.names, l_schema.types)),
-        **dict(zip(r_schema.names, r_schema.types)),
+        n: pa_type_of(t)
+        for n, t in [*zip(l_schema.names, l_schema.types),
+                     *zip(r_schema.names, r_schema.types)]
     }
     all_cols = l_cols + r_cols  # unified output schema
     empty = pa.table({c: pa.nulls(0, types[c]) for c in all_cols})
@@ -88,10 +94,18 @@ def bucketed_hash_join(
     def join_bucket(n_l: int, *shards) -> pa.Table:
         l = pa.concat_tables(shards[:n_l]) if n_l else empty
         r = pa.concat_tables(shards[n_l:]) if len(shards) > n_l else empty
-        if l.num_rows == 0 or r.num_rows == 0:
+        if l.num_rows == 0:
             return empty
+        if r.num_rows == 0:
+            if join_type == "inner":
+                return empty
+            # left outer vs an empty right: left rows + null right columns
+            out = l
+            for c in r_cols:
+                out = out.append_column(c, pa.nulls(l.num_rows, types[c]))
+            return out.select(all_cols)
         # Acero hash join; single-threaded — the task already owns 1 CPU.
-        return l.join(r.select([key, *r_cols]), keys=key, join_type="inner",
+        return l.join(r.select([key, *r_cols]), keys=key, join_type=join_type,
                       use_threads=False).select(all_cols)
 
     def _rows(refs):
@@ -217,9 +231,12 @@ def asof_join(
     r_schema = right.schema()
     l_cols = list(l_schema.names)
     r_cols = [c for c in r_schema.names if c != key]
+    # pa_type_of: pandas-block datasets report numpy dtypes (quirk), and
+    # the typed empties / null-fill columns need real Arrow types
     types = {
-        **dict(zip(l_schema.names, l_schema.types)),
-        **dict(zip(r_schema.names, r_schema.types)),
+        n: pa_type_of(t)
+        for n, t in [*zip(l_schema.names, l_schema.types),
+                     *zip(r_schema.names, r_schema.types)]
     }
     all_cols = l_cols + r_cols
     empty = pa.table({c: pa.nulls(0, types[c]) for c in all_cols})
@@ -329,9 +346,12 @@ def range_join(
     r_schema = right.schema()
     l_cols = list(l_schema.names)
     r_cols = [c for c in r_schema.names if c != key]
+    # pa_type_of: pandas-block datasets report numpy dtypes (quirk), and
+    # the typed empties / null-fill columns need real Arrow types
     types = {
-        **dict(zip(l_schema.names, l_schema.types)),
-        **dict(zip(r_schema.names, r_schema.types)),
+        n: pa_type_of(t)
+        for n, t in [*zip(l_schema.names, l_schema.types),
+                     *zip(r_schema.names, r_schema.types)]
     }
     all_cols = l_cols + r_cols
     empty = pa.table({c: pa.nulls(0, types[c]) for c in all_cols})

@@ -2628,6 +2628,50 @@ ORDER BY query_id, rank
 """
 
 
+def q_customer_urgent_counts(sf_dir: str):
+    """LEFT OUTER join: every customer with their URGENT-order count,
+    zero for customers with none (``bucketed_hash_join(...,
+    join_type="left outer")`` — unmatched left rows keep null right
+    columns, coalesced to 0 in a final Arrow pass). Completes the join
+    family: inner / left outer / semi / anti / as-of / range."""
+    from .pipelines.relational import bucketed_hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def urgent(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["o_orderpriority"], "1-URGENT")
+        return t.filter(keep).select(["o_custkey"]).rename_columns(["c_custkey"])
+
+    counts = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .map_batches(urgent, batch_format="pyarrow")
+        .groupby("c_custkey").count()
+        .map_batches(lambda t: t.rename_columns(["c_custkey", "n_urgent"]),
+                     batch_format="pyarrow")
+    )
+    joined = bucketed_hash_join(cust, counts, key="c_custkey",
+                                join_type="left outer")
+
+    def coalesce(t: pa.Table) -> pa.Table:
+        n = t["n_urgent"].cast(pa.int64())
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "c_name": t["c_name"],
+            "n_urgent": pc.fill_null(n, pa.scalar(0, pa.int64())),
+        })
+
+    return joined.map_batches(coalesce, batch_format="pyarrow")
+
+
+SQL_CUSTOMER_URGENT_COUNTS = """
+SELECT c.c_custkey, c.c_name, coalesce(o.n, 0)::BIGINT AS n_urgent
+FROM customer c LEFT JOIN (
+  SELECT o_custkey, count(*) AS n FROM orders
+  WHERE o_orderpriority = \'1-URGENT\' GROUP BY o_custkey
+) o ON c.c_custkey = o.o_custkey
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -2695,4 +2739,5 @@ def catalog():
         "corpus_mix": (q_corpus_mix, SQL_CORPUS_MIX),
         "group_sample": (q_group_sample, SQL_GROUP_SAMPLE),
         "ann_ivf": (q_ann_ivf, _ann_ivf_sql()),
+        "customer_urgent_counts": (q_customer_urgent_counts, SQL_CUSTOMER_URGENT_COUNTS),
     }

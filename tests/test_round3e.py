@@ -238,3 +238,35 @@ def test_group_sample_query_shape():
     a = df.sort_values(["lang", "doc_id"]).reset_index(drop=True)
     b = df2.sort_values(["lang", "doc_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+# -- left outer join -----------------------------------------------------------
+
+def test_bucketed_hash_join_left_outer():
+    from crawlray.pipelines.relational import bucketed_hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "lv": ["a", "b", "c", "d"]})
+    right = pd.DataFrame({"k": [2, 4, 4], "rv": [20, 40, 41]})
+    got = bucketed_hash_join(
+        rd.from_pandas(left), rd.from_pandas(right), key="k",
+        n_buckets=2, join_type="left outer",
+    ).to_pandas().sort_values(["k", "rv"]).reset_index(drop=True)
+    exp = left.merge(right, on="k", how="left").sort_values(
+        ["k", "rv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # unmatched keys survive with null right columns
+    assert got[got.k == 1]["rv"].isna().all()
+
+
+def test_bucketed_hash_join_left_outer_empty_right():
+    from crawlray.pipelines.relational import bucketed_hash_join
+
+    left = pd.DataFrame({"k": [1, 2], "lv": ["a", "b"]})
+    right = pd.DataFrame({"k": pd.array([], dtype="int64"),
+                          "rv": pd.array([], dtype="int64")})
+    got = bucketed_hash_join(
+        rd.from_arrow(pa.Table.from_pandas(left)),
+        rd.from_arrow(pa.Table.from_pandas(right)),
+        key="k", n_buckets=2, join_type="left outer",
+    ).to_pandas()
+    assert len(got) == 2 and got["rv"].isna().all()
