@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "corpus_mix",
     "group_sample",
     "customer_urgent_counts",
+    "event_ntiles",
+    "price_histogram",
 ]
 
 

@@ -422,3 +422,52 @@ def rolling_sum_rows(
 
     tagged = events.map_batches(tag, batch_format="pyarrow")
     return tagged.groupby("part").map_groups(roll, batch_format="pyarrow")
+
+def ntile_per_key(
+    events: rd.Dataset,
+    key: str,
+    ts: str,
+    id_col: str,
+    k: int,
+    n_partitions: int = 32,
+) -> rd.Dataset:
+    """Per-key NTILE(k) — the quantile-bucketing window analog
+    (``NTILE(k) OVER (PARTITION BY key ORDER BY ts, id)``), with SQL's
+    exact distribution: the first ``n % k`` tiles hold ``ceil(n/k)``
+    rows, the rest ``floor(n/k)``. Same single-shuffle shape as
+    :func:`lag_gap`: hash-partition by key, per-partition lexsort, then
+    the tile index as closed-form integer math on the within-key rank —
+    no per-row loop."""
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("part", pa.array(_bucket_of(t[key], n_partitions)))
+
+    def tiles(t: pa.Table) -> pa.Table:
+        id_type = t.schema.field(id_col).type
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.nulls(0, id_type),
+                             "tile": pa.nulls(0, pa.int64())})
+        keys = t[key].to_numpy(zero_copy_only=False)
+        tus = t[ts].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, tus, keys))
+        kk, ii = keys[order], ids[order]
+        n_rows = len(kk)
+        starts = np.r_[0, np.flatnonzero(kk[1:] != kk[:-1]) + 1]
+        counts = np.diff(np.r_[starts, n_rows])
+        n = np.repeat(counts, counts)                  # segment size per row
+        rank = np.arange(n_rows) - np.repeat(starts, counts)   # 0-based in-key
+        big = -(-n // k)                               # ceil(n/k)
+        small = n // k
+        r = n % k                                      # tiles that get `big`
+        cut = r * big
+        in_big = rank < cut
+        tile = np.where(
+            in_big,
+            rank // np.maximum(big, 1),
+            r + (rank - cut) // np.maximum(small, 1),
+        ) + 1
+        return pa.table({id_col: pa.array(ii).cast(id_type),
+                         "tile": pa.array(tile.astype(np.int64))})
+
+    tagged = events.map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby("part").map_groups(tiles, batch_format="pyarrow")

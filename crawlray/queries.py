@@ -2672,6 +2672,62 @@ FROM customer c LEFT JOIN (
 """
 
 
+NTILE_K = 8
+
+
+def q_event_ntiles(sf_dir: str):
+    """Per-user NTILE(8) over event time (``streaming.ntile_per_key``:
+    one hash shuffle, closed-form integer tile math on the within-key
+    rank — SQL's exact first-tiles-get-ceil distribution)."""
+    from .pipelines.streaming import ntile_per_key
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return ntile_per_key(ev, key="user_id", ts="ts", id_col="event_id",
+                         k=NTILE_K)
+
+
+SQL_EVENT_NTILES = """
+SELECT event_id,
+       ntile(8) OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS tile
+FROM events
+"""
+
+
+def q_price_histogram(sf_dir: str):
+    """Fixed-width value histogram over lineitem prices ($1000 bins on
+    the integer-cents domain): per-batch partial (bin, n, cents) rows +
+    a bounded driver fold — the §2.5 pre-aggregation rule; nothing but
+    O(blocks x bins) scalars leaves a block."""
+    import ray
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        bins = cents // 100_000
+        uniq, inv, cnt = np.unique(bins, return_inverse=True, return_counts=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, cents)
+        return pa.table({"bin": pa.array(uniq.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64)),
+                         "cents": pa.array(sums)})
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return (
+        parts.groupby("bin", as_index=False)
+        .agg(n=("n", "sum"), cents=("cents", "sum"))
+        .astype({"bin": "int64", "n": "int64", "cents": "int64"})
+    )
+
+
+SQL_PRICE_HISTOGRAM = """
+SELECT (CAST(round(l_extendedprice * 100) AS BIGINT) // 100000)::BIGINT AS bin,
+       count(*)::BIGINT AS n,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS cents
+FROM lineitem GROUP BY 1
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -2740,4 +2796,6 @@ def catalog():
         "group_sample": (q_group_sample, SQL_GROUP_SAMPLE),
         "ann_ivf": (q_ann_ivf, _ann_ivf_sql()),
         "customer_urgent_counts": (q_customer_urgent_counts, SQL_CUSTOMER_URGENT_COUNTS),
+        "event_ntiles": (q_event_ntiles, SQL_EVENT_NTILES),
+        "price_histogram": (q_price_histogram, SQL_PRICE_HISTOGRAM),
     }

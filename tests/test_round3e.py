@@ -270,3 +270,50 @@ def test_bucketed_hash_join_left_outer_empty_right():
         key="k", n_buckets=2, join_type="left outer",
     ).to_pandas()
     assert len(got) == 2 and got["rv"].isna().all()
+
+
+# -- ntile -----------------------------------------------------------------------
+
+def test_ntile_distribution_and_order():
+    from crawlray.pipelines.streaming import ntile_per_key
+
+    rng = np.random.default_rng(13)
+    n = 300
+    df = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.integers(0, 7, n),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 100_000, n), unit="s"),
+    })
+    k = 4
+    got = ntile_per_key(
+        rd.from_pandas(df), key="user_id", ts="ts", id_col="event_id",
+        k=k, n_partitions=4,
+    ).to_pandas()
+    m = df.merge(got, on="event_id")
+    for uid, g in m.groupby("user_id"):
+        sizes = g["tile"].value_counts()
+        n_u = len(g)
+        # SQL ntile: first n%k tiles get ceil(n/k), rest floor(n/k)
+        big, small, r = -(-n_u // k), n_u // k, n_u % k
+        exp = {t: (big if t <= r else small) for t in range(1, k + 1)
+               if (big if t <= r else small) > 0}
+        assert sizes.to_dict() == exp, uid
+        # tiles are non-decreasing in (ts, event_id) order
+        ordered = g.sort_values(["ts", "event_id"])["tile"].to_numpy()
+        assert (np.diff(ordered) >= 0).all()
+
+
+def test_ntile_fewer_rows_than_tiles():
+    from crawlray.pipelines.streaming import ntile_per_key
+
+    df = pd.DataFrame({
+        "event_id": [1, 2],
+        "user_id": [9, 9],
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-02"]),
+    })
+    got = ntile_per_key(
+        rd.from_pandas(df), key="user_id", ts="ts", id_col="event_id",
+        k=8, n_partitions=2,
+    ).to_pandas().sort_values("event_id")
+    assert got["tile"].tolist() == [1, 2]
