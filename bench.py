@@ -319,7 +319,10 @@ def scaling() -> None:
                 "capacity_ratio_min_draws": round(cap, 3),
                 "scaling_efficiency_normalized": round(eff / cap, 3),
                 "per_rep_efficiency": per_rep,
-                "per_rep_efficiency_best": max(per_rep),
+                "per_rep_efficiency_median": round(statistics.median(per_rep), 3),
+                # max over noisy paired ratios is an OPTIMISTIC BOUND
+                # (upward-biased); never quote it as the headline number
+                "per_rep_efficiency_optimistic_bound": max(per_rep),
                 "all_sec_lo": [r["value"] for r in runs_lo],
                 "all_sec_hi": [r["value"] for r in runs_hi],
                 "capacity_probes": probes,

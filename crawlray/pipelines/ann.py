@@ -16,11 +16,15 @@ float64 throughout so results are reproducible against the DuckDB oracle
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
+
+_log = logging.getLogger("crawlray.ann")
 
 
 def _matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
@@ -131,16 +135,19 @@ def _cos_rows_packed(a, b, packs_a, packs_b, threshold: float) -> pa.Table:
 
 
 class _VecPacker:
-    """(vec_id, vec) for vectors in the broadcast candidate-id set: the
-    L2-normalized float64 vector packed as bytes (binary is joinable
-    through Acero, list columns are not) — the ShinglePacker analog."""
+    """(vec_id, vec): the L2-normalized float64 vector packed as bytes
+    (binary is joinable through Acero, list columns are not) — the
+    ShinglePacker analog. ``ids_ref`` (broadcast candidate-id set)
+    filters the batch; ``None`` means the input was already semi-joined
+    down to candidates and every row packs."""
 
     def __init__(self, ids_ref):
-        self.ids = ray.get(ids_ref)  # sorted int64 np.ndarray
+        self.ids = None if ids_ref is None else ray.get(ids_ref)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = np.isin(ids, self.ids)
+        m = (np.ones(len(ids), dtype=bool) if self.ids is None
+             else np.isin(ids, self.ids))
         if not m.any():
             return pa.table({"vec_id": pa.nulls(0, pa.int64()),
                              "vec": pa.nulls(0, pa.binary())})
@@ -158,7 +165,7 @@ def embedding_lsh_pairs(
     n_planes: int = 64,
     bands: int = 8,
     seed: int = 11,
-    broadcast_max_docs: int = 1 << 20,
+    broadcast_max_docs: int | None = 1 << 20,
 ) -> rd.Dataset:
     """Embedding near-dup pairs at scale: random-hyperplane (SRP) LSH.
 
@@ -177,12 +184,20 @@ def embedding_lsh_pairs(
     a packed-vector table beyond that — the huge-candidate regime where a
     low threshold makes "the small side" approach the corpus and a
     driver-side materialization would not fit (the mirror of
-    ``minhash_lsh_pairs``'s ``broadcast_max_docs`` switch). Both regimes
-    share the :func:`_cos_rows_packed` numerics, asserted bit-identical
-    in tests.
+    ``minhash_lsh_pairs``'s ``broadcast_max_docs`` switch). The switch is
+    size-gated BEFORE anything candidate-sized reaches the driver (on the
+    materialized pair count; distinct ids <= 2 x pairs); in the huge
+    regime the distinct-id *Dataset* filters the embedding side via
+    :func:`~crawlray.pipelines.relational.bucketed_semi_join` — no
+    ``unique()``-to-driver on either path. ``broadcast_max_docs=None``
+    derives the cap from the object-store budget
+    (:func:`~crawlray.util.auto_broadcast_cap` at ``dim*8`` bytes/item);
+    the chosen regime is logged. Both regimes share the
+    :func:`_cos_rows_packed` numerics, asserted bit-identical in tests.
     """
-    from ..util import adjacent_pairs_sorted, keep_first_sorted
-    from .relational import bucketed_hash_join
+    from ..util import (adjacent_pairs_sorted, auto_broadcast_cap,
+                        drop_empty_blocks, keep_first_sorted)
+    from .relational import bucketed_hash_join, bucketed_semi_join
 
     rows_per_band = n_planes // bands
     empty = pa.table({"a": pa.nulls(0, pa.int64()), "b": pa.nulls(0, pa.int64()),
@@ -221,18 +236,26 @@ def embedding_lsh_pairs(
         both = pa.concat_arrays([t["a"].combine_chunks(), t["b"].combine_chunks()])
         return pa.table({"vec_id": pa.compute.unique(both)})
 
-    involved = np.array(
-        sorted(cand.map_batches(ids_of, batch_format="pyarrow").unique("vec_id")),
-        dtype=np.int64,
-    )
-    if involved.size == 0:
+    cand = cand.materialize()
+    n_pairs = cand.count()
+    if n_pairs == 0:
         return rd.from_arrow(empty)
-    inv_ref = ray.put(involved)
+    cap = (auto_broadcast_cap(dim * 8 + 64) if broadcast_max_docs is None
+           else broadcast_max_docs)
 
-    if involved.size <= broadcast_max_docs:
-        # small-candidate regime: candidate vectors only (the small side)
-        # collected once and broadcast as a sorted id vector + contiguous
-        # unit-vector matrix so the verify is a single row-wise dot
+    if 2 * n_pairs <= cap:
+        # small-candidate regime: distinct ids (bounded by 2*pairs <= cap)
+        # collect once; candidate vectors only (the small side) broadcast
+        # as a sorted id vector + contiguous unit-vector matrix so the
+        # verify is a single row-wise dot
+        _log.info("embedding_lsh_pairs: regime=broadcast pairs=%d cap=%d",
+                  n_pairs, cap)
+        involved = np.array(
+            sorted(cand.map_batches(ids_of, batch_format="pyarrow").unique("vec_id")),
+            dtype=np.int64,
+        )
+        inv_ref = ray.put(involved)
+
         def pick(t: pa.Table) -> pa.Table:
             ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             m = np.isin(ids, ray.get(inv_ref))
@@ -278,11 +301,21 @@ def embedding_lsh_pairs(
         # schema at to_pandas/driver-check time
         return rd.from_arrow(empty).union(verified)
 
-    # huge-candidate regime: NOTHING materializes on the driver — packed
-    # unit vectors resolve to the pair rows via two explicit hash-exchange
+    # huge-candidate regime: NOTHING materializes on the driver — the
+    # distinct-id Dataset (sort + keep-first, never unique()-to-driver)
+    # semi-joins the embedding side down to candidates, packed unit
+    # vectors resolve to the pair rows via two explicit hash-exchange
     # joins, and the verify runs inside map_batches over the joined rows
-    vecs = embeddings.map_batches(
-        _VecPacker, fn_constructor_args=(inv_ref,),
+    _log.info("embedding_lsh_pairs: regime=semi-join pairs=%d cap=%d",
+              n_pairs, cap)
+    ids_ds = keep_first_sorted(
+        cand.map_batches(ids_of, batch_format="pyarrow").sort("vec_id"),
+        ["vec_id"],
+    )
+    vecs = drop_empty_blocks(bucketed_semi_join(
+        embeddings, ids_ds, "vec_id", n_buckets=8
+    )).map_batches(
+        _VecPacker, fn_constructor_args=(None,),
         batch_format="pyarrow", concurrency=(2, 8), num_cpus=1,
     ).materialize()
     va = vecs.map_batches(
@@ -291,9 +324,9 @@ def embedding_lsh_pairs(
     vb = vecs.map_batches(
         lambda t: t.rename_columns(["b", "vec_b"]), batch_format="pyarrow"
     )
-    joined = bucketed_hash_join(
+    joined = drop_empty_blocks(bucketed_hash_join(
         bucketed_hash_join(cand, va, "a", n_buckets=8), vb, "b", n_buckets=8
-    )
+    ))
 
     def verify(t: pa.Table) -> pa.Table:
         return _cos_rows_packed(

@@ -35,6 +35,7 @@ exercise the same plans.
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
@@ -43,6 +44,8 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 from ray.data.aggregate import Count, Min
+
+_log = logging.getLogger("crawlray.dedup")
 
 _MERSENNE = (1 << 61) - 1
 
@@ -168,20 +171,23 @@ def _band_rows(batch: pd.DataFrame, bands: int, rows_per_band: int) -> pd.DataFr
 
 
 class ShinglePacker:
-    """(doc_id, sh) for docs in the broadcast candidate-id set: sorted
-    unique shingle hashes packed as little-endian uint64 bytes (binary is
-    joinable through Acero, list columns are not). Id set fetched from the
-    object store once per actor."""
+    """(doc_id, sh): sorted unique shingle hashes packed as little-endian
+    uint64 bytes (binary is joinable through Acero, list columns are not).
+    ``ids_ref`` (a broadcast candidate-id set, fetched from the object
+    store once per actor) filters the batch first; ``None`` means the
+    input was already reduced to candidates (the semi-join regime) and
+    every row packs."""
 
     def __init__(self, ids_ref, shingle_n: int):
         import ray
 
-        self.ids = ray.get(ids_ref)  # sorted int64 np.ndarray
+        self.ids = None if ids_ref is None else ray.get(ids_ref)
         self.shingle_n = shingle_n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = np.isin(ids, self.ids)
+        m = (np.ones(len(ids), dtype=bool) if self.ids is None
+             else np.isin(ids, self.ids))
         texts = batch["text"].to_pylist()
         packs = [
             np.unique(_stable_u64(word_shingles(texts[i], self.shingle_n))).tobytes()
@@ -239,8 +245,9 @@ def minhash_lsh_pairs(
     bands: int = 32,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
-    broadcast_max_docs: int = 1 << 20,
+    broadcast_max_docs: int | None = 1 << 20,
     token_hash: str = "sip",
+    est_doc_bytes: int = 2048,
 ) -> rd.Dataset:
     """Verified near-dup pairs (a, b, jaccard >= threshold) via banded
     MinHash-LSH. Every stage is distributed:
@@ -248,17 +255,26 @@ def minhash_lsh_pairs(
     band rows -> sort by (band, hash, doc) -> vectorized adjacent chain
     pairs per bucket (connectivity-equivalent to star pairing, no
     per-group map_groups call explosion) -> sort+keep-first pair dedup ->
-    [distinct candidate ids, an int64 vector on the driver, broadcast via
-    ``ray.put``] -> shingle packs for candidate docs only -> exact-Jaccard
-    verify inside ``map_batches``. The verify side resolves shingles via a
-    broadcast dict while candidate docs fit (``broadcast_max_docs``) and
-    switches to two ``bucketed_hash_join``s pairs<-shingles beyond that —
-    the huge-candidate regime where a broadcast would not fit.
+    shingle packs for candidate docs only -> exact-Jaccard verify inside
+    ``map_batches``.
+
+    Regime switch (size-gated BEFORE anything reaches the driver, on the
+    materialized pair count — distinct candidate ids are bounded by
+    2 x pairs): while ``2*pairs <= broadcast_max_docs`` the candidate ids
+    collect once into a sorted int64 vector (``ray.put``) and the verify
+    resolves shingles via a broadcast dict; beyond that NOTHING
+    candidate-sized touches the driver — the distinct-id *Dataset* filters
+    the doc side via :func:`~crawlray.pipelines.relational.bucketed_semi_join`
+    and the verify resolves shingles via two ``bucketed_hash_join``s
+    pairs<-shingles. ``broadcast_max_docs=None`` derives the cap from the
+    object-store budget (:func:`~crawlray.util.auto_broadcast_cap`,
+    ``est_doc_bytes`` per candidate doc); the chosen regime is logged.
     """
     import ray
 
-    from ..util import adjacent_pairs_sorted, keep_first_sorted
-    from .relational import bucketed_hash_join
+    from ..util import (adjacent_pairs_sorted, auto_broadcast_cap,
+                        drop_empty_blocks, keep_first_sorted)
+    from .relational import bucketed_hash_join, bucketed_semi_join
 
     rows_per_band = num_perm // bands
     sigs = docs.map_batches(
@@ -287,26 +303,34 @@ def minhash_lsh_pairs(
 
         return pa.table({"doc_id": pc.unique(both)})
 
-    involved = np.array(
-        sorted(cand.map_batches(ids_of, batch_format="pyarrow").unique("doc_id")),
-        dtype=np.int64,
-    )
     empty = pa.table(
         {"a": pa.nulls(0, pa.int64()), "b": pa.nulls(0, pa.int64()),
          "jaccard": pa.nulls(0, pa.float64())}
     )
-    if involved.size == 0:
+    cand = cand.materialize()
+    n_pairs = cand.count()
+    if n_pairs == 0:
         return rd.from_arrow(empty)
-    ids_ref = ray.put(involved)
-    shingles = docs.map_batches(
-        ShinglePacker,
-        fn_constructor_args=(ids_ref, shingle_n),
-        batch_format="pyarrow",
-        concurrency=(2, 8),
-        num_cpus=1,
-    ).materialize()  # small side (candidate docs only)
+    cap = (auto_broadcast_cap(est_doc_bytes) if broadcast_max_docs is None
+           else broadcast_max_docs)
 
-    if involved.size <= broadcast_max_docs:
+    if 2 * n_pairs <= cap:
+        # small-candidate regime: distinct ids (bounded by 2*pairs <= cap)
+        # collect once into a sorted int64 vector, broadcast via ray.put
+        _log.info("minhash_lsh_pairs: regime=broadcast pairs=%d cap=%d",
+                  n_pairs, cap)
+        involved = np.array(
+            sorted(cand.map_batches(ids_of, batch_format="pyarrow").unique("doc_id")),
+            dtype=np.int64,
+        )
+        ids_ref = ray.put(involved)
+        shingles = docs.map_batches(
+            ShinglePacker,
+            fn_constructor_args=(ids_ref, shingle_n),
+            batch_format="pyarrow",
+            concurrency=(2, 8),
+            num_cpus=1,
+        ).materialize()  # small side (candidate docs only)
         lookup: dict[int, bytes] = {}
         for t in ray.get(shingles.to_arrow_refs()):
             lookup.update(zip(t["doc_id"].to_pylist(), t["sh"].to_pylist()))
@@ -319,15 +343,34 @@ def minhash_lsh_pairs(
             num_cpus=0.5,
         )
 
+    # huge-candidate regime: candidate ids stay a Dataset end-to-end — the
+    # distinct-id Dataset (sort + keep-first, never unique()-to-driver)
+    # semi-joins the doc side down to candidates before shingling
+    _log.info("minhash_lsh_pairs: regime=semi-join pairs=%d cap=%d",
+              n_pairs, cap)
+    ids_ds = keep_first_sorted(
+        cand.map_batches(ids_of, batch_format="pyarrow").sort("doc_id"),
+        ["doc_id"],
+    )
+    shingles = drop_empty_blocks(bucketed_semi_join(
+        docs.select_columns(["doc_id", "text"]), ids_ds, "doc_id", n_buckets=8
+    )).map_batches(
+        ShinglePacker,
+        fn_constructor_args=(None, shingle_n),
+        batch_format="pyarrow",
+        concurrency=(2, 8),
+        num_cpus=1,
+    ).materialize()
+
     sh_a = shingles.map_batches(
         lambda t: t.rename_columns(["a", "sh_a"]), batch_format="pyarrow"
     )
     sh_b = shingles.map_batches(
         lambda t: t.rename_columns(["b", "sh_b"]), batch_format="pyarrow"
     )
-    joined = bucketed_hash_join(
+    joined = drop_empty_blocks(bucketed_hash_join(
         bucketed_hash_join(cand, sh_a, "a", n_buckets=8), sh_b, "b", n_buckets=8
-    )
+    ))
 
     def verify(t: pa.Table) -> pa.Table:
         return _jaccard_rows(
@@ -336,7 +379,11 @@ def minhash_lsh_pairs(
             t["sh_a"].to_pylist(), t["sh_b"].to_pylist(), jaccard_threshold,
         )
 
-    return joined.map_batches(verify, batch_format="pyarrow")
+    # typed 0-row head block keeps the unioned schema stable even if
+    # every verify block comes back empty
+    return rd.from_arrow(empty).union(
+        joined.map_batches(verify, batch_format="pyarrow")
+    )
 
 
 _CC_PHI = 0x9E3779B97F4A7C15

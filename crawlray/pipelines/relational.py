@@ -171,7 +171,9 @@ def bucketed_anti_join(
         r = pa.concat_tables(shards[n_l:]) if len(shards) > n_l else None
         if r is None or r.num_rows == 0:
             return l.select(l_cols)
-        probe = pc.is_in(l[key], value_set=pc.unique(r[key]))
+        # skip_nulls: NOT EXISTS keeps a NULL-key left row (NULL = x is
+        # never true) — without it a null in the right side would eat it
+        probe = pc.is_in(l[key], value_set=pc.unique(r[key]), skip_nulls=True)
         return l.filter(pc.invert(probe)).select(l_cols)
 
     def _rows(refs):
@@ -555,7 +557,9 @@ def bucketed_semi_join(
         r = pa.concat_tables(shards[n_l:]) if len(shards) > n_l else None
         if r is None or r.num_rows == 0:
             return empty
-        probe = pc.is_in(l[key], value_set=pc.unique(r[key]))
+        # skip_nulls: SQL EXISTS equality never matches NULL = NULL,
+        # but Arrow's is_in default does — null keys must never probe true
+        probe = pc.is_in(l[key], value_set=pc.unique(r[key]), skip_nulls=True)
         return l.filter(probe).select(l_cols)
 
     def _rows(refs):

@@ -296,7 +296,10 @@ class PiiScanner:
         self.repl = repl
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        s = batch[self.text_col]
+        # null text counts as empty text (documented contract): without
+        # fillna a null row makes str.count yield NaN and the int64 cast
+        # raise, killing the whole batch for one bad row
+        s = batch[self.text_col].fillna("")
         return pd.DataFrame({
             self.id_col: batch[self.id_col],
             "n_pii": s.str.count(self.pat).astype("int64"),
@@ -319,7 +322,9 @@ class TextNormalizer:
         self.pat = re.compile(r"[^a-z0-9]+")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        norm = (batch["text"].str.lower()
+        # null text normalizes as empty (same contract as PiiScanner):
+        # the md5 loop would otherwise call .encode() on NaN
+        norm = (batch["text"].fillna("").str.lower()
                 .str.replace(self.pat, " ", regex=True).str.strip())
         return pd.DataFrame({
             "doc_id": batch["doc_id"],

@@ -1810,7 +1810,7 @@ def _media_expected_table() -> pa.Table:
     from .stages.parse import build_spans_column
     from .synth import World
 
-    cfg = _crawl_cfg("/root/testdata/sf0.01")   # config shape only, no reads
+    cfg = _crawl_cfg(_ORACLE_SF_DIR)   # config shape only, no reads
     world = World(cfg.world)
     urls = [world.url(i % cfg.world.n_hosts, 0) for i in range(cfg.world.n_hosts)]
     span_lists, ids = [], []
@@ -2585,7 +2585,7 @@ def _ann_ivf_sql() -> str:
 
     from .pipelines.ann import _normalize, train_centroids
 
-    tb = pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
+    tb = pq.read_table(f"{_ORACLE_SF_DIR}/embeddings.parquet",
                        columns=["vec_id", "embedding"])
     df = tb.to_pandas().sort_values("vec_id")
     sm = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))

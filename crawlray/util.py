@@ -188,3 +188,44 @@ def zip_with_index(ds: rd.Dataset, col: str = "_idx", start: int = 0) -> tuple[r
         _with_index.remote(r, col, int(off)) for r, off in zip(refs, offsets)
     ]
     return rd.from_arrow_refs(new_refs), int(sum(counts))
+
+
+def drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
+    """Drop 0-row blocks from an (already materialized / exchange-built)
+    dataset. Ray quirk: ``map_batches`` never calls the UDF on a 0-row
+    input block and emits a schema-LESS empty output block instead, so a
+    bucketed exchange with empty buckets poisons every downstream
+    ``map_batches`` output with blank-schema blocks (concat_tables then
+    fails on mixed schemas). Driver cost: one ``num_rows`` task per block,
+    O(blocks). Keeps one block when all are empty so the dataset stays
+    constructible."""
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return ds
+    counts = ray.get([_num_rows.remote(r) for r in refs])
+    keep = [r for r, c in zip(refs, counts) if c]
+    return rd.from_arrow_refs(keep if keep else refs[:1])
+
+
+def auto_broadcast_cap(
+    item_bytes: int,
+    fraction: float = 0.25,
+    object_store_bytes: int | None = None,
+    fallback_bytes: int = 2 << 30,
+) -> int:
+    """Max item count a ``ray.put`` broadcast side may hold, derived from
+    a memory budget (``fraction`` of the cluster object store) instead of
+    a fixed constant — the broadcast/join regime switch for the near-dup
+    family. ``object_store_bytes`` overrides discovery (for tests); when
+    Ray reports no object-store resource the ``fallback_bytes`` budget
+    applies. Never returns less than 1 so degenerate budgets still allow
+    the trivially-small case."""
+    if object_store_bytes is None:
+        try:
+            object_store_bytes = int(
+                ray.cluster_resources().get("object_store_memory") or 0
+            )
+        except Exception:
+            object_store_bytes = 0
+    budget = (object_store_bytes or fallback_bytes) * fraction
+    return max(1, int(budget // max(1, item_bytes)))
