@@ -211,12 +211,10 @@ def stratified_split(batch: pa.Table, salt: str = "split-v1",
     md5-upper-8 (== DuckDB ``md5_number_upper``, the SimHash/MinHash
     oracle idiom) mod 1e6 against cumulative fraction thresholds.
     Per-row md5 is inherent to the md5 contract (cf. ``fingerprint``)."""
+    from ..util import md5_id_bucket
+
     ids = batch["doc_id"].to_pylist()
-    buckets = np.array(
-        [int.from_bytes(hashlib.md5(f"{salt}:{i}".encode()).digest()[:8],
-                        "little") % 1_000_000 for i in ids],
-        dtype=np.int64,
-    )
+    buckets = md5_id_bucket(salt, ids, 1_000_000)
     labels = np.empty(len(ids), dtype=object)
     lo = 0
     for name, frac in fractions:
@@ -242,12 +240,10 @@ def rebalance_sample(batch: pa.Table, rates_pm: dict[str, int],
     from the map keep everything), so re-runs and incremental corpus
     additions never flip a kept row — the same md5-upper-8 contract as
     :func:`stratified_split`, hence exactly SQL-restatable."""
+    from ..util import md5_id_bucket
+
     ids = batch[id_col].to_pylist()
-    buckets = np.array(
-        [int.from_bytes(hashlib.md5(f"{salt}:{i}".encode()).digest()[:8],
-                        "little") % 1000 for i in ids],
-        dtype=np.int64,
-    )
+    buckets = md5_id_bucket(salt, ids, 1000)
     classes = batch[key].to_pylist()
     rates = np.array([rates_pm.get(c, 1000) for c in classes], np.int64)
     out = batch.append_column("bucket", pa.array(buckets))
@@ -346,17 +342,11 @@ def mix_corpora(batch: pa.Table, rates_pm: dict[str, int],
     corpus additions never flip a kept row or move it in the stream.
     Zero shuffle (the consumer composes the sort); exactly
     SQL-restatable via ``md5_number_upper``."""
+    from ..util import md5_id_bucket
+
     ids = batch[id_col].to_pylist()
-    rb = np.array(
-        [int.from_bytes(hashlib.md5(f"{rate_salt}:{i}".encode()).digest()[:8],
-                        "little") % 1000 for i in ids],
-        dtype=np.int64,
-    )
-    pos = np.array(
-        [int.from_bytes(hashlib.md5(f"{pos_salt}:{i}".encode()).digest()[:8],
-                        "little") % pos_mod for i in ids],
-        dtype=np.int64,
-    )
+    rb = md5_id_bucket(rate_salt, ids, 1000)
+    pos = md5_id_bucket(pos_salt, ids, pos_mod)
     classes = batch[key].to_pylist()
     rates = np.array([rates_pm.get(c, 1000) for c in classes], np.int64)
     out = pa.table({

@@ -19,8 +19,24 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
+@functools.lru_cache(maxsize=None)
+def _file_schema(path: str):
+    """Metadata-free file schema. The driver-written test parquet carries
+    pandas metadata that makes ``pa.Schema`` unhashable, so every read
+    spams Ray's "Failed to hash the schemas (for deduplication)" warning
+    from the block-dedup fast path; passing an explicit stripped schema
+    keeps the blocks hashable (and the bench tail clean)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_schema(path).remove_metadata()
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    path = f"{sf_dir}/{table}.parquet"
+    schema = _file_schema(path)
+    if columns is not None:  # the explicit schema must match the projection
+        schema = pa.schema([schema.field(c) for c in columns])
+    return rd.read_parquet(path, columns=columns, schema=schema)
 
 
 def _cents(col):
@@ -2534,15 +2550,9 @@ def q_group_sample(sf_dir: str):
     from .pipelines.relational import grouped_topk
 
     def keyed(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        import hashlib
+        from .util import md5_id_bucket
 
-        h = np.array(
-            [int.from_bytes(
-                hashlib.md5(f"sample-v1:{i}".encode()).digest()[:8],
-                "little") % 1_000_000 for i in ids],
-            dtype=np.int64,
-        )
+        h = md5_id_bucket("sample-v1", t["doc_id"].to_pylist(), 1_000_000)
         return pa.table({"lang": t["lang"], "doc_id": t["doc_id"],
                          "h": pa.array(h)})
 
