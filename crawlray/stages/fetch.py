@@ -15,6 +15,7 @@ In this sandbox the network is replaced by the deterministic page generator
 
 from __future__ import annotations
 
+import threading
 from typing import Protocol, runtime_checkable
 
 import pyarrow as pa
@@ -164,28 +165,65 @@ class HttpFetcher:
     retry on 5xx/timeout/connection errors, per-row credentials, errors
     as data. Per-actor state: robots cache + politeness token buckets.
 
+    **Concurrent in-actor fetch** (SURVEY §2.1 S1 "async fetch inside
+    actor"): ``max_concurrency`` worker threads per actor drain each
+    batch through one lazily-built ``ThreadPoolExecutor`` (urllib releases
+    the GIL during socket waits, so threads genuinely overlap network
+    time). The per-host token buckets are THREAD-SAFE and shared across
+    the pool — same-host requests serialize on their bucket (the
+    politeness contract) while other hosts proceed; the robots cache is
+    single-flight (one thread fetches a host's robots.txt, peers wait on
+    an event instead of re-fetching). Output rows keep INPUT order
+    regardless of completion order, so the column contract and the
+    engine's (priority, seq) ordering are untouched. ``max_concurrency=1``
+    degrades to the sequential loop.
+
     The sandbox has no network, so this class is exercised by (a) the
     protocol/contract conformance test, (b) an offline connection-refused
-    drive (the error path is fully real), and (c) a live test that skips
-    unless the network is reachable.
+    drive (the error path is fully real, concurrency included), and (c) a
+    live test that skips unless the network is reachable.
     """
 
     def __init__(self, rate_per_host: float | None = None,
                  global_auth: dict | None = None, timeout: float = 10.0,
-                 user_agent: str = "crawlray/1.0", respect_robots: bool = True):
+                 user_agent: str = "crawlray/1.0", respect_robots: bool = True,
+                 max_concurrency: int = 8):
         self.politeness = HostPoliteness(rate_per_host)
         self.global_auth = global_auth
         self.timeout = timeout
         self.user_agent = user_agent
         self.respect_robots = respect_robots
+        self.max_concurrency = max(1, int(max_concurrency))
         self._robots: dict[str, object] = {}   # host -> RobotFileParser | None
+        self._robots_lock = threading.Lock()
+        self._robots_inflight: dict[str, object] = {}   # host -> Event
+        self._pool = None   # lazy ThreadPoolExecutor (unpicklable; per actor)
 
-    # -- per-actor robots cache (ST3) ------------------------------------
+    def _ensure_pool(self):
+        if self._pool is None and self.max_concurrency > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=self.max_concurrency, thread_name_prefix="fetch"
+            )
+        return self._pool
+
+    # -- per-actor robots cache (ST3), single-flight across the pool ------
     def _robots_allowed(self, url: str, host: str) -> bool:
         if not self.respect_robots:
             return True
-        rp = self._robots.get(host, False)
-        if rp is False:
+        while True:
+            with self._robots_lock:
+                if host in self._robots:
+                    rp = self._robots[host]
+                    break
+                ev = self._robots_inflight.get(host)
+                if ev is None:
+                    self._robots_inflight[host] = threading.Event()
+                    ev = None   # this thread owns the fetch
+            if ev is not None:
+                ev.wait(self.timeout)   # a peer is fetching; wait and re-check
+                continue
             import urllib.robotparser
 
             rp = urllib.robotparser.RobotFileParser()
@@ -195,7 +233,10 @@ class HttpFetcher:
                 rp.read()
             except Exception:
                 rp = None                      # unreachable robots -> allow
-            self._robots[host] = rp
+            with self._robots_lock:
+                self._robots[host] = rp
+                self._robots_inflight.pop(host).set()
+            break
         return True if rp is None else rp.can_fetch(self.user_agent, url)
 
     def _fetch_one(self, url: str, cookies: dict, headers: dict,
@@ -248,21 +289,30 @@ class HttpFetcher:
                         rec.retry_possible, attempt, None)
         return last
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _fetch_row(self, url: str, host: str, auth) -> tuple:
+        """Robots gate + politeness + fetch for one row — the unit the
+        worker threads run. Returns the 7 contract values."""
         from ..errors import classify
 
+        cookies, headers, basic = auth
+        if not self._robots_allowed(url, host):
+            rec = classify("robots")
+            return ("robots_denied", 0, rec.error_type, rec.error_code,
+                    False, 0, None)
+        self.politeness.acquire(host)
+        return self._fetch_one(url, cookies, headers, basic)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
         hosts = batch["host"].to_pylist()
         auths = resolve_batch_auth(batch, self.global_auth)
-        rows = []
-        for url, host, (cookies, headers, basic) in zip(urls, hosts, auths):
-            if not self._robots_allowed(url, host):
-                rec = classify("robots")
-                rows.append(("robots_denied", 0, rec.error_type,
-                             rec.error_code, False, 0, None))
-                continue
-            self.politeness.acquire(host)
-            rows.append(self._fetch_one(url, cookies, headers, basic))
+        pool = self._ensure_pool()
+        if pool is None:
+            rows = [self._fetch_row(u, h, a)
+                    for u, h, a in zip(urls, hosts, auths)]
+        else:
+            # executor.map preserves INPUT order over out-of-order completion
+            rows = list(pool.map(self._fetch_row, urls, hosts, auths))
         cols = list(zip(*rows)) if rows else [[]] * 7
         out = batch
         for (name, typ), vals in zip(FETCH_OUTPUT_COLUMNS.items(), cols):

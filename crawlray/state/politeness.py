@@ -20,33 +20,41 @@ come from the north rule.
 
 from __future__ import annotations
 
+import threading
 import time
 
 
 class TokenBucket:
-    __slots__ = ("rate", "burst", "tokens", "last")
+    """Thread-safe refill bucket. The pooled fetcher's worker threads
+    share one bucket per host; sleeping INSIDE the lock is deliberate —
+    it serializes same-host requests (the politeness contract) while
+    threads on other hosts proceed on their own buckets."""
+
+    __slots__ = ("rate", "burst", "tokens", "last", "_lock")
 
     def __init__(self, rate: float | None, burst: float = 8.0):
         self.rate = rate          # tokens/sec; None = unlimited (no sleeping)
         self.burst = burst
         self.tokens = burst
         self.last = time.monotonic()
+        self._lock = threading.Lock()
 
     def acquire(self) -> float:
         """Take one token; returns seconds slept (0 when rate is None)."""
         if self.rate is None:
             return 0.0
-        now = time.monotonic()
-        self.tokens = min(self.burst, self.tokens + (now - self.last) * self.rate)
-        self.last = now
-        if self.tokens >= 1.0:
-            self.tokens -= 1.0
-            return 0.0
-        wait = (1.0 - self.tokens) / self.rate
-        time.sleep(wait)
-        self.tokens = 0.0
-        self.last = time.monotonic()
-        return wait
+        with self._lock:
+            now = time.monotonic()
+            self.tokens = min(self.burst, self.tokens + (now - self.last) * self.rate)
+            self.last = now
+            if self.tokens >= 1.0:
+                self.tokens -= 1.0
+                return 0.0
+            wait = (1.0 - self.tokens) / self.rate
+            time.sleep(wait)
+            self.tokens = 0.0
+            self.last = time.monotonic()
+            return wait
 
 
 class HostPoliteness:
@@ -58,9 +66,11 @@ class HostPoliteness:
         self.burst = burst
         self.buckets: dict[str, TokenBucket] = {}
         self.robots_cache: dict[str, bool] = {}   # host -> has rules (synthetic)
+        self._lock = threading.Lock()              # bucket-map creation only
 
     def acquire(self, host: str) -> float:
         b = self.buckets.get(host)
         if b is None:
-            b = self.buckets[host] = TokenBucket(self.rate, self.burst)
+            with self._lock:
+                b = self.buckets.setdefault(host, TokenBucket(self.rate, self.burst))
         return b.acquire()
