@@ -233,6 +233,136 @@ def burn_speedup(nproc: int, iters: int = 4_000_000) -> float:
     return nproc * ser / par
 
 
+def _parse_trace(text: str) -> dict:
+    """`[trace r{N}] {step}: {sec}s` lines -> {round: {step: sec}}."""
+    out: dict = {}
+    for line in text.splitlines():
+        if not line.startswith("[trace r"):
+            continue
+        head, _, rest = line.partition("] ")
+        step, _, sec = rest.partition(": ")
+        out.setdefault(int(head[len("[trace r"):]), {})[step] = float(sec.rstrip("s"))
+    return out
+
+
+def _soak_round_stats(out_dir: str, n_rounds: int) -> list[dict]:
+    """Per-round checkpoint-cost accounting straight off the artifact
+    tree: frontier rows/bytes written for round r+1, the round's seen
+    DELTA snapshot bytes, corpus/metrics bytes, manifest bytes, and the
+    manifest totals. This is the evidence the checkpoint tax stays
+    O(new URLs) per round, not O(seen)."""
+    import glob as g
+
+    import pyarrow.parquet as pqt
+
+    def dbytes(pat: str) -> int:
+        return sum(os.path.getsize(p) for p in g.glob(pat))
+
+    rows = []
+    for r in range(n_rounds):
+        man_path = f"{out_dir}/manifests/manifest-{r + 1:04d}.json"
+        man = json.loads(open(man_path).read())
+        fglob = f"{out_dir}/frontier/round-{r + 1:04d}/*.parquet"
+        frows = sum(pqt.ParquetFile(p).metadata.num_rows for p in g.glob(fglob))
+        rows.append({
+            "round": r,
+            "urls_in": man["totals"]["urls_in"],
+            "new_urls": man["totals"]["new_urls"],
+            "next_frontier_rows": frows,
+            "next_frontier_bytes": dbytes(fglob),
+            "seen_delta_bytes": dbytes(f"{out_dir}/seen/round-{r + 1:04d}/*.bin"),
+            "corpus_bytes": dbytes(f"{out_dir}/corpus/round-{r:04d}/part-*"),
+            "metrics_bytes": dbytes(f"{out_dir}/metrics/round-{r:04d}/*.parquet"),
+            "manifest_bytes": os.path.getsize(man_path),
+        })
+    return rows
+
+
+def soak() -> None:
+    """Scale-representative soak (round-3 VERDICT tasks 5+7): a world big
+    enough that a round's frontier crosses ``driver_threshold`` (2M rows),
+    so the fully distributed control plane is BENCHED on its natural
+    trigger — run twice, hybrid (driver path below the threshold, dist
+    above: the crossover) and driver_threshold=0 (dist everywhere), with
+    manifest-byte parity asserted between them. Per-round checkpoint
+    costs (seen delta bytes, frontier bytes, snapshot/manifest wall from
+    the engine trace) land in the JSON for the BASELINE.md table.
+
+    Env: SOAK_URLS (default 3.5M world), SOAK_SEEDS (default 150k),
+    SOAK_ROUNDS (default 3), SOAK_CPUS (default 16)."""
+    os.environ["CRAWLRAY_TRACE"] = "1"   # must precede the engine import
+    import contextlib
+    import dataclasses
+    import glob as g
+    import io
+
+    import ray
+
+    from crawlray.engine import CrawlEngine, EngineConfig
+    from crawlray.synth import WorldConfig
+
+    cpus = int(os.environ.get("SOAK_CPUS", "16"))
+    n_urls = int(os.environ.get("SOAK_URLS", "3500000"))
+    n_seeds = int(os.environ.get("SOAK_SEEDS", "150000"))
+    rounds = int(os.environ.get("SOAK_ROUNDS", "3"))
+    ray.init(address="local", num_cpus=cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    base = EngineConfig(
+        world=WorldConfig(n_urls=n_urls, n_hosts=max(20, n_urls // 400),
+                          politeness_budget=768, page_scale=3),
+        n_seeds=n_seeds, max_rounds=rounds, n_parts=64, n_frontier_parts=16,
+        n_seen_shards=16, seen_mode="cuckoo", seen_capacity=1 << 22,
+        fetch_batch_size=512, fetch_concurrency=(4, max(8, cpus)),
+    )
+    results: dict = {}
+    manifests: dict = {}
+    for label, cfg in (("hybrid", base),
+                       ("dist", dataclasses.replace(base, driver_threshold=0))):
+        out = tempfile.mkdtemp(prefix=f"crawlsoak_{label}_")
+        try:
+            eng = CrawlEngine(cfg, out)
+            buf = io.StringIO()
+            t0 = time.perf_counter()
+            with contextlib.redirect_stdout(buf):
+                summary = eng.run()
+            dt = time.perf_counter() - t0
+            eng.shutdown()
+            per_round = _soak_round_stats(out, summary["rounds"])
+            trace = _parse_trace(buf.getvalue())
+            for row in per_round:
+                row["trace_sec"] = trace.get(row["round"], {})
+            results[label] = {
+                "sec": round(dt, 2),
+                "fetched": summary["fetched"],
+                "new_urls": summary["new_urls"],
+                "seen_total": summary["seen_total"],
+                "urls_per_sec": round(summary["fetched"] / dt, 1),
+                "rounds": per_round,
+            }
+            manifests[label] = {
+                os.path.basename(p): open(p, "rb").read()
+                for p in g.glob(f"{out}/manifests/manifest-*.json")
+            }
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+    print(json.dumps({
+        "metric": "crawl_soak",
+        "value": results["dist"]["sec"],
+        "unit": "sec",
+        "num_cpus": cpus,
+        "world_urls": n_urls,
+        "seeds": n_seeds,
+        "driver_threshold": base.driver_threshold,
+        "manifest_parity": manifests["hybrid"] == manifests["dist"],
+        "hybrid": results["hybrid"],
+        "dist": results["dist"],
+    }))
+    ray.shutdown()
+
+
 def scaling() -> None:
     def run(ncpu: int) -> dict:
         env = dict(
@@ -334,6 +464,8 @@ def scaling() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--soak" in sys.argv:
+        soak()
     else:
         if os.environ.get("CRAWL_BENCH_ONLY"):
             import ray
