@@ -47,13 +47,17 @@ import ray.data as rd
 from .canon import host_of
 from .checkpoint import CheckpointStore, atomic_write_bytes, config_hash, part_name
 from .stages.fetch import SynthFetcher
-from .stages.frontier import mark_candidates, select_per_host
+from .stages.frontier import mark_candidates
 from .stages.parse import explode_outlinks, fetch_parse_batch, parse_batch
 from .state.seen import SeenClient
 from .synth import World, WorldConfig, h64
-from .util import hash64, hash_impl_stamp, unique_keep_first, zip_with_index
+from .util import hash64, hash_impl_stamp, zip_with_index
 
 FRONTIER_COLS = ["url", "host", "priority", "depth", "seq", "url_hash"]
+FRONTIER_TYPES = {
+    "url": pa.string(), "host": pa.string(), "priority": pa.int32(),
+    "depth": pa.int32(), "seq": pa.int64(), "url_hash": pa.int64(),
+}
 
 
 def _uhash(t: "pa.Table") -> "np.ndarray":
@@ -196,40 +200,28 @@ class _PartWorker:
         return self.writer(docs)
 
 
-class _SeenFilter:
-    """map_batches anti-join against the URL-seen shards (prior rounds)."""
-
-    def __init__(self, client: SeenClient):
-        self.client = client
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
-        urls = batch["url"].to_pylist()
-        seen = self.client.contains(urls, _uhash(batch))
-        return batch.filter(pa.array(~seen))
-
-
-class _FrontierWriter:
-    def __init__(self, frontier_dir: str, round_idx: int):
-        self.frontier_dir = frontier_dir
-        self.round_idx = round_idx
-
-    def __call__(self, group: pa.Table) -> pa.Table:
-        fp = int(group["fpart"][0].as_py())
-        t = group.select(FRONTIER_COLS)
-        t = t.take(pc.sort_indices(t, sort_keys=[("priority", "ascending"), ("seq", "ascending")]))
-        t = t.replace_schema_metadata(None)
-        path = Path(self.frontier_dir) / part_name(self.round_idx, fp)
-        pq.write_table(t, path)
-        return pa.table({"fpart": pa.array([fp], pa.int32()),
-                         "rows": pa.array([t.num_rows], pa.int64())})
-
-
 @ray.remote
 def _part_task(worker: "_PartWorker", group: pa.Table) -> pa.Table:
     """One corpus partition of one round (driver-path data plane)."""
     return worker(group)
+
+
+@ray.remote
+def _write_frontier_shards(fdir: str, round_idx: int, part: int,
+                           *shards) -> None:
+    """One frontier partition file assembled from its exchange shards
+    (dist-path write fan-out). Empty partitions write nothing — the same
+    files the driver path produces."""
+    parts = [s for s in shards if s.num_rows]
+    if not parts:
+        return
+    t = pa.concat_tables(parts).select(FRONTIER_COLS)
+    t = t.take(
+        pc.sort_indices(t, sort_keys=[("priority", "ascending"), ("seq", "ascending")])
+    )
+    pq.write_table(
+        t.replace_schema_metadata(None), Path(fdir) / part_name(round_idx, part)
+    )
 
 
 @ray.remote
@@ -248,12 +240,108 @@ def _write_frontier_part(sub: pa.Table, fdir: str, round_idx: int,
     )
 
 
+# -- distributed-control-plane exchange tasks ---------------------------------
+# The round-4 soak measured the original Ray-Data-operator control plane at
+# 2.8x the driver path's wall (candidates+dedup alone 218 s vs ~22 s on a
+# 2.5M-row frontier round): groupby().map_groups() over thousands of tiny
+# host/part groups serializes (the known tiny-group pathology), and the
+# per-batch _SeenFilter contains() RPCs plus a separate sort-dedup re-shipped
+# every candidate three times. The dist path now uses the same explicit
+# K-wide exchanges as the driver path — blocks split by key in parallel
+# tasks, one task per key-range — and the same FUSED winners_batch
+# (anti-join + min-cand_key dedup + insert, ONE RPC per seen shard).
+
+def _coerce_table(t) -> pa.Table:
+    return t if isinstance(t, pa.Table) else pa.Table.from_pandas(
+        t, preserve_index=False
+    )
+
+
 @ray.remote
-def _add_seen_block(client: SeenClient, t: pa.Table) -> int:
-    urls = t["url"].to_pylist()
-    if not urls:
-        return 0
-    return client.add(urls, _uhash(t))
+def _split_eq(t, col: str, n: int, side_empty: pa.Table):
+    """Split a block into n shards by an integer column with values in
+    [0, n) (the precomputed part_id)."""
+    t = _coerce_table(t)
+    if t.num_rows == 0:
+        out = [side_empty] * n
+    else:
+        v = t[col].to_numpy(zero_copy_only=False)
+        out = [t.filter(pa.array(v == i)) for i in range(n)]
+    return out if n > 1 else out[0]
+
+
+@ray.remote
+def _split_host_bucket(t, n: int, side_empty: pa.Table):
+    """Split a block into n shards by host hash (phase-B select exchange)."""
+    t = _coerce_table(t)
+    if t.num_rows == 0:
+        out = [side_empty] * n
+    else:
+        b = (hash64(t["host"].combine_chunks()) % np.uint64(n)).astype(np.int64)
+        out = [t.filter(pa.array(b == i)) for i in range(n)]
+    return out if n > 1 else out[0]
+
+
+@ray.remote
+def _split_seen_shard(t, k: int, side_empty: pa.Table):
+    """Split a block into k shards by ``url_hash % k`` — the SeenClient
+    shard routing AND the frontier fpart routing (same function), applied
+    block-parallel."""
+    t = _coerce_table(t)
+    if t.num_rows == 0:
+        out = [side_empty] * k
+    else:
+        sh = (_uhash(t) % np.uint64(k)).astype(np.int64)
+        out = [t.filter(pa.array(sh == i)) for i in range(k)]
+    return out if k > 1 else out[0]
+
+
+@ray.remote
+def _select_bucket(budget: int, side_empty: pa.Table, *shards) -> pa.Table:
+    """Exact per-host top-budget by (priority, seq) over one host-hash
+    bucket — all of a bucket's hosts in ONE vectorized pandas pass
+    (sort + grouped cumcount), replacing a per-host map_groups. Same
+    selection as ``select_per_host`` applied host-wise."""
+    import pandas as pd
+
+    parts = [s for s in shards if s.num_rows]
+    if not parts:
+        return side_empty
+    df = pa.concat_tables(parts).to_pandas()
+    order = df.sort_values(["priority", "seq"], kind="stable")
+    rank = order.groupby("host", sort=False).cumcount()
+    sel = pd.Series(False, index=df.index)
+    sel.loc[order.index] = rank.values < budget
+    df["sel"] = sel
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+@ray.remote
+def _part_task_multi(worker: "_PartWorker", side_empty: pa.Table,
+                     *shards) -> pa.Table:
+    """One corpus partition assembled from its exchange shards (dist-path
+    data plane). Empty partitions write nothing — byte-identical to the
+    driver path, which only spawns tasks for non-empty parts."""
+    parts = [s for s in shards if s.num_rows]
+    if not parts:
+        return side_empty
+    return worker(pa.concat_tables(parts))
+
+
+@ray.remote
+def _shard_winners(shard, mode: str, side_empty: pa.Table, *tbls) -> pa.Table:
+    """One seen shard's round: concat the shard's candidate rows and make
+    ONE fused winners_batch(insert=True) RPC (anti-join vs prior rounds +
+    within-round min-cand_key dedup + insert) — the same single-call-per-
+    shard shape as the driver path, so delta snapshots stay identical."""
+    parts = [t for t in tbls if t.num_rows]
+    if not parts:
+        return side_empty
+    cand = pa.concat_tables(parts).combine_chunks()
+    urls = cand["url"].to_pylist() if mode == "exact" else None
+    ck = cand["cand_key"].to_numpy(zero_copy_only=False)
+    mask = ray.get(shard.winners_batch.remote(urls, _uhash(cand), ck, True))
+    return cand.filter(pa.array(mask))
 
 
 class CrawlEngine:
@@ -314,23 +402,28 @@ class CrawlEngine:
         )
 
     def _write_frontier(self, ds: rd.Dataset, round_idx: int) -> list[str]:
-        """Deterministic frontier partition files for ``round_idx``."""
+        """Deterministic frontier partition files for ``round_idx`` — an
+        explicit fpart exchange (split blocks in parallel, ONE sorted
+        write task per non-empty partition). The previous
+        groupby(fpart).map_groups writer sort-shuffled the whole frontier
+        through Ray Data first (38.5 s on the soak's 2.5M-row round vs
+        ~2 s as an exchange); same files, same bytes."""
         fdir = self.store.frontier_dir(round_idx)
         k = self.cfg.n_frontier_parts
-
-        def add_fpart(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return t.append_column("fpart", pa.array([], pa.int32()))
-            fp = (_uhash(t) % np.uint64(k)).astype(np.int32)
-            return t.append_column("fpart", pa.array(fp))
-
-        writer = _FrontierWriter(str(fdir), round_idx)
-        out = (
-            ds.map_batches(add_fpart, batch_format="pyarrow")
-            .groupby("fpart")
-            .map_groups(lambda g: writer(g), batch_format="pyarrow")
+        f_empty = pa.table(
+            {c: pa.nulls(0, FRONTIER_TYPES[c]) for c in FRONTIER_COLS}
         )
-        out.count()  # drive the writes
+        split = [
+            _split_seen_shard.options(num_returns=k).remote(ref, k, f_empty)
+            for ref in ds.to_arrow_refs()
+        ]
+        if k == 1:
+            split = [[s] for s in split]
+        ray.get([
+            _write_frontier_shards.remote(str(fdir), round_idx, p,
+                                          *[s[p] for s in split])
+            for p in range(k)
+        ])
         return sorted(str(p) for p in fdir.glob("*.parquet"))
 
     def _snapshot_seen(self, round_idx: int) -> list[str]:
@@ -570,11 +663,29 @@ class CrawlEngine:
         ).materialize()
         tm.lap("phaseA-materialize")
         survivors = self._filter(marked, lambda t: t["cand"])
-        selected = (
-            survivors.groupby("host")
-            .map_groups(lambda df: select_per_host(df, budget), batch_format="pandas")
-            .materialize()
-        )
+        # phase B as an explicit host-hash exchange: B bucket tasks, each
+        # marking sel for ALL its hosts in one vectorized pass (a per-host
+        # map_groups over thousands of tiny groups serializes — measured
+        # 8-15 s/round on the 2.5M-frontier soak, <1 s as an exchange)
+        n_b = cfg.n_frontier_parts
+        marked_empty = pa.table({
+            **{c: pa.nulls(0, FRONTIER_TYPES[c]) for c in FRONTIER_COLS},
+            "cand": pa.nulls(0, pa.bool_()),
+        })
+        sel_empty = marked_empty.append_column("sel", pa.nulls(0, pa.bool_()))
+        surv_refs = survivors.to_arrow_refs()
+        bsplit = [
+            _split_host_bucket.options(num_returns=n_b).remote(
+                ref, n_b, marked_empty)
+            for ref in surv_refs
+        ]
+        if n_b == 1:
+            bsplit = [[s] for s in bsplit]
+        sel_refs = [
+            _select_bucket.remote(budget, sel_empty, *[s[i] for s in bsplit])
+            for i in range(n_b)
+        ]
+        selected = rd.from_arrow_refs(sel_refs)
         tm.lap("phaseB-select")
 
         world_cfg = cfg.world
@@ -590,6 +701,15 @@ class CrawlEngine:
             prep_fetch, batch_format="pyarrow"
         )
 
+        cand_empty = pa.table({
+            "url": pa.nulls(0, pa.string()),
+            "cand_key": pa.nulls(0, pa.int64()),
+            "depth": pa.nulls(0, pa.int32()),
+            "host": pa.nulls(0, pa.string()),
+            "priority": pa.nulls(0, pa.int32()),
+            "url_hash": pa.nulls(0, pa.int64()),
+        })
+        cdir, mdir = self.store.corpus_dir(r), self.store.metrics_dir(r)
         if cfg.rate_per_host is not None:
             # wall-clock politeness -> stateful fetcher actor pool (token
             # buckets live per actor), separate parse stage
@@ -602,34 +722,64 @@ class CrawlEngine:
                 num_cpus=1,
             )
             docs = fetched.map_batches(parse_batch, batch_format="pyarrow")
-            cdir, mdir = self.store.corpus_dir(r), self.store.metrics_dir(r)
             doc_writer = _DocWriter(str(cdir), str(mdir), r, world_cfg.seed,
                                     self.corpus_fmt.name)
-            candidates = docs.groupby("part_id").map_groups(
+            cand_refs = docs.groupby("part_id").map_groups(
                 lambda g: doc_writer(g), batch_format="pyarrow"
-            )
+            ).to_arrow_refs()
         else:
-            # fused per-partition worker: partition the (tiny) frontier rows
-            # by part_id, then fetch+parse+write+extract-candidates run
-            # inside ONE task per partition — the wide doc payloads never
-            # enter a shuffle or the object store at all
-            cdir, mdir = self.store.corpus_dir(r), self.store.metrics_dir(r)
+            # fused per-partition worker as an explicit part_id exchange:
+            # n_parts-wide fan-out (one task per partition), fetch+parse+
+            # write+extract-candidates inside each task — the wide doc
+            # payloads never enter a shuffle or the object store. The
+            # previous groupby(part_id).map_groups() re-coalesced the
+            # frontier into a handful of blocks and quietly serialized
+            # the fetch (soak: 218 s for this stage; the exchange matches
+            # the driver path's explicit fan-out).
             worker = _PartWorker(str(cdir), str(mdir), r, world_cfg,
                                  self.corpus_fmt.name)
-            candidates = fetchset.groupby("part_id").map_groups(
-                lambda g: worker(g), batch_format="pyarrow"
-            )
-        tm.lap("build-candidates-pipeline")
-        unseen = candidates.map_batches(
-            _SeenFilter(self.seen), batch_format="pyarrow"
-        )
-        # dedup on the 64-bit url hash (already computed by the seen filter):
-        # int sort keys shuffle far cheaper than url strings; a 64-bit
-        # collision merges two URLs with probability ~n^2/2^65 — the same
-        # accepted-approximation class as the cuckoo filter's FP rate
-        uniq = unique_keep_first(unseen, "url_hash", "cand_key")
-        tm.lap("candidates+dedup")
-        ordered = uniq.sort("cand_key")
+            fetch_empty = pa.table({
+                **{c: pa.nulls(0, FRONTIER_TYPES[c]) for c in FRONTIER_COLS},
+                "round": pa.nulls(0, pa.int32()),
+                "part_id": pa.nulls(0, pa.int32()),
+            })
+            psplit = [
+                _split_eq.options(num_returns=n_parts).remote(
+                    ref, "part_id", n_parts, fetch_empty)
+                for ref in fetchset.to_arrow_refs()
+            ]
+            if n_parts == 1:
+                psplit = [[s] for s in psplit]
+            cand_refs = [
+                _part_task_multi.remote(worker, cand_empty,
+                                        *[s[i] for s in psplit])
+                for i in range(n_parts)
+            ]
+        tm.lap("fetch+parse+write+extract")
+
+        # membership + within-round min-cand_key dedup + insert, fused in
+        # ONE winners_batch RPC per seen shard (UrlSeenShard.winners_batch)
+        # — identical call shape to the driver path, reached through a
+        # shard-hash exchange instead of a driver-side concat. Replaces
+        # the old per-batch contains() RPC waves + sort-dedup + separate
+        # add round (three extra trips over every candidate).
+        k = cfg.n_seen_shards
+        ssplit = [
+            _split_seen_shard.options(num_returns=k).remote(ref, k, cand_empty)
+            for ref in cand_refs
+        ]
+        if k == 1:
+            ssplit = [[s] for s in ssplit]
+        win_refs = [
+            _shard_winners.remote(self.seen.shards[i], self.seen.mode,
+                                  cand_empty, *[s[i] for s in ssplit])
+            for i in range(k)
+        ]
+        win_ds = rd.from_arrow_refs(win_refs)
+        tm.lap("candidates+winners")
+        # crawl order: dense seq by ascending cand_key (cand_key is unique
+        # per discovery event, so the sort is deterministic)
+        ordered = win_ds.sort("cand_key")
         indexed, n_new = zip_with_index(ordered, "rank")
         tm.lap("order+index")
 
@@ -648,10 +798,6 @@ class CrawlEngine:
 
         new_ds = indexed.map_batches(finalize_new, batch_format="pyarrow").materialize()
         tm.lap("finalize-new")
-        # insert the round's winners into the membership shards (exactly once)
-        ray.get([_add_seen_block.remote(self.seen, ref)
-                 for ref in new_ds.to_arrow_refs()])
-        tm.lap("seen-add")
 
         deferred = self._filter(marked, lambda t: pc.invert(t["cand"])).select_columns(
             FRONTIER_COLS
