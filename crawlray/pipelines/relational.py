@@ -58,9 +58,10 @@ def bucketed_hash_join(
     join_type: str = "inner",
 ) -> rd.Dataset:
     """Equi-join of two large Datasets on ``key`` (``join_type``:
-    "inner" or "left outer" — unmatched left rows keep null right
-    columns). Column names of the two sides must be disjoint apart
-    from ``key``."""
+    "inner", "left outer" — unmatched left rows keep null right
+    columns — or "full outer" — unmatched rows of EITHER side survive
+    with the other side's columns null and the key coalesced). Column
+    names of the two sides must be disjoint apart from ``key``."""
     import ray
 
     l_schema = left.schema()
@@ -95,16 +96,24 @@ def bucketed_hash_join(
         l = pa.concat_tables(shards[:n_l]) if n_l else empty
         r = pa.concat_tables(shards[n_l:]) if len(shards) > n_l else empty
         if l.num_rows == 0:
-            return empty
+            if join_type != "full outer" or r.num_rows == 0:
+                return empty
+            # full outer vs an empty left: right rows + null left columns
+            out = r.select([key, *r_cols])
+            for c in l_cols:
+                if c != key:
+                    out = out.append_column(c, pa.nulls(r.num_rows, types[c]))
+            return out.select(all_cols)
         if r.num_rows == 0:
             if join_type == "inner":
                 return empty
-            # left outer vs an empty right: left rows + null right columns
+            # left/full outer vs an empty right: left rows + null right cols
             out = l
             for c in r_cols:
                 out = out.append_column(c, pa.nulls(l.num_rows, types[c]))
             return out.select(all_cols)
         # Acero hash join; single-threaded — the task already owns 1 CPU.
+        # full outer coalesces the key column (verified behavior).
         return l.join(r.select([key, *r_cols]), keys=key, join_type=join_type,
                       use_threads=False).select(all_cols)
 

@@ -2682,6 +2682,70 @@ FROM customer c LEFT JOIN (
 """
 
 
+def q_daily_activity(sf_dir: str):
+    """FULL OUTER join: per-day URGENT-order count vs per-day returned-
+    shipment count — a day appearing on EITHER side survives with the
+    other side's count 0 (``bucketed_hash_join(..., join_type="full
+    outer")``; Acero coalesces the key). Urgent orders and R-flag
+    shipments are day-sparse, so both unmatched branches genuinely
+    execute. Completes the join family: inner / left outer / full outer
+    / semi / anti / as-of / range."""
+    from .pipelines.relational import bucketed_hash_join
+
+    def urgent_days(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["o_orderpriority"], "1-URGENT")
+        return pa.table(
+            {"d": pc.strftime(t.filter(keep)["o_orderdate"], format="%Y-%m-%d")}
+        )
+
+    def returned_days(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["l_returnflag"], "R")
+        return pa.table(
+            {"d": pc.strftime(t.filter(keep)["l_shipdate"], format="%Y-%m-%d")}
+        )
+
+    left = (
+        _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
+        .map_batches(urgent_days, batch_format="pyarrow")
+        .groupby("d").count()
+        .map_batches(lambda t: t.rename_columns(["d", "n_urgent"]),
+                     batch_format="pyarrow")
+    )
+    right = (
+        _read(sf_dir, "lineitem", ["l_shipdate", "l_returnflag"])
+        .map_batches(returned_days, batch_format="pyarrow")
+        .groupby("d").count()
+        .map_batches(lambda t: t.rename_columns(["d", "n_returned"]),
+                     batch_format="pyarrow")
+    )
+    joined = bucketed_hash_join(left, right, key="d", join_type="full outer")
+
+    def coalesce(t: pa.Table) -> pa.Table:
+        zero = pa.scalar(0, pa.int64())
+        return pa.table({
+            "d": t["d"],
+            "n_urgent": pc.fill_null(t["n_urgent"].cast(pa.int64()), zero),
+            "n_returned": pc.fill_null(t["n_returned"].cast(pa.int64()), zero),
+        })
+
+    return joined.map_batches(coalesce, batch_format="pyarrow")
+
+
+SQL_DAILY_ACTIVITY = """
+SELECT coalesce(o.d, l.d) AS d,
+       coalesce(o.n, 0)::BIGINT AS n_urgent,
+       coalesce(l.n, 0)::BIGINT AS n_returned
+FROM (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, count(*) AS n
+  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+) o
+FULL OUTER JOIN (
+  SELECT strftime(l_shipdate, '%Y-%m-%d') AS d, count(*) AS n
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+) l ON o.d = l.d
+"""
+
+
 NTILE_K = 8
 
 
@@ -2808,4 +2872,5 @@ def catalog():
         "customer_urgent_counts": (q_customer_urgent_counts, SQL_CUSTOMER_URGENT_COUNTS),
         "event_ntiles": (q_event_ntiles, SQL_EVENT_NTILES),
         "price_histogram": (q_price_histogram, SQL_PRICE_HISTOGRAM),
+        "daily_activity": (q_daily_activity, SQL_DAILY_ACTIVITY),
     }

@@ -123,6 +123,28 @@ def test_anti_join_null_keys_are_kept():
     assert sorted(out["v"].to_pylist()) == ["a", "c"]
 
 
+def test_full_outer_join_two_sided():
+    # unmatched rows on BOTH sides survive with the other side's columns
+    # null and the key coalesced (Acero full outer behavior, bucketed)
+    from crawlray.pipelines.relational import bucketed_hash_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 4], pa.int64()),
+        "a": pa.array(["x", "y", "w"]),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([2, 3], pa.int64()),
+        "b": pa.array([20, 30], pa.int64()),
+    }))
+    out = pa.concat_tables(ray.get(
+        bucketed_hash_join(left, right, "k", n_buckets=4,
+                           join_type="full outer").to_arrow_refs()
+    )).sort_by("k")
+    assert out["k"].to_pylist() == [1, 2, 3, 4]
+    assert out["a"].to_pylist() == ["x", "y", None, "w"]
+    assert out["b"].to_pylist() == [None, 20, 30, None]
+
+
 def test_pii_scanner_null_text():
     from crawlray.pipelines.textops import PiiScanner
 
