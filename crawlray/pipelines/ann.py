@@ -165,7 +165,7 @@ def embedding_lsh_pairs(
     n_planes: int = 64,
     bands: int = 8,
     seed: int = 11,
-    broadcast_max_docs: int | None = 1 << 20,
+    broadcast_max_docs: int | None = None,
 ) -> rd.Dataset:
     """Embedding near-dup pairs at scale: random-hyperplane (SRP) LSH.
 

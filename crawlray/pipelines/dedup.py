@@ -245,7 +245,7 @@ def minhash_lsh_pairs(
     bands: int = 32,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
-    broadcast_max_docs: int | None = 1 << 20,
+    broadcast_max_docs: int | None = None,
     token_hash: str = "sip",
     est_doc_bytes: int = 2048,
 ) -> rd.Dataset:
