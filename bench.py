@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "customer_urgent_counts",
     "event_ntiles",
     "price_histogram",
+    "daily_activity",
 ]
 
 
