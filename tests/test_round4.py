@@ -165,6 +165,26 @@ def test_text_normalizer_null_text():
     assert out["norm_fp"].tolist()[1] == hashlib.md5(b"").hexdigest()
 
 
+def test_soak_trace_parser():
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", pathlib.Path(__file__).resolve().parents[1] / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    text = (
+        "[trace r0] politeness-select: 0.10s\n"
+        "noise line\n"
+        "[trace r0] write-frontier: 2.15s\n"
+        "[trace r12] candidates+winners: 47.90s\n"
+    )
+    got = bench._parse_trace(text)
+    assert got == {0: {"politeness-select": 0.10, "write-frontier": 2.15},
+                   12: {"candidates+winners": 47.90}}
+
+
 def test_ann_ivf_sql_uses_oracle_sf_dir():
     # ADVICE: the centroid-literal oracle must read the gate's SF dir,
     # not a second hardcoded path that can silently diverge
