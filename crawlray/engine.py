@@ -257,62 +257,58 @@ def _coerce_table(t) -> pa.Table:
     )
 
 
+def _part_id_key(t: pa.Table, n: int) -> np.ndarray:
+    """Precomputed part_id column (values already in [0, n))."""
+    return t["part_id"].to_numpy(zero_copy_only=False)
+
+
+def _host_key(t: pa.Table, n: int) -> np.ndarray:
+    """Host-hash bucket (phase-B select exchange)."""
+    return (hash64(t["host"].combine_chunks()) % np.uint64(n)).astype(np.int64)
+
+
+def _url_hash_key(t: pa.Table, n: int) -> np.ndarray:
+    """``url_hash % n`` — the SeenClient shard routing AND the frontier
+    fpart routing (same function)."""
+    return (_uhash(t) % np.uint64(n)).astype(np.int64)
+
+
 @ray.remote
-def _split_eq(t, col: str, n: int, side_empty: pa.Table):
-    """Split a block into n shards by an integer column with values in
-    [0, n) (the precomputed part_id)."""
+def _split_by(t, n: int, side_empty: pa.Table, keyer):
+    """Split one block into n shards by ``keyer(t, n)`` (the ONE exchange
+    split task; empty input blocks become n typed empties so downstream
+    concat keeps its schema)."""
     t = _coerce_table(t)
     if t.num_rows == 0:
         out = [side_empty] * n
     else:
-        v = t[col].to_numpy(zero_copy_only=False)
-        out = [t.filter(pa.array(v == i)) for i in range(n)]
+        kv = keyer(t, n)
+        out = [t.filter(pa.array(kv == i)) for i in range(n)]
     return out if n > 1 else out[0]
 
 
-@ray.remote
-def _split_host_bucket(t, n: int, side_empty: pa.Table):
-    """Split a block into n shards by host hash (phase-B select exchange)."""
-    t = _coerce_table(t)
-    if t.num_rows == 0:
-        out = [side_empty] * n
-    else:
-        b = (hash64(t["host"].combine_chunks()) % np.uint64(n)).astype(np.int64)
-        out = [t.filter(pa.array(b == i)) for i in range(n)]
-    return out if n > 1 else out[0]
-
-
-@ray.remote
-def _split_seen_shard(t, k: int, side_empty: pa.Table):
-    """Split a block into k shards by ``url_hash % k`` — the SeenClient
-    shard routing AND the frontier fpart routing (same function), applied
-    block-parallel."""
-    t = _coerce_table(t)
-    if t.num_rows == 0:
-        out = [side_empty] * k
-    else:
-        sh = (_uhash(t) % np.uint64(k)).astype(np.int64)
-        out = [t.filter(pa.array(sh == i)) for i in range(k)]
-    return out if k > 1 else out[0]
+def _exchange_split(refs, n: int, side_empty: pa.Table, keyer) -> list[list]:
+    """Fan a list of block refs into an n-way exchange: returns a list of
+    per-block shard-ref rows (handles Ray's num_returns=1 unwrapping)."""
+    split = [
+        _split_by.options(num_returns=n).remote(r, n, side_empty, keyer)
+        for r in refs
+    ]
+    return [[s] for s in split] if n == 1 else split
 
 
 @ray.remote
 def _select_bucket(budget: int, side_empty: pa.Table, *shards) -> pa.Table:
     """Exact per-host top-budget by (priority, seq) over one host-hash
-    bucket — all of a bucket's hosts in ONE vectorized pandas pass
-    (sort + grouped cumcount), replacing a per-host map_groups. Same
-    selection as ``select_per_host`` applied host-wise."""
-    import pandas as pd
+    bucket — all of a bucket's hosts in ONE vectorized pandas pass,
+    replacing a per-host map_groups. The ranking kernel is SHARED with
+    phase A (``rank_within_host``) so the two phases cannot diverge."""
+    from .stages.frontier import rank_within_host
 
     parts = [s for s in shards if s.num_rows]
     if not parts:
         return side_empty
-    df = pa.concat_tables(parts).to_pandas()
-    order = df.sort_values(["priority", "seq"], kind="stable")
-    rank = order.groupby("host", sort=False).cumcount()
-    sel = pd.Series(False, index=df.index)
-    sel.loc[order.index] = rank.values < budget
-    df["sel"] = sel
+    df = rank_within_host(pa.concat_tables(parts).to_pandas(), budget, "sel")
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
@@ -413,12 +409,7 @@ class CrawlEngine:
         f_empty = pa.table(
             {c: pa.nulls(0, FRONTIER_TYPES[c]) for c in FRONTIER_COLS}
         )
-        split = [
-            _split_seen_shard.options(num_returns=k).remote(ref, k, f_empty)
-            for ref in ds.to_arrow_refs()
-        ]
-        if k == 1:
-            split = [[s] for s in split]
+        split = _exchange_split(ds.to_arrow_refs(), k, f_empty, _url_hash_key)
         ray.get([
             _write_frontier_shards.remote(str(fdir), round_idx, p,
                                           *[s[p] for s in split])
@@ -673,14 +664,8 @@ class CrawlEngine:
             "cand": pa.nulls(0, pa.bool_()),
         })
         sel_empty = marked_empty.append_column("sel", pa.nulls(0, pa.bool_()))
-        surv_refs = survivors.to_arrow_refs()
-        bsplit = [
-            _split_host_bucket.options(num_returns=n_b).remote(
-                ref, n_b, marked_empty)
-            for ref in surv_refs
-        ]
-        if n_b == 1:
-            bsplit = [[s] for s in bsplit]
+        bsplit = _exchange_split(survivors.to_arrow_refs(), n_b,
+                                 marked_empty, _host_key)
         sel_refs = [
             _select_bucket.remote(budget, sel_empty, *[s[i] for s in bsplit])
             for i in range(n_b)
@@ -743,13 +728,8 @@ class CrawlEngine:
                 "round": pa.nulls(0, pa.int32()),
                 "part_id": pa.nulls(0, pa.int32()),
             })
-            psplit = [
-                _split_eq.options(num_returns=n_parts).remote(
-                    ref, "part_id", n_parts, fetch_empty)
-                for ref in fetchset.to_arrow_refs()
-            ]
-            if n_parts == 1:
-                psplit = [[s] for s in psplit]
+            psplit = _exchange_split(fetchset.to_arrow_refs(), n_parts,
+                                     fetch_empty, _part_id_key)
             cand_refs = [
                 _part_task_multi.remote(worker, cand_empty,
                                         *[s[i] for s in psplit])
@@ -764,12 +744,7 @@ class CrawlEngine:
         # the old per-batch contains() RPC waves + sort-dedup + separate
         # add round (three extra trips over every candidate).
         k = cfg.n_seen_shards
-        ssplit = [
-            _split_seen_shard.options(num_returns=k).remote(ref, k, cand_empty)
-            for ref in cand_refs
-        ]
-        if k == 1:
-            ssplit = [[s] for s in ssplit]
+        ssplit = _exchange_split(cand_refs, k, cand_empty, _url_hash_key)
         win_refs = [
             _shard_winners.remote(self.seen.shards[i], self.seen.mode,
                                   cand_empty, *[s[i] for s in ssplit])

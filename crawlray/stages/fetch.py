@@ -224,13 +224,33 @@ class HttpFetcher:
             if ev is not None:
                 ev.wait(self.timeout)   # a peer is fetching; wait and re-check
                 continue
+            import urllib.error
+            import urllib.request
             import urllib.robotparser
 
-            rp = urllib.robotparser.RobotFileParser()
             scheme = url.split("://", 1)[0] if "://" in url else "https"
             try:
-                rp.set_url(f"{scheme}://{host}/robots.txt")
-                rp.read()
+                # fetch robots.txt OURSELVES with the fetch timeout:
+                # RobotFileParser.read() calls urlopen with NO timeout, so
+                # one blackholed host would hang the owning thread forever
+                # while its peers spin on the in-flight event
+                req = urllib.request.Request(
+                    f"{scheme}://{host}/robots.txt",
+                    headers={"User-Agent": self.user_agent},
+                )
+                with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                    body = resp.read().decode("utf-8", errors="replace")
+                rp = urllib.robotparser.RobotFileParser()
+                rp.parse(body.splitlines())
+            except urllib.error.HTTPError as e:
+                # mirror RobotFileParser.read(): 4xx -> allow all,
+                # 5xx -> disallow all (parse of empty = allow; disallow_all
+                # for server errors matches stdlib behavior)
+                rp = urllib.robotparser.RobotFileParser()
+                if e.code >= 500:
+                    rp.disallow_all = True
+                else:
+                    rp.allow_all = True
             except Exception:
                 rp = None                      # unreachable robots -> allow
             with self._robots_lock:

@@ -23,15 +23,23 @@ from __future__ import annotations
 import pandas as pd
 
 
-def mark_candidates(df: pd.DataFrame, budget: int) -> pd.DataFrame:
-    """Phase A: add bool ``cand`` = block-local per-host rank < budget."""
+def rank_within_host(df: pd.DataFrame, budget: int, col: str) -> pd.DataFrame:
+    """The selection kernel both phases share: mark ``col`` True for rows
+    whose per-host rank in stable (priority, seq) order is < ``budget``.
+    ONE implementation so phase A (block-local, ``cand``) and phase B
+    (bucket-exact, ``sel``) can never desynchronize on tie-breaking."""
     order = df.sort_values(["priority", "seq"], kind="stable")
     rank = order.groupby("host", sort=False).cumcount()
-    cand = pd.Series(False, index=df.index)
-    cand.loc[order.index] = rank.values < budget
+    mask = pd.Series(False, index=df.index)
+    mask.loc[order.index] = rank.values < budget
     df = df.copy()
-    df["cand"] = cand
+    df[col] = mask
     return df
+
+
+def mark_candidates(df: pd.DataFrame, budget: int) -> pd.DataFrame:
+    """Phase A: add bool ``cand`` = block-local per-host rank < budget."""
+    return rank_within_host(df, budget, "cand")
 
 
 def select_per_host(group: pd.DataFrame, budget: int) -> pd.DataFrame:

@@ -67,19 +67,29 @@ def test_http_fetcher_pooled_preserves_order_and_contract():
 
 
 def test_http_fetcher_pooled_is_concurrent():
-    # 8 rows x ~3 x 0.45s refused-connect retries would serialize to far
-    # more than one row's wall time; the pool must overlap them. Local
-    # connection-refused is instant, so gate on a wide margin instead of
-    # exact timing: pooled must beat 4x the sequential single-row time.
+    # a stub _fetch_one with a REAL 0.15s sleep per row: 8 rows through
+    # an 8-thread pool must overlap (sequential would be ~1.2s). Local
+    # connection-refused is instantaneous, so without the injected sleep
+    # this assertion could never fail — the stub makes it a true
+    # concurrency check rather than a hang detector.
     import time
 
+    class SleepyFetcher(HttpFetcher):
+        def _fetch_one(self, url, cookies, headers, basic):
+            time.sleep(0.15)
+            return ("ok", 200, "", "", False, 1, b"x")
+
     urls = [f"http://127.0.0.1:9/q{i}" for i in range(8)]
-    one = _batch(urls[:1])
-    seq = HttpFetcher(timeout=1.0, respect_robots=False, max_concurrency=1)
-    t0 = time.monotonic(); seq(one); t_one = time.monotonic() - t0
-    pool = HttpFetcher(timeout=1.0, respect_robots=False, max_concurrency=8)
-    t0 = time.monotonic(); pool(_batch(urls)); t_all = time.monotonic() - t0
-    assert t_all < max(1.0, 4 * 8 * t_one)
+    pool = SleepyFetcher(timeout=1.0, respect_robots=False, max_concurrency=8)
+    t0 = time.monotonic()
+    out = pool(_batch(urls))
+    t_all = time.monotonic() - t0
+    assert out["status"].to_pylist() == ["ok"] * 8
+    assert t_all < 0.7                 # 8 x 0.15s serialized would be 1.2s
+    seq = SleepyFetcher(timeout=1.0, respect_robots=False, max_concurrency=1)
+    t0 = time.monotonic()
+    seq(_batch(urls))
+    assert time.monotonic() - t0 >= 1.1   # and the sequential path is real
 
 
 def test_token_bucket_thread_safe_under_pool():
