@@ -313,15 +313,25 @@ def _select_bucket(budget: int, side_empty: pa.Table, *shards) -> pa.Table:
 
 
 @ray.remote
-def _part_task_multi(worker: "_PartWorker", side_empty: pa.Table,
-                     *shards) -> pa.Table:
+def _part_task_shards(worker: "_PartWorker", k: int, side_empty: pa.Table,
+                      *shards):
     """One corpus partition assembled from its exchange shards (dist-path
-    data plane). Empty partitions write nothing — byte-identical to the
+    data plane), FUSED with the url_hash%k seen-shard split: the task
+    emits its candidates pre-routed, so the candidate table never
+    round-trips the object store whole between the fetch wave and the
+    winners wave. Empty partitions write nothing — byte-identical to the
     driver path, which only spawns tasks for non-empty parts."""
     parts = [s for s in shards if s.num_rows]
     if not parts:
-        return side_empty
-    return worker(pa.concat_tables(parts))
+        out = [side_empty] * k
+    else:
+        cand = worker(pa.concat_tables(parts))
+        if cand.num_rows == 0:
+            out = [side_empty] * k
+        else:
+            kv = _url_hash_key(cand, k)
+            out = [cand.filter(pa.array(kv == i)) for i in range(k)]
+    return out if k > 1 else out[0]
 
 
 @ray.remote
@@ -695,6 +705,7 @@ class CrawlEngine:
             "url_hash": pa.nulls(0, pa.int64()),
         })
         cdir, mdir = self.store.corpus_dir(r), self.store.metrics_dir(r)
+        k = cfg.n_seen_shards
         if cfg.rate_per_host is not None:
             # wall-clock politeness -> stateful fetcher actor pool (token
             # buckets live per actor), separate parse stage
@@ -712,6 +723,7 @@ class CrawlEngine:
             cand_refs = docs.groupby("part_id").map_groups(
                 lambda g: doc_writer(g), batch_format="pyarrow"
             ).to_arrow_refs()
+            ssplit = _exchange_split(cand_refs, k, cand_empty, _url_hash_key)
         else:
             # fused per-partition worker as an explicit part_id exchange:
             # n_parts-wide fan-out (one task per partition), fetch+parse+
@@ -730,11 +742,13 @@ class CrawlEngine:
             })
             psplit = _exchange_split(fetchset.to_arrow_refs(), n_parts,
                                      fetch_empty, _part_id_key)
-            cand_refs = [
-                _part_task_multi.remote(worker, cand_empty,
-                                        *[s[i] for s in psplit])
+            ssplit = [
+                _part_task_shards.options(num_returns=k).remote(
+                    worker, k, cand_empty, *[s[i] for s in psplit])
                 for i in range(n_parts)
             ]
+            if k == 1:
+                ssplit = [[s] for s in ssplit]
         tm.lap("fetch+parse+write+extract")
 
         # membership + within-round min-cand_key dedup + insert, fused in
@@ -743,8 +757,6 @@ class CrawlEngine:
         # shard-hash exchange instead of a driver-side concat. Replaces
         # the old per-batch contains() RPC waves + sort-dedup + separate
         # add round (three extra trips over every candidate).
-        k = cfg.n_seen_shards
-        ssplit = _exchange_split(cand_refs, k, cand_empty, _url_hash_key)
         win_refs = [
             _shard_winners.remote(self.seen.shards[i], self.seen.mode,
                                   cand_empty, *[s[i] for s in ssplit])
