@@ -2692,33 +2692,44 @@ def q_daily_activity(sf_dir: str):
     / semi / anti / as-of / range."""
     from .pipelines.relational import bucketed_hash_join
 
-    def urgent_days(t: pa.Table) -> pa.Table:
-        keep = pc.equal(t["o_orderpriority"], "1-URGENT")
-        return pa.table(
-            {"d": pc.strftime(t.filter(keep)["o_orderdate"], format="%Y-%m-%d")}
-        )
+    def _day_counts(flag_col: str, flag_val: str, date_col: str, out: str):
+        # §2.5 pre-aggregation: per-batch day counts (<= |days| partial
+        # rows per batch) — a Dataset groupby over ~2.4k day-keys is the
+        # tiny-group Aggregate pathology (measured 15-30 s for the pair)
+        def partial(t: pa.Table) -> pa.Table:
+            days = pc.strftime(
+                t.filter(pc.equal(t[flag_col], flag_val))[date_col],
+                format="%Y-%m-%d",
+            )
+            vc = days.to_pandas().value_counts()
+            return pa.table({"d": pa.array(vc.index, pa.string()),
+                             out: pa.array(vc.to_numpy(), pa.int64())})
 
-    def returned_days(t: pa.Table) -> pa.Table:
-        keep = pc.equal(t["l_returnflag"], "R")
-        return pa.table(
-            {"d": pc.strftime(t.filter(keep)["l_shipdate"], format="%Y-%m-%d")}
-        )
+        return partial
 
-    left = (
+    left_partials = (
         _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
-        .map_batches(urgent_days, batch_format="pyarrow")
-        .groupby("d").count()
-        .map_batches(lambda t: t.rename_columns(["d", "n_urgent"]),
+        .map_batches(_day_counts("o_orderpriority", "1-URGENT",
+                                 "o_orderdate", "n_urgent"),
                      batch_format="pyarrow")
+        .to_pandas()  # bounded driver fold: O(blocks x |days|) partials
     )
-    right = (
+    right_partials = (
         _read(sf_dir, "lineitem", ["l_shipdate", "l_returnflag"])
-        .map_batches(returned_days, batch_format="pyarrow")
-        .groupby("d").count()
-        .map_batches(lambda t: t.rename_columns(["d", "n_returned"]),
+        .map_batches(_day_counts("l_returnflag", "R",
+                                 "l_shipdate", "n_returned"),
                      batch_format="pyarrow")
+        .to_pandas()
     )
-    joined = bucketed_hash_join(left, right, key="d", join_type="full outer")
+    left = rd.from_pandas(
+        left_partials.groupby("d", as_index=False).agg(n_urgent=("n_urgent", "sum"))
+    )
+    right = rd.from_pandas(
+        right_partials.groupby("d", as_index=False).agg(n_returned=("n_returned", "sum"))
+    )
+    # the operator under test: the distributed full outer exchange join
+    joined = bucketed_hash_join(left, right, key="d", join_type="full outer",
+                                n_buckets=8)
 
     def coalesce(t: pa.Table) -> pa.Table:
         zero = pa.scalar(0, pa.int64())
