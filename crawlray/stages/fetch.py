@@ -212,14 +212,20 @@ class HttpFetcher:
     def _robots_allowed(self, url: str, host: str) -> bool:
         if not self.respect_robots:
             return True
+        from urllib.parse import urlsplit
+
+        # cache + fetch by ORIGIN (scheme://netloc): host_of strips the
+        # port, and robots.txt lives on the url's actual port
+        parts = urlsplit(url)
+        origin = f"{parts.scheme or 'https'}://{parts.netloc or host}"
         while True:
             with self._robots_lock:
-                if host in self._robots:
-                    rp = self._robots[host]
+                if origin in self._robots:
+                    rp = self._robots[origin]
                     break
-                ev = self._robots_inflight.get(host)
+                ev = self._robots_inflight.get(origin)
                 if ev is None:
-                    self._robots_inflight[host] = threading.Event()
+                    self._robots_inflight[origin] = threading.Event()
                     ev = None   # this thread owns the fetch
             if ev is not None:
                 ev.wait(self.timeout)   # a peer is fetching; wait and re-check
@@ -228,14 +234,13 @@ class HttpFetcher:
             import urllib.request
             import urllib.robotparser
 
-            scheme = url.split("://", 1)[0] if "://" in url else "https"
             try:
                 # fetch robots.txt OURSELVES with the fetch timeout:
                 # RobotFileParser.read() calls urlopen with NO timeout, so
                 # one blackholed host would hang the owning thread forever
                 # while its peers spin on the in-flight event
                 req = urllib.request.Request(
-                    f"{scheme}://{host}/robots.txt",
+                    f"{origin}/robots.txt",
                     headers={"User-Agent": self.user_agent},
                 )
                 with urllib.request.urlopen(req, timeout=self.timeout) as resp:
@@ -254,8 +259,8 @@ class HttpFetcher:
             except Exception:
                 rp = None                      # unreachable robots -> allow
             with self._robots_lock:
-                self._robots[host] = rp
-                self._robots_inflight.pop(host).set()
+                self._robots[origin] = rp
+                self._robots_inflight.pop(origin).set()
             break
         return True if rp is None else rp.can_fetch(self.user_agent, url)
 

@@ -122,6 +122,84 @@ def test_token_bucket_thread_safe_under_pool():
     assert len(pol.buckets) == 1                     # no duplicate buckets
 
 
+class _LocalSite:
+    """Tiny localhost HTTP server: a REAL end-to-end HTTP drive with no
+    external network. /robots.txt behavior is configurable per test."""
+
+    def __init__(self, robots: str):
+        import http.server
+        import threading
+
+        mode = robots
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                if self.path == "/robots.txt":
+                    if mode == "500":
+                        self.send_error(500)
+                    elif mode == "404":
+                        self.send_error(404)
+                    else:
+                        body = mode.encode()
+                        self.send_response(200)
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                    return
+                body = f"<html><body>page {self.path}</body></html>".encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        self.srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.port = self.srv.server_address[1]
+        self.thread = threading.Thread(target=self.srv.serve_forever, daemon=True)
+        self.thread.start()
+
+    def url(self, path: str) -> str:
+        return f"http://127.0.0.1:{self.port}{path}"
+
+    def close(self):
+        self.srv.shutdown()
+        self.srv.server_close()
+
+
+def test_http_fetcher_real_localhost_e2e():
+    # genuine HTTP through the pooled path: robots allows, pages fetch ok
+    site = _LocalSite(robots="User-agent: *\nDisallow: /private/\n")
+    try:
+        urls = [site.url(f"/p{i}") for i in range(4)] + [site.url("/private/x")]
+        out = HttpFetcher(timeout=5.0, max_concurrency=4)(_batch(urls))
+        validate_fetch_output(_batch(urls), out)
+        assert out["status"].to_pylist()[:4] == ["ok"] * 4
+        assert b"page /p0" in out["payload"][0].as_py()
+        # the Disallow rule is honored via the REAL robots.txt fetch
+        assert out["status"].to_pylist()[4] == "robots_denied"
+    finally:
+        site.close()
+
+
+def test_http_fetcher_robots_5xx_disallows_4xx_allows():
+    # stdlib RobotFileParser.read() semantics, preserved by the
+    # timeout-bounded robots fetch: 5xx -> disallow all, 4xx -> allow all
+    site = _LocalSite(robots="500")
+    try:
+        out = HttpFetcher(timeout=5.0, max_concurrency=2)(_batch([site.url("/a")]))
+        assert out["status"][0].as_py() == "robots_denied"
+    finally:
+        site.close()
+    site = _LocalSite(robots="404")
+    try:
+        out = HttpFetcher(timeout=5.0, max_concurrency=2)(_batch([site.url("/a")]))
+        assert out["status"][0].as_py() == "ok"
+    finally:
+        site.close()
+
+
 def _net_reachable() -> bool:
     import socket
 
