@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "event_ntiles",
     "price_histogram",
     "daily_activity",
+    "event_pivot",
+    "revenue_rollup",
 ]
 
 

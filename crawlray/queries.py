@@ -2813,6 +2813,123 @@ FROM lineitem GROUP BY 1
 """
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_event_pivot(sf_dir: str):
+    """PIVOT (wide conditional aggregation): per-day counts of each
+    event type as its own column (SQL ``count(*) FILTER (...)``).
+    Per-batch (day, type) partials — <= |days| x |types| rows per batch
+    — then a bounded O(blocks x days x types) driver fold + reshape;
+    nothing but partial count rows ever leaves a block (§2.5)."""
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "d": pc.strftime(t["ts"], format="%Y-%m-%d").to_pandas(),
+            "et": t["event_type"].to_pandas(),
+        })
+        g = df.groupby(["d", "et"], as_index=False).size()
+        return pa.table({"d": pa.array(g["d"], pa.string()),
+                         "et": pa.array(g["et"], pa.string()),
+                         "n": pa.array(g["size"].to_numpy(), pa.int64())})
+
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    folded = parts.groupby(["d", "et"], as_index=False).agg(n=("n", "sum"))
+    wide = folded.pivot_table(index="d", columns="et", values="n",
+                              aggfunc="sum", fill_value=0)
+    # fixed output contract: one column per known type, 0 when absent
+    wide = wide.reindex(columns=list(EVENT_TYPES), fill_value=0).astype("int64")
+    wide.columns = [f"n_{c}" for c in wide.columns]
+    return wide.reset_index().rename(columns={"d": "d"})
+
+
+SQL_EVENT_PIVOT = """
+SELECT strftime(ts, '%Y-%m-%d') AS d,
+       count(*) FILTER (event_type = 'click')::BIGINT    AS n_click,
+       count(*) FILTER (event_type = 'error')::BIGINT    AS n_error,
+       count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+       count(*) FILTER (event_type = 'signup')::BIGINT   AS n_signup,
+       count(*) FILTER (event_type = 'view')::BIGINT     AS n_view
+FROM events GROUP BY 1
+"""
+
+
+def q_revenue_rollup(sf_dir: str):
+    """GROUPING SETS (``GROUP BY ROLLUP(r_name, n_name)``): supplier
+    revenue at nation grain, region subtotals, and the grand total in
+    one result; rolled-up key levels surface as 'ALL'. The supplier ->
+    nation -> region dimension chain broadcasts once (J1); each
+    lineitem batch reduces to <= |nations| partial rows (searchsorted
+    suppkey lookup + np.add.at, the price_histogram kernel), the driver
+    fold is O(blocks x 25), and the super-aggregate levels are derived
+    from the nation grain (n_name functionally determines r_name) —
+    the rollup costs no second pass over the fact table."""
+    import ray
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    order = np.argsort(sup["s_suppkey"].to_numpy())
+    ref = ray.put((sup["s_suppkey"].to_numpy()[order],
+                   sup["s_nationkey"].to_numpy()[order]))
+
+    class NationPartial:
+        def __init__(self):
+            self.keys, self.nat = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+            nk = self.nat[np.searchsorted(self.keys, sk)]
+            pe = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+            dc = _cents(t["l_discount"]).to_numpy(zero_copy_only=False)
+            rev = pe * (100 - dc)
+            uniq, inv, cnt = np.unique(nk, return_inverse=True,
+                                       return_counts=True)
+            sums = np.zeros(len(uniq), np.int64)
+            np.add.at(sums, inv, rev)
+            return pa.table({"nk": pa.array(uniq.astype(np.int64)),
+                             "rev": pa.array(sums),
+                             "n": pa.array(cnt.astype(np.int64))})
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice",
+                                    "l_discount"])
+    parts = li.map_batches(NationPartial, batch_format="pyarrow",
+                           concurrency=2).to_pandas()
+    per_nat = parts.groupby("nk", as_index=False).agg(
+        rev_centicents=("rev", "sum"), n_items=("n", "sum"))
+    n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    per_nat["n_name"] = per_nat["nk"].map(n2name)
+    per_nat["r_name"] = per_nat["nk"].map(lambda k: r2name[n2r[k]])
+    base = per_nat[["r_name", "n_name", "rev_centicents", "n_items"]]
+    per_region = base.groupby("r_name", as_index=False).agg(
+        rev_centicents=("rev_centicents", "sum"), n_items=("n_items", "sum"))
+    per_region["n_name"] = "ALL"
+    total = pd.DataFrame({
+        "r_name": ["ALL"], "n_name": ["ALL"],
+        "rev_centicents": [base["rev_centicents"].sum()],
+        "n_items": [base["n_items"].sum()],
+    })
+    out = pd.concat([base, per_region, total], ignore_index=True)
+    return out[["r_name", "n_name", "rev_centicents", "n_items"]].astype(
+        {"rev_centicents": "int64", "n_items": "int64"})
+
+
+SQL_REVENUE_ROLLUP = """
+SELECT coalesce(r.r_name, 'ALL') AS r_name,
+       coalesce(n.n_name, 'ALL') AS n_name,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT AS rev_centicents,
+       count(*)::BIGINT AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -2884,4 +3001,6 @@ def catalog():
         "event_ntiles": (q_event_ntiles, SQL_EVENT_NTILES),
         "price_histogram": (q_price_histogram, SQL_PRICE_HISTOGRAM),
         "daily_activity": (q_daily_activity, SQL_DAILY_ACTIVITY),
+        "event_pivot": (q_event_pivot, SQL_EVENT_PIVOT),
+        "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
     }
