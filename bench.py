@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "daily_activity",
     "event_pivot",
     "revenue_rollup",
+    "repeat_buyers",
+    "small_qty_revenue",
 ]
 
 

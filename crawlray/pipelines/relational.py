@@ -590,3 +590,215 @@ def bucketed_semi_join(
         for i in range(b)
     ]
     return rd.from_arrow_refs(out)
+
+
+# ---------------------------------------------------------------------------
+# Set operations, generic keyed reduce, and reshape (round 4)
+# ---------------------------------------------------------------------------
+
+def _neutral(t: pa.DataType) -> pa.Scalar:
+    """A type-appropriate fill for the null-safe key encoding (the VALUE
+    is irrelevant — a companion is-null flag disambiguates it from a
+    real 0/'' — it only has to be a valid scalar of the column type)."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pa.scalar("", t)
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return pa.scalar(b"", t)
+    if pa.types.is_boolean(t):
+        return pa.scalar(False, t)
+    return pa.scalar(0).cast(t)  # numeric / temporal / decimal
+
+
+def bucketed_set_op(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    columns: list[str],
+    op: str = "intersect",
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """SQL ``INTERSECT`` / ``EXCEPT`` over ``columns`` (DISTINCT set
+    semantics on both sides, like the SQL operators — reference query
+    surface analog: "which url/customer sets overlap between two runs").
+
+    NULL handling matches SQL set ops (``IS NOT DISTINCT FROM``
+    equality, where NULL == NULL): every key column is encoded as a
+    (neutral-filled value, is-null flag) pair and the per-bucket
+    distinct/join runs over the encoded pair, so Acero's
+    null-never-matches join semantics cannot drop null rows.
+
+    Distributed shape: each side reduces every batch to its DISTINCT
+    encoded rows in a LAZY pre-pass (only per-block distinct rows enter
+    the exchange), then the same B-wide explicit hash exchange as
+    :func:`bucketed_hash_join` (bucket = hash of the first key column —
+    equal rows agree on every column, so they meet in one bucket), then
+    one task per bucket: global distinct per side + inner join
+    (intersect) / left-anti join (except), decoded back to the original
+    columns. Executes its inputs (an exchange, not a lazy stage)."""
+    import ray
+
+    if op not in ("intersect", "except"):
+        raise ValueError(f"op must be 'intersect' or 'except': {op!r}")
+
+    types = {}
+    for ds in (left, right):
+        sch = ds.schema()
+        m = dict(zip(sch.names, sch.types))
+        for c in columns:
+            t = pa_type_of(m[c])
+            if types.setdefault(c, t) != t:
+                raise ValueError(f"column {c!r} type mismatch: {types[c]} vs {t}")
+
+    k_cols = [f"__k_{c}" for c in columns]
+    n_cols = [f"__n_{c}" for c in columns]
+    enc_cols = k_cols + n_cols
+    empty = pa.table(
+        {f"__k_{c}": pa.nulls(0, types[c]) for c in columns}
+        | {f"__n_{c}": pa.nulls(0, pa.int8()) for c in columns}
+    ).select(enc_cols)
+
+    def encode_distinct(t: pa.Table) -> pa.Table:
+        cols = {}
+        for c in columns:
+            arr = t[c]
+            cols[f"__k_{c}"] = pc.fill_null(arr, _neutral(types[c]))
+            cols[f"__n_{c}"] = pc.is_null(arr).cast(pa.int8())
+        enc = pa.table(cols).select(enc_cols)
+        return enc.group_by(enc_cols, use_threads=False).aggregate([])
+
+    b = n_buckets
+
+    @ray.remote(num_returns=b)
+    def split(t):
+        t = _as_table(t)
+        if t.num_rows == 0:
+            out = [empty] * b
+        else:
+            buckets = _bucket_of(t[k_cols[0]], b)
+            out = [t.filter(pa.array(buckets == i)) for i in range(b)]
+        return out if b > 1 else out[0]
+
+    @ray.remote
+    def setop_bucket(n_l: int, *shards) -> pa.Table:
+        l = pa.concat_tables(shards[:n_l]) if n_l else empty
+        r = pa.concat_tables(shards[n_l:]) if len(shards) > n_l else empty
+        l = l.group_by(enc_cols, use_threads=False).aggregate([]).select(enc_cols)
+        if l.num_rows == 0:
+            keep = l
+        elif op == "intersect":
+            keep = (
+                empty if r.num_rows == 0
+                else l.join(
+                    r.group_by(enc_cols, use_threads=False).aggregate([]),
+                    keys=enc_cols, join_type="inner", use_threads=False,
+                ).select(enc_cols)
+            )
+        else:  # except
+            keep = (
+                l if r.num_rows == 0
+                else l.join(
+                    r.group_by(enc_cols, use_threads=False).aggregate([]),
+                    keys=enc_cols, join_type="left anti", use_threads=False,
+                ).select(enc_cols)
+            )
+        return pa.table({
+            c: pc.if_else(
+                pc.equal(keep[f"__n_{c}"], pa.scalar(1, pa.int8())),
+                pa.scalar(None, types[c]),
+                keep[f"__k_{c}"],
+            )
+            for c in columns
+        })
+
+    def _rows(refs):
+        return [[r] for r in refs] if b == 1 else refs
+
+    l_enc = left.map_batches(encode_distinct, batch_format="pyarrow")
+    r_enc = right.map_batches(encode_distinct, batch_format="pyarrow")
+    lsplit = _rows([split.remote(t) for t in l_enc.to_arrow_refs()])
+    rsplit = _rows([split.remote(t) for t in r_enc.to_arrow_refs()])
+    out = [
+        setop_bucket.remote(
+            len(lsplit),
+            *[ls[i] for ls in lsplit],
+            *[rs[i] for rs in rsplit],
+        )
+        for i in range(b)
+    ]
+    return rd.from_arrow_refs(out)
+
+
+def bucketed_reduce(
+    ds: rd.Dataset,
+    key: str,
+    bucket_fn,
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """Generic partition-by-key-then-reduce: exchange ``ds`` by
+    ``hash(key) % B`` and run ``bucket_fn(pa.Table) -> pa.Table`` ONCE
+    per bucket over all of that bucket's rows. The shape behind grouped
+    filters / correlated-subquery decorrelation (compute a per-key
+    aggregate AND use it to filter the same rows without a second pass
+    or a join): every row with a given key is in exactly one bucket, so
+    any per-key computation inside ``bucket_fn`` is globally correct.
+    ``bucket_fn`` must accept an empty (schema-typed) table. Executes
+    its input (an exchange, not a lazy stage)."""
+    import ray
+
+    sch = ds.schema()
+    types = {n: pa_type_of(t) for n, t in zip(sch.names, sch.types)}
+    empty = pa.table({c: pa.nulls(0, types[c]) for c in sch.names})
+    b = n_buckets
+
+    @ray.remote(num_returns=b)
+    def split(t):
+        t = _as_table(t)
+        if t.num_rows == 0:
+            out = [empty] * b
+        else:
+            buckets = _bucket_of(t[key], b)
+            out = [t.filter(pa.array(buckets == i)) for i in range(b)]
+        return out if b > 1 else out[0]
+
+    @ray.remote
+    def reduce_bucket(*shards) -> pa.Table:
+        t = pa.concat_tables(shards) if shards else empty
+        return bucket_fn(t)
+
+    splits = [split.remote(t) for t in ds.to_arrow_refs()]
+    rows = [[r] for r in splits] if b == 1 else splits
+    out = [reduce_bucket.remote(*[s[i] for s in rows]) for i in range(b)]
+    return rd.from_arrow_refs(out)
+
+
+def unpivot(
+    ds: rd.Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "measure",
+    value_name: str = "val",
+) -> rd.Dataset:
+    """``UNPIVOT`` / melt: wide-to-long reshape as a LAZY zero-shuffle
+    per-batch kernel — a batch of R rows emits R x len(value_cols) rows
+    (id columns repeated zero-copy per measure via table concat; one
+    (measure, value) pair per source column). Value columns are cast to
+    the first value column's type, which they must be compatible with."""
+    common = None
+
+    def melt(t: pa.Table) -> pa.Table:
+        nonlocal common
+        if common is None:
+            common = pa_type_of(t.schema.field(value_cols[0]).type)
+        n = t.num_rows
+        pieces = [
+            pa.table(
+                {c: t[c] for c in id_cols}
+                | {
+                    var_name: pa.array([v] * n, pa.string()),
+                    value_name: t[v].cast(common),
+                }
+            )
+            for v in value_cols
+        ]
+        return pa.concat_tables(pieces)
+
+    return ds.map_batches(melt, batch_format="pyarrow")

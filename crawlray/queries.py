@@ -2930,6 +2930,232 @@ GROUP BY ROLLUP(r.r_name, n.n_name)
 """
 
 
+SETOP_YEARS = (1996, 1997)
+
+
+def _year_buyers(sf_dir: str, year: int) -> rd.Dataset:
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def f(t: pa.Table, y=year) -> pa.Table:
+        keep = pc.equal(pc.year(t["o_orderdate"]), y)
+        return t.filter(keep).select(["o_custkey"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_repeat_buyers(sf_dir: str):
+    """Set op INTERSECT (distinct set semantics): customers who ordered
+    in BOTH 1996 and 1997 (``relational.bucketed_set_op``: lazy
+    per-batch distinct pre-pass so only per-block distinct rows enter
+    the exchange, one B-wide hash exchange, per-bucket distinct + inner
+    join over the null-safe key encoding)."""
+    from .pipelines.relational import bucketed_set_op
+
+    a = _year_buyers(sf_dir, SETOP_YEARS[0])
+    b = _year_buyers(sf_dir, SETOP_YEARS[1])
+    return bucketed_set_op(a, b, ["o_custkey"], op="intersect", n_buckets=16)
+
+
+SQL_REPEAT_BUYERS = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+"""
+
+
+def q_lapsed_buyers(sf_dir: str):
+    """Set op EXCEPT: customers who ordered in 1996 but NOT in 1997
+    (same ``bucketed_set_op`` exchange, per-bucket left-anti join)."""
+    from .pipelines.relational import bucketed_set_op
+
+    a = _year_buyers(sf_dir, SETOP_YEARS[0])
+    b = _year_buyers(sf_dir, SETOP_YEARS[1])
+    return bucketed_set_op(a, b, ["o_custkey"], op="except", n_buckets=16)
+
+
+SQL_LAPSED_BUYERS = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+"""
+
+
+UNPIVOT_MEASURES = ["qty_cents", "price_cents", "disc_cents"]
+
+
+def q_unpivot_measures(sf_dir: str):
+    """UNPIVOT / melt: per-returnflag sums of three measures reshaped
+    wide-to-long — (flag, measure, val) rows. The aggregate is the §2.5
+    per-batch-partial + bounded-driver-fold shape (<= |flags| x 3 rows
+    per batch); the reshape is the operator under test:
+    ``relational.unpivot``, a lazy zero-shuffle per-batch kernel that
+    works unchanged on a wide FACT table (R rows -> R x len(measures))."""
+    from .pipelines.relational import unpivot
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_returnflag": t["l_returnflag"].to_pandas(),
+            "qty_cents": _cents(t["l_quantity"]).to_pandas(),
+            "price_cents": _cents(t["l_extendedprice"]).to_pandas(),
+            "disc_cents": _cents(t["l_discount"]).to_pandas(),
+        })
+        g = df.groupby("l_returnflag", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    wide = parts.groupby("l_returnflag", as_index=False).sum()
+    return unpivot(rd.from_pandas(wide), ["l_returnflag"], UNPIVOT_MEASURES,
+                   var_name="measure", value_name="val")
+
+
+SQL_UNPIVOT_MEASURES = """
+WITH w AS (
+  SELECT l_returnflag,
+         sum(CAST(round(l_quantity * 100) AS BIGINT))::BIGINT AS qty_cents,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS price_cents,
+         sum(CAST(round(l_discount * 100) AS BIGINT))::BIGINT AS disc_cents
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, 'qty_cents' AS measure, qty_cents AS val FROM w
+UNION ALL
+SELECT l_returnflag, 'price_cents', price_cents FROM w
+UNION ALL
+SELECT l_returnflag, 'disc_cents', disc_cents FROM w
+"""
+
+
+Q17_BRAND = "Brand#1"
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """Correlated scalar subquery, decorrelated (the TPC-H Q17 shape):
+    revenue from lineitems whose quantity is below 20% of the per-part
+    AVERAGE quantity, for one brand's parts. The average never
+    materializes as a float — ``qty < 0.2 * sum/cnt`` lowers to the
+    pure-integer ``5 * qty_cents * cnt < sum_cents``, so Ray and DuckDB
+    cannot diverge on IEEE division. Distributed shape: the brand's
+    partkey set broadcasts once (|parts|/25 keys); surviving rows
+    exchange ONCE by partkey (``relational.bucketed_reduce``) and each
+    bucket computes its per-part totals, filters its own rows locally
+    (no join back, no second fact-table pass), and returns ONE partial
+    row — O(B) rows reach the driver."""
+    import ray
+
+    from .pipelines.relational import bucketed_reduce
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    keys = np.sort(
+        part.map_batches(
+            lambda t: t.filter(pc.equal(t["p_brand"], Q17_BRAND))
+            .select(["p_partkey"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["p_partkey"]
+        .to_numpy()
+    )
+    ref = ray.put(keys)
+
+    class BrandFilter:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+            if len(self.keys):
+                pos = np.minimum(np.searchsorted(self.keys, pk),
+                                 len(self.keys) - 1)
+                keep = self.keys[pos] == pk
+            else:
+                keep = np.zeros(len(pk), bool)
+            t = t.filter(pa.array(keep))
+            return pa.table({
+                "pk": t["l_partkey"].cast(pa.int64()),
+                "qty": _cents(t["l_quantity"]),
+                "price": _cents(t["l_extendedprice"]),
+            })
+
+    rows = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+    ).map_batches(BrandFilter, batch_format="pyarrow", concurrency=2)
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"total_cents": pa.array([0], pa.int64()),
+                             "n_items": pa.array([0], pa.int64())})
+        pk = t["pk"].to_numpy(zero_copy_only=False)
+        qty = t["qty"].to_numpy(zero_copy_only=False)
+        price = t["price"].to_numpy(zero_copy_only=False)
+        uniq, inv, cnt = np.unique(pk, return_inverse=True, return_counts=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, qty)
+        keep = 5 * qty * cnt[inv] < sums[inv]
+        return pa.table({
+            "total_cents": pa.array([int(price[keep].sum())], pa.int64()),
+            "n_items": pa.array([int(keep.sum())], pa.int64()),
+        })
+
+    parts = bucketed_reduce(rows, "pk", bucket_fn, n_buckets=16).to_pandas()
+    return pd.DataFrame({
+        "total_cents": [int(parts["total_cents"].sum())],
+        "n_items": [int(parts["n_items"].sum())],
+    })
+
+
+SQL_SMALL_QTY_REVENUE = """
+WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+agg AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_quantity * 100) AS BIGINT)) AS s,
+         count(*) AS c
+  FROM lineitem JOIN pk ON l_partkey = p_partkey GROUP BY 1
+)
+SELECT coalesce(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)), 0)::BIGINT
+         AS total_cents,
+       count(*)::BIGINT AS n_items
+FROM lineitem l JOIN agg a ON l.l_partkey = a.l_partkey
+WHERE 5 * CAST(round(l.l_quantity * 100) AS BIGINT) * a.c < a.s
+"""
+
+
+def q_priority_statuses(sf_dir: str):
+    """String aggregation (LISTAGG / string_agg): per order priority the
+    ','-joined SORTED list of distinct order statuses plus their count.
+    Per-batch distinct (priority, status) pairs — <= 5 x 3 rows per
+    batch — then a bounded driver fold + join (§2.5): the string concat
+    happens over the folded distinct pairs, never over raw rows."""
+    ords = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pairs = t.select(["o_orderpriority", "o_orderstatus"])
+        return pairs.group_by(
+            ["o_orderpriority", "o_orderstatus"], use_threads=False
+        ).aggregate([])
+
+    parts = (
+        ords.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    g = (
+        parts.groupby("o_orderpriority")["o_orderstatus"]
+        .agg(statuses=lambda s: ",".join(sorted(set(s))),
+             n_statuses=lambda s: len(set(s)))
+        .reset_index()
+    )
+    return g.astype({"n_statuses": "int64"})
+
+
+SQL_PRIORITY_STATUSES = """
+SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+       count(DISTINCT o_orderstatus)::BIGINT AS n_statuses
+FROM orders GROUP BY 1
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -3003,4 +3229,9 @@ def catalog():
         "daily_activity": (q_daily_activity, SQL_DAILY_ACTIVITY),
         "event_pivot": (q_event_pivot, SQL_EVENT_PIVOT),
         "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
+        "repeat_buyers": (q_repeat_buyers, SQL_REPEAT_BUYERS),
+        "lapsed_buyers": (q_lapsed_buyers, SQL_LAPSED_BUYERS),
+        "unpivot_measures": (q_unpivot_measures, SQL_UNPIVOT_MEASURES),
+        "small_qty_revenue": (q_small_qty_revenue, SQL_SMALL_QTY_REVENUE),
+        "priority_statuses": (q_priority_statuses, SQL_PRIORITY_STATUSES),
     }
