@@ -82,6 +82,15 @@ BENCH_QUERIES = [
     "revenue_rollup",
     "repeat_buyers",
     "small_qty_revenue",
+    "distinct_pairs",
+    "unpivot_measures",
+    "priority_statuses",
+    "lapsed_buyers",
+    "nation_share",
+    "revenue_cube",
+    "part_median_price",
+    "big_spenders",
+    "monthly_growth",
 ]
 
 

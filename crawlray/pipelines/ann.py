@@ -312,8 +312,10 @@ def embedding_lsh_pairs(
         cand.map_batches(ids_of, batch_format="pyarrow").sort("vec_id"),
         ["vec_id"],
     )
+    # bloom pre-filter: non-candidate embeddings drop inside the split
+    # task, so their vector payloads never enter the exchange
     vecs = drop_empty_blocks(bucketed_semi_join(
-        embeddings, ids_ds, "vec_id", n_buckets=8
+        embeddings, ids_ds, "vec_id", n_buckets=8, bloom_bits=1 << 22
     )).map_batches(
         _VecPacker, fn_constructor_args=(None,),
         batch_format="pyarrow", concurrency=(2, 8), num_cpus=1,

@@ -352,8 +352,11 @@ def minhash_lsh_pairs(
         cand.map_batches(ids_of, batch_format="pyarrow").sort("doc_id"),
         ["doc_id"],
     )
+    # bloom pre-filter: non-candidate docs drop inside the split task, so
+    # their text payloads never enter the exchange
     shingles = drop_empty_blocks(bucketed_semi_join(
-        docs.select_columns(["doc_id", "text"]), ids_ds, "doc_id", n_buckets=8
+        docs.select_columns(["doc_id", "text"]), ids_ds, "doc_id",
+        n_buckets=8, bloom_bits=1 << 22
     )).map_batches(
         ShinglePacker,
         fn_constructor_args=(None, shingle_n),

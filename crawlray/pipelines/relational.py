@@ -50,6 +50,72 @@ def _bucket_of(col: pa.ChunkedArray | pa.Array, n_buckets: int) -> np.ndarray:
     return (hash64(col) % np.uint64(n_buckets)).astype(np.int32)
 
 
+def _key_hash64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Per-row uint64 key hash (same key classes as :func:`_bucket_of`);
+    null slots hash as 0 — callers must mask them out themselves."""
+    if pa.types.is_integer(col.type):
+        filled = pc.fill_null(col, pa.scalar(0).cast(col.type))
+        v = filled.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return v * np.uint64(0x9E3779B97F4A7C15)
+    return hash64(pc.fill_null(col, "" if not pa.types.is_binary(col.type) else b""))
+
+
+def _bloom_positions(h: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
+    """Two double-hashing probe positions per key into an m-bit (power of
+    two) bloom bitmap."""
+    mask = np.uint64(m - 1)
+    p0 = h & mask
+    stride = ((h >> np.uint64(32)) | np.uint64(1)) & mask
+    p1 = (p0 + stride) & mask
+    return p0, p1
+
+
+def build_bloom(right: rd.Dataset, key: str, bloom_bits: int) -> np.ndarray:
+    """Bloom bitmap (packed uint64 words) over the distinct ``key`` values
+    of ``right``. One Ray task per block emits an m-bit partial bitmap
+    (m/8 bytes — e.g. 512 KiB at m=2^22); the driver OR-folds O(blocks)
+    of them, so nothing key-shaped ever funnels to the driver. Null keys
+    are NOT inserted (SQL EXISTS equality never matches NULL)."""
+    import ray
+
+    if bloom_bits & (bloom_bits - 1):
+        raise ValueError(f"bloom_bits must be a power of two: {bloom_bits}")
+
+    @ray.remote
+    def bitmap_of(t) -> np.ndarray:
+        t = _as_table(t)
+        words = np.zeros(bloom_bits // 64, np.uint64)
+        if t.num_rows:
+            col = t[key]
+            h = _key_hash64(col)
+            valid = ~pc.is_null(col).to_numpy(zero_copy_only=False)
+            h = h[valid]
+            for p in _bloom_positions(h, bloom_bits):
+                np.bitwise_or.at(words, (p >> np.uint64(6)).astype(np.int64),
+                                 np.uint64(1) << (p & np.uint64(63)))
+        return words
+
+    parts = [bitmap_of.remote(t)
+             for t in right.select_columns([key]).to_arrow_refs()]
+    out = np.zeros(bloom_bits // 64, np.uint64)
+    for w in ray.get(parts):
+        np.bitwise_or(out, w, out=out)
+    return out
+
+
+def _bloom_maybe(col: pa.ChunkedArray | pa.Array, words: np.ndarray,
+                 bloom_bits: int) -> np.ndarray:
+    """Per-row bool: key MAY be in the bloom set (false = definitely
+    absent; null keys are definitely-absent for EXISTS semantics)."""
+    h = _key_hash64(col)
+    keep = ~pc.is_null(col).to_numpy(zero_copy_only=False)
+    for p in _bloom_positions(h, bloom_bits):
+        bit = (words[(p >> np.uint64(6)).astype(np.int64)]
+               >> (p & np.uint64(63))) & np.uint64(1)
+        keep &= bit.astype(bool)
+    return keep
+
+
 def bucketed_hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -140,6 +206,7 @@ def bucketed_anti_join(
     right: rd.Dataset,
     key: str,
     n_buckets: int = 32,
+    bloom_bits: int | None = None,
 ) -> rd.Dataset:
     """Anti equi-join: left rows whose ``key`` has NO match in ``right``
     (the ``NOT EXISTS`` / ``EXCEPT``-by-key analog; the engine's frontier
@@ -151,10 +218,24 @@ def bucketed_anti_join(
     before probing (``pc.is_in`` inverted), so a right side with heavy
     key duplication (orders per customer) costs one dedup pass per
     bucket, never a join blow-up. Executes its inputs (an exchange, not
-    a lazy stage)."""
+    a lazy stage).
+
+    ``bloom_bits`` (power of two) adds a bloom BYPASS — the anti-join
+    dual of the semi join's pre-filter: a bloom over the right keys
+    proves absence, so a bloom-NEGATIVE left row (plus every null-key
+    row, which NOT EXISTS always keeps) is a DEFINITE keep and is
+    emitted straight from the split task, never entering the exchange;
+    only the bloom-positive minority rides the exchange to the exact
+    probe. Result is bit-identical; exchange volume scales with the
+    match-candidate rate instead of |left| — the win when most left
+    keys have no match (frontier ∖ seen with a young seen set)."""
     import ray
 
     from ..util import pa_type_of
+
+    bloom_ref = None
+    if bloom_bits is not None:
+        bloom_ref = ray.put(build_bloom(right, key, bloom_bits))
 
     l_schema = left.schema()
     l_cols = list(l_schema.names)
@@ -171,6 +252,23 @@ def bucketed_anti_join(
             buckets = _bucket_of(t[key], b)
             out = [t.filter(pa.array(buckets == i)) for i in range(b)]
         return out if b > 1 else out[0]
+
+    @ray.remote(num_returns=b + 1)
+    def split_bypass(t: pa.Table, bloom):
+        # last return = definite keeps (bloom-negative + null keys);
+        # first b = the bloom-positive rows, exchanged as usual
+        t = _as_table(t)
+        if t.num_rows == 0:
+            out = [empty] * (b + 1)
+        else:
+            maybe = _bloom_maybe(t[key], bloom, bloom_bits)
+            null_keep = pc.is_null(t[key]).to_numpy(zero_copy_only=False)
+            keep = t.filter(pa.array(~maybe | null_keep)).select(l_cols)
+            t = t.filter(pa.array(maybe & ~null_keep))
+            buckets = _bucket_of(t[key], b)
+            out = [t.filter(pa.array(buckets == i)) for i in range(b)]
+            out.append(keep)
+        return out
 
     @ray.remote
     def anti_bucket(n_l: int, *shards) -> pa.Table:
@@ -193,7 +291,14 @@ def bucketed_anti_join(
     )
     r_empty = pa.table({key: pa.nulls(0, r_key_type)})
     rkeys = right.select_columns([key])
-    lsplit = _rows([split.remote(t, empty) for t in left.to_arrow_refs()])
+    bypass: list = []
+    if bloom_ref is None:
+        lsplit = _rows([split.remote(t, empty) for t in left.to_arrow_refs()])
+    else:
+        lrefs = [split_bypass.remote(t, bloom_ref)
+                 for t in left.to_arrow_refs()]
+        lsplit = [refs[:b] for refs in lrefs]
+        bypass = [refs[b] for refs in lrefs]
     rsplit = _rows([split.remote(t, r_empty) for t in rkeys.to_arrow_refs()])
     out = [
         anti_bucket.remote(
@@ -203,7 +308,7 @@ def bucketed_anti_join(
         )
         for i in range(b)
     ]
-    return rd.from_arrow_refs(out)
+    return rd.from_arrow_refs(out + bypass)
 
 
 def asof_join(
@@ -526,6 +631,7 @@ def bucketed_semi_join(
     right: rd.Dataset,
     key: str,
     n_buckets: int = 32,
+    bloom_bits: int | None = None,
 ) -> rd.Dataset:
     """Semi equi-join: left rows whose ``key`` HAS a match in ``right``
     (the ``EXISTS`` / ``IN (SELECT ...)`` analog, the complement of
@@ -537,10 +643,24 @@ def bucketed_semi_join(
     the per-bucket task reduces the right side to its DISTINCT keys
     before probing (``pc.is_in``), so a right side with heavy key
     duplication costs one dedup pass per bucket, never a join blow-up.
-    Executes its inputs (an exchange, not a lazy stage)."""
+    Executes its inputs (an exchange, not a lazy stage).
+
+    ``bloom_bits`` (power of two) adds a bloom PRE-FILTER: an m-bit
+    bitmap over the right keys is built first (:func:`build_bloom`,
+    O(blocks) m/8-byte partials OR-folded on the driver, broadcast once
+    via ``ray.put``) and left rows whose key is definitely absent are
+    dropped INSIDE the split task, before any bytes enter the exchange.
+    False positives survive to the exact per-bucket ``is_in`` probe, so
+    the result is bit-identical with or without the bloom; what changes
+    is exchange volume — the win when the left side is much larger than
+    the match set (the LSH candidate-resolution shape)."""
     import ray
 
     from ..util import pa_type_of
+
+    bloom_ref = None
+    if bloom_bits is not None:
+        bloom_ref = ray.put(build_bloom(right, key, bloom_bits))
 
     l_schema = left.schema()
     l_cols = list(l_schema.names)
@@ -549,8 +669,10 @@ def bucketed_semi_join(
     b = n_buckets
 
     @ray.remote(num_returns=b)
-    def split(t: pa.Table, side_empty: pa.Table):
+    def split(t: pa.Table, side_empty: pa.Table, bloom):
         t = _as_table(t)
+        if t.num_rows and bloom is not None:
+            t = t.filter(pa.array(_bloom_maybe(t[key], bloom, bloom_bits)))
         if t.num_rows == 0:
             out = [side_empty] * b
         else:
@@ -579,8 +701,10 @@ def bucketed_semi_join(
     )
     r_empty = pa.table({key: pa.nulls(0, r_key_type)})
     rkeys = right.select_columns([key])
-    lsplit = _rows([split.remote(t, empty) for t in left.to_arrow_refs()])
-    rsplit = _rows([split.remote(t, r_empty) for t in rkeys.to_arrow_refs()])
+    lsplit = _rows([split.remote(t, empty, bloom_ref)
+                    for t in left.to_arrow_refs()])
+    rsplit = _rows([split.remote(t, r_empty, None)
+                    for t in rkeys.to_arrow_refs()])
     out = [
         semi_bucket.remote(
             len(lsplit),

@@ -2855,21 +2855,16 @@ FROM events GROUP BY 1
 """
 
 
-def q_revenue_rollup(sf_dir: str):
-    """GROUPING SETS (``GROUP BY ROLLUP(r_name, n_name)``): supplier
-    revenue at nation grain, region subtotals, and the grand total in
-    one result; rolled-up key levels surface as 'ALL'. The supplier ->
-    nation -> region dimension chain broadcasts once (J1); each
-    lineitem batch reduces to <= |nations| partial rows (searchsorted
-    suppkey lookup + np.add.at, the price_histogram kernel), the driver
-    fold is O(blocks x 25), and the super-aggregate levels are derived
-    from the nation grain (n_name functionally determines r_name) —
-    the rollup costs no second pass over the fact table."""
+def _nation_revenue(sf_dir: str) -> pd.DataFrame:
+    """Per-nation lineitem revenue via the supplier dimension: supplier
+    (suppkey -> nationkey) broadcasts once (J1); each lineitem batch
+    reduces to <= |nations| partial rows (searchsorted suppkey lookup +
+    np.add.at, the price_histogram kernel) and the driver fold is
+    O(blocks x 25). Returns columns (nk, rev_centicents, n_items) —
+    the shared base grain for rollup / cube / ratio-to-report."""
     import ray
 
     sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    nation = _read(sf_dir, "nation").to_pandas()
-    region = _read(sf_dir, "region").to_pandas()
     order = np.argsort(sup["s_suppkey"].to_numpy())
     ref = ray.put((sup["s_suppkey"].to_numpy()[order],
                    sup["s_nationkey"].to_numpy()[order]))
@@ -2896,8 +2891,20 @@ def q_revenue_rollup(sf_dir: str):
                                     "l_discount"])
     parts = li.map_batches(NationPartial, batch_format="pyarrow",
                            concurrency=2).to_pandas()
-    per_nat = parts.groupby("nk", as_index=False).agg(
+    return parts.groupby("nk", as_index=False).agg(
         rev_centicents=("rev", "sum"), n_items=("n", "sum"))
+
+
+def q_revenue_rollup(sf_dir: str):
+    """GROUPING SETS (``GROUP BY ROLLUP(r_name, n_name)``): supplier
+    revenue at nation grain, region subtotals, and the grand total in
+    one result; rolled-up key levels surface as 'ALL'. Base grain from
+    :func:`_nation_revenue`; the super-aggregate levels are derived
+    from the nation grain (n_name functionally determines r_name) —
+    the rollup costs no second pass over the fact table."""
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    per_nat = _nation_revenue(sf_dir)
     n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
     n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
     r2name = dict(zip(region["r_regionkey"], region["r_name"]))
@@ -3156,6 +3163,297 @@ FROM orders GROUP BY 1
 """
 
 
+def q_nation_share(sf_dir: str):
+    """Ratio-to-report window (``rev * 1000 // sum(rev) OVER ()``): each
+    nation's revenue share in per-mille integers. Base grain from
+    :func:`_nation_revenue` (O(blocks x 25) driver fold); the window is
+    over 25 rows, so the "share of total" — normally a full-pass window
+    function — costs nothing beyond the base aggregation. Integer
+    floor-division keeps the share exact (no IEEE drift vs the oracle)."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    per_nat = _nation_revenue(sf_dir)
+    n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    per_nat["n_name"] = per_nat["nk"].map(n2name)
+    total = int(per_nat["rev_centicents"].sum())
+    per_nat["share_pm"] = (per_nat["rev_centicents"] * 1000) // total
+    out = per_nat[["n_name", "rev_centicents", "share_pm"]]
+    return out.astype({"rev_centicents": "int64", "share_pm": "int64"})
+
+
+SQL_NATION_SHARE = """
+WITH per AS (
+  SELECT n.n_name,
+         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT AS rev_centicents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1
+)
+SELECT n_name, rev_centicents,
+       (rev_centicents * 1000 // sum(rev_centicents) OVER ())::BIGINT AS share_pm
+FROM per
+"""
+
+
+def q_revenue_cube(sf_dir: str):
+    """``GROUP BY CUBE(n_name, o_orderpriority)``: order revenue at the
+    (customer-nation, priority) base grain plus BOTH one-dimension
+    rollups and the grand total ('ALL' levels). Unlike the rollup's
+    supplier chain, the dimensions here are NOT functionally dependent,
+    so all four grouping sets genuinely differ. orders x customer is a
+    real B-wide hash exchange (``bucketed_hash_join`` — customer is
+    fact-sized at scale, never broadcast); per-joined-batch partials
+    reduce to <= 25 x 5 rows, the driver fold is O(blocks x 125), and
+    every super-aggregate level derives from the base grain without a
+    second pass over the join output."""
+    from .pipelines.relational import bucketed_hash_join
+
+    def order_cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["o_custkey"],
+            "o_orderpriority": t["o_orderpriority"],
+            "cents": _cents(t["o_totalprice"]),
+        })
+
+    ords = _read(sf_dir, "orders",
+                 ["o_custkey", "o_orderpriority", "o_totalprice"]
+                 ).map_batches(order_cents, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = bucketed_hash_join(ords, cust, key="c_custkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(
+            ["c_nationkey", "o_orderpriority"], use_threads=False
+        ).aggregate([("cents", "sum"), ("cents", "count")])
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    base = parts.groupby(["c_nationkey", "o_orderpriority"],
+                         as_index=False).agg(
+        rev_cents=("cents_sum", "sum"), n_orders=("cents_count", "sum"))
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    base["n_name"] = base["c_nationkey"].map(n2name)
+    base = base[["n_name", "o_orderpriority", "rev_cents", "n_orders"]]
+
+    def level(df, by, all_cols):
+        g = df.groupby(by, as_index=False).agg(
+            rev_cents=("rev_cents", "sum"), n_orders=("n_orders", "sum"))
+        for c in all_cols:
+            g[c] = "ALL"
+        return g
+
+    by_nation = level(base, ["n_name"], ["o_orderpriority"])
+    by_prio = level(base, ["o_orderpriority"], ["n_name"])
+    total = pd.DataFrame({
+        "n_name": ["ALL"], "o_orderpriority": ["ALL"],
+        "rev_cents": [base["rev_cents"].sum()],
+        "n_orders": [base["n_orders"].sum()],
+    })
+    out = pd.concat([base, by_nation, by_prio, total], ignore_index=True)
+    out = out[["n_name", "o_orderpriority", "rev_cents", "n_orders"]]
+    return out.astype({"rev_cents": "int64", "n_orders": "int64"})
+
+
+SQL_REVENUE_CUBE = """
+SELECT coalesce(n.n_name, 'ALL') AS n_name,
+       coalesce(o.o_orderpriority, 'ALL') AS o_orderpriority,
+       sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT AS rev_cents,
+       count(*)::BIGINT AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY CUBE(n.n_name, o.o_orderpriority)
+"""
+
+
+def q_part_median_price(sf_dir: str):
+    """Exact per-group median at HIGH group cardinality: the median
+    lineitem extended price (cents) per part key. ``price_quantiles``'
+    value-histogram partials compress only when (group, value) repeats;
+    at partkey grain the histogram is as large as the input, so the
+    scalable plan flips to co-location — ONE explicit hash exchange by
+    l_partkey (``bucketed_reduce``), then a vectorized lexsort +
+    group-boundary pick per bucket. Per-bucket memory is bounded by
+    raising B, and no single group needs to fit anywhere but its own
+    bucket. Median contract: the lower median ``sorted[(n-1)//2]``,
+    DuckDB's ``quantile_disc(x, 0.5)``."""
+    from .pipelines.relational import bucketed_reduce
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": t["l_partkey"].cast(pa.int64()),
+            "cents": _cents(t["l_extendedprice"]),
+        })
+
+    def median_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"l_partkey": pa.nulls(0, pa.int64()),
+                             "n_items": pa.nulls(0, pa.int64()),
+                             "median_cents": pa.nulls(0, pa.int64())})
+        k = t["l_partkey"].to_numpy(zero_copy_only=False)
+        v = t["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        cnt = np.diff(np.r_[starts, len(k)])
+        return pa.table({
+            "l_partkey": pa.array(k[starts].astype(np.int64)),
+            "n_items": pa.array(cnt.astype(np.int64)),
+            "median_cents": pa.array(v[starts + (cnt - 1) // 2].astype(np.int64)),
+        })
+
+    return bucketed_reduce(li.map_batches(cents, batch_format="pyarrow"),
+                           "l_partkey", median_bucket)
+
+
+SQL_PART_MEDIAN_PRICE = """
+SELECT l_partkey::BIGINT AS l_partkey,
+       count(*)::BIGINT AS n_items,
+       quantile_disc(round(l_extendedprice * 100)::BIGINT, 0.5) AS median_cents
+FROM lineitem GROUP BY 1
+"""
+
+
+BIG_SPENDER_SEGMENTS = ("AUTOMOBILE", "BUILDING", "MACHINERY")
+BIG_SPENDER_CUTOFF = "2000-01-01"
+
+
+def q_big_spenders(sf_dir: str):
+    """TPC-H Q22 shape — scalar-subquery decorrelation + NOT EXISTS:
+    per market segment, the count and total balance of customers whose
+    balance beats the GLOBAL positive-balance average for those
+    segments and who have no order since the cutoff (the synth data
+    gives every customer SOME order, so the plain "never ordered"
+    predicate would be degenerate-empty). The scalar subquery folds to
+    two integers via per-batch partials (sum cents, count) — broadcast
+    for free in the driver closure; the above-average comparison stays
+    exact as ``cents * n > sum`` (no IEEE average); the NOT EXISTS is
+    the B-wide ``bucketed_anti_join`` against post-cutoff order
+    custkeys (the date filter pushed into the read batches before the
+    exchange); the final per-segment aggregate folds O(blocks x 3)
+    partials."""
+    from .pipelines.relational import bucketed_anti_join
+
+    segs = list(BIG_SPENDER_SEGMENTS)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def seg_cents(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["c_mktsegment"], value_set=pa.array(segs)))
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "c_mktsegment": t["c_mktsegment"],
+            "cents": _cents(t["c_acctbal"]),
+        })
+
+    in_segs = cust.map_batches(seg_cents, batch_format="pyarrow")
+
+    def avg_partial(t: pa.Table) -> pa.Table:
+        pos = t.filter(pc.greater(t["cents"], 0))
+        return pa.table({
+            "s": pa.array([pc.sum(pos["cents"]).as_py() or 0], pa.int64()),
+            "n": pa.array([pos.num_rows], pa.int64()),
+        })
+
+    fold = in_segs.map_batches(avg_partial, batch_format="pyarrow").to_pandas()
+    s, n = int(fold["s"].sum()), int(fold["n"].sum())
+
+    rich = in_segs.map_batches(
+        lambda t: t.filter(pc.greater(pc.multiply(
+            t["cents"].cast(pa.int64()), pa.scalar(n, pa.int64())),
+            pa.scalar(s, pa.int64()))),
+        batch_format="pyarrow",
+    )
+    cutoff = np.datetime64(BIG_SPENDER_CUTOFF, "us")
+
+    def recent_keys(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(
+            t["o_orderdate"], pa.scalar(cutoff, t["o_orderdate"].type))
+        return t.filter(keep).select(["o_custkey"]).rename_columns(
+            ["c_custkey"])
+
+    okeys = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        recent_keys, batch_format="pyarrow")
+    never_ordered = bucketed_anti_join(rich, okeys, key="c_custkey")
+
+    def seg_partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["c_mktsegment"], use_threads=False).aggregate(
+            [("cents", "sum"), ("c_custkey", "count")])
+
+    parts = never_ordered.map_batches(
+        seg_partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:  # all-empty blocks arrive schema-less (quirk l)
+        return pd.DataFrame({"c_mktsegment": pd.Series([], dtype=object),
+                             "n_custs": pd.Series([], dtype="int64"),
+                             "bal_cents": pd.Series([], dtype="int64")})
+    out = parts.groupby("c_mktsegment", as_index=False).agg(
+        n_custs=("c_custkey_count", "sum"), bal_cents=("cents_sum", "sum"))
+    return out.astype({"n_custs": "int64", "bal_cents": "int64"})
+
+
+SQL_BIG_SPENDERS = f"""
+WITH g AS (
+  SELECT sum(round(c_acctbal * 100)::BIGINT) AS s, count(*)::BIGINT AS n
+  FROM customer
+  WHERE c_mktsegment IN {BIG_SPENDER_SEGMENTS!r} AND round(c_acctbal * 100) > 0
+)
+SELECT c_mktsegment,
+       count(*)::BIGINT AS n_custs,
+       sum(round(c_acctbal * 100)::BIGINT)::BIGINT AS bal_cents
+FROM customer, g
+WHERE c_mktsegment IN {BIG_SPENDER_SEGMENTS!r}
+  AND round(c_acctbal * 100)::BIGINT * g.n > g.s
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '{BIG_SPENDER_CUTOFF}')
+GROUP BY 1
+"""
+
+
+def q_monthly_growth(sf_dir: str):
+    """LAG window over an aggregated series: monthly order revenue with
+    the previous month's revenue and the month-over-month delta.
+    Per-batch partials (<= |months| rows each: strftime + Arrow
+    group_by) fold O(blocks x months) on the driver; the lag itself
+    runs over the folded ~24-row series, so the window costs nothing
+    beyond the base aggregation. First month's prev/delta are NULL,
+    exactly as ``lag() OVER (ORDER BY month)``."""
+    ords = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.strftime(t["o_orderdate"], format="%Y-%m")
+        g = pa.table({"month": m, "cents": _cents(t["o_totalprice"])})
+        return g.group_by(["month"], use_threads=False).aggregate(
+            [("cents", "sum")])
+
+    parts = ords.map_batches(partial, batch_format="pyarrow").to_pandas()
+    m = parts.groupby("month", as_index=False).agg(
+        rev_cents=("cents_sum", "sum")).sort_values("month")
+    rev = m["rev_cents"].to_numpy(np.int64)
+    prev = np.r_[0, rev[:-1]]
+    return pa.table({
+        "month": pa.array(m["month"].tolist(), pa.string()),
+        "rev_cents": pa.array(rev),
+        "prev_cents": pa.array([None, *prev[1:].tolist()], pa.int64()),
+        "delta_cents": pa.array(
+            [None, *(rev[1:] - prev[1:]).tolist()], pa.int64()),
+    })
+
+
+SQL_MONTHLY_GROWTH = """
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS rev_cents
+  FROM orders GROUP BY 1
+)
+SELECT month, rev_cents,
+       lag(rev_cents) OVER (ORDER BY month) AS prev_cents,
+       (rev_cents - lag(rev_cents) OVER (ORDER BY month))::BIGINT AS delta_cents
+FROM m
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -3234,4 +3532,9 @@ def catalog():
         "unpivot_measures": (q_unpivot_measures, SQL_UNPIVOT_MEASURES),
         "small_qty_revenue": (q_small_qty_revenue, SQL_SMALL_QTY_REVENUE),
         "priority_statuses": (q_priority_statuses, SQL_PRIORITY_STATUSES),
+        "nation_share": (q_nation_share, SQL_NATION_SHARE),
+        "revenue_cube": (q_revenue_cube, SQL_REVENUE_CUBE),
+        "part_median_price": (q_part_median_price, SQL_PART_MEDIAN_PRICE),
+        "big_spenders": (q_big_spenders, SQL_BIG_SPENDERS),
+        "monthly_growth": (q_monthly_growth, SQL_MONTHLY_GROWTH),
     }

@@ -1,0 +1,134 @@
+"""Round-4c units: bloom pre-filtered semi join + exact grouped median.
+
+The new queries themselves (nation_share, revenue_cube,
+part_median_price, big_spenders, monthly_growth) are covered by the
+parameterized oracle gate in test_queries.py; this file pins the
+operator-level contracts underneath them.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from crawlray.pipelines.relational import (
+    _bloom_maybe,
+    bucketed_anti_join,
+    bucketed_semi_join,
+    build_bloom,
+)
+
+
+def _sorted_df(ds) -> pd.DataFrame:
+    df = ds.to_pandas()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+class TestBloomSemiJoin:
+    def test_parity_int_keys_with_nulls(self, ray_session):
+        l = pa.table({
+            "k": pa.array(([1, 2, 3, None, 5, 6, 7, 8, 9, 10] * 40), pa.int64()),
+            "v": pa.array(range(400), pa.int64()),
+        })
+        r = pa.table({"k": pa.array([2, 2, 5, None, 9], pa.int64())})
+        plain = _sorted_df(bucketed_semi_join(
+            rd.from_arrow(l), rd.from_arrow(r), "k"))
+        bloom = _sorted_df(bucketed_semi_join(
+            rd.from_arrow(l), rd.from_arrow(r), "k", bloom_bits=1 << 12))
+        pd.testing.assert_frame_equal(plain, bloom)
+        # exactly the three matching non-null keys survive
+        assert set(bloom["k"]) == {2, 5, 9}
+
+    def test_parity_string_keys(self, ray_session):
+        l = pa.table({"k": pa.array(["a", "b", None, "c", "d"] * 20),
+                      "v": pa.array(range(100))})
+        r = pa.table({"k": pa.array(["b", "x", None, "d"])})
+        plain = _sorted_df(bucketed_semi_join(
+            rd.from_arrow(l), rd.from_arrow(r), "k"))
+        bloom = _sorted_df(bucketed_semi_join(
+            rd.from_arrow(l), rd.from_arrow(r), "k", bloom_bits=1 << 10))
+        pd.testing.assert_frame_equal(plain, bloom)
+        assert set(bloom["k"]) == {"b", "d"}
+
+    def test_bloom_has_no_false_negatives(self, ray_session):
+        keys = pa.array(np.arange(0, 10_000, 3, dtype=np.int64))
+        bm = build_bloom(rd.from_arrow(pa.table({"k": keys})), "k", 1 << 14)
+        keep = _bloom_maybe(keys, bm, 1 << 14)
+        assert keep.all()  # every inserted key must probe true
+
+    def test_bloom_drops_most_absent_keys(self, ray_session):
+        present = pa.array(np.arange(0, 3_000, 3, dtype=np.int64))
+        absent = pa.array(np.arange(1, 3_001, 3, dtype=np.int64))
+        bm = build_bloom(rd.from_arrow(pa.table({"k": present})), "k", 1 << 16)
+        keep = _bloom_maybe(absent, bm, 1 << 16)
+        # 2 probes into a 64Kbit map at n=1000: fpp well under 10%
+        assert keep.mean() < 0.1
+
+    def test_null_keys_never_probe_true(self, ray_session):
+        bm = build_bloom(
+            rd.from_arrow(pa.table({"k": pa.array([None, None], pa.int64())})),
+            "k", 1 << 10)
+        assert not bm.any()  # nulls are not inserted
+        keep = _bloom_maybe(pa.array([None, 1], pa.int64()), bm, 1 << 10)
+        assert not keep.any()
+
+    def test_anti_join_bypass_parity_int(self, ray_session):
+        # null left key: NOT EXISTS keeps it — must survive the bypass
+        l = pa.table({
+            "k": pa.array(([1, 2, 3, None, 5, 6, 7, 8, 9, 10] * 40), pa.int64()),
+            "v": pa.array(range(400), pa.int64()),
+        })
+        r = pa.table({"k": pa.array([2, 2, 5, None, 9], pa.int64())})
+        plain = _sorted_df(bucketed_anti_join(
+            rd.from_arrow(l), rd.from_arrow(r), "k"))
+        bloom = _sorted_df(bucketed_anti_join(
+            rd.from_arrow(l), rd.from_arrow(r), "k", bloom_bits=1 << 12))
+        pd.testing.assert_frame_equal(plain, bloom)
+        kept = set(bloom["k"].dropna())
+        assert kept == {1, 3, 6, 7, 8, 10}
+        assert bloom["k"].isna().sum() == 40  # null keys all kept
+
+    def test_anti_join_bypass_parity_string(self, ray_session):
+        l = pa.table({"k": pa.array(["a", "b", None, "c", "d"] * 20),
+                      "v": pa.array(range(100))})
+        r = pa.table({"k": pa.array(["b", "x", None, "d"])})
+        plain = _sorted_df(bucketed_anti_join(
+            rd.from_arrow(l), rd.from_arrow(r), "k"))
+        bloom = _sorted_df(bucketed_anti_join(
+            rd.from_arrow(l), rd.from_arrow(r), "k", bloom_bits=1 << 10))
+        pd.testing.assert_frame_equal(plain, bloom)
+        assert set(bloom["k"].dropna()) == {"a", "c"}
+
+    def test_bloom_bits_must_be_power_of_two(self, ray_session):
+        ds = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
+        with pytest.raises(ValueError):
+            build_bloom(ds, "k", 1000)
+
+
+class TestGroupedMedian:
+    def test_matches_pandas_median_contract(self, ray_session):
+        from crawlray.queries import q_part_median_price
+
+        got = q_part_median_price("/root/testdata/sf0.001").to_pandas()
+        got = got.sort_values("l_partkey").reset_index(drop=True)
+        import pyarrow.parquet as pq
+
+        li = pq.read_table(
+            "/root/testdata/sf0.001/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice"],
+        ).to_pandas()
+        li["cents"] = np.rint(li["l_extendedprice"] * 100).astype(np.int64)
+        # lower median: sorted[(n-1)//2] per group
+        exp = (
+            li.sort_values(["l_partkey", "cents"])
+            .groupby("l_partkey")["cents"]
+            .agg(n_items="count",
+                 median_cents=lambda s: s.iloc[(len(s) - 1) // 2])
+            .reset_index()
+        )
+        exp = exp.astype({"l_partkey": "int64", "n_items": "int64",
+                          "median_cents": "int64"})
+        pd.testing.assert_frame_equal(
+            got[["l_partkey", "n_items", "median_cents"]], exp,
+            check_dtype=False, check_exact=True)
