@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "part_median_price",
     "big_spenders",
     "monthly_growth",
+    "props_stats",
 ]
 
 

@@ -143,3 +143,56 @@ class MediaDecoder:
             .append_column("width", pa.array(widths, pa.int32())) \
             .append_column("height", pa.array(heights, pa.int32())) \
             .append_column("feature", pa.array(feats, pa.string()))
+
+
+class VideoFrameSampler:
+    """Frame-sampling stage for video-typed media payloads: one INPUT row
+    (a binary container) fans out to N OUTPUT rows (one per sampled
+    frame) — the flat_map-shaped multimodal stage an LLM-data pipeline
+    needs for frame-level dedup / captioning / filtering.
+
+    ``backend='fake'`` derives a deterministic frame count (1-5) and
+    per-frame feature hash from the payload bytes (no video libs in this
+    container); ``backend='stub'`` raises NotImplementedError where a
+    real ffmpeg/cv2 decode would go. Either way the Ray-side plumbing is
+    real: binary rows in, frame rows out, payloads dropped on output so
+    only fixed-width frame records travel downstream. Rows whose fetch
+    failed (null payload) emit zero frames."""
+
+    def __init__(self, backend: str = "fake", max_frames: int = 5):
+        assert backend in ("fake", "stub")
+        self.backend = backend
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.backend == "stub":
+            raise NotImplementedError(
+                "real video decode requires ffmpeg/cv2 which are not "
+                "available; use backend='fake' for deterministic plumbing"
+            )
+        doc_ids, refs, idxs, ts, feats = [], [], [], [], []
+        for doc_id, ref, payload in zip(
+            batch["doc_id"].to_pylist(),
+            batch["media_ref"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if not payload:
+                continue
+            h = hashlib.blake2b(payload, digest_size=8).digest()
+            n_frames = 1 + h[2] % self.max_frames
+            for i in range(n_frames):
+                fh = hashlib.blake2b(
+                    payload + i.to_bytes(4, "little"), digest_size=8
+                ).hexdigest()
+                doc_ids.append(doc_id)
+                refs.append(ref)
+                idxs.append(i)
+                ts.append(i * 1000)
+                feats.append(fh)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "media_ref": pa.array(refs, pa.string()),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "ts_ms": pa.array(ts, pa.int64()),
+            "frame_feature": pa.array(feats, pa.string()),
+        })

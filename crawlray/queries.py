@@ -3454,6 +3454,118 @@ FROM m
 """
 
 
+def q_media_frames(sf_dir: str):
+    """Multimodal fan-out plumbing: crawl pages -> media worklist ->
+    actor-pool fetch -> ``VideoFrameSampler`` (one binary row fans out
+    to N frame rows; failed fetches emit zero). Payloads are dropped at
+    the sampler boundary, so only fixed-width frame records travel
+    downstream — the flat_map shape frame-level dedup/captioning needs.
+    Small ``batch_size`` because rows carry binaries (memory-aware
+    sizing)."""
+    from .htmlx import parse_document
+    from .pipelines.media import (MediaFetcher, VideoFrameSampler,
+                                  media_refs_from_docs)
+    from .stages.parse import build_spans_column
+    from .synth import World
+
+    cfg = _crawl_cfg(sf_dir)
+    world = World(cfg.world)
+    urls = [world.url(i % cfg.world.n_hosts, 0) for i in range(cfg.world.n_hosts)]
+    span_lists, ids = [], []
+    for u in urls:
+        res = parse_document(world.gen_page(u), u)
+        span_lists.append(res.spans)
+        ids.append(u)
+    docs = pa.table(
+        {"doc_id": pa.array(ids), "spans": build_spans_column(span_lists)}
+    )
+    work = media_refs_from_docs(docs)
+    fetched = rd.from_arrow(work).map_batches(
+        MediaFetcher, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+    return fetched.map_batches(
+        VideoFrameSampler, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _media_frames_sql() -> str:
+    """q_media_frames' expected output restated as a SQL VALUES literal —
+    the ``_media_sql`` precedent: the kernels are deterministic but
+    blake2b is not SQL-computable, so the oracle is the SEQUENTIAL
+    (single-process, no Ray) application of the same kernels and the
+    driver check verifies the distributed fan-out reproduces it
+    row-for-row. Valid at sf0.01, the driver's correctness scale."""
+    from .htmlx import parse_document
+    from .pipelines.media import (MediaFetcher, VideoFrameSampler,
+                                  media_refs_from_docs)
+    from .stages.parse import build_spans_column
+    from .synth import World
+
+    cfg = _crawl_cfg(_ORACLE_SF_DIR)   # config shape only, no reads
+    world = World(cfg.world)
+    urls = [world.url(i % cfg.world.n_hosts, 0) for i in range(cfg.world.n_hosts)]
+    span_lists, ids = [], []
+    for u in urls:
+        res = parse_document(world.gen_page(u), u)
+        span_lists.append(res.spans)
+        ids.append(u)
+    docs = pa.table(
+        {"doc_id": pa.array(ids), "spans": build_spans_column(span_lists)}
+    )
+    t = VideoFrameSampler()(MediaFetcher()(media_refs_from_docs(docs)))
+
+    def esc(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = ",\n".join(
+        "(%s, %s, %d, %d, %s)" % (
+            esc(r["doc_id"]), esc(r["media_ref"]), r["frame_idx"],
+            r["ts_ms"], esc(r["frame_feature"]),
+        )
+        for r in t.to_pylist()
+    )
+    return f"""
+SELECT doc_id, media_ref, frame_idx::INTEGER AS frame_idx,
+       ts_ms::BIGINT AS ts_ms, frame_feature
+FROM (VALUES {rows})
+  AS t(doc_id, media_ref, frame_idx, ts_ms, frame_feature)
+"""
+
+
+def q_props_stats(sf_dir: str):
+    """JSON extraction over a string column (§2.8 JSON): pull the ``k``
+    field out of events' JSON ``props`` and aggregate per event type.
+    The parse is ONE vectorized Arrow kernel per batch
+    (``pc.extract_regex`` -> struct field -> int cast), never a Python
+    json.loads loop; per-batch partials reduce to <= |event types| rows
+    and the driver fold is O(blocks x types)."""
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], pattern=r'"k":\s*(?P<k>-?\d+)')
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        g = pa.table({"event_type": t["event_type"], "k": k})
+        return g.group_by(["event_type"], use_threads=False).aggregate(
+            [("k", "sum"), ("k", "max"), ("k", "count")])
+
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("event_type", as_index=False).agg(
+        n_events=("k_count", "sum"), k_total=("k_sum", "sum"),
+        k_max=("k_max", "max"))
+    return out.astype({"n_events": "int64", "k_total": "int64",
+                       "k_max": "int64"})
+
+
+SQL_PROPS_STATS = """
+SELECT event_type,
+       count(json_extract(props, '$.k'))::BIGINT AS n_events,
+       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_total,
+       max(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_max
+FROM events GROUP BY 1
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -3537,4 +3649,6 @@ def catalog():
         "part_median_price": (q_part_median_price, SQL_PART_MEDIAN_PRICE),
         "big_spenders": (q_big_spenders, SQL_BIG_SPENDERS),
         "monthly_growth": (q_monthly_growth, SQL_MONTHLY_GROWTH),
+        "media_frames": (q_media_frames, _media_frames_sql()),
+        "props_stats": (q_props_stats, SQL_PROPS_STATS),
     }

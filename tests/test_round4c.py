@@ -106,6 +106,41 @@ class TestBloomSemiJoin:
             build_bloom(ds, "k", 1000)
 
 
+class TestVideoFrameSampler:
+    def _work(self):
+        return pa.table({
+            "doc_id": pa.array(["d1", "d2", "d3"], pa.string()),
+            "media_ref": pa.array(["r1", "r2", "r3"], pa.string()),
+            "payload": pa.array([b"abc", None, b"xyzw"], pa.binary()),
+        })
+
+    def test_fan_out_and_null_payload(self):
+        from crawlray.pipelines.media import VideoFrameSampler
+
+        out = VideoFrameSampler()(self._work())
+        # d2's failed fetch emits zero frames
+        assert "d2" not in set(out["doc_id"].to_pylist())
+        df = out.to_pandas()
+        for doc, g in df.groupby("doc_id"):
+            assert 1 <= len(g) <= 5
+            assert list(g["frame_idx"]) == list(range(len(g)))
+            assert list(g["ts_ms"]) == [i * 1000 for i in range(len(g))]
+            assert g["frame_feature"].nunique() == len(g)
+
+    def test_deterministic(self):
+        from crawlray.pipelines.media import VideoFrameSampler
+
+        a = VideoFrameSampler()(self._work())
+        b = VideoFrameSampler()(self._work())
+        assert a.equals(b)
+
+    def test_stub_backend_raises(self):
+        from crawlray.pipelines.media import VideoFrameSampler
+
+        with pytest.raises(NotImplementedError):
+            VideoFrameSampler(backend="stub")(self._work())
+
+
 class TestGroupedMedian:
     def test_matches_pandas_median_contract(self, ray_session):
         from crawlray.queries import q_part_median_price
