@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "big_spenders",
     "monthly_growth",
     "props_stats",
+    "value_quantiles",
 ]
 
 

@@ -159,6 +159,113 @@ def grouped_quantiles(
     return rd.from_arrow_refs(
         [pick.remote(r, cy, tot_ref) for r, cy in zip(refs, carries)]
     )
+def exact_quantiles_hist(
+    ds: rd.Dataset,
+    value: str,
+    q_pms: list[int] = (500, 900, 990),
+    n_bins: int = 4096,
+    max_passes: int = 8,
+) -> pa.Table:
+    """Exact GLOBAL discrete quantiles over an unbounded integer value
+    domain via iterative histogram refinement — the regime where
+    :func:`grouped_quantiles`' sort-the-distinct-values plan stops
+    compressing because there is no group key to amortize it and the
+    full value stream would have to shuffle.
+
+    Each pass is ONE streaming scan: every block emits at most
+    ``len(q_pms) x n_bins`` (quantile, bin, count) partial rows for the
+    quantiles' current [lo, hi] segments; the driver folds
+    O(blocks x q x bins) integers, walks each segment's cumulative
+    histogram to the bin containing the target rank, and narrows that
+    quantile's segment to the bin. A segment of width <= 1 is resolved.
+    Convergence: width shrinks by n_bins per pass, so any 48-bit domain
+    resolves in <= 4 passes at the default 4096 (cents domains: 2).
+    No row, value list, or per-value histogram ever reaches the driver.
+
+    Rank contract: per-mille integer ranks ``ceil(q_pm * n / 1000)``,
+    matching :func:`grouped_quantiles` and the DuckDB restatement
+    (smallest value whose cumulative count reaches the rank). Nulls are
+    ignored, as SQL aggregates do. Returns (q_pm, value)."""
+    q_arr = sorted(int(q) for q in q_pms)
+
+    def count_minmax(t: pa.Table) -> pa.Table:
+        col = t[value]
+        n = len(col) - col.null_count
+        if n == 0:
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "lo": pa.array([None], pa.int64()),
+                             "hi": pa.array([None], pa.int64())})
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "lo": pa.array([pc.min(col).as_py()], pa.int64()),
+            "hi": pa.array([pc.max(col).as_py()], pa.int64()),
+        })
+
+    head = ds.map_batches(count_minmax, batch_format="pyarrow").to_pandas()
+    n_total = int(head["n"].sum())
+    if n_total == 0:
+        return pa.table({"q_pm": pa.array([], pa.int64()),
+                         value: pa.array([], pa.int64())})
+    glo, ghi = int(head["lo"].min()), int(head["hi"].max())
+
+    # per-quantile state: segment [lo, hi] and the rank WITHIN it
+    state = {
+        q: [glo, ghi, (q * n_total + 999) // 1000] for q in q_arr
+    }
+
+    for _ in range(max_passes):
+        active = {q: st for q, st in state.items() if st[0] < st[1]}
+        if not active:
+            break
+        segs = [(qi, st[0], st[1],
+                 max(1, (st[1] - st[0] + n_bins) // n_bins))
+                for qi, st in sorted(active.items())]
+
+        def hist_partial(t: pa.Table, segs=tuple(segs)) -> pa.Table:
+            col = t[value]
+            if col.null_count:
+                col = col.drop_null()
+            v = col.to_numpy(zero_copy_only=False)
+            qs, bins, cnts = [], [], []
+            for qi, lo, hi, width in segs:
+                m = (v >= lo) & (v <= hi)
+                if not m.any():
+                    continue
+                b = (v[m] - lo) // width
+                ub, uc = np.unique(b, return_counts=True)
+                qs.extend([qi] * len(ub))
+                bins.extend(ub.tolist())
+                cnts.extend(uc.tolist())
+            return pa.table({"q": pa.array(qs, pa.int64()),
+                             "b": pa.array(bins, pa.int64()),
+                             "c": pa.array(cnts, pa.int64())})
+
+        folded = (
+            ds.map_batches(hist_partial, batch_format="pyarrow")
+            .to_pandas()
+            .groupby(["q", "b"], as_index=False)["c"].sum()
+        )
+        for qi, lo, hi, width in segs:
+            h = folded[folded["q"] == qi].sort_values("b")
+            cum = h["c"].cumsum().to_numpy()
+            rank = state[qi][2]
+            j = int(np.searchsorted(cum, rank))
+            chosen = int(h["b"].iloc[j])
+            before = int(cum[j - 1]) if j else 0
+            new_lo = lo + chosen * width
+            new_hi = min(hi, new_lo + width - 1)
+            state[qi] = [new_lo, new_hi, rank - before]
+
+    unresolved = [q for q, st in state.items() if st[0] < st[1]]
+    if unresolved:
+        raise RuntimeError(f"quantiles unresolved after {max_passes} passes: "
+                           f"{unresolved}")
+    return pa.table({
+        "q_pm": pa.array(q_arr, pa.int64()),
+        value: pa.array([state[q][0] for q in q_arr], pa.int64()),
+    })
+
+
 def table_profile(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
     """Single-pass data profiling: per column, row count / null count /
     min / max — the sanity sweep a pipeline runs over a new corpus drop

@@ -3566,6 +3566,43 @@ FROM events GROUP BY 1
 """
 
 
+def q_value_quantiles(sf_dir: str):
+    """Exact GLOBAL quantiles (p50/p90/p99) of event value cents via
+    iterative histogram refinement (``stats.exact_quantiles_hist``) —
+    the scale regime price_quantiles' sort-the-distinct-values plan
+    can't reach: no group key to amortize the sort and a near-unique
+    continuous domain. Each pass streams one O(bins)-partial scan; a
+    cents domain resolves in 2 passes and nothing row-shaped reaches
+    the driver."""
+    from .pipelines.stats import exact_quantiles_hist
+
+    ev = _read(sf_dir, "events", ["value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"cents": _cents(t["value"])})
+
+    return exact_quantiles_hist(
+        ev.map_batches(cents, batch_format="pyarrow"), "cents",
+        [500, 900, 990],
+    )
+
+
+SQL_VALUE_QUANTILES = """
+WITH t AS (SELECT round(value * 100)::BIGINT AS cents FROM events
+           WHERE value IS NOT NULL),
+c AS (SELECT cents, count(*)::BIGINT AS n FROM t GROUP BY 1),
+w AS (SELECT cents,
+             sum(n) OVER (ORDER BY cents) AS cum,
+             sum(n) OVER () AS tot
+      FROM c),
+q AS (SELECT unnest([500, 900, 990]) AS q_pm)
+SELECT q.q_pm::BIGINT AS q_pm, min(w.cents) AS cents
+FROM w CROSS JOIN q
+WHERE w.cum >= (q.q_pm * w.tot + 999) // 1000
+GROUP BY 1
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -3651,4 +3688,5 @@ def catalog():
         "monthly_growth": (q_monthly_growth, SQL_MONTHLY_GROWTH),
         "media_frames": (q_media_frames, _media_frames_sql()),
         "props_stats": (q_props_stats, SQL_PROPS_STATS),
+        "value_quantiles": (q_value_quantiles, SQL_VALUE_QUANTILES),
     }

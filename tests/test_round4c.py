@@ -106,6 +106,41 @@ class TestBloomSemiJoin:
             build_bloom(ds, "k", 1000)
 
 
+class TestExactQuantilesHist:
+    def _check(self, vals, q_pms=(500, 900, 990), **kw):
+        from crawlray.pipelines.stats import exact_quantiles_hist
+
+        arr = pa.array(vals, pa.int64())
+        ds = rd.from_arrow(pa.table({"v": arr}))
+        got = exact_quantiles_hist(ds, "v", list(q_pms), **kw).to_pandas()
+        clean = np.sort(np.array([v for v in vals if v is not None],
+                                 dtype=np.int64))
+        n = len(clean)
+        for q in q_pms:
+            rank = (q * n + 999) // 1000
+            exp = int(clean[rank - 1])
+            assert int(got.loc[got["q_pm"] == q, "v"].iloc[0]) == exp, (
+                q, got)
+
+    def test_small_domain(self, ray_session):
+        self._check([5, 1, 3, 3, 2, 9, 7, 7, 7, 100])
+
+    def test_wide_domain_multi_pass(self, ray_session):
+        rng = np.random.RandomState(7)
+        vals = rng.randint(-10**12, 10**12, size=5000).tolist()
+        self._check(vals, n_bins=64)  # forces several refinement passes
+
+    def test_duplicates_and_nulls(self, ray_session):
+        self._check([4, 4, 4, None, 4, 1, None, 9])
+
+    def test_empty(self, ray_session):
+        from crawlray.pipelines.stats import exact_quantiles_hist
+
+        ds = rd.from_arrow(pa.table({"v": pa.array([None, None], pa.int64())}))
+        out = exact_quantiles_hist(ds, "v").to_pandas()
+        assert len(out) == 0
+
+
 class TestVideoFrameSampler:
     def _work(self):
         return pa.table({
