@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "monthly_growth",
     "props_stats",
     "value_quantiles",
+    "user_day_stats",
 ]
 
 

@@ -119,21 +119,31 @@ def _bloom_maybe(col: pa.ChunkedArray | pa.Array, words: np.ndarray,
 def bucketed_hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
-    key: str,
+    key: str | list[str],
     n_buckets: int = 32,
     join_type: str = "inner",
 ) -> rd.Dataset:
-    """Equi-join of two large Datasets on ``key`` (``join_type``:
-    "inner", "left outer" — unmatched left rows keep null right
-    columns — or "full outer" — unmatched rows of EITHER side survive
-    with the other side's columns null and the key coalesced). Column
-    names of the two sides must be disjoint apart from ``key``."""
+    """Equi-join of two large Datasets on ``key`` — a single column name
+    or a COMPOSITE key (list of names; both sides must carry all of
+    them). ``join_type``: "inner", "left outer" — unmatched left rows
+    keep null right columns — or "full outer" — unmatched rows of
+    EITHER side survive with the other side's columns null and the keys
+    coalesced. Column names of the two sides must be disjoint apart
+    from the key columns.
+
+    Composite keys bucket on the FIRST key column only: rows that agree
+    on every key column agree on the first, so they meet in one bucket
+    and the per-bucket Acero join (over all key columns) is globally
+    correct. Pick a first key with enough cardinality to spread B
+    buckets; the remaining key columns cost nothing extra in routing."""
     import ray
 
+    ks = [key] if isinstance(key, str) else list(key)
+    k0 = ks[0]
     l_schema = left.schema()
     r_schema = right.schema()
     l_cols = list(l_schema.names)
-    r_cols = [c for c in r_schema.names if c != key]
+    r_cols = [c for c in r_schema.names if c not in ks]
     # pa_type_of: pandas-block datasets report numpy dtypes (quirk), and
     # the typed empties / null-fill columns need real Arrow types
     types = {
@@ -153,7 +163,7 @@ def bucketed_hash_join(
         if t.num_rows == 0:
             out = [side_empty] * b
         else:
-            buckets = _bucket_of(t[key], b)
+            buckets = _bucket_of(t[k0], b)
             out = [t.filter(pa.array(buckets == i)) for i in range(b)]
         return out if b > 1 else out[0]
 
@@ -165,9 +175,9 @@ def bucketed_hash_join(
             if join_type != "full outer" or r.num_rows == 0:
                 return empty
             # full outer vs an empty left: right rows + null left columns
-            out = r.select([key, *r_cols])
+            out = r.select([*ks, *r_cols])
             for c in l_cols:
-                if c != key:
+                if c not in ks:
                     out = out.append_column(c, pa.nulls(r.num_rows, types[c]))
             return out.select(all_cols)
         if r.num_rows == 0:
@@ -179,15 +189,15 @@ def bucketed_hash_join(
                 out = out.append_column(c, pa.nulls(l.num_rows, types[c]))
             return out.select(all_cols)
         # Acero hash join; single-threaded — the task already owns 1 CPU.
-        # full outer coalesces the key column (verified behavior).
-        return l.join(r.select([key, *r_cols]), keys=key, join_type=join_type,
+        # full outer coalesces the key columns (verified behavior).
+        return l.join(r.select([*ks, *r_cols]), keys=ks, join_type=join_type,
                       use_threads=False).select(all_cols)
 
     def _rows(refs):
         return [[r] for r in refs] if b == 1 else refs
 
     l_empty = pa.table({c: pa.nulls(0, types[c]) for c in l_cols})
-    r_empty = pa.table({c: pa.nulls(0, types[c]) for c in [key, *r_cols]})
+    r_empty = pa.table({c: pa.nulls(0, types[c]) for c in [*ks, *r_cols]})
     lsplit = _rows([split.remote(t, l_empty) for t in left.to_arrow_refs()])
     rsplit = _rows([split.remote(t, r_empty) for t in right.to_arrow_refs()])
     joined = [

@@ -3603,6 +3603,67 @@ GROUP BY 1
 """
 
 
+def q_user_day_stats(sf_dir: str):
+    """COMPOSITE-key join: per (user_id, day) click counts inner-joined
+    to per (user_id, day) purchase cents — the days a user both clicked
+    AND purchased, with both measures. Each side pre-aggregates per
+    batch (<= |(user, day)| partial rows) and then folds through a
+    Dataset groupby; the join is ``bucketed_hash_join`` on the
+    two-column key (bucketing on user_id alone routes composite-equal
+    rows together; the per-bucket Acero join matches on both). The
+    partial fold avoids the Dataset groupby (the tiny-group Aggregate
+    sort-map pathology) via ``bucketed_reduce`` keyed on user_id —
+    composite-equal partials share a user, so a per-bucket pandas
+    groupby is globally correct."""
+    from .pipelines.relational import bucketed_hash_join, bucketed_reduce
+
+    def side(event_type: str, out_col: str, agg: str):
+        def partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], event_type))
+            g = pa.table({
+                "user_id": t["user_id"],
+                "day": pc.strftime(t["ts"], format="%Y-%m-%d"),
+                "m": _cents(t["value"]) if agg == "sum"
+                else pa.array(np.ones(t.num_rows, np.int64)),
+            })
+            return g.group_by(["user_id", "day"],
+                              use_threads=False).aggregate([("m", "sum")])
+
+        def fold(t: pa.Table) -> pa.Table:
+            df = t.to_pandas().groupby(
+                ["user_id", "day"], as_index=False)["m_sum"].sum()
+            return pa.table({
+                "user_id": pa.array(df["user_id"].to_numpy(np.int64)),
+                "day": pa.array(df["day"], pa.string()),
+                out_col: pa.array(df["m_sum"].to_numpy(np.int64)),
+            })
+
+        ds = _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+        parts = ds.map_batches(partial, batch_format="pyarrow")
+        return bucketed_reduce(parts, "user_id", fold, n_buckets=8)
+
+    clicks = side("click", "n_clicks", "count")
+    buys = side("purchase", "purchase_cents", "sum")
+    return bucketed_hash_join(clicks, buys, key=["user_id", "day"],
+                              n_buckets=8)
+
+
+SQL_USER_DAY_STATS = """
+WITH c AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+         count(*)::BIGINT AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+p AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+         sum(round(value * 100)::BIGINT)::BIGINT AS purchase_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.user_id, c.day, c.n_clicks, p.purchase_cents
+FROM c JOIN p ON c.user_id = p.user_id AND c.day = p.day
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -3689,4 +3750,5 @@ def catalog():
         "media_frames": (q_media_frames, _media_frames_sql()),
         "props_stats": (q_props_stats, SQL_PROPS_STATS),
         "value_quantiles": (q_value_quantiles, SQL_VALUE_QUANTILES),
+        "user_day_stats": (q_user_day_stats, SQL_USER_DAY_STATS),
     }

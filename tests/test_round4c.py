@@ -106,6 +106,62 @@ class TestBloomSemiJoin:
             build_bloom(ds, "k", 1000)
 
 
+class TestCompositeKeyJoin:
+    def _sides(self):
+        l = pa.table({
+            "u": pa.array([1, 1, 2, 2, 3, None], pa.int64()),
+            "d": pa.array(["a", "b", "a", "b", "a", "a"]),
+            "x": pa.array([10, 11, 12, 13, 14, 15], pa.int64()),
+        })
+        r = pa.table({
+            "u": pa.array([1, 2, 2, 4, None], pa.int64()),
+            "d": pa.array(["a", "a", "z", "a", "a"]),
+            "y": pa.array([100, 200, 300, 400, 500], pa.int64()),
+        })
+        return l, r
+
+    def _duck_join(self, how):
+        # DuckDB, not pandas.merge: merge matches NaN keys, SQL never does
+        import duckdb
+
+        l, r = self._sides()
+        con = duckdb.connect()
+        con.register("l", l.to_pandas())
+        con.register("r", r.to_pandas())
+        df = con.execute(f"""
+            SELECT coalesce(l.u, r.u) AS u, coalesce(l.d, r.d) AS d, x, y
+            FROM l {how} JOIN r ON l.u = r.u AND l.d = r.d
+        """).df()
+        return (df.sort_values(["u", "d", "x", "y"])
+                .reset_index(drop=True))
+
+    def _ray_join(self, join_type):
+        from crawlray.pipelines.relational import bucketed_hash_join
+
+        l, r = self._sides()
+        df = bucketed_hash_join(
+            rd.from_arrow(l), rd.from_arrow(r), key=["u", "d"],
+            n_buckets=4, join_type=join_type,
+        ).to_pandas()
+        return (df[["u", "d", "x", "y"]]
+                .sort_values(["u", "d", "x", "y"])
+                .reset_index(drop=True))
+
+    def test_inner(self, ray_session):
+        got, exp = self._ray_join("inner"), self._duck_join("INNER")
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        # null keys never match (SQL equality)
+        assert not got["u"].isna().any()
+
+    def test_left_outer(self, ray_session):
+        got, exp = self._ray_join("left outer"), self._duck_join("LEFT")
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_full_outer(self, ray_session):
+        got, exp = self._ray_join("full outer"), self._duck_join("FULL")
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 class TestExactQuantilesHist:
     def _check(self, vals, q_pms=(500, 900, 990), **kw):
         from crawlray.pipelines.stats import exact_quantiles_hist
