@@ -3431,6 +3431,11 @@ def q_monthly_growth(sf_dir: str):
     m = parts.groupby("month", as_index=False).agg(
         rev_cents=("cents_sum", "sum")).sort_values("month")
     rev = m["rev_cents"].to_numpy(np.int64)
+    if len(rev) == 0:
+        return pa.table({"month": pa.array([], pa.string()),
+                         "rev_cents": pa.array([], pa.int64()),
+                         "prev_cents": pa.array([], pa.int64()),
+                         "delta_cents": pa.array([], pa.int64())})
     prev = np.r_[0, rev[:-1]]
     return pa.table({
         "month": pa.array(m["month"].tolist(), pa.string()),
