@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "props_stats",
     "value_quantiles",
     "user_day_stats",
+    "weighted_sample",
 ]
 
 

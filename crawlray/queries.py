@@ -3669,6 +3669,58 @@ FROM c JOIN p ON c.user_id = p.user_id AND c.day = p.day
 """
 
 
+WEIGHTED_SAMPLE_K = 20
+_WS_MOD = 1 << 62
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic WEIGHTED per-group sampling: per source, the
+    ``k`` documents with the smallest integer priority ``md5(id) //
+    n_chars`` — longer documents draw proportionally smaller priorities,
+    so the sample upweights them, yet membership stays a pure function
+    of (salt, doc_id, weight): resume-stable and restatable in SQL with
+    exact integer ops (an integer lowering of priority-key weighted
+    sampling; same md5 contract as split/fingerprint/corpus_mix).
+    Distributed shape = ``grouped_topk`` on the negated priority: at
+    most k candidate rows per (batch, group) ever shuffle."""
+    from .pipelines.relational import grouped_topk
+
+    def keyed(t: pa.Table) -> pa.Table:
+        from .util import md5_id_bucket
+
+        t = t.filter(pc.greater(t["n_chars"], 0))
+        w = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = md5_id_bucket("wsample-v1", t["doc_id"].to_pylist(), _WS_MOD)
+        pri = h // w
+        return pa.table({
+            "source": t["source"],
+            "doc_id": t["doc_id"],
+            "n_chars": t["n_chars"],
+            "priority": pa.array(pri),
+            "neg": pa.array(-pri),
+        })
+
+    keyed_ds = _read(sf_dir, "documents",
+                     ["doc_id", "source", "n_chars"]).map_batches(
+        keyed, batch_format="pyarrow"
+    )
+    top = grouped_topk(keyed_ds, group_keys=["source"], value="neg",
+                       tiebreak="doc_id", k=WEIGHTED_SAMPLE_K)
+    return top.map_batches(lambda t: t.drop_columns(["neg"]),
+                           batch_format="pyarrow")
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+SELECT source, doc_id, n_chars,
+       ((md5_number_upper('wsample-v1:' || doc_id::VARCHAR)::HUGEINT
+         % {_WS_MOD})::BIGINT // n_chars) AS priority
+FROM documents
+WHERE n_chars > 0
+QUALIFY row_number() OVER (PARTITION BY source
+                           ORDER BY priority, doc_id) <= {WEIGHTED_SAMPLE_K}
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -3756,4 +3808,5 @@ def catalog():
         "props_stats": (q_props_stats, SQL_PROPS_STATS),
         "value_quantiles": (q_value_quantiles, SQL_VALUE_QUANTILES),
         "user_day_stats": (q_user_day_stats, SQL_USER_DAY_STATS),
+        "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     }
