@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "value_quantiles",
     "user_day_stats",
     "weighted_sample",
+    "fuzzy_decontaminate",
 ]
 
 

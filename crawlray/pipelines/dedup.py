@@ -389,6 +389,131 @@ def minhash_lsh_pairs(
     )
 
 
+def fuzzy_decontaminate(
+    docs: rd.Dataset,
+    eval_mod: int = 10,
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    token_hash: str = "sip",
+) -> rd.Dataset:
+    """ASYMMETRIC MinHash-LSH decontamination: verified (train_id,
+    eval_id, jaccard >= threshold) pairs where the eval side is the
+    docs with ``doc_id % eval_mod == 0`` (membership a pure function of
+    the id, so the oracle restates it) — the fuzzy complement of the
+    exact 5-gram ``decontaminate``: an eval document rewritten or
+    lightly edited into the training corpus still collides in a band.
+
+    Unlike :func:`minhash_lsh_pairs`' symmetric within-bucket CHAIN
+    pairing (connectivity-equivalent, but a train-eval pair bridged by
+    another train doc would not surface as an edge), candidates here
+    are ALL cross-side band collisions: train band rows composite-join
+    eval band rows on (band_hash, band_id) — the eval side is tiny, so
+    each bucket's join is small-side-bounded — then distinct pairs via
+    sort + keep-first, then the same fully distributed verify as the
+    huge-candidate regime (bloom-gated semi-join shingle resolution +
+    two hash joins; nothing candidate-sized on the driver)."""
+    import ray
+
+    from ..util import drop_empty_blocks, keep_first_sorted
+    from .relational import bucketed_hash_join, bucketed_semi_join
+
+    rows_per_band = num_perm // bands
+    sigs = docs.map_batches(
+        MinHasher,
+        fn_constructor_args=(num_perm, shingle_n, 13, token_hash),
+        batch_format="pandas",
+        batch_size=1024,
+        concurrency=(2, 12),
+        num_cpus=1,
+    )
+    banded = sigs.map_batches(
+        lambda df: _band_rows(df, bands, rows_per_band), batch_format="pandas"
+    )
+
+    def side(is_eval: bool, out: str):
+        def pick(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % eval_mod == 0) == is_eval
+            t = t.filter(pa.array(m))
+            return pa.table({
+                "band_hash": t["band_hash"],
+                "band_id": t["band_id"],
+                out: t["doc_id"],
+            })
+        return banded.map_batches(pick, batch_format="pyarrow")
+
+    coll = drop_empty_blocks(bucketed_hash_join(
+        side(False, "train_id"), side(True, "eval_id"),
+        key=["band_hash", "band_id"], n_buckets=8,
+    ))
+    cand = keep_first_sorted(
+        coll.map_batches(
+            lambda t: t.select(["train_id", "eval_id"]),
+            batch_format="pyarrow",
+        ).sort(["train_id", "eval_id"]),
+        ["train_id", "eval_id"],
+    ).materialize()
+
+    empty = pa.table({
+        "train_id": pa.nulls(0, pa.int64()),
+        "eval_id": pa.nulls(0, pa.int64()),
+        "jaccard": pa.nulls(0, pa.float64()),
+    })
+    if cand.count() == 0:
+        return rd.from_arrow(empty)
+
+    def ids_of(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        both = pa.concat_arrays([
+            t["train_id"].combine_chunks().cast(pa.int64()),
+            t["eval_id"].combine_chunks().cast(pa.int64()),
+        ])
+        return pa.table({"doc_id": pc.unique(both)})
+
+    ids_ds = keep_first_sorted(
+        cand.map_batches(ids_of, batch_format="pyarrow").sort("doc_id"),
+        ["doc_id"],
+    )
+    shingles = drop_empty_blocks(bucketed_semi_join(
+        docs.select_columns(["doc_id", "text"]), ids_ds, "doc_id",
+        n_buckets=8, bloom_bits=1 << 22
+    )).map_batches(
+        ShinglePacker,
+        fn_constructor_args=(None, shingle_n),
+        batch_format="pyarrow",
+        concurrency=(2, 8),
+        num_cpus=1,
+    ).materialize()
+
+    sh_t = shingles.map_batches(
+        lambda t: t.rename_columns(["train_id", "sh_a"]),
+        batch_format="pyarrow",
+    )
+    sh_e = shingles.map_batches(
+        lambda t: t.rename_columns(["eval_id", "sh_b"]),
+        batch_format="pyarrow",
+    )
+    joined = drop_empty_blocks(bucketed_hash_join(
+        bucketed_hash_join(cand, sh_t, "train_id", n_buckets=8),
+        sh_e, "eval_id", n_buckets=8,
+    ))
+
+    def verify(t: pa.Table) -> pa.Table:
+        out = _jaccard_rows(
+            t["train_id"].to_numpy(zero_copy_only=False),
+            t["eval_id"].to_numpy(zero_copy_only=False),
+            t["sh_a"].to_pylist(), t["sh_b"].to_pylist(), jaccard_threshold,
+        )
+        return out.rename_columns(["train_id", "eval_id", "jaccard"])
+
+    return rd.from_arrow(empty).union(
+        joined.map_batches(verify, batch_format="pyarrow")
+    )
+
+
 _CC_PHI = 0x9E3779B97F4A7C15
 
 

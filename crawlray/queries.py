@@ -1429,15 +1429,15 @@ def q_minhash_dedup(sf_dir: str):
                              token_hash="md5")
 
 
-def _minhash_ctes(jaccard_threshold: float) -> str:
-    """The MinHash-LSH pipeline as DuckDB CTEs ending in ``vpairs``
-    (a, b, jaccard): an EXACT restatement of ``minhash_lsh_pairs(...,
-    token_hash="md5")`` — md5-upper-8 shingle hashes mod the Mersenne
-    prime, the 128 seeded (a*x+b) permutations in the same wrapped
-    uint64 arithmetic numpy uses, FNV-1a band folds (>>1 to int64),
-    within-bucket adjacent chain pairing via ``lag`` (== the engine's
-    adjacent_pairs_sorted), distinct pairs, exact-Jaccard verify over
-    distinct shingle lists with the empty-union=1 contract."""
+def _minhash_common_ctes() -> str:
+    """The shared MinHash-LSH CTE prefix (through band hashes ``bh`` and
+    distinct shingle lists ``shl``): an EXACT restatement of the engine
+    chain with ``token_hash="md5"`` — md5-upper-8 shingle hashes mod the
+    Mersenne prime, the 128 seeded (a*x+b) permutations in the same
+    wrapped uint64 arithmetic numpy uses, FNV-1a band folds (>>1 to
+    int64). Tails: ``_minhash_ctes`` (symmetric within-bucket chain
+    pairing, the dedup oracle) and ``SQL_FUZZY_DECONTAMINATE`` (the
+    asymmetric cross-side collision join)."""
     num_perm, bands, seed = 128, 32, 13
     rpb = num_perm // bands
     m = (1 << 61) - 1
@@ -1491,7 +1491,16 @@ bandvals AS (
 ),
 bh AS (
   SELECT doc_id, band_id, (({fnv}) >> 1)::BIGINT AS band_hash FROM bandvals
-),
+)"""
+
+
+def _minhash_ctes(jaccard_threshold: float) -> str:
+    """Symmetric dedup tail over the common prefix, ending in
+    ``vpairs`` (a, b, jaccard): within-bucket adjacent chain pairing
+    via ``lag`` (== the engine's adjacent_pairs_sorted), distinct
+    pairs, exact-Jaccard verify over distinct shingle lists with the
+    empty-union=1 contract."""
+    return _minhash_common_ctes() + f""",
 cand AS (
   SELECT lag(doc_id) OVER (PARTITION BY band_id, band_hash
                            ORDER BY doc_id) AS a,
@@ -3721,6 +3730,51 @@ QUALIFY row_number() OVER (PARTITION BY source
 """
 
 
+FUZZY_DECON_MOD = 10
+
+
+def q_fuzzy_decontaminate(sf_dir: str):
+    """Fuzzy (MinHash-LSH) decontamination: verified near-dup pairs
+    between the training corpus and the held-out eval slice
+    (``doc_id % 10 == 0`` — membership a pure function of the id, so
+    the oracle restates it). The fuzzy complement of the exact 5-gram
+    ``decontaminate``; candidates are ALL cross-side band collisions
+    (asymmetric composite-key band join — NOT the symmetric chain
+    pairing, which can bridge a train-eval pair through another train
+    doc and hide the edge). ``token_hash="md5"`` so the whole chain is
+    SQL-restatable, exactly like ``minhash_dedup``."""
+    from .pipelines.dedup import fuzzy_decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return fuzzy_decontaminate(docs, eval_mod=FUZZY_DECON_MOD,
+                               jaccard_threshold=MINHASH_JACCARD_THRESHOLD,
+                               token_hash="md5")
+
+
+def _fuzzy_decontaminate_sql() -> str:
+    return "WITH " + _minhash_common_ctes() + f""",
+cand AS (
+  SELECT DISTINCT t.doc_id AS a, e.doc_id AS b
+  FROM bh t JOIN bh e
+    ON t.band_id = e.band_id AND t.band_hash = e.band_hash
+  WHERE t.doc_id % {FUZZY_DECON_MOD} <> 0 AND e.doc_id % {FUZZY_DECON_MOD} = 0
+),
+verify AS (
+  SELECT p.a, p.b,
+         len(list_intersect(xa.sh, xb.sh)) AS ni,
+         len(xa.sh) + len(xb.sh) - len(list_intersect(xa.sh, xb.sh)) AS nu
+  FROM cand p
+  JOIN shl xa ON xa.doc_id = p.a
+  JOIN shl xb ON xb.doc_id = p.b
+)
+SELECT a::BIGINT AS train_id, b::BIGINT AS eval_id,
+       (CASE WHEN nu = 0 THEN 1.0 ELSE ni::DOUBLE / nu END) AS jaccard
+FROM verify
+WHERE (CASE WHEN nu = 0 THEN 1.0 ELSE ni::DOUBLE / nu END)
+      >= {MINHASH_JACCARD_THRESHOLD}
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -3809,4 +3863,6 @@ def catalog():
         "value_quantiles": (q_value_quantiles, SQL_VALUE_QUANTILES),
         "user_day_stats": (q_user_day_stats, SQL_USER_DAY_STATS),
         "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+        "fuzzy_decontaminate": (q_fuzzy_decontaminate,
+                                _fuzzy_decontaminate_sql()),
     }
