@@ -428,9 +428,12 @@ def fuzzy_decontaminate(
         concurrency=(2, 12),
         num_cpus=1,
     )
+    # materialize: BOTH sides consume the band rows — left lazy, Ray
+    # re-executes the whole signature chain once per consumer (measured
+    # 13.8 s -> 8.3 s at sf0.1). Fixed-width rows; spillable at scale.
     banded = sigs.map_batches(
         lambda df: _band_rows(df, bands, rows_per_band), batch_format="pandas"
-    )
+    ).materialize()
 
     def side(is_eval: bool, out: str):
         def pick(t: pa.Table) -> pa.Table:
@@ -461,8 +464,54 @@ def fuzzy_decontaminate(
         "eval_id": pa.nulls(0, pa.int64()),
         "jaccard": pa.nulls(0, pa.float64()),
     })
-    if cand.count() == 0:
+    n_pairs = cand.count()
+    if n_pairs == 0:
         return rd.from_arrow(empty)
+
+    from ..util import auto_broadcast_cap
+
+    cap = auto_broadcast_cap(2048)
+    if 2 * n_pairs <= cap:
+        # small-candidate regime (the minhash_lsh_pairs switch): distinct
+        # ids broadcast once, shingle packs resolve via a dict
+        _log.info("fuzzy_decontaminate: regime=broadcast pairs=%d cap=%d",
+                  n_pairs, cap)
+        pairs_ab = cand.map_batches(
+            lambda t: t.rename_columns(["a", "b"]), batch_format="pyarrow")
+        both = pairs_ab.map_batches(
+            lambda t: pa.table({"doc_id": pc.unique(pa.concat_arrays([
+                t["a"].combine_chunks().cast(pa.int64()),
+                t["b"].combine_chunks().cast(pa.int64()),
+            ]))}),
+            batch_format="pyarrow",
+        )
+        involved = np.array(sorted(both.unique("doc_id")), dtype=np.int64)
+        ids_ref = ray.put(involved)
+        shingles = docs.map_batches(
+            ShinglePacker,
+            fn_constructor_args=(ids_ref, shingle_n),
+            batch_format="pyarrow",
+            concurrency=(2, 8),
+            num_cpus=1,
+        ).materialize()
+        lookup: dict[int, bytes] = {}
+        for t in ray.get(shingles.to_arrow_refs()):
+            lookup.update(zip(t["doc_id"].to_pylist(), t["sh"].to_pylist()))
+        lk_ref = ray.put(lookup)
+        out = pairs_ab.map_batches(
+            _VerifyBroadcast,
+            fn_constructor_args=(lk_ref, jaccard_threshold),
+            batch_format="pyarrow",
+            concurrency=2,
+            num_cpus=0.5,
+        ).map_batches(
+            lambda t: t.rename_columns(["train_id", "eval_id", "jaccard"]),
+            batch_format="pyarrow",
+        )
+        return rd.from_arrow(empty).union(out)
+
+    _log.info("fuzzy_decontaminate: regime=semi-join pairs=%d cap=%d",
+              n_pairs, cap)
 
     def ids_of(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
