@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "user_day_stats",
     "weighted_sample",
     "fuzzy_decontaminate",
+    "triangle_counts",
 ]
 
 

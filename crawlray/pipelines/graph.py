@@ -179,3 +179,113 @@ def pagerank(
     for s in shards:
         ray.kill(s)
     return out
+
+
+def _group_combos(k: np.ndarray, v: np.ndarray):
+    """Per-group upper-triangle pairs: inputs sorted by (k, v); for each
+    group of equal ``k`` with values v1 < v2 < ... emit every (vi, vj),
+    i < j, plus the group key. Python loops over GROUPS only; each
+    group's pairs come from one ``np.triu_indices`` call."""
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    ends = np.r_[starts[1:], len(k)]
+    outs_k, outs_x, outs_y = [], [], []
+    for s, e in zip(starts, ends):
+        d = e - s
+        if d < 2:
+            continue
+        i, j = np.triu_indices(d, 1)
+        vals = v[s:e]
+        outs_k.append(np.full(i.size, k[s], k.dtype))
+        outs_x.append(vals[i])
+        outs_y.append(vals[j])
+    if not outs_k:
+        z = np.empty(0, np.int64)
+        return z, z, z
+    return (np.concatenate(outs_k), np.concatenate(outs_x),
+            np.concatenate(outs_y))
+
+
+def triangle_counts(items: rd.Dataset, group: str, node: str) -> rd.Dataset:
+    """Per-node triangle counts of the co-occurrence graph: nodes are
+    ``node`` values, with an (undirected, distinct) edge between two
+    nodes that share a ``group`` (parts in the same order, tokens in the
+    same doc). Classic node-iterator-with-orientation plan, every stage
+    an explicit exchange:
+
+    1. EDGES: ``bucketed_reduce`` by ``group`` co-locates each group, a
+       vectorized combos kernel emits its distinct pairs (a < b), then a
+       global sort + keep-first dedups across groups.
+    2. WEDGES: ``bucketed_reduce`` by the LOWER endpoint ``a`` —
+       orientation at the smallest vertex means each triangle is
+       generated exactly once, and per-pivot work is deg(a)^2 where
+       deg counts only HIGHER neighbors (the standard skew bound).
+    3. CLOSE: composite-key ``bucketed_hash_join`` of wedges against the
+       edge set on (x, y) — a wedge survives iff its far edge exists.
+    4. COUNTS: each triangle touches 3 nodes; per-batch np.unique
+       partials fold into per-node totals (bounded by |nodes|).
+
+    Returns (node, n_triangles), nodes with >= 1 triangle only."""
+    from .relational import bucketed_hash_join, bucketed_reduce
+    from ..util import drop_empty_blocks, keep_first_sorted
+
+    def pairs_of(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"a": pa.nulls(0, pa.int64()),
+                             "b": pa.nulls(0, pa.int64())})
+        g = t[group].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t[node].to_numpy(zero_copy_only=False).astype(np.int64)
+        kv = np.unique(np.stack([g, n], axis=1), axis=0)
+        _, x, y = _group_combos(kv[:, 0], kv[:, 1])
+        t2 = np.unique(np.stack([x, y], axis=1), axis=0) if x.size else \
+            np.empty((0, 2), np.int64)
+        return pa.table({"a": pa.array(t2[:, 0]), "b": pa.array(t2[:, 1])})
+
+    edges = keep_first_sorted(
+        drop_empty_blocks(
+            bucketed_reduce(items, group, pairs_of, n_buckets=16)
+        ).sort(["a", "b"]),
+        ["a", "b"],
+    ).materialize()   # consumed twice: wedge generation + the close join
+
+    def wedges_of(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"x": pa.nulls(0, pa.int64()),
+                             "y": pa.nulls(0, pa.int64()),
+                             "pivot": pa.nulls(0, pa.int64())})
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        piv, x, y = _group_combos(a[order], b[order])
+        return pa.table({"x": pa.array(x), "y": pa.array(y),
+                         "pivot": pa.array(piv)})
+
+    wedges = drop_empty_blocks(
+        bucketed_reduce(edges, "a", wedges_of, n_buckets=16)
+    )
+    exy = edges.map_batches(
+        lambda t: t.rename_columns(["x", "y"]), batch_format="pyarrow"
+    )
+    tris = drop_empty_blocks(bucketed_hash_join(
+        wedges, exy, key=["x", "y"], n_buckets=16
+    ))
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        allv = np.concatenate([
+            t[c].to_numpy(zero_copy_only=False) for c in ("pivot", "x", "y")
+        ])
+        u, c = np.unique(allv, return_counts=True)
+        # "__cnt", not a bare name: ``node`` may itself be a short name
+        # like "n" and pa.table silently drops duplicate keys
+        return pa.table({node: pa.array(u.astype(np.int64)),
+                         "__cnt": pa.array(c.astype(np.int64))})
+
+    import pandas as pd
+
+    parts = tris.map_batches(node_partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return rd.from_arrow(pa.table({node: pa.nulls(0, pa.int64()),
+                                       "n_triangles": pa.nulls(0, pa.int64())}))
+    out = parts.groupby(node, as_index=False)["__cnt"].sum().rename(
+        columns={"__cnt": "n_triangles"})
+    return rd.from_arrow(pa.Table.from_pandas(out.astype("int64"),
+                                              preserve_index=False))

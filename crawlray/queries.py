@@ -3775,6 +3775,52 @@ WHERE (CASE WHEN nu = 0 THEN 1.0 ELSE ni::DOUBLE / nu END)
 """
 
 
+TRIANGLE_PART_MOD = 5
+
+
+def q_triangle_counts(sf_dir: str):
+    """Per-node triangle counts of the co-purchase graph (parts sharing
+    an order; restricted to ``l_partkey % 5 == 0`` to bound the graph
+    — a pure-function predicate the oracle restates). Completes the
+    graph family (PageRank, connected components, triangles) with the
+    node-iterator-with-orientation plan: group-colocated edge build →
+    lowest-vertex wedge generation → composite-key close join → bounded
+    per-node count fold (``graph.triangle_counts``)."""
+    from .pipelines.graph import triangle_counts
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["l_partkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % TRIANGLE_PART_MOD == 0))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        keep, batch_format="pyarrow")
+    out = triangle_counts(li, group="l_orderkey", node="l_partkey")
+    return out.map_batches(
+        lambda t: t.rename_columns(["l_partkey", "n_triangles"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TRIANGLE_COUNTS = f"""
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+            WHERE l_partkey % {TRIANGLE_PART_MOD} = 0),
+pairs AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM li l1 JOIN li l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey < l2.l_partkey
+),
+wedges AS (SELECT e1.a AS p, e1.b AS x, e2.b AS y
+           FROM pairs e1 JOIN pairs e2 ON e1.a = e2.a AND e1.b < e2.b),
+tris AS (SELECT w.p, w.x, w.y FROM wedges w
+         JOIN pairs e ON e.a = w.x AND e.b = w.y),
+nodes AS (SELECT p AS part FROM tris
+          UNION ALL SELECT x FROM tris
+          UNION ALL SELECT y FROM tris)
+SELECT part::BIGINT AS l_partkey, count(*)::BIGINT AS n_triangles
+FROM nodes GROUP BY 1
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -3865,4 +3911,5 @@ def catalog():
         "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
         "fuzzy_decontaminate": (q_fuzzy_decontaminate,
                                 _fuzzy_decontaminate_sql()),
+        "triangle_counts": (q_triangle_counts, SQL_TRIANGLE_COUNTS),
     }

@@ -232,6 +232,59 @@ class TestVideoFrameSampler:
             VideoFrameSampler(backend="stub")(self._work())
 
 
+class TestTriangleCounts:
+    def test_group_combos(self):
+        from crawlray.pipelines.graph import _group_combos
+
+        k = np.array([1, 1, 1, 2, 3, 3], np.int64)
+        v = np.array([10, 20, 30, 5, 7, 9], np.int64)
+        g, x, y = _group_combos(k, v)
+        got = sorted(zip(g.tolist(), x.tolist(), y.tolist()))
+        assert got == [(1, 10, 20), (1, 10, 30), (1, 20, 30), (3, 7, 9)]
+
+    def test_matches_brute_force(self, ray_session):
+        from crawlray.pipelines.graph import triangle_counts
+
+        rng = np.random.RandomState(3)
+        groups = rng.randint(0, 40, size=400)
+        nodes = rng.randint(0, 30, size=400)
+        t = pa.table({"g": pa.array(groups.astype(np.int64)),
+                      "n": pa.array(nodes.astype(np.int64))})
+        got = triangle_counts(rd.from_arrow(t), "g", "n").to_pandas()
+        got = got.sort_values("n").reset_index(drop=True)
+
+        # brute force
+        edges = set()
+        from collections import defaultdict
+        per_g = defaultdict(set)
+        for g, n in zip(groups, nodes):
+            per_g[g].add(n)
+        for mem in per_g.values():
+            mem = sorted(mem)
+            for i in range(len(mem)):
+                for j in range(i + 1, len(mem)):
+                    edges.add((mem[i], mem[j]))
+        adj = defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b); adj[b].add(a)
+        counts = defaultdict(int)
+        for a, b in edges:
+            for c in adj[a] & adj[b]:
+                if c > b:  # a < b < c exactly once
+                    counts[a] += 1; counts[b] += 1; counts[c] += 1
+        exp = pd.DataFrame(sorted(counts.items()), columns=["n", "n_triangles"])
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_no_triangles(self, ray_session):
+        from crawlray.pipelines.graph import triangle_counts
+
+        # a path graph: groups of exactly two nodes, no closures
+        t = pa.table({"g": pa.array([1, 1, 2, 2, 3, 3], pa.int64()),
+                      "n": pa.array([1, 2, 2, 3, 3, 4], pa.int64())})
+        out = triangle_counts(rd.from_arrow(t), "g", "n").to_pandas()
+        assert len(out) == 0
+
+
 class TestGroupedMedian:
     def test_matches_pandas_median_contract(self, ray_session):
         from crawlray.queries import q_part_median_price
