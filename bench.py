@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "weighted_sample",
     "fuzzy_decontaminate",
     "triangle_counts",
+    "grouped_distinct",
 ]
 
 

@@ -3821,6 +3821,46 @@ FROM nodes GROUP BY 1
 """
 
 
+def q_grouped_distinct(sf_dir: str):
+    """Keyed HyperLogLog: approximate distinct users PER event type in
+    one streaming pass (``sketch.grouped_approx_distinct``) — the
+    sketch-per-key scale path where the exact grouped count-distinct
+    would shuffle every key. Only O(blocks x groups) 4 KiB register
+    rows ever cross the cluster; register-max merging is exact so the
+    estimate is reproducible bit-for-bit."""
+    from .pipelines.sketch import grouped_approx_distinct
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_approx_distinct(ev, "event_type", "user_id", p=HLL_P)
+
+
+def _grouped_distinct_expected_table() -> pa.Table:
+    """Sequential restatement of ``q_grouped_distinct`` at sf0.01: fold
+    each group's whole column through the SAME HLL kernels in one
+    process (register-max merging is exact, so the distributed
+    per-block fold must reproduce this bit-for-bit)."""
+    import pyarrow.parquet as pq
+
+    from .pipelines.sketch import _hll_fold, hash_col, hll_estimate
+
+    t = pq.read_table(f"{_ORACLE_SF_DIR}/events.parquet",
+                      columns=["event_type", "user_id"])
+    keys = t["event_type"].to_pandas().to_numpy()
+    h = hash_col(t["user_id"])
+    uniq = sorted(np.unique(keys).tolist())
+    return pa.table({
+        "event_type": pa.array(uniq, pa.string()),
+        "approx_n": pa.array(
+            [int(round(hll_estimate(_hll_fold(h[keys == g], HLL_P))))
+             for g in uniq], pa.int64()),
+    })
+
+
+def _grouped_distinct_sql() -> str:
+    return _values_sql(_grouped_distinct_expected_table(),
+                       casts={"approx_n": "BIGINT"})
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -3912,4 +3952,5 @@ def catalog():
         "fuzzy_decontaminate": (q_fuzzy_decontaminate,
                                 _fuzzy_decontaminate_sql()),
         "triangle_counts": (q_triangle_counts, SQL_TRIANGLE_COUNTS),
+        "grouped_distinct": (q_grouped_distinct, _grouped_distinct_sql()),
     }
