@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "fuzzy_decontaminate",
     "triangle_counts",
     "grouped_distinct",
+    "conversion_lag",
 ]
 
 

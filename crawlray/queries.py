@@ -3861,6 +3861,77 @@ def _grouped_distinct_sql() -> str:
                        casts={"approx_n": "BIGINT"})
 
 
+def q_conversion_lag(sf_dir: str):
+    """Funnel conversion lag: per user, the MICROSECONDS between their
+    FIRST view and their first purchase AT OR AFTER that view (users who
+    never convert are dropped; integer epoch-microsecond difference —
+    exact in both engines, unlike date_diff's boundary-crossing count).
+    The cross-event condition (purchase >= first view) can't be two
+    independent aggregates — it needs every event of a user in one
+    place, so the plan is ONE ``bucketed_reduce`` exchange by user_id;
+    the bucket kernel loops over USERS (two numpy slices + a
+    searchsorted each), never over events."""
+    from .pipelines.relational import bucketed_reduce
+
+    def pick(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array(["view", "purchase"]))
+        t = t.filter(keep)
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts": t["ts"],
+            "is_view": pc.equal(t["event_type"], "view"),
+        })
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"]).map_batches(
+        pick, batch_format="pyarrow")
+
+    def lag_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.nulls(0, pa.int64()),
+                             "lag_us": pa.nulls(0, pa.int64())})
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        ts = ts.astype(np.int64)
+        isv = t["is_view"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        u, ts, isv = u[order], ts[order], isv[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        users, lags = [], []
+        for s, e in zip(starts, ends):
+            seg_v = ts[s:e][isv[s:e]]
+            if seg_v.size == 0:
+                continue
+            v0 = seg_v[0]                      # first view (ts sorted)
+            seg_p = ts[s:e][~isv[s:e]]
+            j = np.searchsorted(seg_p, v0)     # first purchase >= v0
+            if j == len(seg_p):
+                continue
+            users.append(u[s])
+            lags.append(seg_p[j] - v0)
+        return pa.table({"user_id": pa.array(users, pa.int64()),
+                         "lag_us": pa.array(lags, pa.int64())})
+
+    return bucketed_reduce(ev, "user_id", lag_bucket, n_buckets=16)
+
+
+SQL_CONVERSION_LAG = """
+WITH v AS (
+  SELECT user_id, min(ts) AS v0 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS p0
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= v.v0
+  GROUP BY 1
+)
+SELECT v.user_id, (epoch_us(p.p0) - epoch_us(v.v0))::BIGINT AS lag_us
+FROM v JOIN p ON v.user_id = p.user_id
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -3953,4 +4024,5 @@ def catalog():
                                 _fuzzy_decontaminate_sql()),
         "triangle_counts": (q_triangle_counts, SQL_TRIANGLE_COUNTS),
         "grouped_distinct": (q_grouped_distinct, _grouped_distinct_sql()),
+        "conversion_lag": (q_conversion_lag, SQL_CONVERSION_LAG),
     }
