@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "triangle_counts",
     "grouped_distinct",
     "conversion_lag",
+    "distinct_users",
 ]
 
 

@@ -904,6 +904,86 @@ def bucketed_reduce(
     return rd.from_arrow_refs(out)
 
 
+def salted_distinct_count(
+    ds: rd.Dataset,
+    group_key: str,
+    value_key: str,
+    n_buckets: int = 32,
+    count_name: str = "distinct_count",
+) -> rd.Dataset:
+    """Exact ``COUNT(DISTINCT value) GROUP BY group_key`` built for
+    LOW-cardinality group keys where EVERY group is a hot key (five
+    event types over 10^10 rows): a plain groupby-on-group_key would
+    serialize each group through one reducer, capping parallelism at
+    the number of groups no matter how many nodes exist. The salting
+    strategy (SCALE.md "salt hot keys"):
+
+    1. lazy per-block local dedup of ``(group, value)`` pairs — zero
+       shuffle, and it bounds what enters the exchange at
+       O(blocks x distinct-pairs-per-block);
+    2. exchange by ``mix(hash(group), hash(value)) % B`` — the VALUE
+       is the salt, so one hot group's pairs spread over all B
+       reducers while each distinct pair still lands in exactly one
+       bucket (so the cross-bucket count sum is exact);
+    3. per-bucket pair-dedup, then per-group partial counts
+       (<= |groups| rows out of each bucket);
+    4. one tiny final task sums the B x |groups| partial rows.
+
+    NULL values are not counted (SQL COUNT(DISTINCT ...) semantics);
+    a NULL group is kept as its own group, matching GROUP BY. Output:
+    ``group_key``, ``count_name`` (int64). Executes its input.
+    """
+    import ray
+
+    sch = ds.schema()
+    types = {n: pa_type_of(t) for n, t in zip(sch.names, sch.types)}
+    pair_empty = pa.table({group_key: pa.nulls(0, types[group_key]),
+                           value_key: pa.nulls(0, types[value_key])})
+    b = n_buckets
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        t = t.select([group_key, value_key])
+        t = t.filter(pc.is_valid(t[value_key]))
+        return t.group_by([group_key, value_key]).aggregate([])
+
+    pairs = ds.map_batches(local_distinct, batch_format="pyarrow")
+
+    @ray.remote(num_returns=b)
+    def split(t):
+        t = _as_table(t)
+        if t.num_rows == 0:
+            out = [pair_empty] * b
+        else:
+            h = _key_hash64(t[group_key])
+            hv = _key_hash64(t[value_key])
+            mixed = (h * np.uint64(0x9E3779B97F4A7C15)) ^ hv
+            buckets = (mixed % np.uint64(b)).astype(np.int32)
+            out = [t.filter(pa.array(buckets == i)) for i in range(b)]
+        return out if b > 1 else out[0]
+
+    @ray.remote
+    def count_bucket(*shards) -> pa.Table:
+        t = pa.concat_tables(shards) if shards else pair_empty
+        t = t.group_by([group_key, value_key]).aggregate([])
+        part = t.group_by([group_key]).aggregate([(value_key, "count")])
+        return part.rename_columns([group_key, count_name])
+
+    @ray.remote
+    def final_sum(*parts) -> pa.Table:
+        t = pa.concat_tables(parts)
+        out = t.group_by([group_key]).aggregate([(count_name, "sum")])
+        return pa.table({
+            group_key: out[group_key],
+            count_name: out[f"{count_name}_sum"].cast(pa.int64()),
+        })
+
+    splits = [split.remote(t) for t in pairs.to_arrow_refs()]
+    rows = [[r] for r in splits] if b == 1 else splits
+    partials = [count_bucket.remote(*[s[i] for s in rows])
+                for i in range(b)]
+    return rd.from_arrow_refs([final_sum.remote(*partials)])
+
+
 def unpivot(
     ds: rd.Dataset,
     id_cols: list[str],

@@ -3861,6 +3861,27 @@ def _grouped_distinct_sql() -> str:
                        casts={"approx_n": "BIGINT"})
 
 
+def q_distinct_users(sf_dir: str):
+    """EXACT distinct users per event type — the all-hot-keys grouped
+    count-distinct (5 groups x billions of rows at scale). The naive
+    plan caps parallelism at 5 reducers; ``salted_distinct_count``
+    salts the exchange with the VALUE hash so every reducer carries a
+    slice of every group, and only per-bucket partial counts
+    (B x 5 rows) reach the final sum. Complements ``grouped_distinct``
+    (the keyed-HLL approximate path) with the exact path."""
+    from .pipelines.relational import salted_distinct_count
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return salted_distinct_count(ev, "event_type", "user_id",
+                                 count_name="distinct_users")
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS distinct_users
+FROM events GROUP BY event_type
+"""
+
+
 def q_conversion_lag(sf_dir: str):
     """Funnel conversion lag: per user, the MICROSECONDS between their
     FIRST view and their first purchase AT OR AFTER that view (users who
@@ -4024,5 +4045,6 @@ def catalog():
                                 _fuzzy_decontaminate_sql()),
         "triangle_counts": (q_triangle_counts, SQL_TRIANGLE_COUNTS),
         "grouped_distinct": (q_grouped_distinct, _grouped_distinct_sql()),
+        "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
         "conversion_lag": (q_conversion_lag, SQL_CONVERSION_LAG),
     }

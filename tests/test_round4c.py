@@ -311,3 +311,34 @@ class TestGroupedMedian:
         pd.testing.assert_frame_equal(
             got[["l_partkey", "n_items", "median_cents"]], exp,
             check_dtype=False, check_exact=True)
+
+
+class TestSaltedDistinctCount:
+    def test_matches_pandas_and_null_semantics(self, ray_session):
+        from crawlray.pipelines.relational import salted_distinct_count
+
+        rng = np.random.default_rng(7)
+        g = rng.choice(["a", "b", "c"], 5000).tolist() + [None] * 50
+        v = rng.integers(0, 200, 5050).astype(object)
+        v[::37] = None  # NULL values must NOT be counted (SQL semantics)
+        t = pa.table({"g": pa.array(g, pa.string()),
+                      "v": pa.array(v.tolist(), pa.int64())})
+        out = _sorted_df(salted_distinct_count(
+            rd.from_arrow(t).repartition(8), "g", "v",
+            n_buckets=16, count_name="n"))
+        df = t.to_pandas()
+        exp = (df[df.v.notna()].groupby("g", dropna=False).v.nunique()
+               .reset_index().rename(columns={"v": "n"}))
+        exp["n"] = exp["n"].astype("int64")
+        exp = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(out, exp)
+
+    def test_single_bucket_and_empty(self, ray_session):
+        from crawlray.pipelines.relational import salted_distinct_count
+
+        t = pa.table({"g": pa.array([], pa.string()),
+                      "v": pa.array([], pa.int64())})
+        out = salted_distinct_count(rd.from_arrow(t), "g", "v",
+                                    n_buckets=1)
+        assert out.count() == 0
+        assert out.schema().names == ["g", "distinct_count"]
