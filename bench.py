@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "grouped_distinct",
     "conversion_lag",
     "distinct_users",
+    "trimmed_stats",
 ]
 
 

@@ -3617,6 +3617,56 @@ GROUP BY 1
 """
 
 
+def q_trimmed_stats(sf_dir: str):
+    """Quantile-trimmed corpus stats — the standard length-outlier
+    filter of a training-data pipeline: PASS 1 resolves the exact
+    p05/p95 ``n_chars`` cutoffs by histogram refinement
+    (``stats.exact_quantiles_hist``: O(blocks x bins) integer partials,
+    nothing row-shaped on the driver); the two ints ride the closure
+    into PASS 2, one more streaming scan that keeps
+    ``p05 <= n_chars <= p95`` and folds per-source survivor counts +
+    total chars. Two bounded passes where a sort-based trim would be
+    an all-to-all shuffle of the whole corpus."""
+    from .pipelines.stats import exact_quantiles_hist
+
+    docs = _read(sf_dir, "documents", ["source", "n_chars"])
+    cuts = exact_quantiles_hist(
+        docs.select_columns(["n_chars"]), "n_chars", [50, 950])
+    by_pm = dict(zip(cuts["q_pm"].to_pylist(), cuts["n_chars"].to_pylist()))
+    lo, hi = int(by_pm[50]), int(by_pm[950])
+
+    def partial(t: pa.Table) -> pa.Table:
+        nc = t["n_chars"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array((nc >= lo) & (nc <= hi)))
+        part = t.group_by(["source"]).aggregate(
+            [("n_chars", "count"), ("n_chars", "sum")])
+        return part.rename_columns(["source", "n_docs", "total_chars"])
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return (
+        parts.groupby("source", as_index=False)
+        .agg(n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum"))
+        .astype({"n_docs": "int64", "total_chars": "int64"})
+    )
+
+
+SQL_TRIMMED_STATS = """
+WITH c AS (SELECT n_chars, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+w AS (SELECT n_chars,
+             sum(n) OVER (ORDER BY n_chars) AS cum,
+             sum(n) OVER () AS tot
+      FROM c),
+lo AS (SELECT min(n_chars) AS v FROM w WHERE cum >= (50 * tot + 999) // 1000),
+hi AS (SELECT min(n_chars) AS v FROM w WHERE cum >= (950 * tot + 999) // 1000)
+SELECT d.source,
+       count(*)::BIGINT AS n_docs,
+       sum(d.n_chars)::BIGINT AS total_chars
+FROM documents d, lo, hi
+WHERE d.n_chars BETWEEN lo.v AND hi.v
+GROUP BY d.source
+"""
+
+
 def q_user_day_stats(sf_dir: str):
     """COMPOSITE-key join: per (user_id, day) click counts inner-joined
     to per (user_id, day) purchase cents — the days a user both clicked
@@ -4046,5 +4096,6 @@ def catalog():
         "triangle_counts": (q_triangle_counts, SQL_TRIANGLE_COUNTS),
         "grouped_distinct": (q_grouped_distinct, _grouped_distinct_sql()),
         "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
+        "trimmed_stats": (q_trimmed_stats, SQL_TRIMMED_STATS),
         "conversion_lag": (q_conversion_lag, SQL_CONVERSION_LAG),
     }
