@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "conversion_lag",
     "distinct_users",
     "trimmed_stats",
+    "top_orders",
+    "media_audio",
 ]
 
 

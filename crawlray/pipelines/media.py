@@ -145,6 +145,69 @@ class MediaDecoder:
             .append_column("feature", pa.array(feats, pa.string()))
 
 
+class AudioChunker:
+    """Audio chunk/feature stage — the audio leg of the multimodal
+    family (image: MediaDecoder, video: VideoFrameSampler): one INPUT
+    row (a binary audio payload) fans out to N OUTPUT rows, one per
+    fixed-stride chunk, each carrying the per-chunk features a training
+    pipeline filters on (start offset, duration, an RMS-like loudness
+    int, a feature hash for chunk-level dedup).
+
+    ``backend='fake'`` derives a deterministic chunk count (1-4) and
+    per-chunk features from the payload bytes (no audio libs in this
+    container); ``backend='stub'`` raises NotImplementedError where a
+    real ffmpeg/librosa decode would go. The Ray-side plumbing is real:
+    binary rows in, fixed-width chunk records out, payloads dropped at
+    the stage boundary. Failed fetches (null payload) emit zero
+    chunks."""
+
+    CHUNK_MS = 2000
+
+    def __init__(self, backend: str = "fake", max_chunks: int = 4):
+        assert backend in ("fake", "stub")
+        self.backend = backend
+        self.max_chunks = max_chunks
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.backend == "stub":
+            raise NotImplementedError(
+                "real audio decode requires ffmpeg/librosa which are not "
+                "available; use backend='fake' for deterministic plumbing"
+            )
+        doc_ids, refs, idxs, starts, durs, rms, feats = ([] for _ in range(7))
+        for doc_id, ref, payload in zip(
+            batch["doc_id"].to_pylist(),
+            batch["media_ref"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if not payload:
+                continue
+            h = hashlib.blake2b(payload, digest_size=8).digest()
+            n_chunks = 1 + h[3] % self.max_chunks
+            for i in range(n_chunks):
+                ch = hashlib.blake2b(
+                    payload + i.to_bytes(4, "big"), digest_size=8
+                ).digest()
+                doc_ids.append(doc_id)
+                refs.append(ref)
+                idxs.append(i)
+                starts.append(i * self.CHUNK_MS)
+                # last chunk runs short, like a real container tail
+                durs.append(self.CHUNK_MS if i < n_chunks - 1
+                            else 500 + h[4] * 4)
+                rms.append(int.from_bytes(ch[:2], "big"))
+                feats.append(ch.hex())
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "media_ref": pa.array(refs, pa.string()),
+            "chunk_idx": pa.array(idxs, pa.int32()),
+            "start_ms": pa.array(starts, pa.int64()),
+            "duration_ms": pa.array(durs, pa.int64()),
+            "rms": pa.array(rms, pa.int64()),
+            "chunk_feature": pa.array(feats, pa.string()),
+        })
+
+
 class VideoFrameSampler:
     """Frame-sampling stage for video-typed media payloads: one INPUT row
     (a binary container) fans out to N OUTPUT rows (one per sampled

@@ -552,6 +552,99 @@ GROUP BY o.o_orderpriority
 """
 
 
+def q_top_orders(sf_dir: str):
+    """TPC-H Q3 shape — the canonical 3-table plan: (1) the BUILDING
+    customer keys never join, they REDUCE — a bloom-gated
+    ``bucketed_semi_join`` drops non-segment orders before the wide
+    join; (2) date filters push to both scans; (3) the one real
+    exchange is orders x lineitem bucketed on the order key; (4) the
+    join output is bucket-per-block, so every order's rows are already
+    CO-LOCATED — the per-(order, date) revenue aggregate and a top-10
+    partial both complete inside each block (``batch_size=None`` keeps
+    block==bucket), and only O(buckets x 10) rows reach the final
+    sort-limit. Deterministic tiebreak (rev desc, orderkey asc) in
+    both engines."""
+    from .pipelines.relational import bucketed_hash_join, bucketed_semi_join
+
+    cut = pa.scalar(np.datetime64("1998-01-01", "us"), pa.timestamp("us"))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def seg_keys(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["c_mktsegment"], "BUILDING")
+        return pa.table({"o_custkey": t.filter(keep)["c_custkey"]})
+
+    building = cust.map_batches(seg_keys, batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders_f = orders.map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], cut)),
+        batch_format="pyarrow")
+    orders_f = bucketed_semi_join(orders_f, building, "o_custkey",
+                                  bloom_bits=1 << 16)
+    orders_f = orders_f.map_batches(
+        lambda t: t.select(["o_orderkey", "o_orderdate"]),
+        batch_format="pyarrow")
+
+    items = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_extendedprice", "l_discount",
+                   "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], cut))
+        return pa.table({
+            "o_orderkey": t["l_orderkey"],
+            "rev_centicents": pc.multiply(
+                _cents(t["l_extendedprice"]),
+                pc.subtract(pa.scalar(100, pa.int64()),
+                            _cents(t["l_discount"]))),
+        })
+
+    joined = bucketed_hash_join(
+        orders_f, items.map_batches(prep, batch_format="pyarrow"),
+        "o_orderkey", n_buckets=16)
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"l_orderkey": pd.Series([], "int64"),
+                                 "o_orderdate": pd.Series([], "datetime64[us]"),
+                                 "rev_centicents": pd.Series([], "int64")})
+        g = (df.groupby(["o_orderkey", "o_orderdate"], as_index=False)
+             ["rev_centicents"].sum())
+        g = g.sort_values(["rev_centicents", "o_orderkey"],
+                          ascending=[False, True]).head(10)
+        return g.rename(columns={"o_orderkey": "l_orderkey"})
+
+    parts = joined.map_batches(
+        block_topk, batch_format="pandas", batch_size=None).to_pandas()
+    return (
+        parts.sort_values(["rev_centicents", "l_orderkey"],
+                          ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+        .astype({"l_orderkey": "int64", "rev_centicents": "int64"})
+    )
+
+
+SQL_TOP_ORDERS = """
+SELECT l.l_orderkey,
+       o.o_orderdate,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT
+           AS rev_centicents
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY rev_centicents DESC, l.l_orderkey ASC
+LIMIT 10
+"""
+
+
 def q_daily_top_event(sf_dir: str):
     """Window-function analog (row_number()=1 per partition): per
     (user_id, day) the highest-value event; partial per-batch argmax then
@@ -3547,6 +3640,85 @@ FROM (VALUES {rows})
 """
 
 
+def q_media_audio(sf_dir: str):
+    """Audio-chunk plumbing — the audio leg of the multimodal family:
+    crawl pages -> media worklist -> actor-pool fetch ->
+    ``AudioChunker`` (one binary row fans out to N fixed-stride chunk
+    rows with RMS/feature metadata; failed fetches emit zero). Payloads
+    drop at the chunker boundary; small ``batch_size`` because input
+    rows carry binaries (memory-aware sizing)."""
+    from .htmlx import parse_document
+    from .pipelines.media import (AudioChunker, MediaFetcher,
+                                  media_refs_from_docs)
+    from .stages.parse import build_spans_column
+    from .synth import World
+
+    cfg = _crawl_cfg(sf_dir)
+    world = World(cfg.world)
+    urls = [world.url(i % cfg.world.n_hosts, 0) for i in range(cfg.world.n_hosts)]
+    span_lists, ids = [], []
+    for u in urls:
+        res = parse_document(world.gen_page(u), u)
+        span_lists.append(res.spans)
+        ids.append(u)
+    docs = pa.table(
+        {"doc_id": pa.array(ids), "spans": build_spans_column(span_lists)}
+    )
+    work = media_refs_from_docs(docs)
+    fetched = rd.from_arrow(work).map_batches(
+        MediaFetcher, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+    return fetched.map_batches(
+        AudioChunker, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _media_audio_sql() -> str:
+    """q_media_audio's expected output as a SQL VALUES literal — the
+    ``_media_frames_sql`` precedent: blake2b is not SQL-computable, so
+    the oracle is the SEQUENTIAL (single-process, no Ray) application
+    of the same kernels; the driver check verifies the distributed
+    fan-out reproduces it row-for-row. Valid at sf0.01."""
+    from .htmlx import parse_document
+    from .pipelines.media import (AudioChunker, MediaFetcher,
+                                  media_refs_from_docs)
+    from .stages.parse import build_spans_column
+    from .synth import World
+
+    cfg = _crawl_cfg(_ORACLE_SF_DIR)   # config shape only, no reads
+    world = World(cfg.world)
+    urls = [world.url(i % cfg.world.n_hosts, 0) for i in range(cfg.world.n_hosts)]
+    span_lists, ids = [], []
+    for u in urls:
+        res = parse_document(world.gen_page(u), u)
+        span_lists.append(res.spans)
+        ids.append(u)
+    docs = pa.table(
+        {"doc_id": pa.array(ids), "spans": build_spans_column(span_lists)}
+    )
+    t = AudioChunker()(MediaFetcher()(media_refs_from_docs(docs)))
+
+    def esc(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = ",\n".join(
+        "(%s, %s, %d, %d, %d, %d, %s)" % (
+            esc(r["doc_id"]), esc(r["media_ref"]), r["chunk_idx"],
+            r["start_ms"], r["duration_ms"], r["rms"],
+            esc(r["chunk_feature"]),
+        )
+        for r in t.to_pylist()
+    )
+    return f"""
+SELECT doc_id, media_ref, chunk_idx::INTEGER AS chunk_idx,
+       start_ms::BIGINT AS start_ms, duration_ms::BIGINT AS duration_ms,
+       rms::BIGINT AS rms, chunk_feature
+FROM (VALUES {rows})
+  AS t(doc_id, media_ref, chunk_idx, start_ms, duration_ms, rms, chunk_feature)
+"""
+
+
 def q_props_stats(sf_dir: str):
     """JSON extraction over a string column (§2.8 JSON): pull the ``k``
     field out of events' JSON ``props`` and aggregate per event type.
@@ -4025,6 +4197,7 @@ def catalog():
         "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
         "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
         "order_priority_revenue": (q_order_priority_revenue, SQL_ORDER_PRIORITY_REVENUE),
+        "top_orders": (q_top_orders, SQL_TOP_ORDERS),
         "daily_top_event": (q_daily_top_event, SQL_DAILY_TOP_EVENT),
         "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
         "running_sum": (q_running_sum, SQL_RUNNING_SUM),
@@ -4087,6 +4260,7 @@ def catalog():
         "big_spenders": (q_big_spenders, SQL_BIG_SPENDERS),
         "monthly_growth": (q_monthly_growth, SQL_MONTHLY_GROWTH),
         "media_frames": (q_media_frames, _media_frames_sql()),
+        "media_audio": (q_media_audio, _media_audio_sql()),
         "props_stats": (q_props_stats, SQL_PROPS_STATS),
         "value_quantiles": (q_value_quantiles, SQL_VALUE_QUANTILES),
         "user_day_stats": (q_user_day_stats, SQL_USER_DAY_STATS),

@@ -342,3 +342,42 @@ class TestSaltedDistinctCount:
                                     n_buckets=1)
         assert out.count() == 0
         assert out.schema().names == ["g", "distinct_count"]
+
+
+class TestAudioChunker:
+    def _work(self):
+        return pa.table({
+            "doc_id": pa.array(["d1", "d2", "d3"], pa.string()),
+            "media_ref": pa.array(["r1", "r2", "r3"], pa.string()),
+            "payload": pa.array([b"abc", None, b"xyzw"], pa.binary()),
+        })
+
+    def test_fan_out_and_null_payload(self):
+        from crawlray.pipelines.media import AudioChunker
+
+        out = AudioChunker()(self._work())
+        # d2's failed fetch emits zero chunks
+        assert "d2" not in set(out["doc_id"].to_pylist())
+        df = out.to_pandas()
+        for doc, g in df.groupby("doc_id"):
+            assert 1 <= len(g) <= 4
+            assert list(g["chunk_idx"]) == list(range(len(g)))
+            assert list(g["start_ms"]) == [i * 2000 for i in range(len(g))]
+            # all but the tail chunk run the full stride
+            assert (g["duration_ms"].iloc[:-1] == 2000).all()
+            assert 500 <= g["duration_ms"].iloc[-1] <= 500 + 255 * 4
+            assert g["chunk_feature"].nunique() == len(g)
+            assert (g["rms"] >= 0).all() and (g["rms"] < 1 << 16).all()
+
+    def test_deterministic(self):
+        from crawlray.pipelines.media import AudioChunker
+
+        a = AudioChunker()(self._work())
+        b = AudioChunker()(self._work())
+        assert a.equals(b)
+
+    def test_stub_backend_raises(self):
+        from crawlray.pipelines.media import AudioChunker
+
+        with pytest.raises(NotImplementedError):
+            AudioChunker(backend="stub")(self._work())
