@@ -99,10 +99,10 @@ BENCH_QUERIES = [
     "triangle_counts",
     "grouped_distinct",
     "conversion_lag",
+    "cm_user_counts",
     "distinct_users",
     "trimmed_stats",
     "top_orders",
-    "media_audio",
 ]
 
 

@@ -259,3 +259,63 @@ def grouped_approx_distinct(
         "approx_n": pa.array(
             [int(round(hll_estimate(merged[g]))) for g in keys], pa.int64()),
     })
+
+
+# Count-Min row-hash constants (independent derived hashes per row)
+CM_ODD = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+          0x165667B19E3779F9, 0x27D4EB2F165667C5)
+
+
+def _cm_row_idx(h: np.ndarray, r: int, w: int) -> np.ndarray:
+    """Row r's bucket index for each uint64 key hash (multiplicative
+    derive + xorshift so the d rows probe independently)."""
+    hr = h * np.uint64(CM_ODD[r])
+    hr ^= hr >> np.uint64(33)
+    return (hr % np.uint64(w)).astype(np.int64)
+
+
+def _cm_fold(h: np.ndarray, d: int, w: int) -> np.ndarray:
+    """Fold uint64 key hashes into a d x w Count-Min table (Cormode &
+    Muthukrishnan 2005): each row counts into an independent hash
+    bucket; a key's estimate is the MIN over its d cells (always an
+    overestimate, error <= 2n/w with prob 1 - (1/2)^d)."""
+    tbl = np.zeros((d, w), np.int64)
+    for r in range(d):
+        np.add.at(tbl[r], _cm_row_idx(h, r, w), 1)
+    return tbl
+
+
+def cm_point_estimates(
+    ds: rd.Dataset,
+    col: str,
+    keys: "pa.Array",
+    d: int = 4,
+    w: int = 1 << 12,
+) -> pa.Table:
+    """Count-Min point-frequency estimates for ``keys`` over ``ds[col]``
+    — the LINEAR synopsis (sketch(A ∪ B) = sketch(A) + sketch(B)), so
+    the distributed plan is the cheapest possible: every block folds
+    into one fixed d x w integer table inside ``map_batches``, the
+    driver SUMS O(blocks) flat tables (d*w*8 B each — 128 KiB at the
+    defaults — never a key), and point queries read min-of-d cells.
+    The additive merge is exact, so the distributed estimate is
+    bit-identical to a sequential fold of the whole column. Nulls are
+    dropped (SQL count semantics). Returns (col, est_n) — est_n >= the
+    true count, within 2n/w at confidence 1-2^-d."""
+    def partial(t: pa.Table) -> pa.Table:
+        c = t[col].drop_null()
+        tbl = _cm_fold(hash_col(c), d, w) if len(c) else np.zeros(
+            (d, w), np.int64)
+        return pa.table({"cm": pa.array([tbl.ravel()], pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    tbl = np.zeros(d * w, np.int64)
+    for row in parts:
+        tbl += np.asarray(row["cm"], np.int64)
+    tbl = tbl.reshape(d, w)
+
+    kh = hash_col(keys)
+    est = np.full(len(keys), np.iinfo(np.int64).max, np.int64)
+    for r in range(d):
+        est = np.minimum(est, tbl[r, _cm_row_idx(kh, r, w)])
+    return pa.table({col: keys, "est_n": pa.array(est, pa.int64())})

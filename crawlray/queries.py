@@ -4104,6 +4104,52 @@ FROM events GROUP BY event_type
 """
 
 
+CM_QUERY_USERS = list(range(10))
+
+
+def q_cm_user_counts(sf_dir: str):
+    """Count-Min point-frequency estimates (users 0-9 over the events
+    stream) — the LINEAR member of the synopsis family (HLL merges by
+    max, Misra-Gries by reduce; CM simply ADDS): each block folds into
+    one fixed 4 x 4096 integer table, the driver sums O(blocks) flat
+    128 KiB tables (never a key), point reads are min-of-4 cells.
+    Additive merging is exact, so the distributed estimate is
+    bit-identical to a sequential fold — which is what the oracle
+    restates."""
+    from .pipelines.sketch import cm_point_estimates
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    return cm_point_estimates(
+        ev, "user_id", pa.array(CM_QUERY_USERS, pa.int64()))
+
+
+def _cm_user_counts_expected_table() -> pa.Table:
+    """Sequential restatement of ``q_cm_user_counts`` at sf0.01: fold the
+    whole column through the SAME CM kernels in one process (additive
+    merging is exact, so the distributed fold must reproduce this
+    bit-for-bit — the ``grouped_distinct`` precedent)."""
+    import pyarrow.parquet as pq
+
+    from .pipelines.sketch import _cm_fold, _cm_row_idx, hash_col
+
+    t = pq.read_table(f"{_ORACLE_SF_DIR}/events.parquet",
+                      columns=["user_id"])
+    h = hash_col(t["user_id"].drop_null().combine_chunks())
+    d, w = 4, 1 << 12
+    tbl = _cm_fold(h, d, w)
+    keys = pa.array(CM_QUERY_USERS, pa.int64())
+    kh = hash_col(keys)
+    est = np.full(len(keys), np.iinfo(np.int64).max, np.int64)
+    for r in range(d):
+        est = np.minimum(est, tbl[r, _cm_row_idx(kh, r, w)])
+    return pa.table({"user_id": keys, "est_n": pa.array(est, pa.int64())})
+
+
+def _cm_user_counts_sql() -> str:
+    return _values_sql(_cm_user_counts_expected_table(),
+                       casts={"user_id": "BIGINT", "est_n": "BIGINT"})
+
+
 def q_conversion_lag(sf_dir: str):
     """Funnel conversion lag: per user, the MICROSECONDS between their
     FIRST view and their first purchase AT OR AFTER that view (users who
@@ -4272,4 +4318,5 @@ def catalog():
         "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
         "trimmed_stats": (q_trimmed_stats, SQL_TRIMMED_STATS),
         "conversion_lag": (q_conversion_lag, SQL_CONVERSION_LAG),
+        "cm_user_counts": (q_cm_user_counts, _cm_user_counts_sql()),
     }

@@ -381,3 +381,39 @@ class TestAudioChunker:
 
         with pytest.raises(NotImplementedError):
             AudioChunker(backend="stub")(self._work())
+
+
+class TestCountMin:
+    def test_overestimate_and_parity(self, ray_session):
+        from crawlray.pipelines.sketch import (_cm_fold, _cm_row_idx,
+                                               cm_point_estimates, hash_col)
+
+        rng = np.random.default_rng(3)
+        vals = rng.zipf(1.3, 20_000)
+        vals = vals[vals < 1000].astype(np.int64)
+        t = pa.table({"k": pa.array(vals, pa.int64())})
+        keys = pa.array([1, 2, 3, 50, 999], pa.int64())
+        out = cm_point_estimates(
+            rd.from_arrow(t).repartition(6), "k", keys).to_pandas()
+        true = pd.Series(vals).value_counts()
+        for k, est in zip(out["k"], out["est_n"]):
+            tn = int(true.get(k, 0))
+            assert est >= tn                       # CM never undercounts
+            assert est <= tn + 2 * len(vals) / (1 << 12) * 8  # loose bound
+        # distributed fold == sequential fold, bit for bit (linear merge)
+        d, w = 4, 1 << 12
+        tbl = _cm_fold(hash_col(pa.array(vals, pa.int64())), d, w)
+        kh = hash_col(keys)
+        est = np.full(len(keys), np.iinfo(np.int64).max, np.int64)
+        for r in range(d):
+            est = np.minimum(est, tbl[r, _cm_row_idx(kh, r, w)])
+        assert list(out["est_n"]) == est.tolist()
+
+    def test_nulls_dropped(self, ray_session):
+        from crawlray.pipelines.sketch import cm_point_estimates
+
+        t = pa.table({"k": pa.array([1, 1, None, 2, None], pa.int64())})
+        out = cm_point_estimates(
+            rd.from_arrow(t), "k",
+            pa.array([1, 2], pa.int64())).to_pandas()
+        assert list(out["est_n"]) == [2, 1]
