@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "grouped_distinct",
     "conversion_lag",
     "cm_user_counts",
+    "rank_normalize",
     "distinct_users",
     "trimmed_stats",
     "top_orders",

@@ -4104,6 +4104,61 @@ FROM events GROUP BY event_type
 """
 
 
+def q_rank_normalize(sf_dir: str):
+    """Per-group percent-rank feature transform (per-mille integer
+    ``(rank-1)*1000 // (n-1)`` of n_chars within each lang) WITHOUT
+    co-locating any group — langs are few and huge, so an exchange by
+    lang would cap parallelism at |langs|. Instead PASS 1 folds
+    per-batch (lang, n_chars, count) histogram partials (bounded by
+    langs x distinct lengths, independent of row count); the driver
+    turns them into per-(lang, value) cumulative ranks — rank(v) =
+    cum(<v) + 1, exactly SQL ``rank()`` under ties — and PASS 2 maps
+    every doc through the broadcast rank table. Single-doc groups get
+    NULL (SQL's n-1 = 0 divisor)."""
+    import ray
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "n_chars"]).aggregate([("n_chars", "count")])
+        return g.rename_columns(["lang", "n_chars", "n"])
+
+    hist = (docs.map_batches(hist_partial, batch_format="pyarrow")
+            .to_pandas()
+            .groupby(["lang", "n_chars"], as_index=False)["n"].sum()
+            .sort_values(["lang", "n_chars"]))
+    hist["cum_below"] = (hist.groupby("lang")["n"].cumsum() - hist["n"])
+    totals = hist.groupby("lang")["n"].transform("sum")
+    pr_pm = (hist["cum_below"] * 1000) // (totals - 1)
+    rank_table = pd.DataFrame({
+        "lang": hist["lang"],
+        "n_chars": hist["n_chars"].astype("int64"),
+        "pr_pm": pr_pm.where(totals > 1).astype("Int64"),
+    })
+    rank_ref = ray.put(rank_table)
+
+    class RankMapper:
+        def __init__(self, ref):
+            self.rank_table = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df.merge(self.rank_table, on=["lang", "n_chars"],
+                            how="left")
+
+    return docs.map_batches(
+        RankMapper, fn_constructor_args=(rank_ref,),
+        batch_format="pandas", concurrency=(1, 8),
+    )
+
+
+SQL_RANK_NORMALIZE = """
+SELECT doc_id, lang, n_chars,
+       ((rank() OVER (PARTITION BY lang ORDER BY n_chars) - 1) * 1000
+        // nullif(count(*) OVER (PARTITION BY lang) - 1, 0))::BIGINT AS pr_pm
+FROM documents
+"""
+
+
 CM_QUERY_USERS = list(range(10))
 
 
@@ -4319,4 +4374,5 @@ def catalog():
         "trimmed_stats": (q_trimmed_stats, SQL_TRIMMED_STATS),
         "conversion_lag": (q_conversion_lag, SQL_CONVERSION_LAG),
         "cm_user_counts": (q_cm_user_counts, _cm_user_counts_sql()),
+        "rank_normalize": (q_rank_normalize, SQL_RANK_NORMALIZE),
     }
