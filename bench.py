@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "conversion_lag",
     "cm_user_counts",
     "rank_normalize",
+    "event_transitions",
     "distinct_users",
     "trimmed_stats",
     "top_orders",

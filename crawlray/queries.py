@@ -4159,6 +4159,61 @@ FROM documents
 """
 
 
+def q_event_transitions(sf_dir: str):
+    """Markov transition-matrix estimation over per-user event
+    sequences — the LEAD window at scale: next-event pairs need each
+    user's events ORDERED AND CO-LOCATED, so the plan is ONE
+    ``bucketed_reduce`` exchange by user_id; the bucket kernel
+    lexsorts (user, ts) once and takes vectorized adjacent pairs (a
+    shifted equality mask, never a per-event loop), emitting
+    <= |types|^2 partial rows per bucket; the driver folds
+    O(buckets x 25) rows. Deterministic because (user_id, ts) is
+    unique in the events table."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    empty = pa.table({"from_type": pa.nulls(0, pa.string()),
+                      "to_type": pa.nulls(0, pa.string()),
+                      "n": pa.nulls(0, pa.int64())})
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_pandas().to_numpy()
+        order = np.lexsort((ts, u))
+        u, et = u[order], et[order]
+        same = u[:-1] == u[1:]
+        frm, to = et[:-1][same], et[1:][same]
+        if len(frm) == 0:
+            return empty
+        g = (pd.DataFrame({"from_type": frm, "to_type": to})
+             .value_counts().reset_index(name="n"))
+        return pa.table({
+            "from_type": pa.array(g["from_type"], pa.string()),
+            "to_type": pa.array(g["to_type"], pa.string()),
+            "n": pa.array(g["n"].astype("int64")),
+        })
+
+    parts = bucketed_reduce(ev, "user_id", pairs, n_buckets=32).to_pandas()
+    return (
+        parts.groupby(["from_type", "to_type"], as_index=False)["n"].sum()
+        .astype({"n": "int64"})
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH s AS (SELECT user_id, event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts) AS next_type
+           FROM events)
+SELECT event_type AS from_type, next_type AS to_type, count(*)::BIGINT AS n
+FROM s WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 CM_QUERY_USERS = list(range(10))
 
 
@@ -4375,4 +4430,5 @@ def catalog():
         "conversion_lag": (q_conversion_lag, SQL_CONVERSION_LAG),
         "cm_user_counts": (q_cm_user_counts, _cm_user_counts_sql()),
         "rank_normalize": (q_rank_normalize, SQL_RANK_NORMALIZE),
+        "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     }
