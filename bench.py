@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "cm_user_counts",
     "rank_normalize",
     "event_transitions",
+    "price_regression",
     "distinct_users",
     "trimmed_stats",
     "top_orders",

@@ -4214,6 +4214,60 @@ GROUP BY 1, 2
 """
 
 
+def q_price_regression(sf_dir: str):
+    """Distributed OLS (price ~ quantity) via SUFFICIENT STATISTICS —
+    the ML-analytics pattern: the normal equations need only
+    (n, Σx, Σy, Σxy, Σx²), which are LINEAR, so each block folds five
+    int64 partials inside ``map_batches`` and the driver sums O(blocks)
+    rows; no row ever moves. The slope/intercept contract is exact
+    integer ppm — Python arbitrary-precision ints on the folded sums
+    (n·Σxy overflows int64 at scale), floor-divided identically to the
+    DuckDB HUGEINT restatement — so the comparison is bit-exact, never
+    float-associative."""
+    li = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.round(t["l_quantity"]).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        y = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+        })
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n, sx, sy, sxy, sxx = (int(parts[c].sum())
+                           for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope_ppm = (n * sxy - sx * sy) * 1_000_000 // (n * sxx - sx * sx)
+    intercept_ppm = (sy * 1_000_000 - slope_ppm * sx) // n
+    return pd.DataFrame({"n": pd.Series([n], dtype="int64"),
+                         "slope_ppm": pd.Series([slope_ppm], dtype="int64"),
+                         "intercept_ppm": pd.Series([intercept_ppm],
+                                                    dtype="int64")})
+
+
+SQL_PRICE_REGRESSION = """
+WITH s AS (
+  SELECT count(*)::HUGEINT AS n,
+         sum(CAST(round(l_quantity) AS BIGINT))::HUGEINT AS sx,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT))::HUGEINT AS sy,
+         sum(CAST(round(l_quantity) AS BIGINT)
+             * CAST(round(l_extendedprice * 100) AS BIGINT))::HUGEINT AS sxy,
+         sum(CAST(round(l_quantity) AS BIGINT)
+             * CAST(round(l_quantity) AS BIGINT))::HUGEINT AS sxx
+  FROM lineitem)
+SELECT n::BIGINT AS n,
+       ((n*sxy - sx*sy) * 1000000 // (n*sxx - sx*sx))::BIGINT AS slope_ppm,
+       ((sy * 1000000
+         - ((n*sxy - sx*sy) * 1000000 // (n*sxx - sx*sx)) * sx) // n)::BIGINT
+           AS intercept_ppm
+FROM s
+"""
+
+
 CM_QUERY_USERS = list(range(10))
 
 
@@ -4431,4 +4485,5 @@ def catalog():
         "cm_user_counts": (q_cm_user_counts, _cm_user_counts_sql()),
         "rank_normalize": (q_rank_normalize, SQL_RANK_NORMALIZE),
         "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+        "price_regression": (q_price_regression, SQL_PRICE_REGRESSION),
     }
