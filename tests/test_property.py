@@ -196,3 +196,30 @@ def test_cuckoo_vectorized_insert_properties(seed, n):
     before = f.count
     f.add_many(h)                             # re-add: all present -> no-op
     assert f.count == before
+
+
+@given(seed=st.integers(0, 2**16), n=st.integers(2, 400))
+@settings(max_examples=60, deadline=None)
+def test_count_min_linear_and_overestimates(seed, n):
+    import numpy as np
+    import pyarrow as pa
+
+    from crawlray.pipelines.sketch import _cm_fold, _cm_row_idx, hash_col
+
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 50, n).astype(np.int64)
+    a, b = vals[: n // 2], vals[n // 2:]
+    d, w = 4, 1 << 8
+    ha, hb, hall = (hash_col(pa.array(x, pa.int64())) for x in (a, b, vals))
+    # linearity: sketch(A ∪ B) == sketch(A) + sketch(B), elementwise
+    assert (_cm_fold(ha, d, w) + _cm_fold(hb, d, w)
+            == _cm_fold(hall, d, w)).all()
+    # point estimates never undercount
+    keys = np.unique(vals)
+    kh = hash_col(pa.array(keys, pa.int64()))
+    tbl = _cm_fold(hall, d, w)
+    est = np.full(len(keys), np.iinfo(np.int64).max)
+    for r in range(d):
+        est = np.minimum(est, tbl[r, _cm_row_idx(kh, r, w)])
+    true = np.array([(vals == k).sum() for k in keys])
+    assert (est >= true).all()
