@@ -181,6 +181,163 @@ def pagerank(
     return out
 
 
+def bfs_depths(
+    edges: rd.Dataset,
+    seeds: list[str],
+    src: str = "src",
+    dst: str = "dst",
+    n_shards: int = 8,
+    max_depth: int = 16,
+) -> rd.Dataset:
+    """Shortest-hop BFS level of every node reachable from ``seeds`` over
+    the (src, dst) outlink edge dataset — the crawl-depth computation the
+    reference performs implicitly by crawling breadth-first from its seed
+    list (``backend/api/tasks.py:488`` processes seeds in order; link
+    discovery is per-page, ``backend/crawler/link_extractor.py:81-129``).
+
+    Same sharded raw-task pattern as :func:`pagerank` (SURVEY.md §2.4
+    custom-op case (c)): node depths are owned by ``hash(node) % K``
+    shards and edges are sharded by ``hash(src) % K`` — the same hash, so
+    a frontier node's outgoing edges are always shard-local. One level is:
+    per-shard vectorized neighbor expansion (searchsorted of the sorted
+    local frontier against the shard's src-sorted edge array) → K×K
+    exchange of candidate dst hashes (object store only; the driver sees
+    per-shard NEW-NODE COUNTS, never node ids) → per-shard first-visit
+    update (``depth[h] = level`` for unseen only). Terminates when a level
+    discovers nothing or at ``max_depth`` (the SQL restatement's recursion
+    cap). State is O(nodes/K) per shard; a level ships only the frontier's
+    out-neighborhood, never edges."""
+    k = n_shards
+
+    @ray.remote(num_returns=2 * k if k > 1 else 2)
+    def split(t: pa.Table):
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        s = t[src].to_pandas().to_numpy()
+        e = t[dst].to_pandas().to_numpy()
+        sh, eh = hash64(pa.array(s)), hash64(pa.array(e))
+        es = _shard_of(sh, k)
+        edge_parts = [
+            {"src_h": sh[es == i], "dst_h": eh[es == i]} for i in range(k)
+        ]
+        nh = np.concatenate([sh, eh])
+        nu = np.concatenate([s, e])
+        ns = _shard_of(nh, k)
+        node_parts = [{"h": nh[ns == i], "url": nu[ns == i]} for i in range(k)]
+        return (*edge_parts, *node_parts)
+
+    @ray.remote
+    class _DepthShard:
+        def __init__(self, shard: int, n_edge_parts: int, *parts):
+            edge_parts = list(parts[:n_edge_parts])
+            node_parts = list(parts[n_edge_parts:])
+            self.shard = shard
+            eh = [p for p in edge_parts if len(p["src_h"])]
+            src_h = (
+                np.concatenate([p["src_h"] for p in eh]) if eh else
+                np.empty(0, np.uint64)
+            )
+            dst_h = (
+                np.concatenate([p["dst_h"] for p in eh]) if eh else
+                np.empty(0, np.uint64)
+            )
+            order = np.argsort(src_h, kind="stable")
+            self.src_h, self.dst_h = src_h[order], dst_h[order]
+            nh = (
+                np.concatenate([p["h"] for p in node_parts])
+                if node_parts else np.empty(0, np.uint64)
+            )
+            nu = (
+                np.concatenate([p["url"] for p in node_parts])
+                if node_parts else np.empty(0, object)
+            )
+            self.nodes, first = np.unique(nh, return_index=True)
+            self.urls = nu[first]
+            self.depth = np.full(len(self.nodes), -1, np.int32)
+            self.frontier = np.empty(0, np.uint64)
+
+        def seed(self, seed_h: np.ndarray) -> int:
+            """Mark seed nodes (depth 0); seeds absent from the edge set
+            are ignored — the graph never saw them."""
+            pos = np.searchsorted(self.nodes, seed_h)
+            ok = (pos < len(self.nodes))
+            ok[ok] &= self.nodes[pos[ok]] == seed_h[ok]
+            hit = np.unique(pos[ok])
+            self.depth[hit] = 0
+            self.frontier = self.nodes[hit]
+            return len(hit)
+
+        def neighbors(self):
+            """Out-neighborhood of the current local frontier, split by
+            dst owner shard (num_returns=k: the exchange stays in the
+            object store)."""
+            f = self.frontier
+            if not len(f) or not len(self.src_h):
+                out = [np.empty(0, np.uint64)] * k
+            else:
+                pos = np.searchsorted(f, self.src_h)
+                m = pos < len(f)
+                m[m] = f[pos[m]] == self.src_h[m]
+                cand = np.unique(self.dst_h[m])
+                ds_ = _shard_of(cand, k)
+                out = [cand[ds_ == i] for i in range(k)]
+            return tuple(out) if k > 1 else out[0]
+
+        def absorb(self, level: int, *parts) -> int:
+            """First-visit update: unseen candidates get this level and
+            become the next frontier. Returns the newly-visited count."""
+            live = [p for p in parts if len(p)]
+            if not live:
+                self.frontier = np.empty(0, np.uint64)
+                return 0
+            cand = np.unique(np.concatenate(live))
+            pos = np.searchsorted(self.nodes, cand)
+            new = pos[self.depth[pos] < 0]
+            self.depth[new] = level
+            self.frontier = self.nodes[new]
+            return len(new)
+
+        def table(self) -> pa.Table:
+            m = self.depth >= 0
+            return pa.table({
+                "url": pa.array(self.urls[m].tolist(), pa.string()),
+                "depth": pa.array(self.depth[m].astype(np.int64)),
+            })
+
+    blocks = edges.to_arrow_refs()
+    parts = [split.remote(b) for b in blocks]
+    shards = [
+        _DepthShard.remote(
+            i,
+            len(parts),
+            *[p[i] for p in parts],
+            *[p[k + i] for p in parts],
+        )
+        for i in range(k)
+    ]
+    seed_h = hash64(pa.array(np.asarray(seeds, object), pa.string()))
+    ss = _shard_of(seed_h, k)
+    n_seeded = sum(ray.get([
+        shards[i].seed.remote(np.sort(seed_h[ss == i])) for i in range(k)
+    ]))
+    if n_seeded:
+        for level in range(1, max_depth + 1):
+            outs = [s.neighbors.options(num_returns=k).remote() for s in shards]
+            refs = [o if k > 1 else [o] for o in outs]
+            new = sum(ray.get([
+                shards[i].absorb.remote(level, *[refs[s][i] for s in range(k)])
+                for i in range(k)
+            ]))
+            if new == 0:
+                break
+    tables = [s.table.remote() for s in shards]
+    ray.wait(tables, num_returns=len(tables))
+    out = rd.from_arrow_refs(tables)
+    for s in shards:
+        ray.kill(s)
+    return out
+
+
 def _group_combos(k: np.ndarray, v: np.ndarray):
     """Per-group upper-triangle pairs: inputs sorted by (k, v); for each
     group of equal ``k`` with values v1 < v2 < ... emit every (vi, vj),

@@ -2195,6 +2195,138 @@ SELECT u AS url, round(r, 6) AS rank FROM {prev}
 """
 
 
+BFS_N_SEEDS = 8
+BFS_MAX_DEPTH = 8
+
+
+def q_bfs_depths(sf_dir: str):
+    """Crawl depth (shortest-hop BFS level) of every page reachable from
+    the first ``BFS_N_SEEDS`` seed URLs over the mini-web's outlink graph
+    — the breadth-first frontier expansion the reference performs
+    implicitly by crawling its seed list in order. ``graph.bfs_depths``:
+    sharded first-visit propagation; the driver sees per-level NEW-NODE
+    COUNTS only (integer output — no float concerns)."""
+    from .htmlx import parse_document
+    from .pipelines.graph import bfs_depths
+    from .synth import World
+
+    cfg = _crawl_cfg(sf_dir)
+    world = World(cfg.world)
+    urls = [world.url(i % cfg.world.n_hosts, i // cfg.world.n_hosts)
+            for i in range(min(PAGERANK_N_URLS, cfg.world.n_urls))]
+    seeds = rd.from_items([{"url": u} for u in urls], override_num_blocks=8)
+
+    def edges_of(t: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for u in t["url"].to_pylist():
+            for link in parse_document(world.gen_page(u), u).links:
+                src.append(u)
+                dst.append(link.url)
+        return pa.table({"src": pa.array(src, pa.string()),
+                         "dst": pa.array(dst, pa.string())})
+
+    edges = seeds.map_batches(edges_of, batch_format="pyarrow")
+    return bfs_depths(edges, urls[:BFS_N_SEEDS], n_shards=8,
+                      max_depth=BFS_MAX_DEPTH)
+
+
+@functools.lru_cache(maxsize=1)
+def _bfs_depths_sql() -> str:
+    """The same BFS as a recursive CTE over a VALUES edge list: the
+    recursive UNION enumerates every (node, depth ≤ cap) pair reachable
+    from the seeds; ``min(depth)`` per node is the first-visit level —
+    exactly what the sharded engine records."""
+    src, dst = _pagerank_edge_lists(_ORACLE_SF_DIR)
+    rows = ",\n".join(
+        f"({_sql_str(s)}, {_sql_str(t)})" for s, t in zip(src, dst)
+    )
+    from .synth import World
+
+    cfg = _crawl_cfg(_ORACLE_SF_DIR)
+    world = World(cfg.world)
+    seed_urls = [world.url(i % cfg.world.n_hosts, i // cfg.world.n_hosts)
+                 for i in range(BFS_N_SEEDS)]
+    seed_rows = ", ".join(f"({_sql_str(u)})" for u in seed_urls)
+    return f"""
+WITH RECURSIVE edges(src, dst) AS (VALUES
+{rows}
+),
+-- seeds absent from the edge set are ignored (the engine's contract:
+-- the graph never saw them)
+seeds(u) AS (
+  SELECT u FROM (VALUES {seed_rows}) s(u)
+  WHERE u IN (SELECT src FROM edges UNION SELECT dst FROM edges)
+),
+walk(u, d) AS (
+  SELECT u, 0 FROM seeds
+  UNION
+  SELECT e.dst, w.d + 1
+  FROM walk w JOIN edges e ON e.src = w.u
+  WHERE w.d < {BFS_MAX_DEPTH}
+)
+SELECT u AS url, min(d)::BIGINT AS depth FROM walk GROUP BY u
+"""
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed k-means over the embeddings table: K=8, 3 Lloyd
+    iterations, deterministic init (vectors of vec_id < K), centroids
+    rounded to 6dp after every update in both engines
+    (``cluster.kmeans`` — broadcast centroids, per-batch partial sums,
+    O(blocks x k x dim) driver fold; vectors never shuffle). Output is
+    the final integer assignment (vec_id, cluster)."""
+    from .pipelines.cluster import kmeans
+
+    return kmeans(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                  k=KMEANS_K, iters=KMEANS_ITERS)
+
+
+@functools.lru_cache(maxsize=1)
+def _kmeans_sql() -> str:
+    """The same Lloyd iterations unrolled as CTEs: assignment =
+    ``row_number() OVER (ORDER BY list_distance, c) = 1`` (sqrt of the
+    engine's squared L2 — monotone, tie-break identical), update =
+    per-dimension ``round(avg(x), 6)`` with ``coalesce`` keeping an empty
+    cluster's previous centroid. Rounding each iteration in both engines
+    keeps assignment inputs bit-identical; see
+    ``crawlray/pipelines/cluster.py`` for the determinism argument."""
+    k, T = KMEANS_K, KMEANS_ITERS
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS (
+  SELECT vec_id::INT AS c, list_transform(v, x -> round(x, 6)) AS v
+  FROM e WHERE vec_id < {k})""",
+    ]
+    for t in range(1, T + 1):
+        ctes.append(f"""a{t} AS (
+  SELECT vec_id, c FROM (
+    SELECT e.vec_id, c.c,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, c.v), c.c) AS rn
+    FROM e CROSS JOIN c{t - 1} c) WHERE rn = 1)""")
+        ctes.append(f"""m{t} AS (
+  SELECT c, i, round(avg(x), 6) AS x FROM (
+    SELECT a.c AS c, generate_subscripts(e.v, 1) AS i, unnest(e.v) AS x
+    FROM a{t} a JOIN e ON a.vec_id = e.vec_id
+  ) GROUP BY c, i)""")
+        ctes.append(f"""c{t} AS (
+  SELECT p.c, coalesce(mm.v, p.v) AS v
+  FROM c{t - 1} p
+  LEFT JOIN (SELECT c, list(x ORDER BY i) AS v FROM m{t} GROUP BY c) mm
+    ON mm.c = p.c)""")
+    return "WITH " + ",\n".join(ctes) + f"""
+SELECT vec_id, c::BIGINT AS cluster FROM (
+  SELECT e.vec_id, c.c,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_distance(e.v, c.v), c.c) AS rn
+  FROM e CROSS JOIN c{T} c) WHERE rn = 1
+"""
+
+
 def q_tfidf_top_terms(sf_dir: str):
     """Per-document top term by tf/df score (the exactly-restatable
     tf-idf variant: one IEEE division, bit-identical in both engines,
@@ -4434,6 +4566,8 @@ def catalog():
         "top_events_per_type": (q_top_events_per_type, SQL_TOP_EVENTS_PER_TYPE),
         "price_quantiles": (q_price_quantiles, SQL_PRICE_QUANTILES),
         "pagerank": (q_pagerank, _pagerank_sql()),
+        "bfs_depths": (q_bfs_depths, _bfs_depths_sql()),
+        "kmeans_clusters": (q_kmeans_clusters, _kmeans_sql()),
         "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
         "embedding_clusters": (q_embedding_clusters, _embedding_clusters_sql()),
         "rebalance": (q_rebalance, SQL_REBALANCE),
