@@ -1016,3 +1016,62 @@ def unpivot(
         return pa.concat_tables(pieces)
 
     return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def longest_prefix_match(
+    ds: rd.Dataset,
+    col: str,
+    rules: dict[str, str],
+    rule_col: str = "rule",
+    action_col: str = "action",
+) -> rd.Dataset:
+    """Longest-prefix-match classification join: label every row with the
+    LONGEST rule prefix matching ``col`` — robots.txt longest-match
+    semantics (the Google robots spec's rule-selection order; the synth
+    world's ``robots_disallowed`` is a one-rule instance,
+    ``crawlray/synth.py:84``) and routing-table lookup, as one operator.
+
+    The broadcast small-side plan: the rule set (robots rules per host —
+    thousands, kilobytes) is captured into the stateless batch kernel,
+    never shuffled; each batch does ONE ``pc.utf8_slice_codeunits`` +
+    hash-set probe PER DISTINCT RULE LENGTH (a handful), longest first,
+    filling unmatched rows only — O(L) vectorized passes regardless of
+    rule count. Rows matching no rule are dropped (emit a catch-all ''
+    or 'https://' rule to keep them). Keys are assumed ASCII (URLs) —
+    slicing is by codeunit."""
+    by_len: dict[int, dict[str, str]] = {}
+    for r, a in rules.items():
+        by_len.setdefault(len(r), {})[r] = a
+    lengths = sorted(by_len, reverse=True)
+
+    def classify(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        out_rule = np.full(n, None, object)
+        out_act = np.full(n, None, object)
+        unset = np.ones(n, bool)
+        u = t[col].combine_chunks()
+        for l in lengths:
+            if not unset.any():
+                break
+            tbl = by_len[l]
+            sl = pc.utf8_slice_codeunits(u, 0, l)
+            hit = pc.is_in(sl, value_set=pa.array(list(tbl), pa.string()),
+                           skip_nulls=True).to_numpy(zero_copy_only=False)
+            take = hit & unset
+            if not take.any():
+                continue
+            matched = sl.to_numpy(zero_copy_only=False)[take]
+            out_rule[take] = matched
+            # action lookup over UNIQUE matched rules only (per-row
+            # Python would be a hot-path loop)
+            uu, inv = np.unique(matched, return_inverse=True)
+            out_act[take] = np.array([tbl[x] for x in uu], object)[inv]
+            unset &= ~take
+        keep = ~unset
+        return pa.table({
+            col: u.filter(pa.array(keep)),
+            rule_col: pa.array(out_rule[keep], pa.string()),
+            action_col: pa.array(out_act[keep], pa.string()),
+        })
+
+    return ds.map_batches(classify, batch_format="pyarrow")

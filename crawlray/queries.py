@@ -2268,6 +2268,87 @@ SELECT u AS url, min(d)::BIGINT AS depth FROM walk GROUP BY u
 """
 
 
+def _lpm_rules(sf_dir: str) -> dict[str, str]:
+    """Robots-style prefix rules over the synth world's hosts, three
+    tiers so longest-match is genuinely exercised: a global catch-all,
+    a per-host tier for every 3rd host, and the world's own robots
+    semantics (every host with index % 7 == 3 disallows the '/p/1'
+    path prefix — ``synth.py:84``) as the most specific tier."""
+    from .synth import World
+
+    world = World(_crawl_cfg(sf_dir).world)
+    rules = {"https://": "allow"}
+    for i, h in enumerate(world.hosts):
+        if i % 3 == 0:
+            rules[f"https://{h}/"] = "host_policy"
+        if i % 7 == 3:
+            rules[f"https://{h}/p/1"] = "disallow"
+    return rules
+
+
+def q_robots_lpm(sf_dir: str):
+    """Longest-prefix-match robots classification of every URL the
+    mini-web's pages link to (srcs and dsts of the outlink graph):
+    label = the action of the LONGEST matching rule prefix
+    (``relational.longest_prefix_match`` — broadcast rule set, one
+    vectorized slice+probe per distinct rule length)."""
+    from .htmlx import parse_document
+    from .pipelines.relational import longest_prefix_match
+    from .synth import World
+
+    cfg = _crawl_cfg(sf_dir)
+    world = World(cfg.world)
+    urls = [world.url(i % cfg.world.n_hosts, i // cfg.world.n_hosts)
+            for i in range(min(PAGERANK_N_URLS, cfg.world.n_urls))]
+    seeds = rd.from_items([{"url": u} for u in urls], override_num_blocks=8)
+
+    def nodes_of(t: pa.Table) -> pa.Table:
+        out = set()
+        for u in t["url"].to_pylist():
+            out.add(u)
+            out.update(link.url for link in
+                       parse_document(world.gen_page(u), u).links)
+        return pa.table({"url": pa.array(sorted(out), pa.string())})
+
+    nodes = seeds.map_batches(nodes_of, batch_format="pyarrow")
+    # cross-block dedup: sort + keep-first (nodes_of dedups per block only)
+    from .util import keep_first_sorted
+
+    nodes = keep_first_sorted(nodes.sort("url"), ["url"])
+    return longest_prefix_match(nodes, "url", _lpm_rules(sf_dir))
+
+
+@functools.lru_cache(maxsize=1)
+def _robots_lpm_sql() -> str:
+    from .synth import World
+
+    src, dst = _pagerank_edge_lists(_ORACLE_SF_DIR)
+    cfg = _crawl_cfg(_ORACLE_SF_DIR)
+    world = World(cfg.world)
+    pages = [world.url(i % cfg.world.n_hosts, i // cfg.world.n_hosts)
+             for i in range(min(PAGERANK_N_URLS, cfg.world.n_urls))]
+    # page set unioned explicitly: a page with zero outlinks is still a
+    # node (the engine adds every crawled page unconditionally)
+    urls = sorted(set(src) | set(dst) | set(pages))
+    url_rows = ",\n".join(f"({_sql_str(u)})" for u in urls)
+    rule_rows = ",\n".join(
+        f"({_sql_str(r)}, {_sql_str(a)})"
+        for r, a in sorted(_lpm_rules(_ORACLE_SF_DIR).items())
+    )
+    return f"""
+WITH u(url) AS (VALUES
+{url_rows}
+),
+r(rule, action) AS (VALUES
+{rule_rows}
+)
+SELECT u.url, r.rule, r.action
+FROM u JOIN r ON starts_with(u.url, r.rule)
+QUALIFY row_number() OVER (PARTITION BY u.url
+                           ORDER BY length(r.rule) DESC, r.rule) = 1
+"""
+
+
 KMEANS_K = 8
 KMEANS_ITERS = 3
 
@@ -4568,6 +4649,7 @@ def catalog():
         "pagerank": (q_pagerank, _pagerank_sql()),
         "bfs_depths": (q_bfs_depths, _bfs_depths_sql()),
         "kmeans_clusters": (q_kmeans_clusters, _kmeans_sql()),
+        "robots_lpm": (q_robots_lpm, _robots_lpm_sql()),
         "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
         "embedding_clusters": (q_embedding_clusters, _embedding_clusters_sql()),
         "rebalance": (q_rebalance, SQL_REBALANCE),
