@@ -456,3 +456,94 @@ def tfidf_top_terms_ds(docs, n_buckets: int = 16):
                     for i in range(b)])
     out = [doc_bucket.remote(*[ds_[i] for ds_ in dsplit]) for i in range(b)]
     return rd.from_arrow_refs(out)
+
+
+def bm25_topk_ds(docs, query_terms: list[str], k: int = 100,
+                 per_batch_prune: bool = True):
+    """BM25 retrieval: score every document against a broadcast query
+    and return the global top-k (doc_id, score) — the classic sparse
+    retrieval primitive a training-data pipeline uses for corpus search
+    and hard-negative mining. Generalizes the reference's per-page
+    keyword statistics (``backend/crawler/parser.py:257-266``) to a
+    corpus-wide ranked search.
+
+    Scoring is the RATIONAL-IDF BM25 variant (Robertson idf without the
+    log), chosen so every score is a product of two exact integer
+    rationals evaluated with a fixed IEEE op order — bit-identical to a
+    SQL restatement, no libm:
+
+        idf(t)       = (2N + 1) / (2 df_t + 1)        -- == (N-df+.5)/(df+.5)+1
+        w(tf, dl)    = 20 tf L / (8 L tf + 3 L + 9 dl N)
+                                                       -- == tf (k1+1) / (tf + k1 (1-b + b dl/avgdl))
+                                                       --    at k1=3/2, b=3/4, avgdl=L/N
+        score(d)     = sum over sorted(query_terms) of idf(t) * w(tf, dl)
+
+    (k1=1.5 and b=0.75 are exactly representable doubles; multiplying
+    through by 8L clears every fraction, so numerator and denominator
+    are int64 — exact up to L·tf ~ 5.7e17, far past 100 TB of text.)
+
+    Distributed plan — two streaming passes over the corpus, nothing
+    else moves: pass 1 folds O(blocks) one-row partials
+    (n_docs, total_len, df per query term) on the driver (the
+    ``table_profile`` pattern); pass 2 scores each batch against the
+    broadcast constants and keeps only its LOCAL top-k, so the final
+    exact sort+limit sees at most k × blocks rows. Per-doc term sums
+    run in sorted(query_terms) order (fixed float association).
+    """
+    import ray.data as rd
+
+    terms = sorted(query_terms)
+    q = len(terms)
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.split()
+        n_tok = words.str.len().fillna(0).astype("int64").to_numpy()
+        flat = np.concatenate([w for w in words if w] or [[]]).astype(object)
+        ridx = np.repeat(np.arange(len(df)),
+                         [len(w) if w else 0 for w in words])
+        hit = np.isin(flat, np.asarray(terms, object))
+        flat, ridx = flat[hit], ridx[hit]          # query tokens only
+        dfv = np.zeros(q, np.int64)
+        for i, t in enumerate(terms):
+            dfv[i] = len(np.unique(ridx[flat == t]))
+        out = {"n_docs": [len(df)], "total_len": [int(n_tok.sum())]}
+        for i, t in enumerate(terms):
+            out[f"df_{i}"] = [int(dfv[i])]
+        return pd.DataFrame(out)
+
+    folded = docs.map_batches(partials, batch_format="pandas").take_all()
+    n_docs = sum(r["n_docs"] for r in folded)
+    total_len = sum(r["total_len"] for r in folded)
+    dfs = [sum(r[f"df_{i}"] for r in folded) for i in range(q)]
+    # rational idf, one IEEE division each (SQL: (2N+1)::DOUBLE/(2df+1)::DOUBLE)
+    idf = [np.float64(2 * n_docs + 1) / np.float64(2 * d + 1) for d in dfs]
+    N, L = n_docs, total_len
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.split()
+        dl = words.str.len().fillna(0).astype("int64").to_numpy()
+        doc_ids = df["doc_id"].to_numpy()
+        nrows = len(df)
+        total = np.zeros(nrows, np.float64)
+        # tf per query term: one exploded pass, then Q bincounts
+        flat = np.concatenate([w for w in words if w] or [[]]).astype(object)
+        ridx = np.repeat(np.arange(nrows), [len(w) if w else 0 for w in words])
+        hit = np.isin(flat, np.asarray(terms, object))
+        flat, ridx = flat[hit], ridx[hit]          # query tokens only
+        for i, t in enumerate(terms):
+            tf = np.bincount(ridx[flat == t], minlength=nrows).astype(np.int64)
+            num = 20 * tf * L
+            den = 8 * L * tf + 3 * L + 9 * dl * N
+            w = num.astype(np.float64) / den.astype(np.float64)
+            # += in sorted-term order == the SQL's left-assoc (s0+s1)+s2...
+            total += np.where(tf > 0, w * np.float64(idf[i]), 0.0)
+        keep = total > 0.0
+        out = pd.DataFrame({"doc_id": doc_ids[keep], "score": total[keep]})
+        if per_batch_prune and len(out) > k:
+            out = out.sort_values(["score", "doc_id"],
+                                  ascending=[False, True]).head(k)
+        return out
+
+    scored = docs.map_batches(score, batch_format="pandas")
+    return scored.sort(["score", "doc_id"],
+                       descending=[True, False]).limit(k)

@@ -2436,6 +2436,60 @@ QUALIFY row_number() OVER (PARTITION BY doc_id
 """
 
 
+BM25_TERMS = ["join", "stream", "vector", "window"]
+BM25_K = 100
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 retrieval: global top-k documents for a broadcast query
+    (``textops.bm25_topk_ds``). Rational-idf variant (k1=3/2, b=3/4
+    exactly-representable doubles; idf and the tf saturation are int64
+    rationals, one IEEE division + one multiply each, term sums in
+    sorted-term order) so the score column is bit-identical to the SQL
+    restatement. Two streaming passes: O(blocks) one-row stat partials,
+    then score + per-batch top-k prune, exact sort+limit over <= k x
+    blocks rows."""
+    from .pipelines.textops import bm25_topk_ds
+
+    return bm25_topk_ds(_read(sf_dir, "documents", ["doc_id", "text"]),
+                        BM25_TERMS, k=BM25_K)
+
+
+def _bm25_sql() -> str:
+    terms = sorted(BM25_TERMS)
+    in_list = ", ".join(_sql_str(t) for t in terms)
+    pivots = ",\n".join(
+        f"             coalesce(max(CASE WHEN term = {_sql_str(t)} "
+        f"THEN st END), 0.0) AS s{i}"
+        for i, t in enumerate(terms))
+    total = "s0"
+    for i in range(1, len(terms)):
+        total = f"({total} + s{i})"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+s AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+             (SELECT coalesce(sum(dl), 0) FROM dl)::BIGINT AS l),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+       WHERE term IN ({in_list}) GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+st AS (SELECT tf.doc_id, tf.term,
+              ((20 * tf.tf * s.l)::DOUBLE
+                / (8 * s.l * tf.tf + 3 * s.l + 9 * dl.dl * s.n)::DOUBLE)
+              * ((2 * s.n + 1)::DOUBLE / (2 * df.df + 1)::DOUBLE) AS st
+       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN s),
+p AS (SELECT doc_id,
+{pivots}
+      FROM st GROUP BY doc_id)
+SELECT doc_id, {total} AS score
+FROM p
+ORDER BY score DESC, doc_id LIMIT {BM25_K}
+"""
+
+
 def q_embedding_clusters(sf_dir: str):
     """Embedding near-dup CLUSTERS: SRP-LSH verified pairs -> the same
     distributed connected-components as the MinHash cluster path
@@ -4651,6 +4705,7 @@ def catalog():
         "kmeans_clusters": (q_kmeans_clusters, _kmeans_sql()),
         "robots_lpm": (q_robots_lpm, _robots_lpm_sql()),
         "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+        "bm25_topk": (q_bm25_topk, _bm25_sql()),
         "embedding_clusters": (q_embedding_clusters, _embedding_clusters_sql()),
         "rebalance": (q_rebalance, SQL_REBALANCE),
         "inactive_customers": (q_inactive_customers, SQL_INACTIVE_CUSTOMERS),

@@ -62,3 +62,58 @@ class TestLongestPrefixMatch:
         for u, a in zip(df["url"], df["action"]):
             i = u[1:].split("/")[0]
             assert a == (f"r{i}" if int(i) < 20 else "fallback")
+
+
+class TestBM25:
+    def _docs(self):
+        rows = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array([
+                "join join scan",            # tf(join)=2, dl=3
+                "join scan scan scan",       # tf(join)=1, dl=4
+                "scan scan",                 # no query term
+                "vector join",               # two terms, short doc
+                None,                        # null text
+            ], pa.string()),
+        })
+        return rd.from_arrow(rows).repartition(3)
+
+    def test_scores_match_brute_force(self, ray_session):
+        from crawlray.pipelines.textops import bm25_topk_ds
+
+        out = bm25_topk_ds(self._docs(), ["join", "vector"], k=10).to_pandas()
+        # brute-force the documented rational-BM25 by hand
+        N, L = 5, 11          # null counts toward N, not L
+        docs = {1: {"join": 2, "_dl": 3}, 2: {"join": 1, "_dl": 4},
+                4: {"join": 1, "vector": 1, "_dl": 2}}
+        df = {"join": 3, "vector": 1}
+        exp = {}
+        for d, tfs in docs.items():
+            s = 0.0
+            for t in sorted(["join", "vector"]):
+                tf = tfs.get(t, 0)
+                if tf:
+                    w = float(20 * tf * L) / float(8 * L * tf + 3 * L
+                                                   + 9 * tfs["_dl"] * N)
+                    s += w * (float(2 * N + 1) / float(2 * df[t] + 1))
+            exp[d] = s
+        got = dict(zip(out["doc_id"], out["score"]))
+        assert got == exp                      # bit-exact, incl. order of sums
+        # ranking: doc 4 (both terms, short) must outrank the rest
+        assert list(out["doc_id"])[0] == 4
+
+    def test_topk_prune_parity(self, ray_session):
+        # per-batch prune must not change the exact global top-k
+        from crawlray.pipelines.textops import bm25_topk_ds
+
+        t = pa.table({
+            "doc_id": pa.array(range(200), pa.int64()),
+            "text": pa.array(["join " * (i % 7 + 1) + "pad " * (i % 13)
+                              for i in range(200)], pa.string()),
+        })
+        ds = rd.from_arrow(t).repartition(8)
+        a = bm25_topk_ds(ds, ["join"], k=5).to_pandas()
+        b = bm25_topk_ds(ds, ["join"], k=5, per_batch_prune=False).to_pandas()
+        assert list(a["doc_id"]) == list(b["doc_id"])
+        assert list(a["score"]) == list(b["score"])
+        assert len(a) == 5
