@@ -2268,6 +2268,84 @@ SELECT u AS url, min(d)::BIGINT AS depth FROM walk GROUP BY u
 """
 
 
+def q_anchor_index(sf_dir: str):
+    """Anchor-text index — the classic web-search aggregation: for every
+    link TARGET, the inlink count and the sorted distinct anchor texts
+    pointing at it (how search engines describe a page by what OTHERS
+    call it; generalizes the reference's link metadata,
+    ``backend/crawler/link_extractor.py:70-90``, from per-page rows to a
+    corpus-wide inverted view). Plan: per-batch distinct
+    (url, src, anchor) triples (zero shuffle, bounds the exchange), then
+    ONE hash exchange by target url (``relational.bucketed_reduce``);
+    the string_agg runs once per bucket over complete groups."""
+    from .htmlx import parse_document
+    from .pipelines.relational import bucketed_reduce
+    from .synth import World
+
+    cfg = _crawl_cfg(sf_dir)
+    world = World(cfg.world)
+    urls = [world.url(i % cfg.world.n_hosts, i // cfg.world.n_hosts)
+            for i in range(min(PAGERANK_N_URLS, cfg.world.n_urls))]
+    seeds = rd.from_items([{"url": u} for u in urls], override_num_blocks=8)
+
+    def edges(t: pa.Table) -> pa.Table:
+        src, dst, anch = [], [], []
+        for u in t["url"].to_pylist():
+            for link in parse_document(world.gen_page(u), u).links:
+                src.append(u)
+                dst.append(link.url)
+                anch.append(link.text)
+        e = pa.table({"url": pa.array(dst, pa.string()),
+                      "src": pa.array(src, pa.string()),
+                      "anchor": pa.array(anch, pa.string())})
+        return e.group_by(["url", "src", "anchor"]).aggregate([])
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if not len(df):
+            return pa.table({"url": pa.nulls(0, pa.string()),
+                             "n_inlinks": pa.nulls(0, pa.int64()),
+                             "anchors": pa.nulls(0, pa.string())})
+        g = df.groupby("url", sort=False).agg(
+            n_inlinks=("src", "size"),
+            anchors=("anchor", lambda s: "|".join(sorted(set(s)))),
+        ).reset_index()
+        return pa.table({"url": pa.array(g["url"], pa.string()),
+                         "n_inlinks": pa.array(g["n_inlinks"], pa.int64()),
+                         "anchors": pa.array(g["anchors"], pa.string())})
+
+    e = seeds.map_batches(edges, batch_format="pyarrow")
+    return bucketed_reduce(e, "url", bucket_fn, n_buckets=8)
+
+
+@functools.lru_cache(maxsize=1)
+def _anchor_index_sql() -> str:
+    """Sequential restatement: the same page kernel's (src, url, anchor)
+    triples as a VALUES literal (the crawl-family oracle pattern), the
+    aggregation itself in plain SQL."""
+    from .htmlx import parse_document
+    from .synth import World
+
+    cfg = _crawl_cfg(_ORACLE_SF_DIR)
+    world = World(cfg.world)
+    urls = [world.url(i % cfg.world.n_hosts, i // cfg.world.n_hosts)
+            for i in range(min(PAGERANK_N_URLS, cfg.world.n_urls))]
+    rows = set()
+    for u in urls:
+        for link in parse_document(world.gen_page(u), u).links:
+            rows.add((u, link.url, link.text))
+    lits = ",\n".join(f"({_sql_str(s)}, {_sql_str(d)}, {_sql_str(a)})"
+                      for s, d, a in sorted(rows))
+    return f"""
+WITH e(src, url, anchor) AS (VALUES
+{lits}
+)
+SELECT url, count(*)::BIGINT AS n_inlinks,
+       string_agg(DISTINCT anchor, '|' ORDER BY anchor) AS anchors
+FROM e GROUP BY url
+"""
+
+
 def _lpm_rules(sf_dir: str) -> dict[str, str]:
     """Robots-style prefix rules over the synth world's hosts, three
     tiers so longest-match is genuinely exercised: a global catch-all,
@@ -4704,6 +4782,7 @@ def catalog():
         "bfs_depths": (q_bfs_depths, _bfs_depths_sql()),
         "kmeans_clusters": (q_kmeans_clusters, _kmeans_sql()),
         "robots_lpm": (q_robots_lpm, _robots_lpm_sql()),
+        "anchor_index": (q_anchor_index, _anchor_index_sql()),
         "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
         "bm25_topk": (q_bm25_topk, _bm25_sql()),
         "embedding_clusters": (q_embedding_clusters, _embedding_clusters_sql()),
