@@ -117,6 +117,57 @@ ORDER BY ts DESC, event_id DESC LIMIT 100
 """
 
 
+def q_new_users_daily(sf_dir: str):
+    """New-vs-cumulative users per day — first-touch attribution: each
+    user's first-seen day, the per-day count of first-sightings, and the
+    running cumulative distinct-user total. Plan: per-batch partial
+    min(ts) per user (bounds the exchange at O(blocks x users-per-batch)
+    rows), ONE hash exchange by user (``bucketed_reduce``) folding
+    partial mins and emitting <= |days| (day, new_users) partial rows
+    per bucket, then a single O(days) final task for the sum + running
+    cumulative (days are bounded — 10^3-ish — regardless of row scale).
+    NULL user_ids are excluded (COUNT over users semantics)."""
+    from .pipelines.relational import bucketed_reduce
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["user_id"]))
+        g = t.group_by(["user_id"]).aggregate([("ts", "min")])
+        return g.rename_columns(["user_id", "ft"])
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        f = t.group_by(["user_id"]).aggregate([("ft", "min")])
+        days = pc.strftime(f["ft_min"], format="%Y-%m-%d")
+        vc = days.to_pandas().value_counts()
+        return pa.table({"day": pa.array(vc.index, pa.string()),
+                         "new_users": pa.array(vc.to_numpy(), pa.int64())})
+
+    def final(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas().groupby("day", sort=True)["new_users"]
+              .sum().reset_index())
+        return pa.table({
+            "day": pa.array(df["day"], pa.string()),
+            "new_users": pa.array(df["new_users"], pa.int64()),
+            "cum_users": pa.array(df["new_users"].cumsum(), pa.int64()),
+        })
+
+    p = ds.map_batches(partial, batch_format="pyarrow")
+    small = bucketed_reduce(p, "user_id", bucket_fn, n_buckets=8)
+    return small.repartition(1).map_batches(final, batch_format="pyarrow")
+
+
+SQL_NEW_USERS_DAILY = """
+WITH f AS (SELECT user_id, min(ts) AS ft FROM events
+           WHERE user_id IS NOT NULL GROUP BY 1),
+d AS (SELECT strftime(ft, '%Y-%m-%d') AS day, count(*)::BIGINT AS new_users
+      FROM f GROUP BY 1)
+SELECT day, new_users,
+       sum(new_users) OVER (ORDER BY day)::BIGINT AS cum_users
+FROM d
+"""
+
+
 def q_event_rollup(sf_dir: str):
     """A3 analog: global per-type rollup (count + exact cent sums)."""
     ds = _read(sf_dir, "events", ["event_type", "value"])
@@ -4737,6 +4788,7 @@ def catalog():
         "source_stats": (q_source_stats, SQL_SOURCE_STATS),
         "top_langs": (q_top_langs, SQL_TOP_LANGS),
         "recent_events": (q_recent_events, SQL_RECENT_EVENTS),
+        "new_users_daily": (q_new_users_daily, SQL_NEW_USERS_DAILY),
         "event_rollup": (q_event_rollup, SQL_EVENT_ROLLUP),
         "hourly_windows": (q_hourly_windows, SQL_HOURLY_WINDOWS),
         "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
