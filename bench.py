@@ -106,6 +106,10 @@ BENCH_QUERIES = [
     "distinct_users",
     "trimmed_stats",
     "top_orders",
+    "bm25_topk",
+    "new_users_daily",
+    "robots_lpm",
+    "anchor_index",
 ]
 
 

@@ -603,6 +603,116 @@ GROUP BY o.o_orderpriority
 """
 
 
+def q_regional_revenue(sf_dir: str):
+    """TPC-H Q5 shape — the canonical 6-table star plan, and the proof
+    the join planner composes: customer / supplier / nation / region are
+    DIMENSIONS (broadcast once via ``ray.put``, probed per batch — never
+    shuffled), so the ONE real exchange is orders x lineitem bucketed on
+    the order key. The Q5 twist — revenue only counts when the customer
+    and the line's supplier share a nation — becomes a vectorized
+    equality filter AFTER the join, over two broadcast-mapped nation
+    columns. Per-block partial aggregation bounds what leaves each
+    bucket at <= |nations| rows; revenue in exact centicents."""
+    import ray
+
+    from .pipelines.relational import bucketed_hash_join
+
+    lo = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"), pa.timestamp("us"))
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    asia = int(region.loc[region["r_name"] == "ASIA", "r_regionkey"].iloc[0])
+    asia_nations = nation[nation["n_regionkey"] == asia]
+    n2name = dict(zip(asia_nations["n_nationkey"], asia_nations["n_name"]))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    ref = ray.put((dict(zip(cust["c_custkey"], cust["c_nationkey"])),
+                   dict(zip(supp["s_suppkey"], supp["s_nationkey"])),
+                   n2name))
+
+    class OrdersPrep:
+        def __init__(self):
+            self.c2n, _, self.n2name = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                                 pc.less(t["o_orderdate"], hi)))
+            df = t.to_pandas()
+            cn = df["o_custkey"].map(self.c2n)
+            keep = cn.isin(self.n2name.keys()).to_numpy()
+            return pa.table({
+                "o_orderkey": pa.array(df["o_orderkey"][keep], pa.int64()),
+                "c_nat": pa.array(cn[keep].astype("int64"), pa.int64()),
+            })
+
+    class ItemsPrep:
+        def __init__(self):
+            _, self.s2n, self.n2name = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            sn = df["l_suppkey"].map(self.s2n)
+            keep = sn.isin(self.n2name.keys()).to_numpy()
+            df = df[keep]
+            rev = ((df["l_extendedprice"] * 100).round().astype("int64")
+                   * (100 - (df["l_discount"] * 100).round().astype("int64")))
+            return pa.table({
+                "o_orderkey": pa.array(df["l_orderkey"], pa.int64()),
+                "s_nat": pa.array(sn[keep].astype("int64"), pa.int64()),
+                "rev_centicents": pa.array(rev, pa.int64()),
+            })
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey",
+                                       "l_extendedprice", "l_discount"])
+    joined = bucketed_hash_join(
+        orders.map_batches(OrdersPrep, batch_format="pyarrow", concurrency=2),
+        items.map_batches(ItemsPrep, batch_format="pyarrow", concurrency=2),
+        "o_orderkey", n_buckets=16)
+
+    class BlockPartial:
+        def __init__(self):
+            _, _, self.n2name = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["c_nat"], t["s_nat"]))
+            g = (t.select(["c_nat", "rev_centicents"])
+                 .group_by(["c_nat"]).aggregate([("rev_centicents", "sum")]))
+            return pa.table({
+                "n_name": pa.array([self.n2name[k] for k in
+                                    g["c_nat"].to_pylist()], pa.string()),
+                "rev_centicents": g["rev_centicents_sum"].cast(pa.int64()),
+            })
+
+    part = joined.map_batches(BlockPartial, batch_format="pyarrow",
+                              batch_size=None, concurrency=2)
+    final = part.groupby("n_name").aggregate(
+        Sum("rev_centicents", alias_name="rev_centicents"))
+    return final.sort(["rev_centicents", "n_name"], descending=[True, False])
+
+
+SQL_REGIONAL_REVENUE = """
+SELECT n.n_name,
+       sum((CAST(round(l.l_extendedprice * 100) AS BIGINT))
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT
+         AS rev_centicents
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+               AND s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= DATE '1997-01-01'
+  AND o.o_orderdate <  DATE '1998-01-01'
+GROUP BY n.n_name
+ORDER BY rev_centicents DESC, n.n_name
+"""
+
+
 def q_top_orders(sf_dir: str):
     """TPC-H Q3 shape — the canonical 3-table plan: (1) the BUILDING
     customer keys never join, they REDUCE — a bloom-gated
@@ -4805,6 +4915,7 @@ def catalog():
         "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
         "order_priority_revenue": (q_order_priority_revenue, SQL_ORDER_PRIORITY_REVENUE),
         "top_orders": (q_top_orders, SQL_TOP_ORDERS),
+        "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
         "daily_top_event": (q_daily_top_event, SQL_DAILY_TOP_EVENT),
         "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
         "running_sum": (q_running_sum, SQL_RUNNING_SUM),
