@@ -1876,6 +1876,93 @@ def q_lang_id(sf_dir: str):
     )
 
 
+TERMS_PER_LANG_K = 3
+
+
+def q_top_terms_per_lang(sf_dir: str):
+    """Per-language top-k most frequent terms — grouped EXACT heavy
+    hitters, the per-group counterpart of ``heavy_hitters`` (corpus
+    vocabulary reporting per language stratum). One fused per-batch
+    stage predicts the language (the ``LangId`` heuristic) AND emits
+    partial (lang, term, count) rows for the SAME rows — no join; then
+    ONE hash exchange by term (``bucketed_reduce``: every (lang, term)
+    pair completes in one bucket, hot languages spread across buckets
+    because the TERM is the salt), then ``grouped_topk`` over the tiny
+    exact-count table (<= k rows per (batch, group) shuffle)."""
+    from .pipelines.relational import bucketed_reduce, grouped_topk
+    from .pipelines.textops import LangId
+
+    class TermsByLang(LangId):
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            pred = super().__call__(batch)
+            lang = dict(zip(pred["doc_id"], pred["lang_pred"]))
+            ex = pd.DataFrame({
+                "doc_id": batch["doc_id"].to_numpy(),
+                "term": batch["text"].str.split().to_numpy(),
+            }).explode("term").dropna(subset=["term"])
+            if ex.empty:
+                return pd.DataFrame({"lang": pd.array([], dtype="string"),
+                                     "term": pd.array([], dtype="string"),
+                                     "n": pd.array([], dtype="int64")})
+            ex["lang"] = ex["doc_id"].map(lang)
+            return (ex.groupby(["lang", "term"], sort=False).size()
+                    .rename("n").reset_index()[["lang", "term", "n"]])
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "term"]).aggregate([("n", "sum")])
+        return pa.table({"lang": g["lang"], "term": g["term"],
+                         "n": g["n_sum"].cast(pa.int64())})
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    partials = docs.map_batches(TermsByLang, batch_format="pandas",
+                                concurrency=2)
+    counts = bucketed_reduce(partials, "term", bucket_fn, n_buckets=8)
+    return grouped_topk(counts, ["lang"], "n", "term", k=TERMS_PER_LANG_K)
+
+
+def _top_terms_per_lang_sql() -> str:
+    from .pipelines.textops import STOPWORDS
+
+    values = ", ".join(
+        f"('{w}', '{lang}')"
+        for lang, ws in sorted(STOPWORDS.items())
+        for w in sorted(ws)
+    )
+    return f"""
+WITH stop(word, lang) AS (VALUES {values}),
+w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+  FROM documents WHERE trim(text) <> ''
+),
+hits AS (
+  SELECT w.doc_id, s.lang, count(*)::BIGINT AS n
+  FROM w JOIN stop s ON w.word = s.word
+  GROUP BY w.doc_id, s.lang
+),
+best AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, lang) AS rn
+  FROM hits
+),
+lang AS (
+  SELECT d.doc_id, coalesce(b.lang, 'und') AS lang
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b USING (doc_id)
+),
+tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+),
+cnt AS (
+  SELECT l.lang, t.term, count(*)::BIGINT AS n
+  FROM tok t JOIN lang l USING (doc_id) GROUP BY 1, 2
+)
+SELECT lang, term, n FROM cnt
+QUALIFY row_number() OVER (PARTITION BY lang
+                           ORDER BY n DESC, term) <= {TERMS_PER_LANG_K}
+"""
+
+
 def _lang_id_sql() -> str:
     from .pipelines.textops import STOPWORDS
 
@@ -4922,6 +5009,7 @@ def catalog():
         "sessions": (q_sessions, SQL_SESSIONS),
         "simhash": (q_simhash, SQL_SIMHASH),
         "lang_id": (q_lang_id, SQL_LANG_ID),
+        "top_terms_per_lang": (q_top_terms_per_lang, _top_terms_per_lang_sql()),
         "bpe_tokens": (q_bpe_tokens, SQL_BPE_TOKENS),
         "ann_ivf_exhaustive": (q_ann_ivf_exhaustive, SQL_ANN_COSINE),
         "minhash_dedup": (q_minhash_dedup, SQL_MINHASH_DEDUP),
