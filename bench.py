@@ -110,6 +110,9 @@ BENCH_QUERIES = [
     "new_users_daily",
     "robots_lpm",
     "anchor_index",
+    "regional_revenue",
+    "top_terms_per_lang",
+    "image_phash_dups",
 ]
 
 

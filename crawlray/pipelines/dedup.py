@@ -840,14 +840,25 @@ def simhash_near_dups(
     intra-bucket pairs are emitted and verified (complete for buckets up
     to ``max_bucket``; larger hash-degenerate buckets degrade to
     connectivity-only star pairing, see :func:`_ham_pairs`).
+    The banding/pairing machinery is :func:`banded_hamming_pairs`
+    (shared with the image perceptual-hash near-dup path)."""
+    sigs = docs.map_batches(SimHasher, batch_format="pandas", batch_size=1024, concurrency=(2, 12), num_cpus=1)
+    return banded_hamming_pairs(sigs, max_hamming, max_bucket)
+
+
+def banded_hamming_pairs(
+    sigs: rd.Dataset, max_hamming: int = 3, max_bucket: int = 2048
+) -> rd.Dataset:
+    """Banding + Hamming verify over ANY 64-bit signature dataset with
+    columns (doc_id:int64, simhash:int64, sh_band0..3:int64) — the
+    signature-agnostic core under :func:`simhash_near_dups` (text) and
+    ``media.PHasher`` (image dHash).
 
     One melt pass -> ONE ``groupby`` over (band_id, band_key) with the
     Hamming verify vectorized inside each bucket task -> distributed
     sort+keep-first pair dedup. Nothing funnels through the driver.
     """
     from ..util import keep_first_sorted
-
-    sigs = docs.map_batches(SimHasher, batch_format="pandas", batch_size=1024, concurrency=(2, 12), num_cpus=1)
 
     def melt(df: pd.DataFrame) -> pd.DataFrame:
         frames = [

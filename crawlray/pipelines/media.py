@@ -145,6 +145,86 @@ class MediaDecoder:
             .append_column("feature", pa.array(feats, pa.string()))
 
 
+PHASH_ID_MOD = 2305843009213693951     # 2^61 - 1, the md5-upper-8 oracle prime
+
+
+class PHasher:
+    """Perceptual-hash (dHash) stage over image payloads — the image leg
+    of the near-duplicate family: a 64-bit signature whose Hamming
+    distance tracks visual similarity, banded into 4 x 16-bit keys so
+    pairs feed :func:`crawlray.pipelines.dedup.banded_hamming_pairs`
+    unchanged. The real dHash (resize to 9x8 gray, bit = left pixel >
+    right pixel) needs image libs absent from this container, so
+    ``backend='stub'`` raises while ``backend='fake'`` derives the 9x8
+    gray grid deterministically from the payload — and, to make the
+    fake behave like a real corpus (re-encodes/resizes of one source
+    image hash NEAR each other, unrelated images hash far apart), the
+    grid is a per-FAMILY base (family = payload hash mod
+    ``n_families``) with one payload-determined cell perturbation:
+    family members land within Hamming <= 4 of each other, cross-family
+    distances are ~32.
+
+    Output per ok row: doc_id (md5-upper-8 of the media_ref under the
+    ``phash-v1`` salt mod 2^61-1 — the repo's id contract, so a DuckDB
+    oracle can re-derive it), media_ref, simhash (the dHash as int64),
+    sh_band0..3. Failed fetches (null payload) are dropped."""
+
+    def __init__(self, backend: str = "fake", n_families: int = 24,
+                 salt: str = "phash-v1"):
+        assert backend in ("fake", "stub")
+        self.backend = backend
+        self.n_families = n_families
+        self.salt = salt
+
+    def _fake_grid(self, payload: bytes) -> bytes:
+        fam = hashlib.blake2b(payload, digest_size=8, salt=b"phash-fam").digest()
+        f = bytes([fam[0] % self.n_families])
+        base = (hashlib.blake2b(f, digest_size=64, salt=b"phash-base").digest()
+                + hashlib.blake2b(f, digest_size=8, salt=b"phash-tail").digest())
+        grid = bytearray(base)                          # 72 = 9 x 8 cells
+        # one strongly perturbed "re-encode" cell: large delta so the two
+        # adjacent comparisons flip ~half the time -> intra-family pairs
+        # spread over Hamming 0..4 (exercising the verify, and the >3
+        # exclusion) instead of collapsing to 0
+        pos = fam[1] % 72
+        grid[pos] = (grid[pos] + 64 + fam[2] % 128) % 256
+        return bytes(grid)
+
+    @staticmethod
+    def dhash64(grid: bytes) -> int:
+        """dHash: bit r*8+c set iff row-major cell (r, c) > (r, c+1)
+        over a 9-wide, 8-tall gray grid (72 bytes)."""
+        g = np.frombuffer(grid, np.uint8).reshape(8, 9)
+        bits = (g[:, :8] > g[:, 1:]).astype(np.uint64).ravel()
+        return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.backend == "stub":
+            raise NotImplementedError(
+                "real dHash requires PIL/cv2 which are not available; "
+                "use backend='fake' for deterministic plumbing tests"
+            )
+        from ..util import md5_id_bucket
+
+        refs, sigs = [], []
+        for ref, payload in zip(batch["media_ref"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            if not payload:
+                continue
+            refs.append(ref)
+            sigs.append(self.dhash64(self._fake_grid(payload)))
+        sh = np.array(sigs, np.uint64) if sigs else np.empty(0, np.uint64)
+        ids = md5_id_bucket(self.salt, refs, PHASH_ID_MOD)
+        out = {"doc_id": pa.array(ids, pa.int64()),
+               "media_ref": pa.array(refs, pa.string()),
+               "simhash": pa.array(sh.astype(np.int64), pa.int64())}
+        for band in range(4):
+            out[f"sh_band{band}"] = pa.array(
+                ((sh >> np.uint64(band * 16)) & np.uint64(0xFFFF)).astype(np.int64),
+                pa.int64())
+        return pa.table(out)
+
+
 class AudioChunker:
     """Audio chunk/feature stage — the audio leg of the multimodal
     family (image: MediaDecoder, video: VideoFrameSampler): one INPUT

@@ -2167,6 +2167,121 @@ def q_media_pipeline(sf_dir: str):
     )
 
 
+PHASH_MAX_HAMMING = 3
+
+
+def _phash_worklist(sf_dir: str) -> list[str]:
+    """Distinct image media_refs of the media worklist (the same pages
+    q_media_pipeline crawls), sorted — small and driver-known by
+    construction (it is parsed out of the bounded synth page set)."""
+    from .htmlx import parse_document
+    from .pipelines.media import media_refs_from_docs
+    from .stages.parse import build_spans_column
+    from .synth import World
+
+    cfg = _crawl_cfg(sf_dir)
+    world = World(cfg.world)
+    urls = [world.url(i % cfg.world.n_hosts, 0) for i in range(cfg.world.n_hosts)]
+    span_lists, ids = [], []
+    for u in urls:
+        res = parse_document(world.gen_page(u), u)
+        span_lists.append(res.spans)
+        ids.append(u)
+    docs = pa.table({"doc_id": pa.array(ids),
+                     "spans": build_spans_column(span_lists)})
+    return sorted(set(media_refs_from_docs(docs)["media_ref"].to_pylist()))
+
+
+def q_image_phash_dups(sf_dir: str):
+    """Image near-duplicate detection — the IMAGE leg of the near-dup
+    family: media worklist -> fetch actor pool -> perceptual dHash
+    (``media.PHasher``; fake backend simulates re-encode families, real
+    decode is the documented stub) -> the SAME 4x16-bit banding +
+    vectorized Hamming verify as text SimHash
+    (``dedup.banded_hamming_pairs``). Output: (ref_a, ref_b, hamming)
+    for every pair within Hamming <= 3; ids are md5-upper-8 of the ref
+    (the oracle id contract), refs re-attached from the driver-known
+    worklist map."""
+    import ray
+
+    from .pipelines.dedup import banded_hamming_pairs
+    from .pipelines.media import MediaFetcher, PHasher, PHASH_ID_MOD
+    from .util import md5_id_bucket
+
+    refs = _phash_worklist(sf_dir)
+    work = rd.from_arrow(pa.table({"media_ref": pa.array(refs, pa.string())}))
+    fetched = work.map_batches(MediaFetcher, batch_format="pyarrow",
+                               batch_size=64, concurrency=2)
+    sigs = fetched.map_batches(PHasher, batch_format="pyarrow",
+                               batch_size=64, concurrency=2)
+    pairs = banded_hamming_pairs(sigs, max_hamming=PHASH_MAX_HAMMING)
+
+    id2ref = dict(zip(md5_id_bucket("phash-v1", refs, PHASH_ID_MOD), refs))
+    ref_map = ray.put(id2ref)
+
+    class AttachRefs:
+        def __init__(self):
+            self.m = ray.get(ref_map)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return pa.table({
+                "ref_a": pa.array([self.m[i] for i in t["a"].to_pylist()],
+                                  pa.string()),
+                "ref_b": pa.array([self.m[i] for i in t["b"].to_pylist()],
+                                  pa.string()),
+                "hamming": t["hamming"].combine_chunks().cast(pa.int64()),
+            })
+
+    return pairs.map_batches(AttachRefs, batch_format="pyarrow",
+                             concurrency=2)
+
+
+@functools.lru_cache(maxsize=1)
+def _image_phash_sql() -> str:
+    """The banding + Hamming verify RESTATED IN SQL (band extraction,
+    band-equality candidate join, xor/bit_count verify, id derivation
+    from the ref via md5_number_upper — all real SQL); only the dHash
+    signatures are sequential literals (the fake decode is blake2b,
+    which SQL cannot express — same footing as the media/crawl-family
+    oracles)."""
+    from .pipelines.media import MediaFetcher, PHasher
+
+    refs = _phash_worklist(_ORACLE_SF_DIR)
+    fetch, ph = MediaFetcher(), PHasher()
+    rows = []
+    for r in refs:
+        payload = fetch._bytes_for(r)
+        if payload is None:
+            continue
+        sig = ph.dhash64(ph._fake_grid(payload))
+        sig64 = sig - (1 << 64) if sig >= (1 << 63) else sig
+        rows.append(f"({_sql_str(r)}, {sig64})")
+    lits = ",\n".join(rows)
+    return f"""
+WITH s(ref, sig) AS (VALUES
+{lits}
+),
+ids AS (
+  SELECT ref, sig,
+         (md5_number_upper('phash-v1:' || ref)::HUGEINT
+          % 2305843009213693951::HUGEINT)::BIGINT AS id
+  FROM s
+),
+b AS (
+  SELECT id, ref, sig, band, (sig >> (band * 16)) & 65535 AS key
+  FROM ids CROSS JOIN (VALUES (0), (1), (2), (3)) t(band)
+),
+cand AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM b x JOIN b y ON x.band = y.band AND x.key = y.key AND x.id < y.id
+)
+SELECT ia.ref AS ref_a, ib.ref AS ref_b,
+       bit_count(xor(ia.sig, ib.sig))::BIGINT AS hamming
+FROM cand JOIN ids ia ON ia.id = cand.a JOIN ids ib ON ib.id = cand.b
+WHERE bit_count(xor(ia.sig, ib.sig)) <= {PHASH_MAX_HAMMING}
+"""
+
+
 def _media_expected_table() -> pa.Table:
     """SEQUENTIAL (single-process, no Ray) application of the exact
     kernels q_media_pipeline distributes, at the driver's correctness
@@ -5016,6 +5131,7 @@ def catalog():
         "minhash_clusters": (q_minhash_clusters, SQL_MINHASH_CLUSTERS),
         "embedding_lsh_dups": (q_embedding_lsh_dups, SQL_EMBEDDING_LSH_DUPS),
         "media_pipeline": (q_media_pipeline, _media_sql()),
+        "image_phash_dups": (q_image_phash_dups, _image_phash_sql()),
         "asof_last_view": (q_asof_last_view, SQL_ASOF_LAST_VIEW),
         "sliding_windows": (q_sliding_windows, SQL_SLIDING_WINDOWS),
         "repetition": (q_repetition, SQL_REPETITION),

@@ -4,6 +4,7 @@ The robots_lpm query is covered by the parameterized oracle gate in
 test_queries.py; this file pins the operator-level contract.
 """
 
+import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
@@ -117,3 +118,66 @@ class TestBM25:
         assert list(a["doc_id"]) == list(b["doc_id"])
         assert list(a["score"]) == list(b["score"])
         assert len(a) == 5
+
+
+class TestPHash:
+    def test_dhash_bit_semantics(self):
+        from crawlray.pipelines.media import PHasher
+
+        # strictly increasing grid -> every left<right -> no bits set
+        assert PHasher.dhash64(bytes(range(72))) == 0
+        # strictly decreasing -> every bit set
+        assert PHasher.dhash64(bytes(range(255, 255 - 72, -1))) == (1 << 64) - 1
+
+    def test_stub_raises_and_fake_deterministic(self, ray_session):
+        import pyarrow as pa
+        import pytest as _pytest
+
+        from crawlray.pipelines.media import PHasher
+
+        batch = pa.table({"media_ref": pa.array(["a.png"], pa.string()),
+                          "payload": pa.array([b"xyz"], pa.binary())})
+        with _pytest.raises(NotImplementedError):
+            PHasher(backend="stub")(batch)
+        t1, t2 = PHasher()(batch), PHasher()(batch)
+        assert t1.equals(t2)
+        sig = np.uint64(t1["simhash"][0].as_py())
+        for band in range(4):
+            assert t1[f"sh_band{band}"][0].as_py() == int(
+                (sig >> np.uint64(band * 16)) & np.uint64(0xFFFF))
+
+    def test_null_payload_dropped(self, ray_session):
+        import pyarrow as pa
+
+        from crawlray.pipelines.media import PHasher
+
+        batch = pa.table({"media_ref": pa.array(["a", "b"], pa.string()),
+                          "payload": pa.array([None, b"ok"], pa.binary())})
+        out = PHasher()(batch)
+        assert out["media_ref"].to_pylist() == ["b"]
+
+    def test_banding_complete_vs_bruteforce(self, ray_session):
+        # the banded pair set == brute-force all-pairs at hamming <= 3
+        import itertools
+
+        from crawlray.pipelines.dedup import banded_hamming_pairs
+        from crawlray.pipelines.media import MediaFetcher, PHasher
+
+        refs = [f"https://x.org/img/{i}.png" for i in range(150)]
+        f, p = MediaFetcher(), PHasher()
+        sigs, ids = {}, {}
+        work = pa.table({"media_ref": pa.array(refs, pa.string())})
+        fetched = f(work)
+        sig_t = p(fetched)
+        ds = rd.from_arrow(sig_t).repartition(5)
+        got = banded_hamming_pairs(ds, max_hamming=3).to_pandas()
+        got_pairs = set(zip(got["a"], got["b"], got["hamming"]))
+        id_arr = sig_t["doc_id"].to_pylist()
+        sg = sig_t["simhash"].to_pylist()
+        exp = set()
+        for (ia, sa), (ib, sb) in itertools.combinations(zip(id_arr, sg), 2):
+            h = bin((sa ^ sb) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                a, b = sorted((ia, ib))
+                exp.add((a, b, h))
+        assert got_pairs == exp and len(exp) > 0
