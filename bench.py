@@ -113,6 +113,11 @@ BENCH_QUERIES = [
     "regional_revenue",
     "top_terms_per_lang",
     "image_phash_dups",
+    "top_bigrams",
+    "weekly_retention",
+    "co_citation",
+    "inverted_index",
+    "degree_histogram",
 ]
 
 

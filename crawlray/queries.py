@@ -1876,6 +1876,193 @@ def q_lang_id(sf_dir: str):
     )
 
 
+POSTINGS_CAP = 10
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted-index construction — the core search-engine build step:
+    per term, its document frequency and the first ``POSTINGS_CAP``
+    postings (sorted doc ids, comma-joined — capped so hot terms emit
+    bounded rows; the full posting list would be a parquet list column
+    in production). Per-batch DISTINCT (term, doc_id) pairs bound the
+    exchange; ONE hash exchange by term (``bucketed_reduce``) completes
+    each term's posting list in a single bucket."""
+    from .pipelines.relational import bucketed_reduce
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.split()
+        ex = pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(),
+                                words.str.len().fillna(0).astype(int)),
+            "term": np.concatenate([w for w in words if w] or [[]]),
+        })
+        return ex.drop_duplicates(["term", "doc_id"])[["term", "doc_id"]]
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates(["term", "doc_id"])
+        if not len(df):
+            return pa.table({"term": pa.nulls(0, pa.string()),
+                             "df": pa.nulls(0, pa.int64()),
+                             "postings": pa.nulls(0, pa.string())})
+        g = (df.sort_values(["term", "doc_id"])
+             .groupby("term", sort=False)["doc_id"]
+             .agg(df_=("size"),
+                  postings=lambda s: ",".join(map(str, s.head(POSTINGS_CAP))))
+             .reset_index())
+        return pa.table({"term": pa.array(g["term"], pa.string()),
+                         "df": pa.array(g["df_"], pa.int64()),
+                         "postings": pa.array(g["postings"], pa.string())})
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    p = docs.map_batches(pairs, batch_format="pandas")
+    return bucketed_reduce(p, "term", bucket_fn, n_buckets=8)
+
+
+SQL_INVERTED_INDEX = f"""
+WITH t AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT term, count(*)::BIGINT AS df,
+       array_to_string((list(doc_id ORDER BY doc_id))[1:{POSTINGS_CAP}], ',')
+         AS postings
+FROM t GROUP BY term
+"""
+
+
+TOP_BIGRAMS_K = 20
+
+
+def q_top_bigrams(sf_dir: str):
+    """Corpus-wide top-k adjacent word bigrams — the co-occurrence
+    counting pre-pass of embedding training (GloVe-style) and phrase
+    mining. Per-batch partial bigram counts (vectorized shift-and-concat,
+    bounded by distinct bigrams per batch), ONE hash exchange by bigram
+    (``bucketed_reduce``), then exact global top-k via per-bucket
+    output + sort-limit (count desc, bigram asc tiebreak)."""
+    from .pipelines.relational import bucketed_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.split()
+        flats = [w for w in words if len(w) >= 2]
+        if not flats:
+            return pd.DataFrame({"bigram": pd.array([], dtype="string"),
+                                 "n": pd.array([], dtype="int64")})
+        lefts, rights = [], []
+        for w in flats:
+            a = np.asarray(w, dtype=object)
+            lefts.append(a[:-1])
+            rights.append(a[1:])
+        bg = pd.Series(np.char.add(np.char.add(
+            np.concatenate(lefts).astype(str), " "),
+            np.concatenate(rights).astype(str)))
+        vc = bg.value_counts()
+        return pd.DataFrame({"bigram": vc.index.astype("string"),
+                             "n": vc.to_numpy().astype("int64")})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        g = t.group_by(["bigram"]).aggregate([("n", "sum")])
+        out = pa.table({"bigram": g["bigram"],
+                        "n": g["n_sum"].cast(pa.int64())})
+        # per-bucket top-k prune: global top-k rows all survive (each
+        # bigram is complete inside its one bucket)
+        df = out.to_pandas().sort_values(
+            ["n", "bigram"], ascending=[False, True]).head(TOP_BIGRAMS_K)
+        return pa.Table.from_pandas(df, preserve_index=False).cast(out.schema)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    p = docs.map_batches(partial, batch_format="pandas")
+    counts = bucketed_reduce(p, "bigram", bucket_fn, n_buckets=8)
+    return counts.sort(["n", "bigram"],
+                       descending=[True, False]).limit(TOP_BIGRAMS_K)
+
+
+SQL_TOP_BIGRAMS = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents WHERE trim(text) <> ''
+),
+b AS (
+  SELECT w[i] || ' ' || w[i + 1] AS bigram
+  FROM t, unnest(generate_series(1, len(w) - 1)) AS g(i)
+  WHERE len(w) >= 2
+)
+SELECT bigram, count(*)::BIGINT AS n FROM b GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT {TOP_BIGRAMS_K}
+"""
+
+
+def q_weekly_retention(sf_dir: str):
+    """Cohort retention matrix — the canonical growth-analytics query:
+    users grouped by first-seen WEEK (epoch-week = floor(days-since-
+    1970-01-01 / 7), an exact integer both engines compute identically),
+    and for each (cohort_week, week_offset) the count of cohort users
+    active that week. ONE hash exchange by user (``bucketed_reduce``
+    over per-batch (user, week) distinct partials): each user's whole
+    history lands in one bucket, so first-week and per-offset activity
+    complete locally; only <= |weeks|^2 partial rows per bucket cross to
+    the final O(weeks^2) fold."""
+    from .pipelines.relational import bucketed_reduce
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["user_id"]))
+        days = pc.cast(pc.floor(pc.divide(
+            pc.cast(t["ts"], pa.int64()),
+            pa.scalar(86_400_000_000, pa.int64()))), pa.int64())
+        week = pc.cast(pc.floor(pc.divide(pc.cast(days, pa.float64()),
+                                          pa.scalar(7.0))), pa.int64())
+        pairs = pa.table({"user_id": t["user_id"], "week": week})
+        return pairs.group_by(["user_id", "week"]).aggregate([])
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if not len(df):
+            return pa.table({"cohort_week": pa.nulls(0, pa.int64()),
+                             "week_offset": pa.nulls(0, pa.int64()),
+                             "n_users": pa.nulls(0, pa.int64())})
+        df = df.drop_duplicates(["user_id", "week"])
+        first = df.groupby("user_id")["week"].min().rename("cohort")
+        df = df.join(first, on="user_id")
+        df["week_offset"] = df["week"] - df["cohort"]
+        g = (df.groupby(["cohort", "week_offset"])["user_id"]
+             .nunique().reset_index(name="n_users"))
+        return pa.table({
+            "cohort_week": pa.array(g["cohort"], pa.int64()),
+            "week_offset": pa.array(g["week_offset"], pa.int64()),
+            "n_users": pa.array(g["n_users"], pa.int64()),
+        })
+
+    def final(t: pa.Table) -> pa.Table:
+        g = t.group_by(["cohort_week", "week_offset"]).aggregate(
+            [("n_users", "sum")])
+        return pa.table({
+            "cohort_week": g["cohort_week"],
+            "week_offset": g["week_offset"],
+            "n_users": g["n_users_sum"].cast(pa.int64()),
+        })
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    p = ds.map_batches(partial, batch_format="pyarrow")
+    small = bucketed_reduce(p, "user_id", bucket_fn, n_buckets=8)
+    return small.repartition(1).map_batches(final, batch_format="pyarrow")
+
+
+SQL_WEEKLY_RETENTION = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         (date_diff('day', DATE '1970-01-01', ts::DATE) // 7)::BIGINT AS week
+  FROM events WHERE user_id IS NOT NULL
+),
+f AS (SELECT user_id, min(week) AS cohort FROM uw GROUP BY 1)
+SELECT f.cohort::BIGINT AS cohort_week,
+       (uw.week - f.cohort)::BIGINT AS week_offset,
+       count(DISTINCT uw.user_id)::BIGINT AS n_users
+FROM uw JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 TERMS_PER_LANG_K = 3
 
 
@@ -2706,6 +2893,172 @@ WITH e(src, url, anchor) AS (VALUES
 SELECT url, count(*)::BIGINT AS n_inlinks,
        string_agg(DISTINCT anchor, '|' ORDER BY anchor) AS anchors
 FROM e GROUP BY url
+"""
+
+
+def q_degree_histogram(sf_dir: str):
+    """Degree distribution of the outlink graph — the first diagnostic
+    of web-graph shape (power-law check, hub detection): for each
+    direction (out = per src, in = per dst), how many nodes have each
+    degree. Two bounded reductions: per-batch (node, partial-degree)
+    counts, ONE exchange by node (``bucketed_reduce``, both directions
+    melted through the same exchange with a direction tag), then the
+    degree histogram folds to O(distinct degrees) rows."""
+    from .pipelines.relational import bucketed_reduce
+    from .htmlx import parse_document
+    from .synth import World
+
+    cfg = _crawl_cfg(sf_dir)
+    world = World(cfg.world)
+    urls = [world.url(i % cfg.world.n_hosts, i // cfg.world.n_hosts)
+            for i in range(min(PAGERANK_N_URLS, cfg.world.n_urls))]
+    seeds = rd.from_items([{"url": u} for u in urls], override_num_blocks=8)
+
+    def melt_edges(t: pa.Table) -> pa.Table:
+        dirs, nodes = [], []
+        for u in t["url"].to_pylist():
+            for link in parse_document(world.gen_page(u), u).links:
+                dirs.append("out")
+                nodes.append(u)
+                dirs.append("in")
+                nodes.append(link.url)
+        e = pa.table({"node": pa.array(nodes, pa.string()),
+                      "direction": pa.array(dirs, pa.string()),
+                      "n": pa.array(np.ones(len(nodes), np.int64))})
+        g = e.group_by(["node", "direction"]).aggregate([("n", "sum")])
+        return g.rename_columns(["node", "direction", "n"])
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        g = t.group_by(["node", "direction"]).aggregate([("n", "sum")])
+        h = (pa.table({"direction": g["direction"],
+                       "degree": g["n_sum"].cast(pa.int64()),
+                       "one": pa.array(np.ones(g.num_rows, np.int64))})
+             .group_by(["direction", "degree"]).aggregate([("one", "sum")]))
+        return h.rename_columns(["direction", "degree", "n_nodes"])
+
+    def final(t: pa.Table) -> pa.Table:
+        g = t.group_by(["direction", "degree"]).aggregate([("n_nodes", "sum")])
+        return pa.table({"direction": g["direction"],
+                         "degree": g["degree"],
+                         "n_nodes": g["n_nodes_sum"].cast(pa.int64())})
+
+    e = seeds.map_batches(melt_edges, batch_format="pyarrow")
+    per_node = bucketed_reduce(e, "node", bucket_fn, n_buckets=8)
+    return per_node.repartition(1).map_batches(final, batch_format="pyarrow")
+
+
+@functools.lru_cache(maxsize=1)
+def _degree_histogram_sql() -> str:
+    src, dst = _pagerank_edge_lists(_ORACLE_SF_DIR)
+    lits = ",\n".join(f"({_sql_str(s)}, {_sql_str(d)})"
+                      for s, d in zip(src, dst))
+    return f"""
+WITH e(src, dst) AS (VALUES
+{lits}
+),
+deg AS (
+  SELECT 'out' AS direction, src AS node, count(*)::BIGINT AS degree
+  FROM e GROUP BY 1, 2
+  UNION ALL
+  SELECT 'in', dst, count(*)::BIGINT FROM e GROUP BY 1, 2
+)
+SELECT direction, degree, count(*)::BIGINT AS n_nodes
+FROM deg GROUP BY 1, 2
+"""
+
+
+CO_CITE_MIN_SHARED = 2
+
+
+def q_co_citation(sf_dir: str):
+    """Related pages by co-citation — pairs of source pages that link to
+    >= 2 common targets (the classic link-based similarity signal,
+    Small 1973 / the "related:" operator): a self-join of the outlink
+    graph on the TARGET. Distributed shape: ONE exchange of (dst, src)
+    edges by dst (``bucketed_reduce``); inside each bucket every dst's
+    sorted src list fans out to its src-pairs VECTORIZED (triu indices
+    per dst segment, no per-edge Python), emitting (a, b) partial pair
+    counts; a second tiny exchange by pair-hash sums counts and applies
+    the >= min_shared filter. Hub targets are the documented skew: pair
+    fan-out is O(indegree^2), so production would cap/star hot dsts
+    (``dedup._ham_pairs`` precedent) — the synth mini-web's max indegree
+    is bounded and exact here."""
+    from .htmlx import parse_document
+    from .pipelines.relational import bucketed_reduce
+    from .synth import World
+
+    cfg = _crawl_cfg(sf_dir)
+    world = World(cfg.world)
+    urls = [world.url(i % cfg.world.n_hosts, i // cfg.world.n_hosts)
+            for i in range(min(PAGERANK_N_URLS, cfg.world.n_urls))]
+    seeds = rd.from_items([{"url": u} for u in urls], override_num_blocks=8)
+
+    def edges(t: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for u in t["url"].to_pylist():
+            for link in parse_document(world.gen_page(u), u).links:
+                src.append(u)
+                dst.append(link.url)
+        return pa.table({"dst": pa.array(dst, pa.string()),
+                         "src": pa.array(src, pa.string())})
+
+    def pair_fanout(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates(["dst", "src"])
+        if not len(df):
+            return pa.table({"a": pa.nulls(0, pa.string()),
+                             "b": pa.nulls(0, pa.string()),
+                             "n": pa.nulls(0, pa.int64())})
+        df = df.sort_values(["dst", "src"], kind="stable")
+        dst = df["dst"].to_numpy()
+        src = df["src"].to_numpy()
+        seg_starts = np.r_[0, np.flatnonzero(dst[1:] != dst[:-1]) + 1]
+        seg_lens = np.diff(np.r_[seg_starts, len(dst)])
+        aa, bb = [], []
+        for s, l in zip(seg_starts, seg_lens):
+            if l < 2:
+                continue
+            ii, jj = np.triu_indices(l, 1)
+            aa.append(src[s + ii])
+            bb.append(src[s + jj])
+        if not aa:
+            return pa.table({"a": pa.nulls(0, pa.string()),
+                             "b": pa.nulls(0, pa.string()),
+                             "n": pa.nulls(0, pa.int64())})
+        pairs = pd.DataFrame({"a": np.concatenate(aa),
+                              "b": np.concatenate(bb)})
+        g = pairs.groupby(["a", "b"], sort=False).size().rename("n").reset_index()
+        return pa.table({"a": pa.array(g["a"], pa.string()),
+                         "b": pa.array(g["b"], pa.string()),
+                         "n": pa.array(g["n"], pa.int64())})
+
+    def pair_sum(t: pa.Table) -> pa.Table:
+        g = t.group_by(["a", "b"]).aggregate([("n", "sum")])
+        out = pa.table({"a": g["a"], "b": g["b"],
+                        "n": g["n_sum"].cast(pa.int64())})
+        return out.filter(pc.greater_equal(out["n"],
+                                           pa.scalar(CO_CITE_MIN_SHARED,
+                                                     pa.int64())))
+
+    e = seeds.map_batches(edges, batch_format="pyarrow")
+    pairs = bucketed_reduce(e, "dst", pair_fanout, n_buckets=8)
+    return bucketed_reduce(pairs, "a", pair_sum, n_buckets=8)
+
+
+@functools.lru_cache(maxsize=1)
+def _co_citation_sql() -> str:
+    """Edges as VALUES literals (the crawl-family pattern); the
+    self-join + pair count + HAVING all real SQL."""
+    src, dst = _pagerank_edge_lists(_ORACLE_SF_DIR)
+    rows = sorted(set(zip(src, dst)))
+    lits = ",\n".join(f"({_sql_str(s)}, {_sql_str(d)})" for s, d in rows)
+    return f"""
+WITH e(src, dst) AS (VALUES
+{lits}
+)
+SELECT x.src AS a, y.src AS b, count(*)::BIGINT AS n
+FROM e x JOIN e y ON x.dst = y.dst AND x.src < y.src
+GROUP BY 1, 2
+HAVING count(*) >= {CO_CITE_MIN_SHARED}
 """
 
 
@@ -5150,6 +5503,8 @@ def catalog():
         "kmeans_clusters": (q_kmeans_clusters, _kmeans_sql()),
         "robots_lpm": (q_robots_lpm, _robots_lpm_sql()),
         "anchor_index": (q_anchor_index, _anchor_index_sql()),
+        "co_citation": (q_co_citation, _co_citation_sql()),
+        "degree_histogram": (q_degree_histogram, _degree_histogram_sql()),
         "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
         "bm25_topk": (q_bm25_topk, _bm25_sql()),
         "embedding_clusters": (q_embedding_clusters, _embedding_clusters_sql()),
@@ -5163,6 +5518,9 @@ def catalog():
         "pii_scan": (q_pii_scan, SQL_PII_SCAN),
         "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
         "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+        "top_bigrams": (q_top_bigrams, SQL_TOP_BIGRAMS),
+        "weekly_retention": (q_weekly_retention, SQL_WEEKLY_RETENTION),
+        "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
         "rolling_sum": (q_rolling_sum, SQL_ROLLING_SUM),
         "urgent_customers": (q_urgent_customers, SQL_URGENT_CUSTOMERS),
         "shared_ngrams": (q_shared_ngrams, SQL_SHARED_NGRAMS),
