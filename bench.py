@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "co_citation",
     "inverted_index",
     "degree_histogram",
+    "host_near_matches",
 ]
 
 

@@ -2896,6 +2896,88 @@ FROM e GROUP BY url
 """
 
 
+def q_host_near_matches(sf_dir: str):
+    """Entity resolution by edit distance — host names within edit
+    distance 1 (typo-squat / alias detection), found WITHOUT the O(n^2)
+    cross join: deletion-neighborhood blocking (the spell-correction
+    identity: ed(a,b) <= 1 iff {a} ∪ del1(a) intersects {b} ∪ del1(b)),
+    so each name emits len+1 block keys, candidates meet in ONE hash
+    exchange by key (``bucketed_reduce``), and only intra-block pairs
+    run the exact verify. The verify is per-candidate Python DP — fine
+    off the hot path because blocking has already collapsed n^2 to the
+    true-near-match neighborhood."""
+    from .pipelines.relational import bucketed_reduce
+    from .synth import World
+    from .util import keep_first_sorted
+
+    hosts = sorted(set(World(_crawl_cfg(sf_dir).world).hosts))
+    ds = rd.from_items([{"name": h} for h in hosts], override_num_blocks=4)
+
+    def block_keys(t: pa.Table) -> pa.Table:
+        keys, names = [], []
+        for s in t["name"].to_pylist():
+            keys.append(s)
+            names.append(s)
+            for i in range(len(s)):
+                keys.append(s[:i] + s[i + 1:])
+                names.append(s)
+        return pa.table({"key": pa.array(keys, pa.string()),
+                         "name": pa.array(names, pa.string())})
+
+    def _ed_le1(a: str, b: str) -> bool:
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:                       # one substitution
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        i = 0                              # one insertion into a
+        while i < la and a[i] == b[i]:
+            i += 1
+        return a[i:] == b[i + 1:]
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates(["key", "name"])
+        aa, bb = [], []
+        for _, g in df.groupby("key", sort=False):
+            names = sorted(set(g["name"]))
+            for i in range(len(names)):
+                for j in range(i + 1, len(names)):
+                    if _ed_le1(names[i], names[j]):
+                        aa.append(names[i])
+                        bb.append(names[j])
+        return pa.table({"a": pa.array(aa, pa.string()),
+                         "b": pa.array(bb, pa.string())})
+
+    k = ds.map_batches(block_keys, batch_format="pyarrow")
+    pairs = bucketed_reduce(k, "key", bucket_pairs, n_buckets=8)
+    # a pair can collide in several blocks -> distributed pair dedup
+    uniq = keep_first_sorted(pairs.sort(["a", "b"]), ["a", "b"])
+    return uniq.map_batches(
+        lambda t: t.append_column("dist", pa.array(np.ones(t.num_rows,
+                                                           np.int64))),
+        batch_format="pyarrow")
+
+
+@functools.lru_cache(maxsize=1)
+def _host_near_matches_sql() -> str:
+    from .synth import World
+
+    hosts = sorted(set(World(_crawl_cfg(_ORACLE_SF_DIR).world).hosts))
+    lits = ",\n".join(f"({_sql_str(h)})" for h in hosts)
+    return f"""
+WITH h(name) AS (VALUES
+{lits}
+)
+SELECT x.name AS a, y.name AS b, 1::BIGINT AS dist
+FROM h x JOIN h y ON x.name < y.name
+WHERE levenshtein(x.name, y.name) <= 1
+"""
+
+
 def q_degree_histogram(sf_dir: str):
     """Degree distribution of the outlink graph — the first diagnostic
     of web-graph shape (power-law check, hub detection): for each
@@ -5505,6 +5587,7 @@ def catalog():
         "anchor_index": (q_anchor_index, _anchor_index_sql()),
         "co_citation": (q_co_citation, _co_citation_sql()),
         "degree_histogram": (q_degree_histogram, _degree_histogram_sql()),
+        "host_near_matches": (q_host_near_matches, _host_near_matches_sql()),
         "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
         "bm25_topk": (q_bm25_topk, _bm25_sql()),
         "embedding_clusters": (q_embedding_clusters, _embedding_clusters_sql()),
