@@ -2896,6 +2896,24 @@ FROM e GROUP BY url
 """
 
 
+def _ed_le1(a: str, b: str) -> bool:
+    """Exact edit-distance <= 1 check (the q_host_near_matches verify
+    kernel; property-tested against a Levenshtein DP)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:                           # one substitution
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0                                  # one insertion into a
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
 def q_host_near_matches(sf_dir: str):
     """Entity resolution by edit distance — host names within edit
     distance 1 (typo-squat / alias detection), found WITHOUT the O(n^2)
@@ -2923,21 +2941,6 @@ def q_host_near_matches(sf_dir: str):
                 names.append(s)
         return pa.table({"key": pa.array(keys, pa.string()),
                          "name": pa.array(names, pa.string())})
-
-    def _ed_le1(a: str, b: str) -> bool:
-        if a == b:
-            return True
-        la, lb = len(a), len(b)
-        if abs(la - lb) > 1:
-            return False
-        if la == lb:                       # one substitution
-            return sum(x != y for x, y in zip(a, b)) <= 1
-        if la > lb:
-            a, b, la, lb = b, a, lb, la
-        i = 0                              # one insertion into a
-        while i < la and a[i] == b[i]:
-            i += 1
-        return a[i:] == b[i + 1:]
 
     def bucket_pairs(t: pa.Table) -> pa.Table:
         df = t.to_pandas().drop_duplicates(["key", "name"])

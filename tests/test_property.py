@@ -223,3 +223,39 @@ def test_count_min_linear_and_overestimates(seed, n):
         est = np.minimum(est, tbl[r, _cm_row_idx(kh, r, w)])
     true = np.array([(vals == k).sum() for k in keys])
     assert (est >= true).all()
+
+
+def _ed_dp(a: str, b: str) -> int:
+    """Reference Levenshtein DP."""
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[n]
+
+
+short_name = st.text(alphabet="abc0", min_size=0, max_size=6)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(short_name, min_size=2, max_size=12, unique=True))
+def test_deletion_blocking_complete_and_verify_exact(names):
+    """The q_host_near_matches kernel contracts: (1) _ed_le1 == DP <= 1
+    on every pair; (2) deletion-neighborhood blocking is COMPLETE at
+    radius 1 — every true pair shares a {s} ∪ del1(s) key."""
+    from crawlray.queries import _ed_le1 as ed_le1
+
+    def dkeys(s):
+        return {s} | {s[:i] + s[i + 1:] for i in range(len(s))}
+
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            a, b = names[i], names[j]
+            truth = _ed_dp(a, b) <= 1
+            assert ed_le1(a, b) == truth, (a, b)
+            if truth:
+                assert dkeys(a) & dkeys(b), (a, b)
