@@ -119,6 +119,9 @@ BENCH_QUERIES = [
     "inverted_index",
     "degree_histogram",
     "host_near_matches",
+    "daily_ohlc",
+    "matched_order_pairs",
+    "unreturned_shipments",
 ]
 
 

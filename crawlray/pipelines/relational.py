@@ -770,8 +770,14 @@ def bucketed_set_op(
     columns. Executes its inputs (an exchange, not a lazy stage)."""
     import ray
 
-    if op not in ("intersect", "except"):
-        raise ValueError(f"op must be 'intersect' or 'except': {op!r}")
+    if op not in ("intersect", "except", "intersect all", "except all"):
+        raise ValueError(
+            f"op must be 'intersect[ all]' or 'except[ all]': {op!r}")
+    bag = op.endswith(" all")   # SQL ALL variants: multiset semantics —
+    # per-row multiplicity = min(cnt_l, cnt_r) (intersect) or
+    # max(cnt_l - cnt_r, 0) (except); the lazy pre-pass keeps per-block
+    # COUNTS instead of collapsing to distinct, counts sum in the bucket
+    base_op = op.split()[0]
 
     types = {}
     for ds in (left, right):
@@ -785,10 +791,12 @@ def bucketed_set_op(
     k_cols = [f"__k_{c}" for c in columns]
     n_cols = [f"__n_{c}" for c in columns]
     enc_cols = k_cols + n_cols
+    out_cols = enc_cols + (["__cnt"] if bag else [])
     empty = pa.table(
         {f"__k_{c}": pa.nulls(0, types[c]) for c in columns}
         | {f"__n_{c}": pa.nulls(0, pa.int8()) for c in columns}
-    ).select(enc_cols)
+        | ({"__cnt": pa.nulls(0, pa.int64())} if bag else {})
+    ).select(out_cols)
 
     def encode_distinct(t: pa.Table) -> pa.Table:
         cols = {}
@@ -797,6 +805,11 @@ def bucketed_set_op(
             cols[f"__k_{c}"] = pc.fill_null(arr, _neutral(types[c]))
             cols[f"__n_{c}"] = pc.is_null(arr).cast(pa.int8())
         enc = pa.table(cols).select(enc_cols)
+        if bag:
+            g = enc.group_by(enc_cols, use_threads=False).aggregate(
+                [([], "count_all")])
+            return pa.table({**{c: g[c] for c in enc_cols},
+                             "__cnt": g["count_all"].cast(pa.int64())})
         return enc.group_by(enc_cols, use_threads=False).aggregate([])
 
     b = n_buckets
@@ -810,6 +823,42 @@ def bucketed_set_op(
             buckets = _bucket_of(t[k_cols[0]], b)
             out = [t.filter(pa.array(buckets == i)) for i in range(b)]
         return out if b > 1 else out[0]
+
+    @ray.remote
+    def setop_bucket_bag(n_l: int, *shards) -> pa.Table:
+        l = pa.concat_tables(shards[:n_l]) if n_l else empty
+        r = pa.concat_tables(shards[n_l:]) if len(shards) > n_l else empty
+
+        def fold(t: pa.Table) -> pa.Table:
+            g = t.group_by(enc_cols, use_threads=False).aggregate(
+                [("__cnt", "sum")])
+            return pa.table({**{c: g[c] for c in enc_cols},
+                             "__cnt": g["__cnt_sum"].cast(pa.int64())})
+
+        l, r = fold(l), fold(r)
+        if base_op == "intersect":
+            j = l.join(r.rename_columns(enc_cols + ["__cnt_r"]),
+                       keys=enc_cols, join_type="inner", use_threads=False)
+            n = np.minimum(j["__cnt"].to_numpy(zero_copy_only=False),
+                           j["__cnt_r"].to_numpy(zero_copy_only=False))
+        else:                               # except all
+            j = l.join(r.rename_columns(enc_cols + ["__cnt_r"]),
+                       keys=enc_cols, join_type="left outer",
+                       use_threads=False)
+            rc = pc.fill_null(j["__cnt_r"].combine_chunks(),
+                              pa.scalar(0, pa.int64())).to_numpy()
+            n = np.maximum(
+                j["__cnt"].to_numpy(zero_copy_only=False) - rc, 0)
+        idx = np.repeat(np.arange(len(n)), n)
+        keep = j.select(enc_cols).take(pa.array(idx, pa.int64()))
+        return pa.table({
+            c: pc.if_else(
+                pc.equal(keep[f"__n_{c}"], pa.scalar(1, pa.int8())),
+                pa.scalar(None, types[c]),
+                keep[f"__k_{c}"],
+            )
+            for c in columns
+        })
 
     @ray.remote
     def setop_bucket(n_l: int, *shards) -> pa.Table:
@@ -850,8 +899,9 @@ def bucketed_set_op(
     r_enc = right.map_batches(encode_distinct, batch_format="pyarrow")
     lsplit = _rows([split.remote(t) for t in l_enc.to_arrow_refs()])
     rsplit = _rows([split.remote(t) for t in r_enc.to_arrow_refs()])
+    bucket_task = setop_bucket_bag if bag else setop_bucket
     out = [
-        setop_bucket.remote(
+        bucket_task.remote(
             len(lsplit),
             *[ls[i] for ls in lsplit],
             *[rs[i] for rs in rsplit],

@@ -117,6 +117,93 @@ ORDER BY ts DESC, event_id DESC LIMIT 100
 """
 
 
+def q_daily_ohlc(sf_dir: str):
+    """Daily OHLC over event values — the first/last-by-time aggregate
+    family (open = value at the lexicographically first (ts, event_id)
+    of the day, close = at the last, high/low = max/min), in exact
+    integer cents. Everything is a MERGEABLE partial: each batch folds
+    to one (day, argmin-triple, argmax-triple, min, max) row, so only
+    O(blocks x days) fixed-width rows reach the final O(days) fold —
+    no shuffle, no per-key co-location needed."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["ts"].notna() & df["value"].notna()]
+        if not len(df):
+            return pa.table({
+                "day": pa.nulls(0, pa.string()),
+                "o_ts": pa.nulls(0, pa.int64()), "o_id": pa.nulls(0, pa.int64()),
+                "open_cents": pa.nulls(0, pa.int64()),
+                "c_ts": pa.nulls(0, pa.int64()), "c_id": pa.nulls(0, pa.int64()),
+                "close_cents": pa.nulls(0, pa.int64()),
+                "low_cents": pa.nulls(0, pa.int64()),
+                "high_cents": pa.nulls(0, pa.int64()),
+            })
+        df = df.assign(
+            day=df["ts"].dt.strftime("%Y-%m-%d"),
+            us=df["ts"].astype("int64"),
+            cents=(df["value"] * 100).round().astype("int64"),
+        ).sort_values(["day", "us", "event_id"], kind="stable")
+        g = df.groupby("day", sort=False)
+        first, last = g.head(1), g.tail(1)
+        mm = g["cents"].agg(["min", "max"]).reset_index()
+        out = first[["day", "us", "event_id", "cents"]].rename(columns={
+            "us": "o_ts", "event_id": "o_id", "cents": "open_cents"})
+        out = out.merge(last[["day", "us", "event_id", "cents"]].rename(
+            columns={"us": "c_ts", "event_id": "c_id",
+                     "cents": "close_cents"}), on="day")
+        out = out.merge(mm.rename(columns={"min": "low_cents",
+                                           "max": "high_cents"}), on="day")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if not len(df):
+            return pa.table({"day": pa.nulls(0, pa.string()),
+                             "open_cents": pa.nulls(0, pa.int64()),
+                             "high_cents": pa.nulls(0, pa.int64()),
+                             "low_cents": pa.nulls(0, pa.int64()),
+                             "close_cents": pa.nulls(0, pa.int64())})
+        opens = (df.sort_values(["day", "o_ts", "o_id"], kind="stable")
+                 .groupby("day", sort=True).head(1)[["day", "open_cents"]])
+        closes = (df.sort_values(["day", "c_ts", "c_id"],
+                                 ascending=[True, False, False], kind="stable")
+                  .groupby("day", sort=True).head(1)[["day", "close_cents"]])
+        mm = df.groupby("day", sort=True).agg(
+            low_cents=("low_cents", "min"),
+            high_cents=("high_cents", "max")).reset_index()
+        out = opens.merge(closes, on="day").merge(mm, on="day")
+        out = out[["day", "open_cents", "high_cents", "low_cents",
+                   "close_cents"]]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    p = ds.map_batches(partial, batch_format="pyarrow")
+    return p.repartition(1).map_batches(final, batch_format="pyarrow")
+
+
+SQL_DAILY_OHLC = """
+WITH e AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+r AS (
+  SELECT day, cents,
+         row_number() OVER (PARTITION BY day ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY day
+                            ORDER BY ts DESC, event_id DESC) AS rn_z
+  FROM e
+)
+SELECT day,
+       max(CASE WHEN rn_a = 1 THEN cents END)::BIGINT AS open_cents,
+       max(cents)::BIGINT AS high_cents,
+       min(cents)::BIGINT AS low_cents,
+       max(CASE WHEN rn_z = 1 THEN cents END)::BIGINT AS close_cents
+FROM r GROUP BY day
+"""
+
+
 def q_new_users_daily(sf_dir: str):
     """New-vs-cumulative users per day — first-touch attribution: each
     user's first-seen day, the per-day count of first-sightings, and the
@@ -4198,6 +4285,55 @@ def _year_buyers(sf_dir: str, year: int) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def q_matched_order_pairs(sf_dir: str):
+    """Set op INTERSECT ALL (bag/multiset semantics — each occurrence
+    matches one occurrence): per-customer order slots common to 1996
+    and 1997, i.e. custkey appears min(orders_1996, orders_1997) times.
+    Same exchange as the DISTINCT ops, but the lazy pre-pass keeps
+    per-block COUNTS (summed in the bucket) and the bucket emits each
+    row min(cnt_l, cnt_r) times."""
+    from .pipelines.relational import bucketed_set_op
+
+    a = _year_buyers(sf_dir, SETOP_YEARS[0])
+    b = _year_buyers(sf_dir, SETOP_YEARS[1])
+    return bucketed_set_op(a, b, ["o_custkey"], op="intersect all",
+                           n_buckets=16)
+
+
+SQL_MATCHED_ORDER_PAIRS = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+"""
+
+
+def q_unreturned_shipments(sf_dir: str):
+    """Set op EXCEPT ALL (bag/multiset semantics): part keys of
+    shipments with multiplicity = shipments - returned shipments per
+    part (EXCEPT ALL removes ONE occurrence per right row, unlike
+    DISTINCT EXCEPT which removes a part entirely if it was ever
+    returned). Per-block count pre-pass -> one exchange -> per-bucket
+    max(cnt_l - cnt_r, 0) replication."""
+    from .pipelines.relational import bucketed_set_op
+
+    items = _read(sf_dir, "lineitem", ["l_partkey", "l_returnflag"])
+    shipped = items.map_batches(
+        lambda t: t.select(["l_partkey"]), batch_format="pyarrow")
+    returned = items.map_batches(
+        lambda t: t.filter(pc.equal(t["l_returnflag"], "R"))
+                   .select(["l_partkey"]),
+        batch_format="pyarrow")
+    return bucketed_set_op(shipped, returned, ["l_partkey"],
+                           op="except all", n_buckets=16)
+
+
+SQL_UNRETURNED_SHIPMENTS = """
+SELECT l_partkey FROM lineitem
+EXCEPT ALL
+SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+
 def q_repeat_buyers(sf_dir: str):
     """Set op INTERSECT (distinct set semantics): customers who ordered
     in BOTH 1996 and 1997 (``relational.bucketed_set_op``: lazy
@@ -5539,6 +5675,7 @@ def catalog():
         "top_langs": (q_top_langs, SQL_TOP_LANGS),
         "recent_events": (q_recent_events, SQL_RECENT_EVENTS),
         "new_users_daily": (q_new_users_daily, SQL_NEW_USERS_DAILY),
+        "daily_ohlc": (q_daily_ohlc, SQL_DAILY_OHLC),
         "event_rollup": (q_event_rollup, SQL_EVENT_ROLLUP),
         "hourly_windows": (q_hourly_windows, SQL_HOURLY_WINDOWS),
         "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
@@ -5622,6 +5759,8 @@ def catalog():
         "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
         "repeat_buyers": (q_repeat_buyers, SQL_REPEAT_BUYERS),
         "lapsed_buyers": (q_lapsed_buyers, SQL_LAPSED_BUYERS),
+        "matched_order_pairs": (q_matched_order_pairs, SQL_MATCHED_ORDER_PAIRS),
+        "unreturned_shipments": (q_unreturned_shipments, SQL_UNRETURNED_SHIPMENTS),
         "unpivot_measures": (q_unpivot_measures, SQL_UNPIVOT_MEASURES),
         "small_qty_revenue": (q_small_qty_revenue, SQL_SMALL_QTY_REVENUE),
         "priority_statuses": (q_priority_statuses, SQL_PRIORITY_STATUSES),

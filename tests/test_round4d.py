@@ -5,6 +5,7 @@ test_queries.py; this file pins the operator-level contract.
 """
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
@@ -181,3 +182,68 @@ class TestPHash:
                 a, b = sorted((ia, ib))
                 exp.add((a, b, h))
         assert got_pairs == exp and len(exp) > 0
+
+
+class TestBagSetOps:
+    def _ds(self, vals):
+        return rd.from_arrow(
+            pa.table({"k": pa.array(vals, pa.int64())})).repartition(3)
+
+    def test_intersect_all_multiplicity(self, ray_session):
+        from crawlray.pipelines.relational import bucketed_set_op
+
+        out = bucketed_set_op(self._ds([1, 1, 1, 2, 3]),
+                              self._ds([1, 1, 2, 2, 4]),
+                              ["k"], op="intersect all",
+                              n_buckets=4).to_pandas()
+        assert sorted(out["k"]) == [1, 1, 2]   # min(3,2)=2 ones, min(1,2)=1 two
+
+    def test_except_all_multiplicity(self, ray_session):
+        from crawlray.pipelines.relational import bucketed_set_op
+
+        out = bucketed_set_op(self._ds([1, 1, 1, 2, 3]),
+                              self._ds([1, 2, 2]),
+                              ["k"], op="except all",
+                              n_buckets=4).to_pandas()
+        assert sorted(out["k"]) == [1, 1, 3]   # 3-1 ones, max(1-2,0) twos
+
+    def test_null_matches_null_bag(self, ray_session):
+        # SQL set ops treat NULL as equal to NULL — ALL variants too
+        from crawlray.pipelines.relational import bucketed_set_op
+
+        out = bucketed_set_op(self._ds([None, None, 5]),
+                              self._ds([None, 6]),
+                              ["k"], op="except all",
+                              n_buckets=2).to_pandas()
+        got = sorted((None if pd.isna(v) else int(v) for v in out["k"]),
+                     key=lambda v: (v is not None, v))
+        assert got == [None, 5]
+
+    def test_empty_right_and_duckdb_parity(self, ray_session):
+        import duckdb
+
+        from crawlray.pipelines.relational import bucketed_set_op
+
+        l = [1, 1, 2, 2, 2, 7, None, None]
+        r = [2, 2, 2, 2, 7, None]
+        for op, sql in [("intersect all", "INTERSECT ALL"),
+                        ("except all", "EXCEPT ALL")]:
+            out = bucketed_set_op(self._ds(l), self._ds(r), ["k"], op=op,
+                                  n_buckets=3).to_pandas()
+            lv = ",".join("(NULL)" if v is None else f"({v})" for v in l)
+            rv = ",".join("(NULL)" if v is None else f"({v})" for v in r)
+            exp = duckdb.sql(
+                f"SELECT * FROM (VALUES {lv}) t(k) {sql} "
+                f"SELECT * FROM (VALUES {rv}) s(k)").df()
+            key = lambda v: (v is not None, v if v is not None else 0)
+            a = sorted((None if pd.isna(v) else int(v) for v in out["k"]),
+                       key=key)
+            b = sorted((None if pd.isna(v) else int(v) for v in exp["k"]),
+                       key=key)
+            assert a == b, (op, a, b)
+        # empty right: except all -> left bag unchanged (no repartition on
+        # the empty side: Ray loses the schema of an empty repartition)
+        empty = rd.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+        out = bucketed_set_op(self._ds([1, 1]), empty, ["k"],
+                              op="except all", n_buckets=2).to_pandas()
+        assert sorted(out["k"]) == [1, 1]
