@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "daily_ohlc",
     "matched_order_pairs",
     "unreturned_shipments",
+    "funnel_stages",
 ]
 
 

@@ -5596,6 +5596,81 @@ def _cm_user_counts_sql() -> str:
                        casts={"user_id": "BIGINT", "est_n": "BIGINT"})
 
 
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_funnel_stages(sf_dir: str):
+    """Strict-order 3-stage funnel (view -> click -> purchase): how many
+    users reach each stage, where stage k+1 must happen AT OR AFTER the
+    first stage-k completion (the sequential-pattern analytics shape —
+    ``q_conversion_lag`` is the 2-stage lag variant). Each user's whole
+    history must be co-located, so ONE ``bucketed_reduce`` exchange by
+    user_id; the bucket kernel lexsorts once and walks the funnel per
+    USER with a searchsorted per stage, emitting a 3-int partial per
+    bucket; the final fold is O(buckets)."""
+    from .pipelines.relational import bucketed_reduce
+
+    def pick(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_in(t["event_type"],
+                                value_set=pa.array(list(FUNNEL_STAGES))),
+                       pc.is_valid(t["user_id"]))
+        t = t.filter(keep)
+        stage = np.zeros(t.num_rows, np.int8)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        for i, s in enumerate(FUNNEL_STAGES):
+            stage[et == s] = i
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "stage": pa.array(stage, pa.int8())})
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"]).map_batches(
+        pick, batch_format="pyarrow")
+
+    def funnel_bucket(t: pa.Table) -> pa.Table:
+        counts = np.zeros(len(FUNNEL_STAGES), np.int64)
+        if t.num_rows:
+            u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ts = (t["ts"].to_numpy(zero_copy_only=False)
+                  .astype("datetime64[us]").astype(np.int64))
+            stg = t["stage"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ts, u))
+            u, ts, stg = u[order], ts[order], stg[order]
+            starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+            ends = np.r_[starts[1:], len(u)]
+            for s, e in zip(starts, ends):
+                cut = np.iinfo(np.int64).min
+                for k in range(len(FUNNEL_STAGES)):
+                    seg = ts[s:e][stg[s:e] == k]
+                    j = np.searchsorted(seg, cut)
+                    if j == len(seg):
+                        break
+                    counts[k] += 1
+                    cut = seg[j]
+        return pa.table({"stage": pa.array(
+            np.arange(1, len(FUNNEL_STAGES) + 1, dtype=np.int64)),
+            "n_users": pa.array(counts, pa.int64())})
+
+    def final(t: pa.Table) -> pa.Table:
+        g = t.group_by(["stage"]).aggregate([("n_users", "sum")])
+        return pa.table({"stage": g["stage"],
+                         "n_users": g["n_users_sum"].cast(pa.int64())})
+
+    part = bucketed_reduce(ev, "user_id", funnel_bucket, n_buckets=8)
+    return part.repartition(1).map_batches(final, batch_format="pyarrow")
+
+
+SQL_FUNNEL_STAGES = """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= v.t1 GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t2 GROUP BY 1)
+SELECT 1::BIGINT AS stage, count(*)::BIGINT AS n_users FROM v
+UNION ALL SELECT 2, count(*) FROM c
+UNION ALL SELECT 3, count(*) FROM p
+"""
+
+
 def q_conversion_lag(sf_dir: str):
     """Funnel conversion lag: per user, the MICROSECONDS between their
     FIRST view and their first purchase AT OR AFTER that view (users who
@@ -5782,6 +5857,7 @@ def catalog():
         "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
         "trimmed_stats": (q_trimmed_stats, SQL_TRIMMED_STATS),
         "conversion_lag": (q_conversion_lag, SQL_CONVERSION_LAG),
+        "funnel_stages": (q_funnel_stages, SQL_FUNNEL_STAGES),
         "cm_user_counts": (q_cm_user_counts, _cm_user_counts_sql()),
         "rank_normalize": (q_rank_normalize, SQL_RANK_NORMALIZE),
         "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
