@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     "matched_order_pairs",
     "unreturned_shipments",
     "funnel_stages",
+    "priority_variance",
+    "user_top_event",
 ]
 
 

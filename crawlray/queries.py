@@ -309,6 +309,108 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
+def q_priority_variance(sf_dir: str):
+    """Distributed POPULATION VARIANCE per group via integer sufficient
+    statistics (the `price_regression` discipline applied to the
+    second-moment aggregate): per-batch (n, Σcents, Σcents²) int64
+    partials per priority — all LINEAR, so the driver folds O(blocks x
+    groups) rows and computes var = (n·Σx² − (Σx)²) // n² in Python
+    big-ints (Σx² overflows int64-squared territory at scale), emitted
+    as exact integer centi-cents² — never a float-associative Welford
+    pass."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t["o_totalprice"])
+        tmp = pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+            "s": cents,
+            "s2": pc.multiply(cents, cents),
+        })
+        return tmp.group_by(["o_orderpriority"]).aggregate(
+            [("n", "sum"), ("s", "sum"), ("s2", "sum")])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    acc: dict[str, list[int]] = {}
+    for r in parts:
+        a = acc.setdefault(r["o_orderpriority"], [0, 0, 0])
+        a[0] += int(r["n_sum"])
+        a[1] += int(r["s_sum"])
+        a[2] += int(r["s2_sum"])
+    keys = sorted(acc)
+    var = [(acc[k][0] * acc[k][2] - acc[k][1] ** 2) // (acc[k][0] ** 2)
+           for k in keys]
+    return pa.table({
+        "o_orderpriority": pa.array(keys, pa.string()),
+        "n": pa.array([acc[k][0] for k in keys], pa.int64()),
+        "var_cents2": pa.array(var, pa.int64()),
+    })
+
+
+SQL_PRIORITY_VARIANCE = """
+WITH s AS (
+  SELECT o_orderpriority,
+         count(*)::HUGEINT AS n,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::HUGEINT AS sx,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)::HUGEINT
+             * CAST(round(o_totalprice * 100) AS BIGINT)::HUGEINT) AS sx2
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority, n::BIGINT AS n,
+       ((n * sx2 - sx * sx) // (n * n))::BIGINT AS var_cents2
+FROM s
+"""
+
+
+def q_user_top_event(sf_dir: str):
+    """Grouped MODE — each user's most frequent event type (ties break
+    to the alphabetically first type, then nothing else is needed: the
+    count makes it deterministic). Per-batch (user, type, n) partials,
+    ONE exchange by user (``bucketed_reduce``) summing partials and
+    taking the per-user argmax vectorized — the low-cardinality value
+    domain means <= |types| rows per user ever cross the exchange."""
+    from .pipelines.relational import bucketed_reduce
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["user_id"]),
+                             pc.is_valid(t["event_type"])))
+        tmp = pa.table({"user_id": t["user_id"],
+                        "event_type": t["event_type"],
+                        "n": pa.array(np.ones(t.num_rows, np.int64))})
+        return tmp.group_by(["user_id", "event_type"]).aggregate(
+            [("n", "sum")]).rename_columns(["user_id", "event_type", "n"])
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas().groupby(["user_id", "event_type"], sort=False)
+              ["n"].sum().reset_index())
+        top = (df.sort_values(["user_id", "n", "event_type"],
+                              ascending=[True, False, True], kind="stable")
+               .groupby("user_id", sort=False).head(1))
+        return pa.table({
+            "user_id": pa.array(top["user_id"], pa.int64()),
+            "event_type": pa.array(top["event_type"], pa.string()),
+            "n": pa.array(top["n"], pa.int64()),
+        })
+
+    p = ds.map_batches(partial, batch_format="pyarrow")
+    return bucketed_reduce(p, "user_id", bucket_fn, n_buckets=8)
+
+
+SQL_USER_TOP_EVENT = """
+WITH c AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS n
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT user_id, event_type, n FROM c
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY n DESC, event_type) = 1
+"""
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H-Q1-shaped grouped aggregate over the big table, with per-batch
     partial pre-aggregation before the groupby (ray_guide 'Aggregation at
@@ -5858,6 +5960,8 @@ def catalog():
         "trimmed_stats": (q_trimmed_stats, SQL_TRIMMED_STATS),
         "conversion_lag": (q_conversion_lag, SQL_CONVERSION_LAG),
         "funnel_stages": (q_funnel_stages, SQL_FUNNEL_STAGES),
+        "priority_variance": (q_priority_variance, SQL_PRIORITY_VARIANCE),
+        "user_top_event": (q_user_top_event, SQL_USER_TOP_EVENT),
         "cm_user_counts": (q_cm_user_counts, _cm_user_counts_sql()),
         "rank_normalize": (q_rank_normalize, SQL_RANK_NORMALIZE),
         "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
