@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "funnel_stages",
     "priority_variance",
     "user_top_event",
+    "host_pagerank",
 ]
 
 
