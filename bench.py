@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "priority_variance",
     "user_top_event",
     "host_pagerank",
+    "dedup_spans",
 ]
 
 

@@ -1018,3 +1018,177 @@ def shared_ngram_stats(
     ])
     out = [doc_bucket.remote(*[gs[i] for gs in gsplit]) for i in range(b)]
     return rd.from_arrow_refs(out)
+
+
+def dedup_spans(
+    docs: rd.Dataset, n: int = 5, n_buckets: int = 32
+) -> rd.Dataset:
+    """Exact substring deduplication as a TRANSFORM (the removal half of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): rewrite every document with all token spans covered by a
+    globally duplicated word-``n``-gram (one occurring in >= 2 DISTINCT
+    documents) removed. Output: ``(doc_id, n_tokens, n_removed,
+    clean_text)`` — tokens are whitespace runs (``str.split()``), the
+    cleaned text re-joins surviving tokens with single spaces, and
+    zero-token documents are dropped (the ``word_shingles`` contract).
+
+    Dataflow — two fixed-width hash exchanges plus one payload exchange,
+    and unlike :func:`shared_ngram_stats` the GRAM STRINGS NEVER
+    SHUFFLE: each batch hashes its grams to the md5-upper-8 61-bit
+    domain locally (``md5_id_bucket``, the repo-wide DuckDB-restatable
+    contract), so exchange #1 ships only (doc_id:int64, pos:int32,
+    h:int64) rows. The h-bucket task counts distinct docs per hash over
+    ITS hashes only and forwards just the duplicated occurrences,
+    re-split by doc hash; the documents take the same doc-hash exchange,
+    so each doc-bucket task holds a doc's text AND its dup-gram start
+    positions together and rewrites in place — the payload crosses the
+    wire exactly once and no join materializes an intermediate (Acero
+    cannot carry list payloads through a join anyway). Coverage masks
+    are interval-diff cumsums, not per-position loops. At 100 TB the
+    only O(corpus-tokens) shuffle mass is 20-byte fixed rows."""
+    import ray
+
+    from ..util import md5_id_bucket
+    from .relational import _as_table, _bucket_of
+
+    b = n_buckets
+    rows_empty = pa.table({"doc_id": pa.nulls(0, pa.int64()),
+                           "pos": pa.nulls(0, pa.int32()),
+                           "h": pa.nulls(0, pa.int64())})
+    hits_empty = rows_empty.select(["doc_id", "pos"])
+    docs_empty = pa.table({"doc_id": pa.nulls(0, pa.int64()),
+                           "text": pa.nulls(0, pa.string())})
+    out_empty = pa.table({"doc_id": pa.nulls(0, pa.int64()),
+                          "n_tokens": pa.nulls(0, pa.int64()),
+                          "n_removed": pa.nulls(0, pa.int64()),
+                          "clean_text": pa.nulls(0, pa.string())})
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_doc, out_pos, out_h = [], [], []
+        for d, text in zip(ids, t["text"].to_pylist()):
+            toks = (text or "").split()
+            m = len(toks) - n + 1
+            if m <= 0:
+                continue
+            grams = [" ".join(toks[i:i + n]) for i in range(m)]
+            out_h.append(md5_id_bucket("dupspan", grams, _MERSENNE))
+            out_doc.append(np.full(m, d, np.int64))
+            out_pos.append(np.arange(m, dtype=np.int32))
+        if not out_doc:
+            return rows_empty
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+            "pos": pa.array(np.concatenate(out_pos), pa.int32()),
+            "h": pa.array(np.concatenate(out_h), pa.int64()),
+        })
+
+    @ray.remote(num_returns=b)
+    def split_by_h(t):
+        t = _as_table(t)
+        if t.num_rows == 0:
+            return [rows_empty] * b if b > 1 else rows_empty
+        buckets = _bucket_of(t["h"], b)
+        out = [t.filter(pa.array(buckets == i)) for i in range(b)]
+        return out if b > 1 else out[0]
+
+    @ray.remote(num_returns=b)
+    def h_bucket(*shards):
+        """Forward only the occurrences of hashes seen in >= 2 distinct
+        docs, re-split by doc hash for the rewrite exchange."""
+        tbl = pa.concat_tables([_as_table(s) for s in shards])
+        if tbl.num_rows == 0:
+            return [hits_empty] * b if b > 1 else hits_empty
+        h = tbl["h"].to_numpy(zero_copy_only=False)
+        doc = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, h))
+        hs, ds = h[order], doc[order]
+        # distinct (h, doc) boundaries -> distinct-doc count per h
+        pair_new = np.r_[True, (hs[1:] != hs[:-1]) | (ds[1:] != ds[:-1])]
+        h_new = np.r_[True, hs[1:] != hs[:-1]]
+        group_id = np.cumsum(h_new) - 1            # h group per sorted row
+        ndocs = np.bincount(group_id[pair_new])    # distinct docs per h
+        dup_rows = order[ndocs[group_id] >= 2]     # original row indices
+        hits = tbl.select(["doc_id", "pos"]).take(pa.array(dup_rows))
+        if hits.num_rows == 0:
+            return [hits_empty] * b if b > 1 else hits_empty
+        buckets = _bucket_of(hits["doc_id"], b)
+        out = [hits.filter(pa.array(buckets == i)) for i in range(b)]
+        return out if b > 1 else out[0]
+
+    @ray.remote(num_returns=b)
+    def split_docs(t):
+        t = _as_table(t)
+        if t.num_rows == 0:
+            return [docs_empty] * b if b > 1 else docs_empty
+        t = t.select(["doc_id", "text"])
+        buckets = _bucket_of(t["doc_id"], b)
+        out = [t.filter(pa.array(buckets == i)) for i in range(b)]
+        return out if b > 1 else out[0]
+
+    @ray.remote
+    def rewrite_bucket(n_d: int, *parts) -> pa.Table:
+        """Rewrite this doc-bucket's documents against its dup-gram start
+        positions — the payload text arrives here once and never moves
+        again."""
+        dtbl = pa.concat_tables([_as_table(p) for p in parts[:n_d]])
+        hits = pa.concat_tables([_as_table(p) for p in parts[n_d:]])
+        if dtbl.num_rows == 0:
+            return out_empty
+        hd = hits["doc_id"].to_numpy(zero_copy_only=False)
+        hp = hits["pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((hp, hd))
+        hd, hp = hd[order], hp[order]
+        if len(hd):
+            bounds = np.r_[0, np.flatnonzero(hd[1:] != hd[:-1]) + 1, len(hd)]
+            slices = {int(hd[s]): hp[s:e]
+                      for s, e in zip(bounds[:-1], bounds[1:])}
+        else:
+            slices = {}
+        ids = dtbl["doc_id"].to_numpy(zero_copy_only=False)
+        o_id, o_nt, o_nr, o_clean = [], [], [], []
+        for d, text in zip(ids, dtbl["text"].to_pylist()):
+            toks = (text or "").split()
+            m = len(toks)
+            if m == 0:
+                continue
+            st = slices.get(int(d))
+            if st is not None and len(st):
+                # interval-diff coverage: +1 at each start, -1 past its end
+                diff = np.zeros(m + 1, np.int64)
+                s = st.astype(np.int64)
+                np.add.at(diff, s, 1)
+                np.add.at(diff, np.minimum(s + n, m), -1)
+                covered = np.cumsum(diff[:-1]) > 0
+                nr = int(covered.sum())
+                clean = " ".join(tok for tok, c in zip(toks, covered)
+                                 if not c)
+            else:
+                nr, clean = 0, " ".join(toks)
+            o_id.append(d)
+            o_nt.append(m)
+            o_nr.append(nr)
+            o_clean.append(clean)
+        return pa.table({
+            "doc_id": pa.array(o_id, pa.int64()),
+            "n_tokens": pa.array(o_nt, pa.int64()),
+            "n_removed": pa.array(o_nr, pa.int64()),
+            "clean_text": pa.array(o_clean, pa.string()),
+        })
+
+    docs = docs.select_columns(["doc_id", "text"])
+    rows = docs.map_batches(explode, batch_format="pyarrow")
+
+    def _rows(refs):
+        return [[r] for r in refs] if b == 1 else refs
+
+    doc_refs = docs.to_arrow_refs()
+    rsplit = _rows([split_by_h.remote(t) for t in rows.to_arrow_refs()])
+    hsplit = _rows([h_bucket.remote(*[rs[i] for rs in rsplit])
+                    for i in range(b)])
+    dsplit = _rows([split_docs.remote(t) for t in doc_refs])
+    out = [rewrite_bucket.remote(len(dsplit),
+                                 *[ds[i] for ds in dsplit],
+                                 *[hs[i] for hs in hsplit])
+           for i in range(b)]
+    return rd.from_arrow_refs(out)

@@ -5911,6 +5911,47 @@ FROM v JOIN p ON v.user_id = p.user_id
 """
 
 
+def q_dedup_spans(sf_dir: str):
+    """Exact substring dedup as a TRANSFORM (Lee et al. 2022): every
+    token span covered by a word-5-gram occurring in >= 2 distinct docs
+    is REMOVED and the document rewritten. Gram strings never shuffle —
+    each batch hashes grams to the md5-upper-8 61-bit domain locally, so
+    the two exchanges carry only fixed-width (doc_id, pos, h) rows, and
+    the payload text moves exactly once (a left join straight into its
+    rewrite task). Complements ``shared_ngrams`` (the per-doc STAT form)
+    with the removal semantics a training-data pipeline actually runs."""
+    from .pipelines.dedup import dedup_spans
+
+    return dedup_spans(_read(sf_dir, "documents", ["doc_id", "text"]), n=5)
+
+
+SQL_DEDUP_SPANS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text)='' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
+  FROM documents
+), grams AS (
+  SELECT doc_id, i,
+         (md5_number_upper('dupspan:' || array_to_string(ts[i:i+4], ' '))::HUGEINT
+          % 2305843009213693951)::BIGINT AS h
+  FROM toks, unnest(range(1, len(ts) - 3)) AS r(i)
+), dup AS (SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, i FROM grams JOIN dup USING (h)),
+covered AS (SELECT DISTINCT doc_id, i + o AS j
+            FROM hits, unnest(range(0, 5)) AS r2(o)),
+tok_rows AS (SELECT doc_id, j, ts[j] AS tok
+             FROM toks, unnest(range(1, len(ts) + 1)) AS r3(j))
+SELECT t.doc_id,
+       count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN c.j IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_removed,
+       coalesce(string_agg(CASE WHEN c.j IS NULL THEN t.tok END,
+                           ' ' ORDER BY t.j), '') AS clean_text
+FROM tok_rows t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.j = c.j
+GROUP BY t.doc_id
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -6034,4 +6075,5 @@ def catalog():
         "rank_normalize": (q_rank_normalize, SQL_RANK_NORMALIZE),
         "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
         "price_regression": (q_price_regression, SQL_PRICE_REGRESSION),
+        "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
     }
