@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "user_top_event",
     "host_pagerank",
     "dedup_spans",
+    "price_correlation",
+    "part_price_mad",
 ]
 
 

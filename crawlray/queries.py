@@ -5911,6 +5911,147 @@ FROM v JOIN p ON v.user_id = p.user_id
 """
 
 
+def q_part_price_mad(sf_dir: str):
+    """Grouped MEDIAN ABSOLUTE DEVIATION — the robust dispersion partner
+    of `part_median_price` (variance is moment-foldable; MAD is NOT, it
+    needs two order statistics over the same group, so co-location is
+    the only scalable plan): ONE hash exchange by part key, then each
+    bucket computes med = lower median and mad = lower median of
+    |cents − med| with two vectorized lexsort passes — no group ever
+    leaves its bucket, no second exchange. Contract: lower medians
+    (``quantile_disc 0.5``) end to end, exact int64 cents."""
+    from .pipelines.relational import bucketed_reduce
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": t["l_partkey"].cast(pa.int64()),
+            "cents": _cents(t["l_extendedprice"]),
+        })
+
+    def mad_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({"l_partkey": pa.nulls(0, pa.int64()),
+                          "n_items": pa.nulls(0, pa.int64()),
+                          "median_cents": pa.nulls(0, pa.int64()),
+                          "mad_cents": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        k = t["l_partkey"].to_numpy(zero_copy_only=False)
+        v = t["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, k))
+        ks, vs = k[order], v[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        cnt = np.diff(np.r_[starts, len(ks)])
+        med = vs[starts + (cnt - 1) // 2]
+        # per-row group index -> |x - group median|, second order-stat pass
+        gid = np.cumsum(np.r_[False, ks[1:] != ks[:-1]])
+        dev = np.abs(vs - med[gid])
+        order2 = np.lexsort((dev, ks))
+        mad = dev[order2][starts + (cnt - 1) // 2]
+        return pa.table({
+            "l_partkey": pa.array(ks[starts].astype(np.int64)),
+            "n_items": pa.array(cnt.astype(np.int64)),
+            "median_cents": pa.array(med.astype(np.int64)),
+            "mad_cents": pa.array(mad.astype(np.int64)),
+        })
+
+    return bucketed_reduce(li.map_batches(cents, batch_format="pyarrow"),
+                           "l_partkey", mad_bucket)
+
+
+SQL_PART_PRICE_MAD = """
+WITH c AS (
+  SELECT l_partkey::BIGINT AS pk,
+         round(l_extendedprice * 100)::BIGINT AS cents
+  FROM lineitem
+), m AS (
+  SELECT pk, count(*)::BIGINT AS n_items,
+         quantile_disc(cents, 0.5) AS med
+  FROM c GROUP BY pk
+)
+SELECT c.pk AS l_partkey,
+       any_value(m.n_items) AS n_items,
+       any_value(m.med) AS median_cents,
+       quantile_disc(abs(c.cents - m.med), 0.5) AS mad_cents
+FROM c JOIN m ON c.pk = m.pk
+GROUP BY c.pk
+"""
+
+
+def q_price_correlation(sf_dir: str):
+    """Grouped PEARSON CORRELATION via integer sufficient statistics —
+    the bivariate member of the `price_regression`/`priority_variance`
+    family: per returnflag, corr(quantity, price) needs only the six
+    LINEAR partials (n, Σx, Σy, Σxy, Σx², Σy²), folded per batch with a
+    C-level arrow group_by, O(blocks x groups) rows to the driver.
+    corr itself needs a sqrt, so the EXACT contract is corr² in ppm —
+    corr2_ppm = (nΣxy−ΣxΣy)²·10⁶ // ((nΣx²−Σx²)(nΣy²−Σy²)) in Python
+    big-ints — plus the covariance sign, both HUGEINT-restatable
+    bit-for-bit (y in whole dollars keeps the oracle inside 128 bits
+    with 8 orders of magnitude headroom at the gate's sf)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.round(t["l_quantity"]).cast(pa.int64())
+        y = pc.round(t["l_extendedprice"]).cast(pa.int64())
+        tmp = pa.table({
+            "flag": t["l_returnflag"],
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+            "sx": x, "sy": y,
+            "sxy": pc.multiply(x, y),
+            "sxx": pc.multiply(x, x),
+            "syy": pc.multiply(y, y),
+        })
+        return tmp.group_by(["flag"]).aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    acc: dict[str, list[int]] = {}
+    for r in parts:
+        a = acc.setdefault(r["flag"], [0] * 6)
+        for i, c in enumerate(("n", "sx", "sy", "sxy", "sxx", "syy")):
+            a[i] += int(r[f"{c}_sum"])
+    keys = sorted(acc)
+    sign, corr2 = [], []
+    for k in keys:
+        n, sx, sy, sxy, sxx, syy = acc[k]
+        num = n * sxy - sx * sy
+        sign.append(0 if num == 0 else (1 if num > 0 else -1))
+        corr2.append(num * num * 1_000_000
+                     // ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    return pa.table({
+        "flag": pa.array(keys, pa.string()),
+        "n": pa.array([acc[k][0] for k in keys], pa.int64()),
+        "cov_sign": pa.array(sign, pa.int64()),
+        "corr2_ppm": pa.array(corr2, pa.int64()),
+    })
+
+
+SQL_PRICE_CORRELATION = """
+WITH b AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(round(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT flag, count(*)::HUGEINT AS n,
+         sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+         sum(x * y)::HUGEINT AS sxy,
+         sum(x * x)::HUGEINT AS sxx,
+         sum(y * y)::HUGEINT AS syy
+  FROM b GROUP BY flag
+)
+SELECT flag, n::BIGINT AS n,
+       CASE WHEN n*sxy - sx*sy > 0 THEN 1
+            WHEN n*sxy - sx*sy < 0 THEN -1 ELSE 0 END::BIGINT AS cov_sign,
+       ((n*sxy - sx*sy) * (n*sxy - sx*sy) * 1000000
+        // ((n*sxx - sx*sx) * (n*syy - sy*sy)))::BIGINT AS corr2_ppm
+FROM s
+"""
+
+
 def q_dedup_spans(sf_dir: str):
     """Exact substring dedup as a TRANSFORM (Lee et al. 2022): every
     token span covered by a word-5-gram occurring in >= 2 distinct docs
@@ -6076,4 +6217,6 @@ def catalog():
         "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
         "price_regression": (q_price_regression, SQL_PRICE_REGRESSION),
         "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
+        "price_correlation": (q_price_correlation, SQL_PRICE_CORRELATION),
+        "part_price_mad": (q_part_price_mad, SQL_PART_PRICE_MAD),
     }
