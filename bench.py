@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "dedup_spans",
     "price_correlation",
     "part_price_mad",
+    "hits",
 ]
 
 

@@ -181,6 +181,187 @@ def pagerank(
     return out
 
 
+def hits(
+    edges: rd.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    n_shards: int = 8,
+    iters: int = 5,
+) -> rd.Dataset:
+    """Hub/authority scores (Kleinberg's HITS, JACM 1999) after ``iters``
+    synchronous iterations — the bidirectional complement of
+    :func:`pagerank`: a page is a good AUTHORITY if good hubs link to it
+    and a good HUB if it links to good authorities. Normalization is L1
+    (divide by the global sum) rather than the textbook L2 so every
+    operation is +, /, sum — exactly restatable in SQL with no sqrt.
+
+    Same sharded raw-task pattern (SURVEY.md §2.4 case (c)), but HITS
+    needs BOTH directions, so each edge is routed twice at split time:
+    once by ``hash(src) % K`` (out-edges — the authority pass reads the
+    local h[src]) and once by ``hash(dst) % K`` (in-edges — the hub pass
+    reads the local a[dst]). An iteration is two half-steps, each a
+    per-shard vectorized contribution pass (``np.add.at`` partial sums)
+    → K×K object-store exchange → owner-side fold; the driver sees only
+    the K per-shard norm partials (2K floats per iteration, never a
+    node). Returns a Dataset of (url, hub, authority), un-normalized
+    float64 — callers round (both engines sum float64 in different
+    orders; see the pagerank 6dp contract)."""
+    k = n_shards
+
+    @ray.remote(num_returns=3 * k if k > 1 else 3)
+    def split(t: pa.Table):
+        """Route each edge by src-shard (out-edges) AND dst-shard
+        (in-edges), plus (hash, url) node rows by node-shard."""
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        s = t[src].to_pandas().to_numpy()
+        e = t[dst].to_pandas().to_numpy()
+        sh, eh = hash64(pa.array(s)), hash64(pa.array(e))
+        es = _shard_of(sh, k)
+        out_parts = [
+            {"src_h": sh[es == i], "dst_h": eh[es == i]} for i in range(k)
+        ]
+        ed = _shard_of(eh, k)
+        in_parts = [
+            {"src_h": sh[ed == i], "dst_h": eh[ed == i]} for i in range(k)
+        ]
+        nh = np.concatenate([sh, eh])
+        nu = np.concatenate([s, e])
+        ns = _shard_of(nh, k)
+        node_parts = [{"h": nh[ns == i], "url": nu[ns == i]} for i in range(k)]
+        return (*out_parts, *in_parts, *node_parts)
+
+    @ray.remote
+    class _HitsShard:
+        """Owns hub/authority scores of nodes with ``hash % K == shard``,
+        the out-edges whose SOURCE lives here, and the in-edges whose
+        DESTINATION lives here."""
+
+        def __init__(self, shard: int, n_blocks: int, *parts):
+            out_parts = list(parts[:n_blocks])
+            in_parts = list(parts[n_blocks:2 * n_blocks])
+            node_parts = list(parts[2 * n_blocks:])
+            self.shard = shard
+
+            def _cat(ps, key):
+                ne = [p for p in ps if len(p[key])]
+                return (np.concatenate([p[key] for p in ne]) if ne
+                        else np.empty(0, np.uint64))
+
+            self.out_src = _cat(out_parts, "src_h")
+            self.out_dst = _cat(out_parts, "dst_h")
+            self.in_src = _cat(in_parts, "src_h")
+            self.in_dst = _cat(in_parts, "dst_h")
+            nh = (np.concatenate([p["h"] for p in node_parts])
+                  if node_parts else np.empty(0, np.uint64))
+            nu = (np.concatenate([p["url"] for p in node_parts])
+                  if node_parts else np.empty(0, object))
+            self.nodes, first = np.unique(nh, return_index=True)
+            self.urls = nu[first]
+            self.hub = np.empty(0, np.float64)
+            self.auth = np.empty(0, np.float64)
+            self._raw = np.empty(0, np.float64)
+
+        def n_nodes(self) -> int:
+            return len(self.nodes)
+
+        def init_scores(self, n_total: int) -> None:
+            self.hub = np.full(len(self.nodes), 1.0 / n_total)
+            self.auth = np.zeros(len(self.nodes))
+
+        def _contribs(self, src_h, dst_h, scores):
+            """Per-target partial sums of scores[source] over local
+            edges, split by the target's owner shard."""
+            if not len(src_h):
+                return [
+                    {"h": np.empty(0, np.uint64), "c": np.empty(0, np.float64)}
+                ] * k
+            per_edge = scores[np.searchsorted(self.nodes, src_h)]
+            u, inv = np.unique(dst_h, return_inverse=True)
+            sums = np.zeros(len(u), np.float64)
+            np.add.at(sums, inv, per_edge)
+            ds_ = _shard_of(u, k)
+            return [{"h": u[ds_ == i], "c": sums[ds_ == i]} for i in range(k)]
+
+        def auth_contribs(self):
+            """h[src] pushed along OUT-edges (src local), keyed by dst."""
+            out = self._contribs(self.out_src, self.out_dst, self.hub)
+            return tuple(out) if k > 1 else out[0]
+
+        def hub_contribs(self):
+            """a[dst] pushed along IN-edges (dst local), keyed by src."""
+            out = self._contribs(self.in_dst, self.in_src, self.auth)
+            return tuple(out) if k > 1 else out[0]
+
+        def fold_raw(self, *parts) -> float:
+            """Sum incoming partials into the raw (un-normalized) vector;
+            return the shard's norm partial — the ONLY value the driver
+            ever sees."""
+            raw = np.zeros(len(self.nodes))
+            for p in parts:
+                if len(p["h"]):
+                    raw[np.searchsorted(self.nodes, p["h"])] += p["c"]
+            self._raw = raw
+            return float(raw.sum())
+
+        def set_auth(self, total: float) -> None:
+            self.auth = self._raw / total
+
+        def set_hub(self, total: float) -> None:
+            self.hub = self._raw / total
+
+        def table(self) -> pa.Table:
+            return pa.table({
+                "url": pa.array(self.urls.tolist(), pa.string()),
+                "hub": pa.array(self.hub),
+                "authority": pa.array(self.auth),
+            })
+
+    blocks = edges.to_arrow_refs()
+    parts = [split.remote(b) for b in blocks]
+    shards = [
+        _HitsShard.remote(
+            i,
+            len(parts),
+            *[p[i] for p in parts],
+            *[p[k + i] for p in parts],
+            *[p[2 * k + i] for p in parts],
+        )
+        for i in range(k)
+    ]
+    n_total = sum(ray.get([s.n_nodes.remote() for s in shards]))
+    if n_total == 0:
+        for s in shards:
+            ray.kill(s)
+        return rd.from_arrow(pa.table({
+            "url": pa.nulls(0, pa.string()),
+            "hub": pa.nulls(0, pa.float64()),
+            "authority": pa.nulls(0, pa.float64()),
+        }))
+    ray.get([s.init_scores.remote(n_total) for s in shards])
+
+    def half_step(contrib_method: str, set_method: str) -> None:
+        outs = [getattr(s, contrib_method).options(num_returns=k).remote()
+                for s in shards]
+        refs = [o if k > 1 else [o] for o in outs]
+        sums = ray.get([
+            shards[i].fold_raw.remote(*[refs[s][i] for s in range(k)])
+            for i in range(k)
+        ])
+        total = sum(sums)
+        ray.get([getattr(s, set_method).remote(total) for s in shards])
+
+    for _ in range(iters):
+        half_step("auth_contribs", "set_auth")
+        half_step("hub_contribs", "set_hub")
+    tables = [s.table.remote() for s in shards]
+    ray.wait(tables, num_returns=len(tables))
+    out = rd.from_arrow_refs(tables)
+    for s in shards:
+        ray.kill(s)
+    return out
+
+
 def bfs_depths(
     edges: rd.Dataset,
     seeds: list[str],

@@ -3001,6 +3001,107 @@ SELECT u AS {out_col}, round(r, 6) AS rank FROM {prev}
 """
 
 
+HITS_ITERS = 5
+
+
+def q_hits(sf_dir: str):
+    """HITS hub/authority scores (Kleinberg 1999) over the mini-web's
+    outlink graph — the bidirectional complement of ``pagerank``: 5
+    synchronous iterations, L1 (sum) normalization so every op is
+    +, /, sum and the SQL restatement needs no sqrt. ``graph.hits``
+    routes each edge twice at split time (by src shard for the
+    authority pass, by dst shard for the hub pass); an iteration is two
+    K×K object-store exchanges and the driver sees only 2K norm
+    partials. Scores rounded to 6dp (the pagerank float-summation
+    contract)."""
+    from .htmlx import parse_document
+    from .pipelines.graph import hits
+    from .synth import World
+
+    cfg = _crawl_cfg(sf_dir)
+    world = World(cfg.world)
+    urls = [world.url(i % cfg.world.n_hosts, i // cfg.world.n_hosts)
+            for i in range(min(PAGERANK_N_URLS, cfg.world.n_urls))]
+    seeds = rd.from_items([{"url": u} for u in urls], override_num_blocks=8)
+
+    def edges_of(t: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for u in t["url"].to_pylist():
+            for link in parse_document(world.gen_page(u), u).links:
+                src.append(u)
+                dst.append(link.url)
+        return pa.table({"src": pa.array(src, pa.string()),
+                         "dst": pa.array(dst, pa.string())})
+
+    edges = seeds.map_batches(edges_of, batch_format="pyarrow")
+    hs = hits(edges, n_shards=8, iters=HITS_ITERS)
+
+    def round6(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t["url"],
+            "hub": pa.array(np.round(
+                t["hub"].to_numpy(zero_copy_only=False), 6)),
+            "authority": pa.array(np.round(
+                t["authority"].to_numpy(zero_copy_only=False), 6)),
+        })
+
+    return hs.map_batches(round6, batch_format="pyarrow")
+
+
+@functools.lru_cache(maxsize=1)
+def _hits_sql() -> str:
+    """The same 5 HITS iterations unrolled as CTEs over a VALUES edge
+    list: each half-step is a LEFT-JOIN sum (authority from in-edge
+    hubs, hub from out-edge authorities) followed by the L1 divide —
+    the exact operation order of the engine's fold + ``raw / total``;
+    only float64 SUMMATION order differs (6dp rounding both sides)."""
+    src, dst = _pagerank_edge_lists(_ORACLE_SF_DIR)
+    n_nodes = len(set(src) | set(dst))
+    init = repr(1.0 / n_nodes)
+    rows = ",\n".join(
+        f"({_sql_str(s)}, {_sql_str(t)})" for s, t in zip(src, dst)
+    )
+    # each CTE is referenced exactly ONCE by the next (DuckDB inlines
+    # CTEs, so a doubly-referenced level re-evaluates the whole chain —
+    # exponential in iters); the L1 divide therefore rides the SAME
+    # grouped select via sum(...) OVER () instead of a scalar subquery
+    iter_ctes = []
+    prev_h = "h0"
+    for i in range(1, HITS_ITERS + 1):
+        iter_ctes.append(f"""
+a{i} AS (
+  SELECT n.u AS u,
+         coalesce(sum(p.h), 0)
+           / sum(coalesce(sum(p.h), 0)) OVER () AS a
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.u
+  LEFT JOIN {prev_h} p ON p.u = e.src
+  GROUP BY n.u
+),
+h{i} AS (
+  SELECT n.u AS u,
+         coalesce(sum(q.a), 0)
+           / sum(coalesce(sum(q.a), 0)) OVER () AS h
+  FROM nodes n
+  LEFT JOIN edges e ON e.src = n.u
+  LEFT JOIN a{i} q ON q.u = e.dst
+  GROUP BY n.u
+)""")
+        prev_h = f"h{i}"
+    last = HITS_ITERS
+    return f"""
+WITH edges(src, dst) AS (VALUES
+{rows}
+),
+nodes AS (SELECT src AS u FROM edges UNION SELECT dst FROM edges),
+h0 AS (SELECT u, {init} AS h FROM nodes),
+{','.join(iter_ctes)}
+SELECT h{last}.u AS url, round(h{last}.h, 6) AS hub,
+       round(a{last}.a, 6) AS authority
+FROM h{last} JOIN a{last} ON h{last}.u = a{last}.u
+"""
+
+
 BFS_N_SEEDS = 8
 BFS_MAX_DEPTH = 8
 
@@ -6148,6 +6249,7 @@ def catalog():
         "price_quantiles": (q_price_quantiles, SQL_PRICE_QUANTILES),
         "pagerank": (q_pagerank, _pagerank_sql()),
         "host_pagerank": (q_host_pagerank, _host_pagerank_sql()),
+        "hits": (q_hits, _hits_sql()),
         "bfs_depths": (q_bfs_depths, _bfs_depths_sql()),
         "kmeans_clusters": (q_kmeans_clusters, _kmeans_sql()),
         "robots_lpm": (q_robots_lpm, _robots_lpm_sql()),
