@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "price_correlation",
     "part_price_mad",
     "hits",
+    "association_rules",
 ]
 
 

@@ -411,6 +411,136 @@ QUALIFY row_number() OVER (PARTITION BY user_id
 """
 
 
+ASSOC_MIN_USERS = 5
+
+
+def q_association_rules(sf_dir: str):
+    """Association rules over per-user event-type BASKETS — the Apriori
+    support/confidence/lift family (Agrawal et al., SIGMOD 1993): for
+    every ordered type pair (a -> b) held by >= ``ASSOC_MIN_USERS``
+    users, support/confidence/lift as EXACT ppm integers (big-int floor
+    division, HUGEINT-restatable; lift needs n_ab*N*10^6 which overflows
+    int64 at scale). Distributed shape: per-batch DISTINCT (user, type)
+    partials, ONE exchange by user (``bucketed_reduce``) — each user's
+    basket completes in its bucket and fans out vectorized to ordered
+    pairs (per-segment triu, both directions); a bucket emits <=
+    |types|^2 pair partials + |types| singleton partials + 1 user-count
+    row, so the driver folds O(buckets x 31) fixed rows, never a user."""
+    from .pipelines.relational import bucketed_reduce
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["user_id"]),
+                             pc.is_valid(t["event_type"])))
+        return (t.select(["user_id", "event_type"])
+                .group_by(["user_id", "event_type"]).aggregate([]))
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.nulls(0, pa.string()),
+                          "b": pa.nulls(0, pa.string()),
+                          "n": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        df = (t.to_pandas().drop_duplicates(["user_id", "event_type"])
+              .sort_values(["user_id", "event_type"], kind="stable"))
+        u = df["user_id"].to_numpy()
+        ty = df["event_type"].to_numpy()
+        seg = np.r_[0, np.flatnonzero(u[1:] != u[:-1]) + 1]
+        lens = np.diff(np.r_[seg, len(u)])
+        aa, bb = [], []
+        for s, l in zip(seg, lens):
+            if l < 2:
+                continue
+            ii, jj = np.triu_indices(l, 1)
+            aa.extend((ty[s + ii], ty[s + jj]))   # a -> b
+            bb.extend((ty[s + jj], ty[s + ii]))   # b -> a (ordered rules)
+        out_a: list = []
+        out_b: list = []
+        out_n: list = []
+        if aa:
+            g = (pd.DataFrame({"a": np.concatenate(aa),
+                               "b": np.concatenate(bb)})
+                 .groupby(["a", "b"], sort=False).size())
+            for (a, b), n in g.items():
+                out_a.append(a)
+                out_b.append(b)
+                out_n.append(int(n))
+        for a, n in pd.Series(ty).value_counts().items():
+            out_a.append(a)
+            out_b.append(None)                    # singleton support row
+            out_n.append(int(n))
+        out_a.append(None)                        # distinct-user count row
+        out_b.append(None)
+        out_n.append(len(seg))
+        return pa.table({"a": pa.array(out_a, pa.string()),
+                         "b": pa.array(out_b, pa.string()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    parts = bucketed_reduce(ds.map_batches(partial, batch_format="pyarrow"),
+                            "user_id", bucket_fn, n_buckets=8)
+    n_users = 0
+    singles: dict[str, int] = {}
+    pairs: dict[tuple[str, str], int] = {}
+    for r in parts.take_all():                    # O(buckets x 31) rows
+        a, b, n = r["a"], r["b"], int(r["n"])
+        if a is None:
+            n_users += n
+        elif b is None:
+            singles[a] = singles.get(a, 0) + n
+        else:
+            pairs[(a, b)] = pairs.get((a, b), 0) + n
+    keys = sorted(k for k, n in pairs.items() if n >= ASSOC_MIN_USERS)
+    cols: dict[str, list] = {c: [] for c in (
+        "antecedent", "consequent", "n_a", "n_ab",
+        "support_ppm", "conf_ppm", "lift_ppm")}
+    for a, b in keys:
+        n_ab = pairs[(a, b)]
+        n_a, n_b = singles[a], singles[b]
+        cols["antecedent"].append(a)
+        cols["consequent"].append(b)
+        cols["n_a"].append(n_a)
+        cols["n_ab"].append(n_ab)
+        cols["support_ppm"].append(n_ab * 1_000_000 // n_users)
+        cols["conf_ppm"].append(n_ab * 1_000_000 // n_a)
+        cols["lift_ppm"].append(n_ab * n_users * 1_000_000 // (n_a * n_b))
+    return pa.table({
+        "antecedent": pa.array(cols["antecedent"], pa.string()),
+        "consequent": pa.array(cols["consequent"], pa.string()),
+        "n_a": pa.array(cols["n_a"], pa.int64()),
+        "n_ab": pa.array(cols["n_ab"], pa.int64()),
+        "support_ppm": pa.array(cols["support_ppm"], pa.int64()),
+        "conf_ppm": pa.array(cols["conf_ppm"], pa.int64()),
+        "lift_ppm": pa.array(cols["lift_ppm"], pa.int64()),
+    })
+
+
+SQL_ASSOCIATION_RULES = f"""
+WITH b AS (
+  SELECT DISTINCT user_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+nu AS (SELECT count(DISTINCT user_id)::HUGEINT AS n_users FROM b),
+s AS (SELECT event_type, count(*)::HUGEINT AS c FROM b GROUP BY 1),
+p AS (
+  SELECT x.event_type AS a, y.event_type AS bb, count(*)::HUGEINT AS c
+  FROM b x JOIN b y
+    ON x.user_id = y.user_id AND x.event_type <> y.event_type
+  GROUP BY 1, 2
+)
+SELECT p.a AS antecedent, p.bb AS consequent,
+       sa.c::BIGINT AS n_a, p.c::BIGINT AS n_ab,
+       (p.c * 1000000 // nu.n_users)::BIGINT AS support_ppm,
+       (p.c * 1000000 // sa.c)::BIGINT AS conf_ppm,
+       (p.c * nu.n_users * 1000000 // (sa.c * sb.c))::BIGINT AS lift_ppm
+FROM p
+JOIN s sa ON sa.event_type = p.a
+JOIN s sb ON sb.event_type = p.bb
+CROSS JOIN nu
+WHERE p.c >= {ASSOC_MIN_USERS}
+"""
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H-Q1-shaped grouped aggregate over the big table, with per-batch
     partial pre-aggregation before the groupby (ray_guide 'Aggregation at
@@ -6250,6 +6380,7 @@ def catalog():
         "pagerank": (q_pagerank, _pagerank_sql()),
         "host_pagerank": (q_host_pagerank, _host_pagerank_sql()),
         "hits": (q_hits, _hits_sql()),
+        "association_rules": (q_association_rules, SQL_ASSOCIATION_RULES),
         "bfs_depths": (q_bfs_depths, _bfs_depths_sql()),
         "kmeans_clusters": (q_kmeans_clusters, _kmeans_sql()),
         "robots_lpm": (q_robots_lpm, _robots_lpm_sql()),
