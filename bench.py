@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "part_price_mad",
     "hits",
     "association_rules",
+    "chi_square",
 ]
 
 

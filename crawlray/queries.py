@@ -6324,6 +6324,73 @@ GROUP BY t.doc_id
 """
 
 
+def q_chi_square(sf_dir: str):
+    """Chi-square INDEPENDENCE statistic over the lang x source
+    contingency of documents — the corpus-drift / dependence check a
+    training-data pipeline runs before mixing sources. Only per-batch
+    (lang, source) COUNT partials leave the workers (a C-level arrow
+    group_by, O(blocks x cells) tiny rows); margins, expectations and
+    the per-cell statistic are exact Python big-int math on the driver.
+    The EXACT contract (chi2 needs a division per cell, so floats are
+    banned): per cell of the FULL observed-margins cross product,
+    expected_milli = R*C*1000 // N and
+    chi2_ppm = (N*O - R*C)^2 * 10^6 // (N*R*C) — both HUGEINT-restatable
+    bit-for-bit (N <= ~1e6 keeps the numerator under 1e30 << 2^127)."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["lang", "source"]).aggregate([([], "count_all")])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    obs: dict[tuple[str, str], int] = {}
+    for r in parts:
+        k = (r["lang"], r["source"])
+        obs[k] = obs.get(k, 0) + int(r["count_all"])
+    row_m: dict[str, int] = {}
+    col_m: dict[str, int] = {}
+    for (lg, src), c in obs.items():
+        row_m[lg] = row_m.get(lg, 0) + c
+        col_m[src] = col_m.get(src, 0) + c
+    n = sum(obs.values())
+    cols: dict[str, list] = {k: [] for k in (
+        "lang", "source", "observed", "expected_milli", "chi2_ppm")}
+    for lg in sorted(row_m):
+        for src in sorted(col_m):
+            o = obs.get((lg, src), 0)
+            rc = row_m[lg] * col_m[src]
+            d = n * o - rc
+            cols["lang"].append(lg)
+            cols["source"].append(src)
+            cols["observed"].append(o)
+            cols["expected_milli"].append(rc * 1000 // n)
+            cols["chi2_ppm"].append(d * d * 1_000_000 // (n * rc))
+    return pa.table({
+        "lang": pa.array(cols["lang"], pa.string()),
+        "source": pa.array(cols["source"], pa.string()),
+        "observed": pa.array(cols["observed"], pa.int64()),
+        "expected_milli": pa.array(cols["expected_milli"], pa.int64()),
+        "chi2_ppm": pa.array(cols["chi2_ppm"], pa.int64()),
+    })
+
+
+SQL_CHI_SQUARE = """
+WITH o AS (
+  SELECT lang, source, count(*)::HUGEINT AS c
+  FROM documents GROUP BY lang, source
+), r AS (SELECT lang, sum(c)::HUGEINT AS rc FROM o GROUP BY lang),
+   s AS (SELECT source, sum(c)::HUGEINT AS cc FROM o GROUP BY source),
+   n AS (SELECT sum(c)::HUGEINT AS n FROM o)
+SELECT r.lang, s.source,
+       coalesce(o.c, 0)::BIGINT AS observed,
+       (r.rc * s.cc * 1000 // n.n)::BIGINT AS expected_milli,
+       ((n.n * coalesce(o.c, 0) - r.rc * s.cc)
+        * (n.n * coalesce(o.c, 0) - r.rc * s.cc) * 1000000
+        // (n.n * r.rc * s.cc))::BIGINT AS chi2_ppm
+FROM r CROSS JOIN s CROSS JOIN n
+LEFT JOIN o ON o.lang = r.lang AND o.source = s.source
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -6452,4 +6519,5 @@ def catalog():
         "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
         "price_correlation": (q_price_correlation, SQL_PRICE_CORRELATION),
         "part_price_mad": (q_part_price_mad, SQL_PART_PRICE_MAD),
+        "chi_square": (q_chi_square, SQL_CHI_SQUARE),
     }
