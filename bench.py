@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "hits",
     "association_rules",
     "chi_square",
+    "value_outliers",
 ]
 
 

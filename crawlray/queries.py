@@ -6391,6 +6391,74 @@ LEFT JOIN o ON o.lang = r.lang AND o.source = s.source
 """
 
 
+def q_value_outliers(sf_dir: str):
+    """Grouped z-score OUTLIER detection without a sqrt or a float in
+    the contract: per event type, flag rows whose squared z exceeds 9
+    (|z| > 3) via the all-integer dominance form
+    (n*x - Σx)² > 9·(n*Σx² - (Σx)²). Two streaming passes: (1) per-batch
+    moment partials (n, Σx, Σx²) via a C-level arrow group_by, folded to
+    exact big-int moments on the driver (O(blocks x types) tiny rows);
+    (2) the moments broadcast back into a vectorized filter — float64
+    prefilter at 8.999 (the exact statistic is within 1e-12 relative of
+    the float one, so no true z>3 row can fall below it), then the EXACT
+    big-int inequality confirmed per surviving candidate (outliers are
+    rare, so the Python confirm touches O(outliers) rows). The quadratic
+    forms reach ~1e24 at 1000x scale — beyond int64, inside HUGEINT."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = _cents(t["value"])
+        tmp = pa.table({
+            "event_type": t["event_type"],
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+            "sx": x, "sxx": pc.multiply(x, x),
+        })
+        return tmp.group_by(["event_type"]).aggregate(
+            [(c, "sum") for c in ("n", "sx", "sxx")])
+
+    acc: dict[str, list[int]] = {}
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        a = acc.setdefault(r["event_type"], [0, 0, 0])
+        a[0] += int(r["n_sum"]); a[1] += int(r["sx_sum"]); a[2] += int(r["sxx_sum"])
+    moments = {k: (n, sx, n * sxx - sx * sx) for k, (n, sx, sxx) in acc.items()}
+
+    def flag(t: pa.Table) -> pa.Table:
+        x = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        types = t["event_type"].to_numpy(zero_copy_only=False)
+        n = np.array([moments[k][0] for k in types], np.float64)
+        sx = np.array([moments[k][1] for k in types], np.float64)
+        den = np.array([moments[k][2] for k in types], np.float64)
+        num = n * x.astype(np.float64) - sx
+        cand = np.nonzero(num * num > 8.999 * den)[0]
+        keep = [int(i) for i in cand
+                if ((d := moments[types[i]])[0] * int(x[i]) - d[1]) ** 2
+                > 9 * d[2]]
+        sub = t.take(pa.array(keep, pa.int64()))
+        return pa.table({
+            "event_type": sub["event_type"],
+            "event_id": sub["event_id"],
+            "cents": _cents(sub["value"]),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+SQL_VALUE_OUTLIERS = """
+WITH b AS (
+  SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS x
+  FROM events
+), s AS (
+  SELECT event_type, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+         sum(x::HUGEINT * x)::HUGEINT AS sxx
+  FROM b GROUP BY event_type
+)
+SELECT b.event_type, b.event_id, b.x AS cents
+FROM b JOIN s USING (event_type)
+WHERE (s.n * b.x - s.sx) * (s.n * b.x - s.sx)
+      > 9 * (s.n * s.sxx - s.sx * s.sx)
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -6520,4 +6588,5 @@ def catalog():
         "price_correlation": (q_price_correlation, SQL_PRICE_CORRELATION),
         "part_price_mad": (q_part_price_mad, SQL_PART_PRICE_MAD),
         "chi_square": (q_chi_square, SQL_CHI_SQUARE),
+        "value_outliers": (q_value_outliers, SQL_VALUE_OUTLIERS),
     }
