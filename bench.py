@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "association_rules",
     "chi_square",
     "value_outliers",
+    "part_skyline",
 ]
 
 

@@ -6459,6 +6459,75 @@ WHERE (s.n * b.x - s.sx) * (s.n * b.x - s.sx)
 """
 
 
+def _skyline_mask(price: np.ndarray, size: np.ndarray) -> np.ndarray:
+    """Boolean mask of the 2-D Pareto frontier (min price, max size;
+    dominance needs one STRICT inequality, so exact duplicates co-survive).
+    Fully vectorized: one lexsort, per-price-group maxima via reduceat,
+    and a shifted running max of cheaper groups."""
+    if len(price) == 0:
+        return np.zeros(0, bool)
+    order = np.lexsort((-size, price))          # price asc, size desc
+    p, s = price[order], size[order]
+    starts = np.nonzero(np.r_[True, p[1:] != p[:-1]])[0]
+    gmax = np.maximum.reduceat(s, starts)       # max size per price group
+    best_prev = np.r_[np.iinfo(np.int64).min,
+                      np.maximum.accumulate(gmax)[:-1]]
+    gid = np.cumsum(np.r_[False, p[1:] != p[:-1]])
+    keep_sorted = (s == gmax[gid]) & (gmax[gid] > best_prev[gid])
+    mask = np.zeros(len(price), bool)
+    mask[order] = keep_sorted
+    return mask
+
+
+def q_part_skyline(sf_dir: str):
+    """2-D SKYLINE (Pareto frontier) over parts — min retail price, max
+    size, the multi-objective shortlist query (Borzsony et al., ICDE'01).
+    The global frontier is a subset of the union of per-batch frontiers,
+    so each batch emits only its LOCAL skyline (vectorized lexsort +
+    reduceat running-max scan, O(batch log batch)) and the driver
+    re-runs the identical kernel over the tiny candidate union —
+    O(batches x local-frontier) rows funnel, never the table (with 50
+    distinct sizes the frontier is <= 50 rows at ANY scale). Exact
+    integer cents domain; duplicates on the frontier both survive
+    (dominance requires one strict inequality), matching NOT EXISTS."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+
+    def local(t: pa.Table) -> pa.Table:
+        cents = _cents(t["p_retailprice"]).to_numpy(zero_copy_only=False)
+        size = t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _skyline_mask(cents, size)
+        idx = np.nonzero(m)[0]
+        return pa.table({
+            "p_partkey": t["p_partkey"].take(pa.array(idx, pa.int64())),
+            "price_cents": pa.array(cents[idx], pa.int64()),
+            "size": pa.array(size[idx], pa.int64()),
+        })
+
+    cand = pa.Table.from_pylist(
+        ds.map_batches(local, batch_format="pyarrow").take_all(),
+        schema=pa.schema([("p_partkey", pa.int64()),
+                          ("price_cents", pa.int64()),
+                          ("size", pa.int64())]))
+    m = _skyline_mask(cand["price_cents"].to_numpy(),
+                      cand["size"].to_numpy())
+    return cand.take(pa.array(np.nonzero(m)[0], pa.int64()))
+
+
+SQL_PART_SKYLINE = """
+WITH b AS (
+  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS pc,
+         p_size::BIGINT AS sz
+  FROM part
+)
+SELECT b.p_partkey, b.pc AS price_cents, b.sz AS size
+FROM b
+WHERE NOT EXISTS (
+  SELECT 1 FROM b o
+  WHERE o.pc <= b.pc AND o.sz >= b.sz AND (o.pc < b.pc OR o.sz > b.sz)
+)
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -6589,4 +6658,5 @@ def catalog():
         "part_price_mad": (q_part_price_mad, SQL_PART_PRICE_MAD),
         "chi_square": (q_chi_square, SQL_CHI_SQUARE),
         "value_outliers": (q_value_outliers, SQL_VALUE_OUTLIERS),
+        "part_skyline": (q_part_skyline, SQL_PART_SKYLINE),
     }
