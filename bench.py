@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "chi_square",
     "value_outliers",
     "part_skyline",
+    "lm_score",
 ]
 
 

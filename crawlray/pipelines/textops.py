@@ -547,3 +547,127 @@ def bm25_topk_ds(docs, query_terms: list[str], k: int = 100,
     scored = docs.map_batches(score, batch_format="pandas")
     return scored.sort(["score", "doc_id"],
                        descending=[True, False]).limit(k)
+
+
+def lm_score_ds(docs, n_buckets: int = 16):
+    """Per-document BIGRAM language-model score — the corpus-fit /
+    fluency signal a training-data pipeline uses alongside
+    :class:`QualityScorer` (CCNet-style model filtering, Wenzek 2020,
+    with counts playing the LM). Output: ``(doc_id, n_bigrams,
+    score_ppm)`` where each bigram occurrence scores
+    ``P(w2|w1) = c(w1 w2) / c(w1 ·)`` over the WHOLE corpus and the doc
+    score is the floored mean in ppm — divisions are exact big-int-free
+    floor divisions in the md5-61-bit hash domain (the repo-wide
+    DuckDB-restatable contract), so no float and no libm log anywhere.
+    Docs with fewer than two tokens are dropped.
+
+    Dataflow — two K x K fixed-width hash exchanges, zero Ray-Data
+    groupbys, and TOKEN STRINGS NEVER SHUFFLE: each batch hashes every
+    bigram occurrence to ``(h1, h2)`` locally, and because rows key on
+    the PREFIX hash, one h1-bucket holds every occurrence sharing a
+    prefix — both the conditional's numerator c(h1,h2) and denominator
+    c(h1) are local np.unique counts, no second count exchange. Scored
+    (doc_id, prob_ppm) rows re-exchange by doc hash for the per-doc
+    mean. At 100 TB the shuffle mass is 24-byte rows both hops."""
+    import ray
+    import ray.data as rd
+
+    from ..util import md5_id_bucket
+    from .relational import _as_table, _bucket_of
+
+    mers = (1 << 61) - 1
+    b = n_buckets
+    rows_empty = pa.table({"doc_id": pa.nulls(0, pa.int64()),
+                           "h1": pa.nulls(0, pa.int64()),
+                           "h2": pa.nulls(0, pa.int64())})
+    mid_empty = pa.table({"doc_id": pa.nulls(0, pa.int64()),
+                          "prob_ppm": pa.nulls(0, pa.int64())})
+    out_empty = pa.table({"doc_id": pa.nulls(0, pa.int64()),
+                          "n_bigrams": pa.nulls(0, pa.int64()),
+                          "score_ppm": pa.nulls(0, pa.int64())})
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_doc, out_h1, out_h2 = [], [], []
+        for d, text in zip(ids, t["text"].to_pylist()):
+            toks = (text or "").split()
+            m = len(toks) - 1
+            if m <= 0:
+                continue
+            out_h1.append(md5_id_bucket("lmuni", toks[:-1], mers))
+            out_h2.append(md5_id_bucket(
+                "lmbi", [" ".join(p) for p in zip(toks[:-1], toks[1:])],
+                mers))
+            out_doc.append(np.full(m, d, np.int64))
+        if not out_doc:
+            return rows_empty
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+            "h1": pa.array(np.concatenate(out_h1), pa.int64()),
+            "h2": pa.array(np.concatenate(out_h2), pa.int64()),
+        })
+
+    @ray.remote(num_returns=b)
+    def split_by_h1(t):
+        t = _as_table(t)
+        if t.num_rows == 0:
+            return [rows_empty] * b if b > 1 else rows_empty
+        buckets = _bucket_of(t["h1"], b)
+        out = [t.filter(pa.array(buckets == i)) for i in range(b)]
+        return out if b > 1 else out[0]
+
+    @ray.remote(num_returns=b)
+    def h1_bucket(*shards):
+        """Score every occurrence in this prefix-hash bucket: c(h1) and
+        c(h1,h2) are bucket-local row counts by construction."""
+        tbl = pa.concat_tables([_as_table(s) for s in shards])
+        if tbl.num_rows == 0:
+            return [mid_empty] * b if b > 1 else mid_empty
+        h1 = tbl["h1"].to_numpy(zero_copy_only=False)
+        h2 = tbl["h2"].to_numpy(zero_copy_only=False)
+        # exact (h1, h2) group counts via lexsort boundaries — a packed
+        # 64-bit pair key could collide distinct pairs and silently
+        # merge conditionals the oracle keeps apart
+        order = np.lexsort((h2, h1))
+        hs1, hs2 = h1[order], h2[order]
+        new1 = np.r_[True, hs1[1:] != hs1[:-1]]
+        new12 = new1 | np.r_[True, hs2[1:] != hs2[:-1]]
+        g1 = np.cumsum(new1) - 1
+        g12 = np.cumsum(new12) - 1
+        c1 = np.bincount(g1)
+        c12 = np.bincount(g12)
+        prob_sorted = c12[g12].astype(np.int64) * 1_000_000 // c1[g1]
+        prob = np.empty_like(prob_sorted)
+        prob[order] = prob_sorted
+        mid = pa.table({"doc_id": tbl["doc_id"],
+                        "prob_ppm": pa.array(prob, pa.int64())})
+        buckets = _bucket_of(mid["doc_id"], b)
+        out = [mid.filter(pa.array(buckets == i)) for i in range(b)]
+        return out if b > 1 else out[0]
+
+    @ray.remote
+    def doc_bucket(*parts) -> pa.Table:
+        tbl = pa.concat_tables([_as_table(p) for p in parts])
+        if tbl.num_rows == 0:
+            return out_empty
+        agg = tbl.group_by(["doc_id"]).aggregate(
+            [("prob_ppm", "sum"), ([], "count_all")])
+        s = agg["prob_ppm_sum"].to_numpy(zero_copy_only=False)
+        n = agg["count_all"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": agg["doc_id"].cast(pa.int64()),
+            "n_bigrams": pa.array(n.astype(np.int64)),
+            "score_ppm": pa.array(s // n, pa.int64()),
+        })
+
+    rows = docs.select_columns(["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow")
+
+    def _rows(refs):
+        return [[r] for r in refs] if b == 1 else refs
+
+    rsplit = _rows([split_by_h1.remote(t) for t in rows.to_arrow_refs()])
+    hsplit = _rows([h1_bucket.remote(*[rs[i] for rs in rsplit])
+                    for i in range(b)])
+    out = [doc_bucket.remote(*[hs[i] for hs in hsplit]) for i in range(b)]
+    return rd.from_arrow_refs(out)

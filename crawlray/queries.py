@@ -6528,6 +6528,40 @@ WHERE NOT EXISTS (
 """
 
 
+def q_lm_score(sf_dir: str):
+    """Bigram LM fluency scoring per document (the CCNet-style model
+    filter with corpus counts as the LM) — see
+    :func:`crawlray.pipelines.textops.lm_score_ds` for the two-exchange
+    plan. Exact contract: per-occurrence P(w2|w1) in floored ppm over
+    the md5-61-bit hash domain, doc score = floored mean; no float, no
+    log, DuckDB-restatable bit-for-bit."""
+    from .pipelines.textops import lm_score_ds
+
+    return lm_score_ds(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_LM_SCORE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text)='' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         (md5_number_upper('lmuni:' || ts[i])::HUGEINT
+          % 2305843009213693951)::BIGINT AS h1,
+         (md5_number_upper('lmbi:' || ts[i] || ' ' || ts[i+1])::HUGEINT
+          % 2305843009213693951)::BIGINT AS h2
+  FROM toks, unnest(range(1, len(ts))) AS r(i)
+), c1 AS (SELECT h1, count(*)::BIGINT AS c FROM bg GROUP BY h1),
+   c2 AS (SELECT h1, h2, count(*)::BIGINT AS c FROM bg GROUP BY h1, h2)
+SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+       (sum(c2.c * 1000000 // c1.c) // count(*))::BIGINT AS score_ppm
+FROM bg JOIN c1 USING (h1) JOIN c2 USING (h1, h2)
+GROUP BY bg.doc_id
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -6659,4 +6693,5 @@ def catalog():
         "chi_square": (q_chi_square, SQL_CHI_SQUARE),
         "value_outliers": (q_value_outliers, SQL_VALUE_OUTLIERS),
         "part_skyline": (q_part_skyline, SQL_PART_SKYLINE),
+        "lm_score": (q_lm_score, SQL_LM_SCORE),
     }
