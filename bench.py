@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "value_outliers",
     "part_skyline",
     "lm_score",
+    "wealthy_idle",
 ]
 
 

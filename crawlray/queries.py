@@ -6562,6 +6562,93 @@ GROUP BY bg.doc_id
 """
 
 
+def q_wealthy_idle(sf_dir: str):
+    """TPC-H Q22 shape — 'global customer relationship' analysis: per
+    nation, the count and total balance of above-average-balance
+    customers who never placed a 2-HIGH order. Three classic decorrelated
+    pieces, each in its scale-honest form: (1) the scalar AVG subquery
+    becomes per-batch (n_pos, sum_cents) partials folded to TWO ints on
+    the driver, and the avg comparison is the exact integer
+    cross-multiplication cents*n > sum (no division, no float); (2) the
+    NOT EXISTS is `bucketed_anti_join` with the priority filter pushed
+    into the read batches; (3) the final 25-group rollup is per-batch
+    partials folded on the driver."""
+    from .pipelines.relational import bucketed_anti_join
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t["c_acctbal"])
+        pos = pc.greater(cents, 0)
+        return pa.table({
+            "n": pa.array([int(pc.sum(pos.cast(pa.int64())).as_py() or 0)]),
+            "s": pa.array([int(pc.sum(
+                pc.if_else(pos, cents, pa.scalar(0, pa.int64()))
+            ).as_py() or 0)]),
+        })
+
+    n_pos = s_pos = 0
+    for r in cust.map_batches(pos_partial, batch_format="pyarrow").take_all():
+        n_pos += r["n"]; s_pos += r["s"]
+
+    def rich(t: pa.Table) -> pa.Table:
+        cents = _cents(t["c_acctbal"])
+        keep = pc.greater(pc.multiply(cents, n_pos), s_pos)
+        sub = t.filter(keep)
+        return pa.table({"c_custkey": sub["c_custkey"],
+                         "c_nationkey": sub["c_nationkey"],
+                         "cents": _cents(sub["c_acctbal"])})
+
+    def high(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["o_orderpriority"], "2-HIGH")
+        return (t.filter(keep).select(["o_custkey"])
+                .rename_columns(["c_custkey"]))
+
+    idle = bucketed_anti_join(
+        cust.map_batches(rich, batch_format="pyarrow"),
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .map_batches(high, batch_format="pyarrow"),
+        key="c_custkey")
+
+    def nation_partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["c_nationkey"]).aggregate(
+            [([], "count_all"), ("cents", "sum")])
+
+    acc: dict[int, list[int]] = {}
+    for r in idle.map_batches(nation_partial,
+                              batch_format="pyarrow").take_all():
+        a = acc.setdefault(int(r["c_nationkey"]), [0, 0])
+        a[0] += int(r["count_all"]); a[1] += int(r["cents_sum"])
+    names = {int(r["n_nationkey"]): r["n_name"] for r in
+             _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()}
+    keys = sorted(acc)
+    return pa.table({
+        "n_name": pa.array([names[k] for k in keys], pa.string()),
+        "numcust": pa.array([acc[k][0] for k in keys], pa.int64()),
+        "totacctbal_cents": pa.array([acc[k][1] for k in keys], pa.int64()),
+    })
+
+
+SQL_WEALTHY_IDLE = """
+WITH s AS (
+  SELECT count(*)::HUGEINT AS n,
+         sum(CAST(round(c_acctbal * 100) AS BIGINT))::HUGEINT AS sc
+  FROM customer WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0
+)
+SELECT n.n_name,
+       count(*)::BIGINT AS numcust,
+       sum(CAST(round(c.c_acctbal * 100) AS BIGINT))::BIGINT
+         AS totacctbal_cents
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey, s
+WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * s.n > s.sc
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '2-HIGH')
+GROUP BY n.n_name
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -6694,4 +6781,5 @@ def catalog():
         "value_outliers": (q_value_outliers, SQL_VALUE_OUTLIERS),
         "part_skyline": (q_part_skyline, SQL_PART_SKYLINE),
         "lm_score": (q_lm_score, SQL_LM_SCORE),
+        "wealthy_idle": (q_wealthy_idle, SQL_WEALTHY_IDLE),
     }
