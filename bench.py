@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "part_skyline",
     "lm_score",
     "wealthy_idle",
+    "error_bursts",
 ]
 
 

@@ -1125,3 +1125,91 @@ def longest_prefix_match(
         })
 
     return ds.map_batches(classify, batch_format="pyarrow")
+
+
+def band_self_pairs(
+    ds: rd.Dataset,
+    ts_col: str,
+    id_col: str,
+    band_us: int,
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """KEYLESS self band-join: every ordered pair (a, b) with
+    ``ts_a < ts_b <= ts_a + band`` (exact ts ties broken by id so each
+    unordered pair appears once) — burst / co-occurrence detection with
+    no equi-key for a hash join to grab. Output ``(first_id, second_id,
+    gap_us)``.
+
+    Scale plan — the 1-D spatial-join tiling: each row lands in its
+    time tile ``tb = ts // band`` twice, once as an OWNER of tile tb and
+    once as a right-candidate for tile tb-1; a pair is formed only in
+    the LEFT row's tile, and its right side (ts in (ts_a, ts_a+band]) is
+    by construction fully visible there — so no pair is missed and none
+    duplicates, whatever the band/tile hash layout. Tiles exchange by
+    ``hash(tb)`` (bucketed_reduce), and inside a worker bucket the
+    window lookup is ONE vectorized searchsorted over the composite key
+    ``tb*band + ts`` (monotone across tiles, so co-hashed tiles can't
+    cross-match) with repeat/arange pair enumeration — output-bounded
+    work, never an O(n^2) scan. Shuffle mass is 2x fixed-width rows."""
+    out_empty = pa.table({"first_id": pa.nulls(0, pa.int64()),
+                          "second_id": pa.nulls(0, pa.int64()),
+                          "gap_us": pa.nulls(0, pa.int64())})
+    band = np.int64(band_us)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts = (t[ts_col].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").view(np.int64))
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tb = ts // band
+        return pa.table({
+            "tb": pa.array(np.concatenate([tb, tb - 1]), pa.int64()),
+            "ts": pa.array(np.concatenate([ts, ts]), pa.int64()),
+            "id": pa.array(np.concatenate([ids, ids]), pa.int64()),
+            "own": pa.array(np.concatenate(
+                [np.ones(len(ts), bool), np.zeros(len(ts), bool)])),
+        })
+
+    def _enumerate(lo, hi, lidx_pool):
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return (np.empty(0, np.int64),) * 2
+        starts = np.repeat(lo, cnt)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt)
+        return np.repeat(lidx_pool, cnt), starts + offs
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_empty
+        tb = t["tb"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        own = t["own"].to_numpy(zero_copy_only=False)
+        skey = tb * band + ts
+        order = np.argsort(skey, kind="stable")
+        skey_s, ts_s, id_s = skey[order], ts[order], ids[order]
+        lkey, lts, lid = skey[own], ts[own], ids[own]
+        lpool = np.arange(len(lkey), dtype=np.int64)
+        # strict branch: ts_b in (ts_a, ts_a + band]
+        lo = np.searchsorted(skey_s, lkey, "right")
+        hi = np.searchsorted(skey_s, lkey + band, "right")
+        li1, ri1 = _enumerate(lo, hi, lpool)
+        # tie branch: ts_b == ts_a, id_b > id_a (gap 0, self excluded)
+        lo2 = np.searchsorted(skey_s, lkey, "left")
+        li2, ri2 = _enumerate(lo2, lo, lpool)
+        if len(li2):
+            m = id_s[ri2] > lid[li2]
+            li2, ri2 = li2[m], ri2[m]
+        first = np.concatenate([lid[li1], lid[li2]])
+        second = np.concatenate([id_s[ri1], id_s[ri2]])
+        gap = np.concatenate([ts_s[ri1] - lts[li1],
+                              np.zeros(len(li2), np.int64)])
+        return pa.table({"first_id": pa.array(first, pa.int64()),
+                         "second_id": pa.array(second, pa.int64()),
+                         "gap_us": pa.array(gap, pa.int64())})
+
+    rows = ds.map_batches(explode, batch_format="pyarrow")
+    if rows.schema() is None:   # empty input: map_batches never ran
+        return rd.from_arrow(out_empty)
+    return bucketed_reduce(rows, "tb", pairs, n_buckets=n_buckets)

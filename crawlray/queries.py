@@ -6649,6 +6649,36 @@ GROUP BY n.n_name
 """
 
 
+def q_error_bursts(sf_dir: str):
+    """Error-burst detection: every ordered pair of 'error' events
+    within 60 s of each other — a KEYLESS self band-join (no equi-key
+    for a hash join), lowered via `relational.band_self_pairs`' 1-D
+    spatial tiling (each event owns its 60 s tile and shadows the
+    previous one; one vectorized searchsorted per worker bucket,
+    output-bounded pair enumeration). The type filter is pushed into
+    the read batches before the exchange."""
+    from .pipelines.relational import band_self_pairs
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def errors(t: pa.Table) -> pa.Table:
+        return (t.filter(pc.equal(t["event_type"], "error"))
+                .select(["event_id", "ts"]))
+
+    return band_self_pairs(ev.map_batches(errors, batch_format="pyarrow"),
+                           "ts", "event_id", band_us=60_000_000)
+
+
+SQL_ERROR_BURSTS = """
+WITH e AS (SELECT event_id, ts FROM events WHERE event_type = 'error')
+SELECT a.event_id AS first_id, b.event_id AS second_id,
+       date_diff('microseconds', a.ts, b.ts)::BIGINT AS gap_us
+FROM e a JOIN e b
+ON (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+AND b.ts <= a.ts + INTERVAL 60 SECOND
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -6782,4 +6812,5 @@ def catalog():
         "part_skyline": (q_part_skyline, SQL_PART_SKYLINE),
         "lm_score": (q_lm_score, SQL_LM_SCORE),
         "wealthy_idle": (q_wealthy_idle, SQL_WEALTHY_IDLE),
+        "error_bursts": (q_error_bursts, SQL_ERROR_BURSTS),
     }

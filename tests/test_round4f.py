@@ -66,3 +66,51 @@ def test_skyline_duplicates_cosurvive():
 def test_skyline_empty():
     assert len(_skyline_mask(np.array([], np.int64),
                              np.array([], np.int64))) == 0
+
+
+class TestBandSelfPairs:
+    def _run(self, ts_us, ids, band, nb, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from crawlray.pipelines.relational import band_self_pairs
+
+        df = pd.DataFrame({
+            "ts": pd.to_datetime(np.asarray(ts_us, np.int64), unit="us"),
+            "event_id": np.asarray(ids, np.int64),
+        })
+        ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+        got = band_self_pairs(ds.repartition(3), "ts", "event_id",
+                              band_us=band, n_buckets=nb).to_pandas()
+        return set(map(tuple, got.to_numpy()))
+
+    @staticmethod
+    def _brute(ts_us, ids, band):
+        out = set()
+        for i in range(len(ts_us)):
+            for j in range(len(ts_us)):
+                ta, tb = int(ts_us[i]), int(ts_us[j])
+                if (tb > ta or (tb == ta and ids[j] > ids[i])) \
+                        and tb <= ta + band:
+                    out.add((ids[i], ids[j], tb - ta))
+        return out
+
+    def test_matches_bruteforce_with_ties(self, ray_session):
+        rng = np.random.RandomState(7)
+        ts = rng.randint(0, 3000, size=80).astype(np.int64)  # many ties
+        ids = np.arange(80, dtype=np.int64)
+        for band in (1, 100, 500):
+            assert self._run(ts, ids, band, 4, ray_session) == \
+                self._brute(ts, ids, band), band
+
+    def test_tile_boundary_pairs(self, ray_session):
+        # pairs straddling tile boundaries: tiles of width 100
+        ts = np.array([99, 101, 250, 320], np.int64)
+        ids = np.array([1, 2, 3, 4], np.int64)
+        assert self._run(ts, ids, 100, 3, ray_session) == \
+            {(1, 2, 2), (3, 4, 70)}
+
+    def test_empty(self, ray_session):
+        assert self._run(np.array([], np.int64), np.array([], np.int64),
+                         100, 2, ray_session) == set()
