@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "lm_score",
     "wealthy_idle",
     "error_bursts",
+    "zorder_layout",
 ]
 
 

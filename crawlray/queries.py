@@ -6679,6 +6679,92 @@ AND b.ts <= a.ts + INTERVAL 60 SECOND
 """
 
 
+def _part1by1(v: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of ``v`` into the even bit positions
+    (Morton/Z-order interleave half, the standard magic-mask ladder)."""
+    v = v.astype(np.uint64) & np.uint64(0xFFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x33333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
+    return v
+
+
+def q_zorder_layout(sf_dir: str):
+    """Z-ORDER (Morton-curve) layout indexing over (partkey, suppkey) —
+    the multi-dimensional clustering step a 100 TB table runs before
+    writing so that range predicates on EITHER column prune file-level
+    min/max zones (Delta/Iceberg 'OPTIMIZE ZORDER'). Pass 1 folds
+    per-batch min/max partials for both columns to 4 driver ints; pass 2
+    is a fully vectorized map: scale each key to a 16-bit grid with the
+    exact floor form (v - min) * 65535 // (max - min), interleave bits
+    with the magic-mask ladder, and take the top 6 of the 32 z-bits as
+    the target partition (64 write buckets). No shuffle at all — the
+    zcode IS the sort/partition key a writer would range-exchange on;
+    here we emit (row id, zcode, zpart) for the oracle to audit
+    bit-for-bit. The 16x16-bit grid is exactly restatable in SQL as a
+    32-term bit-interleave sum."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"])
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "pmin": pa.array([pc.min(t["l_partkey"]).as_py()], pa.int64()),
+            "pmax": pa.array([pc.max(t["l_partkey"]).as_py()], pa.int64()),
+            "smin": pa.array([pc.min(t["l_suppkey"]).as_py()], pa.int64()),
+            "smax": pa.array([pc.max(t["l_suppkey"]).as_py()], pa.int64()),
+        })
+
+    pmin = smin = None
+    pmax = smax = None
+    for r in ds.map_batches(mm_partial, batch_format="pyarrow").take_all():
+        pmin = r["pmin"] if pmin is None else min(pmin, r["pmin"])
+        pmax = r["pmax"] if pmax is None else max(pmax, r["pmax"])
+        smin = r["smin"] if smin is None else min(smin, r["smin"])
+        smax = r["smax"] if smax is None else max(smax, r["smax"])
+    pspan = max(pmax - pmin, 1)
+    sspan = max(smax - smin, 1)
+
+    def zmap(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gx = (pk - pmin) * 65535 // pspan
+        gy = (sk - smin) * 65535 // sspan
+        z = (_part1by1(gx) | (_part1by1(gy) << np.uint64(1))).astype(np.int64)
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "zcode": pa.array(z, pa.int64()),
+            "zpart": pa.array(z >> 26, pa.int64()),
+        })
+
+    return ds.map_batches(zmap, batch_format="pyarrow")
+
+
+def _zorder_sql() -> str:
+    interleave = " + ".join(
+        [f"(((gx >> {i}) & 1) << {2 * i})" for i in range(16)]
+        + [f"(((gy >> {i}) & 1) << {2 * i + 1})" for i in range(16)])
+    return f"""
+WITH mm AS (
+  SELECT min(l_partkey) AS pmin,
+         greatest(max(l_partkey) - min(l_partkey), 1) AS pspan,
+         min(l_suppkey) AS smin,
+         greatest(max(l_suppkey) - min(l_suppkey), 1) AS sspan
+  FROM lineitem
+), g AS (
+  SELECT l_orderkey, l_linenumber,
+         (l_partkey - mm.pmin) * 65535 // mm.pspan AS gx,
+         (l_suppkey - mm.smin) * 65535 // mm.sspan AS gy
+  FROM lineitem, mm
+)
+SELECT l_orderkey, l_linenumber,
+       ({interleave})::BIGINT AS zcode,
+       (({interleave}) >> 26)::BIGINT AS zpart
+FROM g
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -6813,4 +6899,5 @@ def catalog():
         "lm_score": (q_lm_score, SQL_LM_SCORE),
         "wealthy_idle": (q_wealthy_idle, SQL_WEALTHY_IDLE),
         "error_bursts": (q_error_bursts, SQL_ERROR_BURSTS),
+        "zorder_layout": (q_zorder_layout, _zorder_sql()),
     }
