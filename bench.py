@@ -138,6 +138,10 @@ BENCH_QUERIES = [
     "wealthy_idle",
     "error_bursts",
     "zorder_layout",
+    "sliding_distinct",
+    "trending_events",
+    "collocations",
+    "event_trigrams",
 ]
 
 

@@ -471,3 +471,92 @@ def ntile_per_key(
 
     tagged = events.map_batches(tag, batch_format="pyarrow")
     return tagged.groupby("part").map_groups(tiles, batch_format="pyarrow")
+
+
+def sliding_distinct_users(
+    events: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    window_hours: int = 24,
+    n_buckets: int = 32,
+):
+    """Sliding-window DISTINCT count — ``n_users`` active in the
+    ``window_hours``-hour window ENDING at each hour. Distinct is NOT
+    subtractable, so the ring-buffer trick behind
+    :func:`sliding_window_agg` cannot apply; the scale-honest lowering
+    INVERTS the window: instead of each window asking "which users
+    touched me?" (a per-window set union), each USER announces the
+    windows it belongs to. Per-batch distinct (user, hour) partials
+    exchange ONCE by user hash; inside a bucket every user's active
+    hours become merged [h, h+W-1] intervals (one vectorized
+    boundary pass — a user active in consecutive hours contributes
+    one interval, not W rows), and only the intervals' +1/-1 boundary
+    DELTAS leave the bucket: O(user activity bursts) rows, never
+    O(users x windows). The driver folds deltas and runs one cumsum
+    over the hour axis — hour cardinality grows with the calendar,
+    not the data. Returns an arrow table (window_end, n_users),
+    windows with zero users omitted."""
+    HOUR = np.int64(3_600_000_000)
+    w = np.int64(window_hours)
+
+    def hour_partial(t: pa.Table) -> pa.Table:
+        ts = (t[ts_col].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").view(np.int64))
+        h = ts // HOUR
+        u = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.unique(np.stack([u, h], axis=1), axis=0)
+        return pa.table({"user": pa.array(uniq[:, 0], pa.int64()),
+                         "h": pa.array(uniq[:, 1], pa.int64())})
+
+    def deltas(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"h": pa.nulls(0, pa.int64()),
+                             "d": pa.nulls(0, pa.int64())})
+        u = t["user"].to_numpy(zero_copy_only=False)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, u))
+        us, hs = u[order], h[order]
+        # rows may repeat (same (user, hour) from different batches):
+        # interval merge absorbs duplicates (gap 0 <= w-1)
+        new_iv = np.r_[True, (us[1:] != us[:-1]) | (hs[1:] - hs[:-1] > w - 1)]
+        starts = np.flatnonzero(new_iv)
+        ends = np.r_[starts[1:], len(hs)] - 1
+        lo = hs[starts]                   # first window containing the run
+        hi = hs[ends] + w                 # one past the last window
+        dh = np.concatenate([lo, hi])
+        dd = np.concatenate([np.ones(len(lo), np.int64),
+                             -np.ones(len(hi), np.int64)])
+        agg = pa.table({"h": pa.array(dh, pa.int64()),
+                        "d": pa.array(dd, pa.int64())})
+        return agg.group_by(["h"]).aggregate([("d", "sum")]).rename_columns(
+            ["h", "d"])
+
+    from .relational import bucketed_reduce
+
+    parts = events.map_batches(hour_partial, batch_format="pyarrow")
+    if parts.schema() is None:
+        return pa.table({"window_end": pa.nulls(0, pa.timestamp("us")),
+                         "n_users": pa.nulls(0, pa.int64())})
+    folded: dict[int, int] = {}
+    for r in bucketed_reduce(parts, "user", deltas,
+                             n_buckets=n_buckets).take_all():
+        folded[r["h"]] = folded.get(r["h"], 0) + int(r["d"])
+    hours = np.array(sorted(folded), np.int64)
+    if not len(hours):
+        return pa.table({"window_end": pa.nulls(0, pa.timestamp("us")),
+                         "n_users": pa.nulls(0, pa.int64())})
+    dv = np.array([folded[h] for h in hours], np.int64)
+    counts = np.cumsum(dv)
+    # expand boundary runs to per-hour rows (calendar-bounded)
+    out_h, out_n = [], []
+    for i in range(len(hours) - 1):
+        if counts[i] > 0:
+            span = np.arange(hours[i], hours[i + 1], dtype=np.int64)
+            out_h.append(span)
+            out_n.append(np.full(len(span), counts[i], np.int64))
+    out_h = np.concatenate(out_h) if out_h else np.empty(0, np.int64)
+    out_n = np.concatenate(out_n) if out_n else np.empty(0, np.int64)
+    return pa.table({
+        "window_end": pa.array((out_h * HOUR).view("datetime64[us]")),
+        "n_users": pa.array(out_n, pa.int64()),
+    })

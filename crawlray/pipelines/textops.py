@@ -671,3 +671,121 @@ def lm_score_ds(docs, n_buckets: int = 16):
                     for i in range(b)])
     out = [doc_bucket.remote(*[hs[i] for hs in hsplit]) for i in range(b)]
     return rd.from_arrow_refs(out)
+
+
+def collocations_ds(docs, min_count: int = 5, n_buckets: int = 16):
+    """Corpus COLLOCATIONS — adjacent token pairs with a lift (the
+    no-log PMI: P(w1 w2) / (P(w1) P(w2)) as an exact ppm rational)
+    computed from global counts, thresholded at ``min_count`` pair
+    occurrences (Manning & Schutze ch. 5 shape). Output ``(w1, w2,
+    pair_count, lift_ppm)`` where lift_ppm = cb * N * 10^6 //
+    (c1(w1) * c1(w2)) in Python-big-int floor arithmetic (cb*N*1e6
+    overflows int64 at corpus scale).
+
+    Dataflow: token-count partials and pair-count partials each fold
+    through ONE hash exchange (`bucketed_reduce` keyed on the token /
+    first token); the HAVING >= min_count filter lands inside the pair
+    buckets BEFORE anything joins, so the two `bucketed_hash_join`s
+    against the vocab-sized count table move only the rare surviving
+    collocations; N folds from per-batch scalars on the driver. Token
+    strings do shuffle here (the OUTPUT is strings — the tfidf/bm25
+    precedent), but only once each, pre-aggregated."""
+    import ray.data as rd
+
+    from .relational import bucketed_hash_join, bucketed_reduce
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        toks = [w for text in t["text"].to_pylist()
+                for w in (text or "").split()]
+        if not toks:
+            return pa.table({"term": pa.nulls(0, pa.string()),
+                             "c": pa.nulls(0, pa.int64())})
+        tmp = pa.table({"term": pa.array(toks, pa.string())})
+        return (tmp.group_by(["term"]).aggregate([([], "count_all")])
+                .rename_columns(["term", "c"]))
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        w1, w2 = [], []
+        for text in t["text"].to_pylist():
+            toks = (text or "").split()
+            if len(toks) >= 2:
+                w1.extend(toks[:-1])
+                w2.extend(toks[1:])
+        if not w1:
+            return pa.table({"w1": pa.nulls(0, pa.string()),
+                             "w2": pa.nulls(0, pa.string()),
+                             "c": pa.nulls(0, pa.int64())})
+        tmp = pa.table({"w1": pa.array(w1, pa.string()),
+                        "w2": pa.array(w2, pa.string())})
+        return (tmp.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+                .rename_columns(["w1", "w2", "c"]))
+
+    def fold_counts(cols):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            return (t.group_by(cols).aggregate([("c", "sum")])
+                    .rename_columns([*cols, "c"]))
+        return fn
+
+    def pair_fold(t: pa.Table) -> pa.Table:
+        t = fold_counts(["w1", "w2"])(t)
+        if t.num_rows == 0:
+            return t
+        return t.filter(pc.greater_equal(t["c"], min_count))
+
+    text = docs.select_columns(["text"])
+    tok_counts = bucketed_reduce(
+        text.map_batches(tok_partial, batch_format="pyarrow"),
+        "term", fold_counts(["term"]), n_buckets=n_buckets)
+    pair_counts = bucketed_reduce(
+        text.map_batches(pair_partial, batch_format="pyarrow"),
+        "w1", pair_fold, n_buckets=n_buckets)
+
+    def n_partial(t: pa.Table) -> pa.Table:
+        stripped = pc.utf8_trim_whitespace(t["text"])
+        nt = pc.list_value_length(
+            pc.split_pattern_regex(stripped, r"\s+")).cast(pa.int64())
+        nt = pc.if_else(pc.equal(stripped, ""), pa.scalar(0, pa.int64()), nt)
+        npairs = pc.sum(pc.max_element_wise(
+            pc.subtract(nt, 1), pa.scalar(0, pa.int64()))).as_py()
+        return pa.table({"n": pa.array([int(npairs or 0)])})
+
+    n_pairs = sum(r["n"] for r in
+                  text.map_batches(n_partial,
+                                   batch_format="pyarrow").take_all())
+
+    j1 = bucketed_hash_join(
+        pair_counts.map_batches(
+            lambda t: t.rename_columns(["term", "w2", "cb"]),
+            batch_format="pyarrow"),
+        tok_counts.map_batches(
+            lambda t: t.rename_columns(["term", "c1"]),
+            batch_format="pyarrow"),
+        key="term", n_buckets=n_buckets)
+    j2 = bucketed_hash_join(
+        j1.map_batches(
+            lambda t: pa.table({"w1": t["term"], "term": t["w2"],
+                                "cb": t["cb"], "c1": t["c1"]}),
+            batch_format="pyarrow"),
+        tok_counts.map_batches(
+            lambda t: t.rename_columns(["term", "c2"]),
+            batch_format="pyarrow"),
+        key="term", n_buckets=n_buckets)
+
+    def lift(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"w1": pa.nulls(0, pa.string()),
+                             "w2": pa.nulls(0, pa.string()),
+                             "pair_count": pa.nulls(0, pa.int64()),
+                             "lift_ppm": pa.nulls(0, pa.int64())})
+        cb = t["cb"].to_numpy(zero_copy_only=False)
+        c1 = t["c1"].to_numpy(zero_copy_only=False)
+        c2 = t["c2"].to_numpy(zero_copy_only=False)
+        lp = [int(b) * n_pairs * 1_000_000 // (int(a) * int(d))
+              for b, a, d in zip(cb, c1, c2)]
+        return pa.table({"w1": t["w1"], "w2": t["term"],
+                         "pair_count": pa.array(cb, pa.int64()),
+                         "lift_ppm": pa.array(lp, pa.int64())})
+
+    return j2.map_batches(lift, batch_format="pyarrow")

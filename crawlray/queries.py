@@ -6765,6 +6765,207 @@ FROM g
 """
 
 
+def q_sliding_distinct(sf_dir: str):
+    """Sliding 24 h DISTINCT active users per hour — distinct is not
+    subtractable, so this can't ride the `sliding_windows` ring buffer;
+    see :func:`crawlray.pipelines.streaming.sliding_distinct_users` for
+    the inverted lowering (each user announces its merged window
+    intervals; only +1/-1 boundary deltas leave the buckets)."""
+    from .pipelines.streaming import sliding_distinct_users
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return sliding_distinct_users(ev, "user_id", "ts", window_hours=24)
+
+
+SQL_SLIDING_DISTINCT = """
+WITH uh AS (
+  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events
+), wins AS (
+  SELECT DISTINCT user_id, h + to_hours(o) AS wh
+  FROM uh, unnest(range(0, 24)) AS r(o)
+)
+SELECT wh AS window_end, count(*)::BIGINT AS n_users
+FROM wins GROUP BY wh
+"""
+
+
+def q_trending_events(sf_dir: str):
+    """Trending detection: the top event type in the sliding 6 h window
+    ending at each hour (ties → lexicographically first type). Counts
+    ARE subtractable, so unlike `sliding_distinct` no inversion is
+    needed: per-batch (hour, type) COUNT partials via a C-level arrow
+    group_by (bounded by hours x types per block, independent of row
+    count) fold on the driver, where the per-type sliding sums are one
+    vectorized cumsum-diff over the calendar-bounded hour axis and the
+    per-window argmax a single lexsort. No shuffle anywhere — the only
+    exchange is the tiny partial funnel."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    HOUR = np.int64(3_600_000_000)
+    W = 6
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = (t["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").view(np.int64) // HOUR)
+        tmp = pa.table({"h": pa.array(h, pa.int64()),
+                        "event_type": t["event_type"]})
+        return tmp.group_by(["h", "event_type"]).aggregate(
+            [([], "count_all")])
+
+    acc: dict[tuple[int, str], int] = {}
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        k = (int(r["h"]), r["event_type"])
+        acc[k] = acc.get(k, 0) + int(r["count_all"])
+    if not acc:
+        return pa.table({"window_end": pa.nulls(0, pa.timestamp("us")),
+                         "top_type": pa.nulls(0, pa.string()),
+                         "cnt": pa.nulls(0, pa.int64())})
+    types = sorted({t for _, t in acc})
+    h_lo = min(h for h, _ in acc)
+    h_hi = max(h for h, _ in acc) + W - 1   # last window with any overlap
+    n_h = int(h_hi - h_lo + 1)
+    grid = np.zeros((len(types), n_h), np.int64)
+    tidx = {t: i for i, t in enumerate(types)}
+    for (h, t), c in acc.items():
+        grid[tidx[t], h - h_lo] += c
+    # sliding W-sum ending at each hour: cumsum diff per type row
+    cs = np.cumsum(grid, axis=1)
+    slid = cs - np.c_[np.zeros((len(types), W), np.int64), cs[:, :-W]]
+    total = slid.sum(axis=0)
+    best = slid.argmax(axis=0)          # first (lexicographic) max type
+    keep = np.flatnonzero(total > 0)
+    wh = (h_lo + keep.astype(np.int64)) * HOUR
+    return pa.table({
+        "window_end": pa.array(wh.view("datetime64[us]")),
+        "top_type": pa.array([types[i] for i in best[keep]], pa.string()),
+        "cnt": pa.array(slid[best[keep], keep], pa.int64()),
+    })
+
+
+SQL_TRENDING_EVENTS = """
+WITH he AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY h, event_type
+), wins AS (
+  SELECT h + to_hours(o) AS wh, event_type, n
+  FROM he, unnest(range(0, 6)) AS r(o)
+), agg AS (
+  SELECT wh, event_type, sum(n)::BIGINT AS cnt
+  FROM wins GROUP BY wh, event_type
+)
+SELECT wh AS window_end, event_type AS top_type, cnt
+FROM agg
+QUALIFY row_number() OVER (PARTITION BY wh
+                           ORDER BY cnt DESC, event_type) = 1
+"""
+
+
+def q_collocations(sf_dir: str):
+    """Corpus collocations (no-log PMI lift, Manning & Schutze ch. 5) —
+    adjacent token pairs occurring >= 5 times, scored
+    lift_ppm = cb * N * 10^6 // (c1(w1) * c1(w2)) in exact big-int floor
+    arithmetic; see :func:`crawlray.pipelines.textops.collocations_ds`
+    (count partials -> one exchange each, HAVING filter BEFORE the two
+    vocab joins)."""
+    from .pipelines.textops import collocations_ds
+
+    return collocations_ds(_read(sf_dir, "documents", ["doc_id", "text"]),
+                           min_count=5)
+
+
+SQL_COLLOCATIONS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text)='' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
+  FROM documents
+), tok AS (
+  SELECT ts[i] AS w FROM toks, unnest(range(1, len(ts) + 1)) AS r(i)
+), c1 AS (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY w),
+pr AS (
+  SELECT ts[i] AS w1, ts[i+1] AS w2
+  FROM toks, unnest(range(1, len(ts))) AS r(i)
+), cb AS (
+  SELECT w1, w2, count(*)::HUGEINT AS c FROM pr GROUP BY w1, w2
+  HAVING count(*) >= 5
+), n AS (SELECT count(*)::HUGEINT AS n FROM pr)
+SELECT cb.w1, cb.w2, cb.c::BIGINT AS pair_count,
+       (cb.c * n.n * 1000000
+        // (a.c::HUGEINT * b.c::HUGEINT))::BIGINT AS lift_ppm
+FROM cb
+CROSS JOIN n
+JOIN c1 a ON a.w = cb.w1
+JOIN c1 b ON b.w = cb.w2
+"""
+
+
+def q_event_trigrams(sf_dir: str):
+    """Behavioral path mining: global counts of per-user consecutive
+    event-type TRIPLES (the LEAD(1)/LEAD(2) window shape — extends the
+    pairwise `event_transitions` to 3-step paths). One hash exchange by
+    user co-locates each user's history; inside a bucket one lexsort by
+    (user, ts, event_id) + two shifted comparisons yield every triple,
+    counted by a C-level arrow group_by — the driver folds only
+    O(buckets x |types|^3) bounded partials (<= 125 triple keys here)."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def triples(t: pa.Table) -> pa.Table:
+        empty = pa.table({"t1": pa.nulls(0, pa.string()),
+                          "t2": pa.nulls(0, pa.string()),
+                          "t3": pa.nulls(0, pa.string()),
+                          "n": pa.nulls(0, pa.int64())})
+        if t.num_rows < 3:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").view(np.int64))
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        us = u[order]
+        ok = (us[:-2] == us[1:-1]) & (us[:-2] == us[2:])
+        if not ok.any():
+            return empty
+        et = t["event_type"].take(pa.array(order, pa.int64()))
+        idx = np.flatnonzero(ok)
+        tmp = pa.table({
+            "t1": et.take(pa.array(idx, pa.int64())),
+            "t2": et.take(pa.array(idx + 1, pa.int64())),
+            "t3": et.take(pa.array(idx + 2, pa.int64())),
+        })
+        return (tmp.group_by(["t1", "t2", "t3"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["t1", "t2", "t3", "n"]))
+
+    acc: dict[tuple, int] = {}
+    for r in bucketed_reduce(ev, "user_id", triples,
+                             n_buckets=32).take_all():
+        k = (r["t1"], r["t2"], r["t3"])
+        acc[k] = acc.get(k, 0) + int(r["n"])
+    keys = sorted(acc)
+    return pa.table({
+        "t1": pa.array([k[0] for k in keys], pa.string()),
+        "t2": pa.array([k[1] for k in keys], pa.string()),
+        "t3": pa.array([k[2] for k in keys], pa.string()),
+        "n": pa.array([acc[k] for k in keys], pa.int64()),
+    })
+
+
+SQL_EVENT_TRIGRAMS = """
+WITH s AS (
+  SELECT user_id, event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, count(*)::BIGINT AS n
+FROM s WHERE t3 IS NOT NULL
+GROUP BY t1, t2, t3
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -6900,4 +7101,8 @@ def catalog():
         "wealthy_idle": (q_wealthy_idle, SQL_WEALTHY_IDLE),
         "error_bursts": (q_error_bursts, SQL_ERROR_BURSTS),
         "zorder_layout": (q_zorder_layout, _zorder_sql()),
+        "sliding_distinct": (q_sliding_distinct, SQL_SLIDING_DISTINCT),
+        "trending_events": (q_trending_events, SQL_TRENDING_EVENTS),
+        "collocations": (q_collocations, SQL_COLLOCATIONS),
+        "event_trigrams": (q_event_trigrams, SQL_EVENT_TRIGRAMS),
     }
