@@ -142,6 +142,9 @@ BENCH_QUERIES = [
     "trending_events",
     "collocations",
     "event_trigrams",
+    "preferred_supplier",
+    "embedding_top_dims",
+    "benford_prices",
 ]
 
 

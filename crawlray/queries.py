@@ -6966,6 +6966,155 @@ GROUP BY t1, t2, t3
 """
 
 
+def q_preferred_supplier(sf_dir: str):
+    """TPC-H Q2-shape argmax join: for every part, the supplier that
+    shipped it the most (ties → smallest suppkey), enriched with the
+    supplier name. ONE hash exchange by part key co-locates everything:
+    inside a bucket a C-level arrow group_by folds (part, supp) quantity
+    sums and one lexsort picks each part's winner — the per-group argmax
+    never leaves the bucket, so no second shuffle and no window sort.
+    Supplier names attach via a broadcast map (the classic small
+    dimension side)."""
+    from .pipelines.relational import bucketed_reduce
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "pk": t["l_partkey"], "sk": t["l_suppkey"],
+            "q": pc.round(t["l_quantity"]).cast(pa.int64()),
+        }).group_by(["pk", "sk"]).aggregate([("q", "sum")])
+
+    def winner(t: pa.Table) -> pa.Table:
+        empty = pa.table({"l_partkey": pa.nulls(0, pa.int64()),
+                          "s_suppkey": pa.nulls(0, pa.int64()),
+                          "total_qty": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        agg = t.group_by(["pk", "sk"]).aggregate([("q_sum", "sum")])
+        pk = agg["pk"].to_numpy(zero_copy_only=False)
+        sk = agg["sk"].to_numpy(zero_copy_only=False)
+        q = agg["q_sum_sum"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, -q, pk))    # pk asc, q desc, sk asc
+        pks = pk[order]
+        first = np.r_[True, pks[1:] != pks[:-1]]
+        idx = order[first]
+        return pa.table({
+            "l_partkey": pa.array(pk[idx], pa.int64()),
+            "s_suppkey": pa.array(sk[idx], pa.int64()),
+            "total_qty": pa.array(q[idx], pa.int64()),
+        })
+
+    parts = li.map_batches(partial, batch_format="pyarrow")
+    won = bucketed_reduce(parts, "pk", winner, n_buckets=32)
+    names = {int(r["s_suppkey"]): r["s_name"] for r in
+             _read(sf_dir, "supplier",
+                   ["s_suppkey", "s_name"]).take_all()}
+
+    def attach(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "s_name", pa.array([names[int(s)] for s in
+                                t["s_suppkey"].to_pylist()], pa.string()))
+
+    return won.map_batches(attach, batch_format="pyarrow")
+
+
+SQL_PREFERRED_SUPPLIER = """
+WITH pq AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS q
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), top AS (
+  SELECT l_partkey, l_suppkey, q FROM pq
+  QUALIFY row_number() OVER (PARTITION BY l_partkey
+                             ORDER BY q DESC, l_suppkey) = 1
+)
+SELECT t.l_partkey, t.l_suppkey AS s_suppkey, t.q AS total_qty, s.s_name
+FROM top t JOIN supplier s ON s.s_suppkey = t.l_suppkey
+"""
+
+
+def q_embedding_top_dims(sf_dir: str):
+    """Per-vector top-3 dimensions by value (ties → smaller index) —
+    the sparse feature-selection view of an embedding column (list<float>
+    layout kept zero-copy; the per-batch kernel is one numpy argpartition
+    + in-slice sort over the stacked 2-D view, never a Python loop over
+    rows). Purely map-side: no shuffle. Values pass through bit-exact
+    (float32 → float64 widening is exact), so the oracle compares
+    equal."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def top3(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        emb = np.stack(t["embedding"].to_pandas().to_numpy())
+        n, d = emb.shape
+        k = 3
+        emb64 = emb.astype(np.float64)
+        # one flat lexsort (row, val desc, dim asc) — exact under ties,
+        # where an argpartition could pick arbitrary boundary dims
+        rows = np.repeat(np.arange(n, dtype=np.int64), d)
+        cols = np.tile(np.arange(d, dtype=np.int64), n)
+        o = np.lexsort((cols, -emb64.ravel(), rows))
+        sel = o.reshape(n, d)[:, :k].ravel()
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, k), pa.int64()),
+            "dim": pa.array(sel % d, pa.int64()),
+            "val": pa.array(emb64.ravel()[sel], pa.float64()),
+        })
+
+    return ds.map_batches(top3, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_TOP_DIMS = """
+SELECT vec_id, (i - 1)::BIGINT AS dim, embedding[i]::DOUBLE AS val
+FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+QUALIFY row_number() OVER (PARTITION BY vec_id
+                           ORDER BY embedding[i] DESC, i) <= 3
+"""
+
+
+def q_benford_prices(sf_dir: str):
+    """Benford first-digit audit of order totals per priority — the
+    fraud/synthetic-data smell test. First digit extracted WITHOUT
+    log10 or string formatting in the hot path: a vectorized
+    divide-by-10 loop (<= 19 iterations for int64, loop over DIGITS not
+    rows). Per-batch (priority, digit) COUNT partials via arrow
+    group_by fold to <= 45 driver cells."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.round(t["o_totalprice"]).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False).copy()
+        while (x >= 10).any():
+            np.floor_divide(x, 10, out=x, where=x >= 10)
+        tmp = pa.table({"o_orderpriority": t["o_orderpriority"],
+                        "digit": pa.array(x, pa.int64())})
+        return tmp.group_by(["o_orderpriority", "digit"]).aggregate(
+            [([], "count_all")])
+
+    acc: dict[tuple[str, int], int] = {}
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        k = (r["o_orderpriority"], int(r["digit"]))
+        acc[k] = acc.get(k, 0) + int(r["count_all"])
+    keys = sorted(acc)
+    return pa.table({
+        "o_orderpriority": pa.array([k[0] for k in keys], pa.string()),
+        "digit": pa.array([k[1] for k in keys], pa.int64()),
+        "n": pa.array([acc[k] for k in keys], pa.int64()),
+    })
+
+
+SQL_BENFORD_PRICES = """
+SELECT o_orderpriority,
+       CAST(substr(CAST(CAST(round(o_totalprice) AS BIGINT) AS VARCHAR),
+                   1, 1) AS BIGINT) AS digit,
+       count(*)::BIGINT AS n
+FROM orders
+GROUP BY o_orderpriority, digit
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -7105,4 +7254,7 @@ def catalog():
         "trending_events": (q_trending_events, SQL_TRENDING_EVENTS),
         "collocations": (q_collocations, SQL_COLLOCATIONS),
         "event_trigrams": (q_event_trigrams, SQL_EVENT_TRIGRAMS),
+        "preferred_supplier": (q_preferred_supplier, SQL_PREFERRED_SUPPLIER),
+        "embedding_top_dims": (q_embedding_top_dims, SQL_EMBEDDING_TOP_DIMS),
+        "benford_prices": (q_benford_prices, SQL_BENFORD_PRICES),
     }
