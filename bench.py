@@ -145,6 +145,8 @@ BENCH_QUERIES = [
     "preferred_supplier",
     "embedding_top_dims",
     "benford_prices",
+    "trailing_hour_sum",
+    "iqr_outliers",
 ]
 
 

@@ -7115,6 +7115,129 @@ GROUP BY o_orderpriority, digit
 """
 
 
+def q_trailing_hour_sum(sf_dir: str):
+    """Time-based RANGE-frame window at scale: for every event, the sum
+    of that user's cents over the trailing hour — ``SUM() OVER
+    (PARTITION BY user ORDER BY ts RANGE INTERVAL 1 HOUR PRECEDING)``,
+    the frame `rolling_sum` (ROWS) and `sliding_windows` (fixed grid)
+    do NOT cover. One hash exchange by user; inside a bucket the frame
+    bound is ONE global searchsorted: per-user segments are shifted onto
+    disjoint ranges (zts = rel_ts + seg_id * (range + 2h), monotone
+    across the bucket), so the window start is searchsorted(zts,
+    zts - 1h) and a prefix-sum diff finishes — no per-user loop, no
+    window sort. RANGE peer semantics (equal-ts rows all in frame) fall
+    out of the side='right' upper bound."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    HOUR = np.int64(3_600_000_000)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "ts": t["ts"], "cents": _cents(t["value"]),
+        })
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.nulls(0, pa.int64()),
+                          "trail_cents": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").view(np.int64))
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        us, tss, cs, es = u[order], ts[order], cents[order], eid[order]
+        rel = tss - tss.min()
+        seg = np.cumsum(np.r_[0, us[1:] != us[:-1]])
+        offset = rel.max() + 2 * HOUR + 1 if len(rel) else 1
+        zts = rel + seg * offset
+        lo = np.searchsorted(zts, zts - HOUR, side="right")
+        hi = np.searchsorted(zts, zts, side="right")
+        pref = np.r_[np.int64(0), np.cumsum(cs)]
+        return pa.table({
+            "event_id": pa.array(es, pa.int64()),
+            "trail_cents": pa.array(pref[hi] - pref[lo], pa.int64()),
+        })
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow")
+    return bucketed_reduce(prepped, "user_id", bucket_fn, n_buckets=32)
+
+
+SQL_TRAILING_HOUR_SUM = """
+SELECT event_id,
+       sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       )::BIGINT AS trail_cents
+FROM events
+"""
+
+
+def q_iqr_outliers(sf_dir: str):
+    """Robust (Tukey-fence) outlier detection per event type — the
+    quartile complement of `value_outliers`' z-score form: flag rows
+    outside [q1 - 1.5 IQR, q3 + 1.5 IQR], exact via the doubled integer
+    fences 2x < 2 q1 - 3 IQR / 2x > 2 q3 + 3 IQR (no 1.5 float).
+    Quartiles come from `stats.grouped_quantiles` (value-histogram
+    partials, never a sort of the input; the repo-wide exact contract
+    'smallest value with cum count >= ceil(q n / 1000)'), fold to
+    2 ints per type on the driver, and broadcast into one vectorized
+    filter pass."""
+    from .pipelines.stats import grouped_quantiles
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "event_id": t["event_id"],
+                         "cents": _cents(t["value"])})
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow")
+    qs: dict[str, dict[int, int]] = {}
+    for r in grouped_quantiles(prepped, "event_type", "cents",
+                               [250, 750]).take_all():
+        qs.setdefault(r["event_type"], {})[int(r["q_pm"])] = int(r["cents"])
+
+    def flag(t: pa.Table) -> pa.Table:
+        types = t["event_type"].to_numpy(zero_copy_only=False)
+        x = t["cents"].to_numpy(zero_copy_only=False)
+        q1 = np.array([qs[k][250] for k in types], np.int64)
+        q3 = np.array([qs[k][750] for k in types], np.int64)
+        iqr = q3 - q1
+        keep = (2 * x < 2 * q1 - 3 * iqr) | (2 * x > 2 * q3 + 3 * iqr)
+        sub = t.filter(pa.array(keep))
+        return pa.table({"event_type": sub["event_type"],
+                         "event_id": sub["event_id"],
+                         "cents": sub["cents"]})
+
+    return prepped.map_batches(flag, batch_format="pyarrow")
+
+
+SQL_IQR_OUTLIERS = """
+WITH t AS (
+  SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), c AS (
+  SELECT event_type, cents, count(*)::BIGINT AS n FROM t GROUP BY 1, 2
+), w AS (
+  SELECT event_type, cents,
+         sum(n) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+         sum(n) OVER (PARTITION BY event_type) AS tot
+  FROM c
+), q1 AS (SELECT event_type, min(cents) AS v FROM w
+          WHERE cum >= (250 * tot + 999) // 1000 GROUP BY 1),
+   q3 AS (SELECT event_type, min(cents) AS v FROM w
+          WHERE cum >= (750 * tot + 999) // 1000 GROUP BY 1)
+SELECT t.event_type, t.event_id, t.cents
+FROM t JOIN q1 USING (event_type) JOIN q3 USING (event_type)
+WHERE 2 * t.cents < 2 * q1.v - 3 * (q3.v - q1.v)
+   OR 2 * t.cents > 2 * q3.v + 3 * (q3.v - q1.v)
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -7257,4 +7380,6 @@ def catalog():
         "preferred_supplier": (q_preferred_supplier, SQL_PREFERRED_SUPPLIER),
         "embedding_top_dims": (q_embedding_top_dims, SQL_EMBEDDING_TOP_DIMS),
         "benford_prices": (q_benford_prices, SQL_BENFORD_PRICES),
+        "trailing_hour_sum": (q_trailing_hour_sum, SQL_TRAILING_HOUR_SUM),
+        "iqr_outliers": (q_iqr_outliers, SQL_IQR_OUTLIERS),
     }
