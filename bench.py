@@ -147,6 +147,10 @@ BENCH_QUERIES = [
     "benford_prices",
     "trailing_hour_sum",
     "iqr_outliers",
+    "sole_suppliers",
+    "nation_trade",
+    "promo_share",
+    "bracket_revenue",
 ]
 
 

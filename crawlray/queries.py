@@ -7238,6 +7238,316 @@ WHERE 2 * t.cents < 2 * q1.v - 3 * (q3.v - q1.v)
 """
 
 
+def q_sole_suppliers(sf_dir: str):
+    """TPC-H Q21 shape adapted to this schema — 'sole supplier'
+    analysis: orders served by EXACTLY ONE distinct supplier, rolled up
+    per supplier (how many orders they alone fulfilled, and the revenue
+    at stake). The classic Q21 EXISTS/NOT-EXISTS self-join pair on
+    lineitem decorrelates into ONE partition-by-order pass:
+    `bucketed_reduce` on the order key sees every line of an order in
+    one bucket, so the per-order distinct-supplier count, the
+    sole-order filter, and the per-supplier re-aggregation all happen
+    inside the bucket with zero joins. Per-batch (order, supplier)
+    pre-aggregation bounds exchange volume at one row per (order,
+    supplier) pair; a second tiny exchange on the supplier key folds
+    the per-bucket partials (suppliers span buckets — never a driver
+    dict at 100 TB supplier cardinality)."""
+    from .pipelines.relational import bucketed_reduce
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])))
+        return (pa.table({"l_orderkey": t["l_orderkey"],
+                          "l_suppkey": t["l_suppkey"], "rev": rev})
+                .group_by(["l_orderkey", "l_suppkey"])
+                .aggregate([("rev", "sum")])
+                .rename_columns(["l_orderkey", "l_suppkey", "rev"]))
+
+    def per_order(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"s_suppkey": pa.nulls(0, pa.int64()),
+                             "sole_orders": pa.nulls(0, pa.int64()),
+                             "rev_centicents": pa.nulls(0, pa.int64())})
+        df = (t.to_pandas().groupby(["l_orderkey", "l_suppkey"],
+                                    as_index=False)["rev"].sum())
+        nsupp = df.groupby("l_orderkey")["l_orderkey"].transform("size")
+        sole = df[nsupp.to_numpy() == 1]
+        out = sole.groupby("l_suppkey", as_index=False).agg(
+            sole_orders=("l_orderkey", "size"), rev_centicents=("rev", "sum"))
+        return pa.table({
+            "s_suppkey": pa.array(out["l_suppkey"], pa.int64()),
+            "sole_orders": pa.array(out["sole_orders"], pa.int64()),
+            "rev_centicents": pa.array(out["rev_centicents"], pa.int64()),
+        })
+
+    partials = bucketed_reduce(
+        li.map_batches(prep, batch_format="pyarrow"),
+        "l_orderkey", per_order, n_buckets=16)
+
+    def fold(t: pa.Table) -> pa.Table:
+        return (t.group_by(["s_suppkey"])
+                .aggregate([("sole_orders", "sum"), ("rev_centicents", "sum")])
+                .rename_columns(["s_suppkey", "sole_orders",
+                                 "rev_centicents"]))
+
+    return bucketed_reduce(partials, "s_suppkey", fold, n_buckets=8)
+
+
+SQL_SOLE_SUPPLIERS = """
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+  FROM lineitem
+), sole AS (
+  SELECT l_orderkey FROM l GROUP BY 1 HAVING count(DISTINCT l_suppkey) = 1
+)
+SELECT l.l_suppkey AS s_suppkey,
+       count(DISTINCT l.l_orderkey)::BIGINT AS sole_orders,
+       sum(l.rev)::BIGINT AS rev_centicents
+FROM l JOIN sole USING (l_orderkey)
+GROUP BY 1
+"""
+
+
+def q_nation_trade(sf_dir: str):
+    """TPC-H Q7 shape — cross-nation trade volume: revenue shipped
+    between every (supplier nation, customer nation) pair per ship
+    year, CROSS-nation pairs only (the Q7 twist regional_revenue's Q5
+    doesn't have: Q5 keeps same-nation revenue, Q7 keeps the
+    complement, keyed by BOTH nations and the year). Same scale plan as
+    the Q5 star: customer/supplier/nation are broadcast dimensions
+    probed per batch, the one real exchange is orders x lineitem
+    bucketed on the order key, and per-block partials bound what leaves
+    each bucket at <= |nations|^2 x years rows before an O(625 x years)
+    driver fold."""
+    import ray
+
+    from .pipelines.relational import bucketed_hash_join
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    ref = ray.put((dict(zip(cust["c_custkey"], cust["c_nationkey"])),
+                   dict(zip(supp["s_suppkey"], supp["s_nationkey"]))))
+
+    def orders_prep(t: pa.Table) -> pa.Table:
+        c2n, _ = ray.get(ref)
+        df = t.to_pandas()
+        return pa.table({
+            "o_orderkey": pa.array(df["o_orderkey"], pa.int64()),
+            "c_nat": pa.array(df["o_custkey"].map(c2n).astype("int64"),
+                              pa.int64()),
+        })
+
+    def items_prep(t: pa.Table) -> pa.Table:
+        _, s2n = ray.get(ref)
+        df = t.to_pandas()
+        rev = ((df["l_extendedprice"] * 100).round().astype("int64")
+               * (100 - (df["l_discount"] * 100).round().astype("int64")))
+        return pa.table({
+            "o_orderkey": pa.array(df["l_orderkey"], pa.int64()),
+            "s_nat": pa.array(df["l_suppkey"].map(s2n).astype("int64"),
+                              pa.int64()),
+            "l_year": pa.array(df["l_shipdate"].dt.year.astype("int64"),
+                               pa.int64()),
+            "rev_centicents": pa.array(rev, pa.int64()),
+        })
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    items = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_suppkey", "l_shipdate",
+                   "l_extendedprice", "l_discount"])
+    joined = bucketed_hash_join(
+        orders.map_batches(orders_prep, batch_format="pyarrow").materialize(),
+        items.map_batches(items_prep, batch_format="pyarrow").materialize(),
+        "o_orderkey", n_buckets=16)
+
+    def block_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["s_nat"], t["c_nat"]))
+        return (t.select(["s_nat", "c_nat", "l_year", "rev_centicents"])
+                .group_by(["s_nat", "c_nat", "l_year"])
+                .aggregate([("rev_centicents", "sum")]))
+
+    acc: dict[tuple[int, int, int], int] = {}
+    for r in joined.map_batches(block_partial,
+                                batch_format="pyarrow").take_all():
+        k = (int(r["s_nat"]), int(r["c_nat"]), int(r["l_year"]))
+        acc[k] = acc.get(k, 0) + int(r["rev_centicents_sum"])
+    keys = sorted(acc)
+    return pa.table({
+        "supp_nation": pa.array([n2name[k[0]] for k in keys], pa.string()),
+        "cust_nation": pa.array([n2name[k[1]] for k in keys], pa.string()),
+        "l_year": pa.array([k[2] for k in keys], pa.int64()),
+        "rev_centicents": pa.array([acc[k] for k in keys], pa.int64()),
+    })
+
+
+SQL_NATION_TRADE = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l.l_shipdate)::BIGINT AS l_year,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT
+         AS rev_centicents
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+WHERE sn.n_nationkey <> cn.n_nationkey
+GROUP BY 1, 2, 3
+"""
+
+
+def q_promo_share(sf_dir: str):
+    """TPC-H Q14 shape — promotion effect: per ship month, the share of
+    revenue from PROMO-type parts, as the exact floored ppm of two
+    centicent sums (the Q14 '100.00 * sum(case)/sum' ratio without a
+    float division). part is a broadcast dimension reduced to the SET
+    of promo part keys (one frozenset in the object store, probed
+    vectorized per batch); partials are <= |months| x 3 ints per block,
+    folded on the driver with Python big ints (1e6 x centicents
+    overflows int64 at warehouse scale — the fold is arbitrary
+    precision, and the oracle's HUGEINT arithmetic matches it
+    exactly)."""
+    import ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    promo = frozenset(
+        part.loc[part["p_type"].str.startswith("PROMO"), "p_partkey"])
+    ref = ray.put(promo)
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk = ray.get(ref)
+        month = pc.strftime(t["l_shipdate"], format="%Y-%m")
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])))
+        is_promo = pa.array(
+            np.isin(t["l_partkey"].to_numpy(zero_copy_only=False),
+                    np.fromiter(pk, np.int64)))
+        prom = pc.if_else(is_promo, rev, pa.scalar(0, pa.int64()))
+        return (pa.table({"month": month, "promo": prom, "total": rev})
+                .group_by(["month"])
+                .aggregate([("promo", "sum"), ("total", "sum")]))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"])
+    acc: dict[str, list[int]] = {}
+    for r in li.map_batches(partial, batch_format="pyarrow").take_all():
+        a = acc.setdefault(r["month"], [0, 0])
+        a[0] += int(r["promo_sum"]); a[1] += int(r["total_sum"])
+    months = sorted(acc)
+    return pa.table({
+        "month": pa.array(months, pa.string()),
+        "promo_ppm": pa.array(
+            [10**6 * acc[m][0] // acc[m][1] for m in months], pa.int64()),
+        "promo_centicents": pa.array([acc[m][0] for m in months], pa.int64()),
+        "total_centicents": pa.array([acc[m][1] for m in months], pa.int64()),
+    })
+
+
+SQL_PROMO_SHARE = """
+WITH l AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+         CASE WHEN p.p_type LIKE 'PROMO%' THEN
+           CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT)) ELSE 0
+         END AS promo,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS total
+  FROM lineitem JOIN part p ON p.p_partkey = lineitem.l_partkey
+)
+SELECT month,
+       CAST(1000000::HUGEINT * sum(promo)::HUGEINT
+            // sum(total)::HUGEINT AS BIGINT) AS promo_ppm,
+       sum(promo)::BIGINT AS promo_centicents,
+       sum(total)::BIGINT AS total_centicents
+FROM l GROUP BY 1
+"""
+
+
+def q_bracket_revenue(sf_dir: str):
+    """TPC-H Q19 shape — disjunctive bracket pricing: revenue and line
+    count for three (brand, size range, quantity range) brackets OR-ed
+    together (the shape that defeats naive predicate pushdown because
+    no single conjunct prunes). part collapses to a broadcast
+    partkey -> (brand, size) map; the bracket test is one vectorized
+    numpy pass per batch (quantities compared in exact rounded
+    integers, never float equality); partials are <= 3 rows per block
+    folded on the driver."""
+    import ray
+
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    ref = ray.put((dict(zip(part["p_partkey"], part["p_brand"])),
+                   dict(zip(part["p_partkey"], part["p_size"]))))
+    brackets = [("b1", "Brand#23", 1, 5, 1, 11),
+                ("b2", "Brand#13", 1, 10, 10, 20),
+                ("b3", "Brand#3", 1, 15, 20, 30)]
+
+    def partial(t: pa.Table) -> pa.Table:
+        p2b, p2s = ray.get(ref)
+        df = t.to_pandas()
+        brand = df["l_partkey"].map(p2b).to_numpy()
+        size = df["l_partkey"].map(p2s).to_numpy(dtype=np.int64)
+        qty = np.round(df["l_quantity"].to_numpy()).astype(np.int64)
+        rev = ((df["l_extendedprice"] * 100).round().astype("int64")
+               * (100 - (df["l_discount"] * 100).round().astype("int64"))
+               ).to_numpy()
+        names, counts, sums = [], [], []
+        for nm, b, slo, shi, qlo, qhi in brackets:
+            m = ((brand == b) & (size >= slo) & (size <= shi)
+                 & (qty >= qlo) & (qty <= qhi))
+            names.append(nm)
+            counts.append(int(m.sum()))
+            sums.append(int(rev[m].sum()))
+        return pa.table({"bracket": pa.array(names, pa.string()),
+                         "n": pa.array(counts, pa.int64()),
+                         "rev": pa.array(sums, pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+    acc: dict[str, list[int]] = {}
+    for r in li.map_batches(partial, batch_format="pyarrow").take_all():
+        a = acc.setdefault(r["bracket"], [0, 0])
+        a[0] += int(r["n"]); a[1] += int(r["rev"])
+    names = sorted(k for k in acc if acc[k][0] > 0)
+    return pa.table({
+        "bracket": pa.array(names, pa.string()),
+        "n_lines": pa.array([acc[k][0] for k in names], pa.int64()),
+        "rev_centicents": pa.array([acc[k][1] for k in names], pa.int64()),
+    })
+
+
+SQL_BRACKET_REVENUE = """
+WITH l AS (
+  SELECT CASE
+           WHEN p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 5
+                AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 11
+             THEN 'b1'
+           WHEN p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 10
+                AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20
+             THEN 'b2'
+           WHEN p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+                AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30
+             THEN 'b3'
+         END AS bracket,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+  FROM lineitem JOIN part p ON p.p_partkey = lineitem.l_partkey
+)
+SELECT bracket, count(*)::BIGINT AS n_lines, sum(rev)::BIGINT AS rev_centicents
+FROM l WHERE bracket IS NOT NULL GROUP BY 1
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -7382,4 +7692,8 @@ def catalog():
         "benford_prices": (q_benford_prices, SQL_BENFORD_PRICES),
         "trailing_hour_sum": (q_trailing_hour_sum, SQL_TRAILING_HOUR_SUM),
         "iqr_outliers": (q_iqr_outliers, SQL_IQR_OUTLIERS),
+        "sole_suppliers": (q_sole_suppliers, SQL_SOLE_SUPPLIERS),
+        "nation_trade": (q_nation_trade, SQL_NATION_TRADE),
+        "promo_share": (q_promo_share, SQL_PROMO_SHARE),
+        "bracket_revenue": (q_bracket_revenue, SQL_BRACKET_REVENUE),
     }
