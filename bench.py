@@ -151,6 +151,8 @@ BENCH_QUERIES = [
     "nation_trade",
     "promo_share",
     "bracket_revenue",
+    "kmv_distinct",
+    "source_divergence",
 ]
 
 

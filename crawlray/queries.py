@@ -7548,6 +7548,114 @@ FROM l WHERE bracket IS NOT NULL GROUP BY 1
 """
 
 
+KMV_K = 64
+KMV_M = 2305843009213693951  # 2^61 - 1, the repo-wide md5 hash space
+
+
+def q_kmv_distinct(sf_dir: str):
+    """K-minimum-values distinct sketch over event users — the
+    order-statistics alternative to the HLL register sketch
+    (`approx_distinct`): keep the K smallest DISTINCT md5 hashes of the
+    key; the KMV estimator (K-1) * M / h_K is then a pure function of
+    the Kth order statistic, so unlike HLL the WHOLE sketch state is
+    restatable in SQL as ORDER BY hash LIMIT K. Per-batch partials are
+    each block's K smallest distinct hashes (the K-min merge is
+    associative), the driver fold is O(blocks x K) ints, and the
+    estimate uses exact integer division — when global distinct < K the
+    union of partials IS the distinct set and the sketch returns the
+    exact count, same CASE the oracle states. Hash = the repo-wide
+    md5-upper-8 little-endian contract (`util.md5_id_bucket`)."""
+    from .util import md5_id_bucket
+
+    ev = _read(sf_dir, "events", ["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = np.unique(t["user_id"].to_numpy(zero_copy_only=False))
+        h = np.unique(md5_id_bucket("kmv-v1", ids, KMV_M))
+        return pa.table({"h": pa.array(h[:KMV_K], pa.int64())})
+
+    merged = np.array([], np.int64)
+    for r in ev.map_batches(partial, batch_format="pyarrow").take_all():
+        merged = np.append(merged, r["h"])
+    merged = np.unique(merged)[:KMV_K]
+    k_used = len(merged)
+    h_k = int(merged[-1])
+    est = k_used if k_used < KMV_K else (KMV_K - 1) * KMV_M // h_k
+    return pa.table({"k_used": pa.array([k_used], pa.int64()),
+                     "h_k": pa.array([h_k], pa.int64()),
+                     "est_distinct": pa.array([est], pa.int64())})
+
+
+SQL_KMV_DISTINCT = """
+WITH h AS (
+  SELECT DISTINCT (md5_number_upper('kmv-v1:' || user_id::VARCHAR)::HUGEINT
+                   % 2305843009213693951::HUGEINT)::BIGINT AS h
+  FROM events
+), topk AS (SELECT h FROM h ORDER BY h LIMIT 64)
+SELECT count(*)::BIGINT AS k_used, max(h)::BIGINT AS h_k,
+       CASE WHEN count(*) < 64 THEN count(*)::BIGINT
+            ELSE CAST((64 - 1)::HUGEINT * 2305843009213693951::HUGEINT
+                      // max(h)::HUGEINT AS BIGINT)
+       END AS est_distinct
+FROM topk
+"""
+
+
+def q_source_divergence(sf_dir: str):
+    """Per-source corpus drift: the TOTAL VARIATION distance between
+    each source's language distribution and the global corpus mix, in
+    exact floored ppm — the distribution-shift audit a 100 TB ingest
+    runs per feed (KL needs logs and floats; TV = 1/2 sum |p - q| stays
+    in integers: |c_sl * N - C_l * n_s| over the common denominator
+    n_s * N). One pass of per-batch (source, lang) count partials (<=
+    |sources| x |langs| rows per block), a driver fold over the same
+    tiny grid with Python big ints (c * N products overflow int64 at
+    warehouse scale; the oracle's HUGEINT arithmetic matches exactly),
+    zeros included for languages a source never emits."""
+    docs = _read(sf_dir, "documents", ["source", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (t.group_by(["source", "lang"]).aggregate([([], "count_all")]))
+
+    counts: dict[tuple[str, str], int] = {}
+    for r in docs.map_batches(partial, batch_format="pyarrow").take_all():
+        k = (r["source"], r["lang"])
+        counts[k] = counts.get(k, 0) + int(r["count_all"])
+    n_s: dict[str, int] = {}
+    c_l: dict[str, int] = {}
+    for (s, l), c in counts.items():
+        n_s[s] = n_s.get(s, 0) + c
+        c_l[l] = c_l.get(l, 0) + c
+    n = sum(n_s.values())
+    sources = sorted(n_s)
+    tv = [10**6 * sum(abs(counts.get((s, l), 0) * n - c_l[l] * n_s[s])
+                      for l in c_l) // (2 * n_s[s] * n)
+          for s in sources]
+    return pa.table({
+        "source": pa.array(sources, pa.string()),
+        "n_docs": pa.array([n_s[s] for s in sources], pa.int64()),
+        "tv_ppm": pa.array(tv, pa.int64()),
+    })
+
+
+SQL_SOURCE_DIVERGENCE = """
+WITH c AS (
+  SELECT source, lang, count(*)::HUGEINT AS c FROM documents GROUP BY 1, 2
+), ns AS (SELECT source, sum(c) AS n_s FROM c GROUP BY 1),
+   cl AS (SELECT lang, sum(c) AS c_l FROM c GROUP BY 1),
+   tot AS (SELECT sum(c) AS n FROM c),
+   grid AS (
+     SELECT ns.source, ns.n_s, cl.c_l, coalesce(c.c, 0::HUGEINT) AS c_sl
+     FROM ns CROSS JOIN cl
+     LEFT JOIN c ON c.source = ns.source AND c.lang = cl.lang
+   )
+SELECT g.source, CAST(max(g.n_s) AS BIGINT) AS n_docs,
+       CAST(1000000::HUGEINT * sum(abs(g.c_sl * t.n - g.c_l * g.n_s))
+            // (2::HUGEINT * max(g.n_s) * t.n) AS BIGINT) AS tv_ppm
+FROM grid g, tot t GROUP BY g.source, t.n
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -7696,4 +7804,6 @@ def catalog():
         "nation_trade": (q_nation_trade, SQL_NATION_TRADE),
         "promo_share": (q_promo_share, SQL_PROMO_SHARE),
         "bracket_revenue": (q_bracket_revenue, SQL_BRACKET_REVENUE),
+        "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+        "source_divergence": (q_source_divergence, SQL_SOURCE_DIVERGENCE),
     }
