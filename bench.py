@@ -153,6 +153,8 @@ BENCH_QUERIES = [
     "bracket_revenue",
     "kmv_distinct",
     "source_divergence",
+    "purchase_attribution",
+    "user_drawdown",
 ]
 
 

@@ -7656,6 +7656,155 @@ FROM grid g, tot t GROUP BY g.source, t.n
 """
 
 
+def q_purchase_attribution(sf_dir: str):
+    """Stream-stream INTERVAL JOIN with aggregation: for every purchase,
+    the count and cents sum of that user's 'view' events in the
+    trailing 30 minutes — the ad-attribution shape (probe stream joined
+    to a window of a second stream, LEFT semantics: purchases with no
+    views keep zeros). Not an asof join (wants ALL rows in the window,
+    not the latest) and not a self band-join (two DIFFERENT filtered
+    streams, keyed by user). Lowered as ONE tagged-union exchange by
+    user — both filtered streams ride the same `bucketed_reduce`, so
+    views and probes of a user land in one bucket — then the
+    `trailing_hour_sum` disjoint-segment-shift idiom: view segments map
+    onto non-overlapping zts ranges, each purchase probes with TWO
+    global searchsorteds (window start / end), and a prefix-sum diff
+    yields count + sum with no per-user loop. Purchases whose user has
+    no views resolve via the unique-user lookup miss, never a join."""
+    from .pipelines.relational import bucketed_reduce
+
+    W = np.int64(30 * 60 * 1_000_000)  # 30 min in us
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        is_v = pc.equal(t["event_type"], "view")
+        is_p = pc.equal(t["event_type"], "purchase")
+        t = t.filter(pc.or_(is_v, is_p))
+        side = pc.equal(t["event_type"], "purchase").cast(pa.int64())
+        return pa.table({"event_id": t["event_id"], "ts": t["ts"],
+                         "user_id": t["user_id"], "side": side,
+                         "cents": _cents(t["value"])})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.nulls(0, pa.int64()),
+                          "n_views": pa.nulls(0, pa.int64()),
+                          "view_cents": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").view(np.int64))
+        side = t["side"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        base = ts.min()
+        rel = ts - base
+        offset = rel.max() + 2 * W + 2
+        v, p = side == 0, side == 1
+        if not p.any():
+            return empty
+        vu, vrel, vc = u[v], rel[v], cents[v]
+        order = np.lexsort((vrel, vu))
+        vu, vrel, vc = vu[order], vrel[order], vc[order]
+        uniq, seg_start = np.unique(vu, return_index=True)
+        vseg = np.cumsum(np.r_[0, vu[1:] != vu[:-1]]) if len(vu) else vu
+        vz = vrel + vseg * offset
+        pref = np.r_[np.int64(0), np.cumsum(vc)]
+        pu, prel, pe = u[p], rel[p], eid[p]
+        idx = np.searchsorted(uniq, pu)
+        hit = (idx < len(uniq))
+        idx_c = np.minimum(idx, max(len(uniq) - 1, 0))
+        hit &= (uniq[idx_c] == pu) if len(uniq) else False
+        pz = prel + idx_c * offset
+        lo = np.searchsorted(vz, pz - W, side="left")
+        hi = np.searchsorted(vz, pz, side="left")
+        n = np.where(hit, hi - lo, 0)
+        s = np.where(hit, pref[hi] - pref[lo], 0)
+        return pa.table({"event_id": pa.array(pe, pa.int64()),
+                         "n_views": pa.array(n, pa.int64()),
+                         "view_cents": pa.array(s, pa.int64())})
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow")
+    return bucketed_reduce(prepped, "user_id", bucket_fn, n_buckets=32)
+
+
+SQL_PURCHASE_ATTRIBUTION = """
+WITH v AS (
+  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, count(v.ts)::BIGINT AS n_views,
+       coalesce(sum(v.cents), 0)::BIGINT AS view_cents
+FROM p LEFT JOIN v ON v.user_id = p.user_id
+  AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts < p.ts
+GROUP BY 1
+"""
+
+
+def q_user_drawdown(sf_dir: str):
+    """Running-peak window: each user's MAXIMUM DRAWDOWN — the largest
+    peak-to-current drop of event value over the user's timeline
+    (cummax(v) - v maximized; the financial risk metric, and the
+    running-MAX accumulator `running_sum`/`trailing_hour_sum` don't
+    cover — max doesn't invert, so no prefix-diff trick: it needs the
+    segmented scan). One exchange by user; inside a bucket the rows
+    lexsort by (user, ts, event_id) — the oracle's deterministic tie
+    order — and pandas' C-level grouped cummax + grouped max finish
+    with no Python loop. Output is one row per user (bounded by
+    distinct users per bucket)."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"], "ts": t["ts"],
+                         "user_id": t["user_id"],
+                         "cents": _cents(t["value"])})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.nulls(0, pa.int64()),
+                          "max_drawdown_cents": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").view(np.int64))
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        import pandas as pd
+        df = pd.DataFrame({"u": u[order], "c": c[order]})
+        dd = df.groupby("u")["c"].cummax() - df["c"]
+        out = (pd.DataFrame({"u": df["u"], "dd": dd})
+               .groupby("u", as_index=False)["dd"].max())
+        return pa.table({
+            "user_id": pa.array(out["u"], pa.int64()),
+            "max_drawdown_cents": pa.array(out["dd"], pa.int64()),
+        })
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow")
+    return bucketed_reduce(prepped, "user_id", bucket_fn, n_buckets=32)
+
+
+SQL_USER_DRAWDOWN = """
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), w AS (
+  SELECT user_id,
+         max(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) - cents AS dd
+  FROM c
+)
+SELECT user_id, max(dd)::BIGINT AS max_drawdown_cents
+FROM w GROUP BY 1
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -7806,4 +7955,7 @@ def catalog():
         "bracket_revenue": (q_bracket_revenue, SQL_BRACKET_REVENUE),
         "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
         "source_divergence": (q_source_divergence, SQL_SOURCE_DIVERGENCE),
+        "purchase_attribution": (q_purchase_attribution,
+                                 SQL_PURCHASE_ATTRIBUTION),
+        "user_drawdown": (q_user_drawdown, SQL_USER_DRAWDOWN),
     }
