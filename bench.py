@@ -155,6 +155,9 @@ BENCH_QUERIES = [
     "source_divergence",
     "purchase_attribution",
     "user_drawdown",
+    "source_vocab_overlap",
+    "source_simpson",
+    "dow_hour_heatmap",
 ]
 
 

@@ -7805,6 +7805,170 @@ FROM w GROUP BY 1
 """
 
 
+def q_source_vocab_overlap(sf_dir: str):
+    """Pairwise SET SIMILARITY between sources: exact Jaccard (floored
+    ppm) of the distinct-vocabulary sets of every source pair — the
+    corpus-level cousin of the per-doc `ngram_jaccard`. Scale plan:
+    per-batch distinct (term, source) pairs, ONE exchange by term
+    (`bucketed_reduce`), and inside each bucket a C-level self-merge on
+    term emits per-pair intersection partials plus per-source vocab
+    partials — terms are partitioned by the exchange, so both counts
+    add across buckets; nothing wider than |sources|^2 rows ever leaves
+    a bucket, and the term strings never cross twice. Driver fold is
+    O(pairs) with exact integer division."""
+    from .pipelines.relational import bucketed_reduce
+
+    docs = _read(sf_dir, "documents", ["text", "source"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        terms, srcs = [], []
+        for txt, src in zip(t["text"].to_pylist(), t["source"].to_pylist()):
+            for w in set((txt or "").split()):
+                terms.append(w); srcs.append(src)
+        out = pa.table({"term": pa.array(terms, pa.string()),
+                        "source": pa.array(srcs, pa.string())})
+        return (out.group_by(["term", "source"]).aggregate([])
+                if out.num_rows else out)
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        empty = pa.table({"sa": pa.nulls(0, pa.string()),
+                          "sb": pa.nulls(0, pa.string()),
+                          "n": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        df = (t.to_pandas().drop_duplicates(["term", "source"]))
+        vocab = df.groupby("source", as_index=False).size()
+        pairs = df.merge(df, on="term")
+        pairs = pairs[pairs["source_x"] < pairs["source_y"]]
+        inter = (pairs.groupby(["source_x", "source_y"], as_index=False)
+                 .size())
+        return pa.table({
+            "sa": pa.array(list(inter["source_x"]) + list(vocab["source"]),
+                           pa.string()),
+            "sb": pa.array(list(inter["source_y"]) + [""] * len(vocab),
+                           pa.string()),
+            "n": pa.array(list(inter["size"]) + list(vocab["size"]),
+                          pa.int64()),
+        })
+
+    partials = bucketed_reduce(
+        docs.map_batches(prep, batch_format="pyarrow"),
+        "term", bucket_fn, n_buckets=32)
+    inter: dict[tuple[str, str], int] = {}
+    vocab: dict[str, int] = {}
+    for r in partials.take_all():
+        if r["sb"]:
+            k = (r["sa"], r["sb"])
+            inter[k] = inter.get(k, 0) + int(r["n"])
+        else:
+            vocab[r["sa"]] = vocab.get(r["sa"], 0) + int(r["n"])
+    keys = sorted(inter)
+    return pa.table({
+        "source_a": pa.array([k[0] for k in keys], pa.string()),
+        "source_b": pa.array([k[1] for k in keys], pa.string()),
+        "inter": pa.array([inter[k] for k in keys], pa.int64()),
+        "jaccard_ppm": pa.array(
+            [10**6 * inter[k] // (vocab[k[0]] + vocab[k[1]] - inter[k])
+             for k in keys], pa.int64()),
+    })
+
+
+SQL_SOURCE_VOCAB_OVERLAP = """
+WITH t AS (
+  SELECT DISTINCT source,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+), v AS (SELECT source, count(*)::BIGINT AS nv FROM t GROUP BY 1),
+   i AS (SELECT a.source AS sa, b.source AS sb, count(*)::BIGINT AS inter
+         FROM t a JOIN t b ON a.term = b.term AND a.source < b.source
+         GROUP BY 1, 2)
+SELECT i.sa AS source_a, i.sb AS source_b, i.inter,
+       CAST(1000000::HUGEINT * i.inter
+            // (va.nv + vb.nv - i.inter) AS BIGINT) AS jaccard_ppm
+FROM i JOIN v va ON va.source = i.sa JOIN v vb ON vb.source = i.sb
+"""
+
+
+def q_source_simpson(sf_dir: str):
+    """Per-source language DIVERSITY as the exact Gini-Simpson index in
+    floored ppm: 1 - sum p^2 = (n^2 - sum c^2) / n^2 — the log-free
+    diversity measure (entropy needs floats; this stays in integers all
+    the way, HUGEINT in the oracle). Same one-pass (source, lang)
+    count-partial plan as `source_divergence`; O(sources) driver fold
+    with Python big ints."""
+    docs = _read(sf_dir, "documents", ["source", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["source", "lang"]).aggregate([([], "count_all")])
+
+    counts: dict[tuple[str, str], int] = {}
+    for r in docs.map_batches(partial, batch_format="pyarrow").take_all():
+        k = (r["source"], r["lang"])
+        counts[k] = counts.get(k, 0) + int(r["count_all"])
+    n_s: dict[str, int] = {}
+    s2: dict[str, int] = {}
+    for (s, _), c in counts.items():
+        n_s[s] = n_s.get(s, 0) + c
+        s2[s] = s2.get(s, 0) + c * c
+    sources = sorted(n_s)
+    return pa.table({
+        "source": pa.array(sources, pa.string()),
+        "n_docs": pa.array([n_s[s] for s in sources], pa.int64()),
+        "simpson_ppm": pa.array(
+            [10**6 * (n_s[s] ** 2 - s2[s]) // n_s[s] ** 2 for s in sources],
+            pa.int64()),
+    })
+
+
+SQL_SOURCE_SIMPSON = """
+WITH c AS (
+  SELECT source, lang, count(*)::HUGEINT AS c FROM documents GROUP BY 1, 2
+), s AS (SELECT source, sum(c) AS n, sum(c * c) AS s2 FROM c GROUP BY 1)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+       CAST(1000000::HUGEINT * (n * n - s2) // (n * n) AS BIGINT)
+         AS simpson_ppm
+FROM s
+"""
+
+
+def q_dow_hour_heatmap(sf_dir: str):
+    """Calendar heatmap rollup: event count + cents by (ISO weekday,
+    hour) — the date-part extraction pair (§2.8 date/time) the hourly /
+    daily windows don't exercise. Per-batch partials are <= 168 rows
+    per block (Arrow day_of_week is 0-based Monday; +1 == DuckDB
+    isodow), folded O(168) on the driver."""
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dow = pc.add(pc.day_of_week(t["ts"]), 1).cast(pa.int64())
+        hour = pc.hour(t["ts"]).cast(pa.int64())
+        return (pa.table({"dow": dow, "hour": hour,
+                          "cents": _cents(t["value"])})
+                .group_by(["dow", "hour"])
+                .aggregate([([], "count_all"), ("cents", "sum")]))
+
+    acc: dict[tuple[int, int], list[int]] = {}
+    for r in ev.map_batches(partial, batch_format="pyarrow").take_all():
+        a = acc.setdefault((int(r["dow"]), int(r["hour"])), [0, 0])
+        a[0] += int(r["count_all"]); a[1] += int(r["cents_sum"])
+    keys = sorted(acc)
+    return pa.table({
+        "dow": pa.array([k[0] for k in keys], pa.int64()),
+        "hour": pa.array([k[1] for k in keys], pa.int64()),
+        "n_events": pa.array([acc[k][0] for k in keys], pa.int64()),
+        "cents": pa.array([acc[k][1] for k in keys], pa.int64()),
+    })
+
+
+SQL_DOW_HOUR_HEATMAP = """
+SELECT isodow(ts)::BIGINT AS dow, hour(ts)::BIGINT AS hour,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+FROM events GROUP BY 1, 2
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -7958,4 +8122,8 @@ def catalog():
         "purchase_attribution": (q_purchase_attribution,
                                  SQL_PURCHASE_ATTRIBUTION),
         "user_drawdown": (q_user_drawdown, SQL_USER_DRAWDOWN),
+        "source_vocab_overlap": (q_source_vocab_overlap,
+                                 SQL_SOURCE_VOCAB_OVERLAP),
+        "source_simpson": (q_source_simpson, SQL_SOURCE_SIMPSON),
+        "dow_hour_heatmap": (q_dow_hour_heatmap, SQL_DOW_HOUR_HEATMAP),
     }
