@@ -158,6 +158,8 @@ BENCH_QUERIES = [
     "source_vocab_overlap",
     "source_simpson",
     "dow_hour_heatmap",
+    "zone_map_prune",
+    "median_cont",
 ]
 
 

@@ -7969,6 +7969,170 @@ FROM events GROUP BY 1, 2
 """
 
 
+ZONE_PRED_LO, ZONE_PRED_HI = 100, 199   # the audited l_partkey range
+
+
+def q_zone_map_prune(sf_dir: str):
+    """Zone-map pruning audit over the Z-order layout: per write
+    partition (`q_zorder_layout`'s 64 zparts), the row count and the
+    (partkey, suppkey) min/max zone stats a lake writer would persist —
+    plus the boolean a scan planner actually tests: can this zone be
+    SKIPPED for `l_partkey BETWEEN 100 AND 199`? This is the
+    measurement that justifies Z-ordering at 100 TB (file-level pruning
+    ratio on a non-leading column). Two passes, both O(1) driver state:
+    the same 4-int global min/max fold zorder uses, then per-batch
+    zone partials (<= 64 rows per block) folded to the 64-zone table.
+    The zcode is the identical magic-mask interleave, so the oracle
+    reuses the exact 32-term SQL restatement."""
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "pmin": pa.array([pc.min(t["l_partkey"]).as_py()], pa.int64()),
+            "pmax": pa.array([pc.max(t["l_partkey"]).as_py()], pa.int64()),
+            "smin": pa.array([pc.min(t["l_suppkey"]).as_py()], pa.int64()),
+            "smax": pa.array([pc.max(t["l_suppkey"]).as_py()], pa.int64()),
+        })
+
+    pmin = pmax = smin = smax = None
+    for r in ds.map_batches(mm_partial, batch_format="pyarrow").take_all():
+        pmin = r["pmin"] if pmin is None else min(pmin, r["pmin"])
+        pmax = r["pmax"] if pmax is None else max(pmax, r["pmax"])
+        smin = r["smin"] if smin is None else min(smin, r["smin"])
+        smax = r["smax"] if smax is None else max(smax, r["smax"])
+    pspan = max(pmax - pmin, 1)
+    sspan = max(smax - smin, 1)
+
+    def zone_partial(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        gx = (pk - pmin) * 65535 // pspan
+        gy = (sk - smin) * 65535 // sspan
+        z = (_part1by1(gx) | (_part1by1(gy) << np.uint64(1))).astype(np.int64)
+        return (pa.table({"zpart": pa.array(z >> 26, pa.int64()),
+                          "pk": pa.array(pk, pa.int64()),
+                          "sk": pa.array(sk, pa.int64())})
+                .group_by(["zpart"])
+                .aggregate([([], "count_all"), ("pk", "min"), ("pk", "max"),
+                            ("sk", "min"), ("sk", "max")]))
+
+    acc: dict[int, list[int]] = {}
+    for r in ds.map_batches(zone_partial, batch_format="pyarrow").take_all():
+        z = int(r["zpart"])
+        a = acc.get(z)
+        if a is None:
+            acc[z] = [int(r["count_all"]), int(r["pk_min"]), int(r["pk_max"]),
+                      int(r["sk_min"]), int(r["sk_max"])]
+        else:
+            a[0] += int(r["count_all"])
+            a[1] = min(a[1], int(r["pk_min"])); a[2] = max(a[2], int(r["pk_max"]))
+            a[3] = min(a[3], int(r["sk_min"])); a[4] = max(a[4], int(r["sk_max"]))
+    keys = sorted(acc)
+    return pa.table({
+        "zpart": pa.array(keys, pa.int64()),
+        "n_rows": pa.array([acc[k][0] for k in keys], pa.int64()),
+        "pk_min": pa.array([acc[k][1] for k in keys], pa.int64()),
+        "pk_max": pa.array([acc[k][2] for k in keys], pa.int64()),
+        "sk_min": pa.array([acc[k][3] for k in keys], pa.int64()),
+        "sk_max": pa.array([acc[k][4] for k in keys], pa.int64()),
+        "skippable": pa.array(
+            [int(acc[k][2] < ZONE_PRED_LO or acc[k][1] > ZONE_PRED_HI)
+             for k in keys], pa.int64()),
+    })
+
+
+def _zone_map_sql() -> str:
+    interleave = " + ".join(
+        [f"(((gx >> {i}) & 1) << {2 * i})" for i in range(16)]
+        + [f"(((gy >> {i}) & 1) << {2 * i + 1})" for i in range(16)])
+    return f"""
+WITH mm AS (
+  SELECT min(l_partkey) AS pmin,
+         greatest(max(l_partkey) - min(l_partkey), 1) AS pspan,
+         min(l_suppkey) AS smin,
+         greatest(max(l_suppkey) - min(l_suppkey), 1) AS sspan
+  FROM lineitem
+), g AS (
+  SELECT l_partkey, l_suppkey,
+         (l_partkey - mm.pmin) * 65535 // mm.pspan AS gx,
+         (l_suppkey - mm.smin) * 65535 // mm.sspan AS gy
+  FROM lineitem, mm
+), z AS (
+  SELECT l_partkey, l_suppkey, (({interleave}) >> 26)::BIGINT AS zpart
+  FROM g
+)
+SELECT zpart, count(*)::BIGINT AS n_rows,
+       min(l_partkey)::BIGINT AS pk_min, max(l_partkey)::BIGINT AS pk_max,
+       min(l_suppkey)::BIGINT AS sk_min, max(l_suppkey)::BIGINT AS sk_max,
+       (CASE WHEN max(l_partkey) < {ZONE_PRED_LO}
+              OR min(l_partkey) > {ZONE_PRED_HI}
+         THEN 1 ELSE 0 END)::BIGINT AS skippable
+FROM z GROUP BY 1
+"""
+
+
+SQL_ZONE_MAP_PRUNE = _zone_map_sql()
+
+
+def q_median_cont(sf_dir: str):
+    """Interpolated (percentile_cont-style) median per event type, kept
+    EXACT by working in doubled units: median_2x = 2 x middle for odd
+    n, lower + upper middle for even n — the interpolation
+    `value_quantiles`' discrete contract can't express, with no float
+    midpoint. Histogram partials per (type, cents) — never a sort of
+    the input — fold on the driver, and the two order statistics come
+    from one cumsum over each type's value histogram (O(types x
+    distinct values) driver work, the `grouped_quantiles` bound)."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (pa.table({"event_type": t["event_type"],
+                          "cents": _cents(t["value"])})
+                .group_by(["event_type", "cents"])
+                .aggregate([([], "count_all")]))
+
+    hist: dict[str, dict[int, int]] = {}
+    for r in ev.map_batches(partial, batch_format="pyarrow").take_all():
+        h = hist.setdefault(r["event_type"], {})
+        c = int(r["cents"])
+        h[c] = h.get(c, 0) + int(r["count_all"])
+    types = sorted(hist)
+    med2x = []
+    for ty in types:
+        vals = sorted(hist[ty])
+        n = sum(hist[ty].values())
+        r1, r2 = (n + 1) // 2, n // 2 + 1
+        cum = 0
+        v1 = v2 = None
+        for v in vals:
+            cum += hist[ty][v]
+            if v1 is None and cum >= r1:
+                v1 = v
+            if v2 is None and cum >= r2:
+                v2 = v
+                break
+        med2x.append(v1 + v2)
+    return pa.table({"event_type": pa.array(types, pa.string()),
+                     "median_2x": pa.array(med2x, pa.int64())})
+
+
+SQL_MEDIAN_CONT = """
+WITH t AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+), o AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM t
+)
+SELECT event_type,
+       (sum(CASE WHEN rn = (n + 1) // 2 THEN cents ELSE 0 END)
+        + sum(CASE WHEN rn = n // 2 + 1 THEN cents ELSE 0 END))::BIGINT
+         AS median_2x
+FROM o GROUP BY 1
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -8126,4 +8290,6 @@ def catalog():
                                  SQL_SOURCE_VOCAB_OVERLAP),
         "source_simpson": (q_source_simpson, SQL_SOURCE_SIMPSON),
         "dow_hour_heatmap": (q_dow_hour_heatmap, SQL_DOW_HOUR_HEATMAP),
+        "zone_map_prune": (q_zone_map_prune, SQL_ZONE_MAP_PRUNE),
+        "median_cont": (q_median_cont, SQL_MEDIAN_CONT),
     }
