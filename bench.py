@@ -160,6 +160,8 @@ BENCH_QUERIES = [
     "dow_hour_heatmap",
     "zone_map_prune",
     "median_cont",
+    "host_reciprocity",
+    "user_active_bitmap",
 ]
 
 

@@ -8133,6 +8133,169 @@ FROM o GROUP BY 1
 """
 
 
+def q_host_reciprocity(sf_dir: str):
+    """Graph RECIPROCITY over the coarsened host graph: the fraction of
+    directed cross-host edges whose reverse edge also exists (mutual
+    linking — the link-spam / link-exchange signal), in exact floored
+    ppm. The check 'does (b, a) exist?' is a self-join the engine lowers
+    with ONE exchange on the UNORDERED pair key min(src,dst) |
+    max(src,dst): both directions of a pair land in the same bucket, so
+    a C-level merge against the swapped columns decides reciprocity
+    locally and only (n_edges, n_recip) int pairs leave the buckets.
+    Edge discovery + global dedup are the same distributed coarsening
+    as `host_pagerank` (never a driver edge set); the oracle restates
+    the identical edge list as VALUES literals with an EXISTS probe."""
+    from .canon import host_of
+    from .htmlx import parse_document
+    from .pipelines.relational import bucketed_reduce
+    from .synth import World
+    from .util import keep_first_sorted
+
+    cfg = _crawl_cfg(sf_dir)
+    world = World(cfg.world)
+    urls = [world.url(i % cfg.world.n_hosts, i // cfg.world.n_hosts)
+            for i in range(min(PAGERANK_N_URLS, cfg.world.n_urls))]
+    seeds = rd.from_items([{"url": u} for u in urls], override_num_blocks=8)
+
+    def host_edges(t: pa.Table) -> pa.Table:
+        pairs = set()
+        for u in t["url"].to_pylist():
+            hs = host_of(u)
+            for link in parse_document(world.gen_page(u), u).links:
+                hd = host_of(link.url)
+                if hs != hd:
+                    pairs.add((hs, hd))
+        pairs = sorted(pairs)
+        return pa.table({"src": pa.array([p[0] for p in pairs], pa.string()),
+                         "dst": pa.array([p[1] for p in pairs], pa.string())})
+
+    e = seeds.map_batches(host_edges, batch_format="pyarrow")
+    e = keep_first_sorted(e.sort(["src", "dst"]), ["src", "dst"])
+
+    def add_pair_key(t: pa.Table) -> pa.Table:
+        lo = pc.min_element_wise(t["src"], t["dst"])
+        hi = pc.max_element_wise(t["src"], t["dst"])
+        return t.append_column(
+            "pk", pc.binary_join_element_wise(lo, hi, "|"))
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        if t.num_rows == 0:
+            return pa.table({"n_edges": pa.nulls(0, pa.int64()),
+                             "n_recip": pa.nulls(0, pa.int64())})
+        df = t.select(["src", "dst"]).to_pandas()
+        rev = df.rename(columns={"src": "dst", "dst": "src"})
+        hit = df.merge(rev, on=["src", "dst"], how="inner")
+        return pa.table({"n_edges": pa.array([len(df)], pa.int64()),
+                         "n_recip": pa.array([len(hit)], pa.int64())})
+
+    partials = bucketed_reduce(
+        e.map_batches(add_pair_key, batch_format="pyarrow"),
+        "pk", bucket_fn, n_buckets=8)
+    n_edges = n_recip = 0
+    for r in partials.take_all():
+        n_edges += int(r["n_edges"]); n_recip += int(r["n_recip"])
+    return pa.table({
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_recip": pa.array([n_recip], pa.int64()),
+        "reciprocity_ppm": pa.array(
+            [10**6 * n_recip // max(n_edges, 1)], pa.int64()),
+    })
+
+
+@functools.lru_cache(maxsize=1)
+def _host_reciprocity_sql() -> str:
+    src, dst = _host_edge_lists(_ORACLE_SF_DIR)
+    rows = ",\n".join(f"({_sql_str(s)}, {_sql_str(t)})"
+                      for s, t in zip(src, dst))
+    return f"""
+WITH e(src, dst) AS (VALUES {rows})
+SELECT count(*)::BIGINT AS n_edges,
+       sum(CASE WHEN EXISTS (SELECT 1 FROM e r
+                             WHERE r.src = e.dst AND r.dst = e.src)
+           THEN 1 ELSE 0 END)::BIGINT AS n_recip,
+       CAST(1000000::HUGEINT
+            * sum(CASE WHEN EXISTS (SELECT 1 FROM e r
+                                    WHERE r.src = e.dst AND r.dst = e.src)
+                  THEN 1 ELSE 0 END)::HUGEINT
+            // count(*)::HUGEINT AS BIGINT) AS reciprocity_ppm
+FROM e
+"""
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over non-negative int64 (numpy < 2 has
+    no bitwise_count)."""
+    v = x.astype(np.uint64)
+    v = v - ((v >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    v = ((v & np.uint64(0x3333333333333333))
+         + ((v >> np.uint64(2)) & np.uint64(0x3333333333333333)))
+    v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((v * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(
+        np.int64)
+
+
+def q_user_active_bitmap(sf_dir: str):
+    """Bitmap-index activity summary: per user, the int64 BITMASK of
+    active days-of-month (bit d-1 set iff the user has an event on day
+    d), its popcount, and the event count — the roaring-bitmap shape a
+    100 TB engine keeps per entity because OR-merge partials are 8
+    bytes and associative. Per-batch (user, mask, n) partials via a
+    C-level grouped bitwise-OR, one exchange by user to OR/sum-merge,
+    and a SWAR popcount ladder (no per-row Python). DuckDB's bit_or /
+    bit_count aggregate pair restates the whole thing."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        day = pc.day(t["ts"]).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "bit": np.left_shift(np.int64(1), day - 1),
+        })
+        g = df.groupby("user_id", as_index=False).agg(
+            mask=("bit", lambda s: np.bitwise_or.reduce(s.to_numpy())),
+            n=("bit", "size"))
+        return pa.table({"user_id": pa.array(g["user_id"], pa.int64()),
+                         "mask": pa.array(g["mask"], pa.int64()),
+                         "n": pa.array(g["n"], pa.int64())})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        empty = pa.table({"user_id": pa.nulls(0, pa.int64()),
+                          "day_mask": pa.nulls(0, pa.int64()),
+                          "n_active_days": pa.nulls(0, pa.int64()),
+                          "n_events": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas()
+        g = df.groupby("user_id", as_index=False).agg(
+            day_mask=("mask", lambda s: np.bitwise_or.reduce(s.to_numpy())),
+            n_events=("n", "sum"))
+        return pa.table({
+            "user_id": pa.array(g["user_id"], pa.int64()),
+            "day_mask": pa.array(g["day_mask"], pa.int64()),
+            "n_active_days": pa.array(
+                _popcount64(g["day_mask"].to_numpy()), pa.int64()),
+            "n_events": pa.array(g["n_events"], pa.int64()),
+        })
+
+    partials = ev.map_batches(partial, batch_format="pyarrow")
+    return bucketed_reduce(partials, "user_id", bucket_fn, n_buckets=16)
+
+
+SQL_USER_ACTIVE_BITMAP = """
+SELECT user_id,
+       bit_or(1::BIGINT << (day(ts) - 1))::BIGINT AS day_mask,
+       bit_count(bit_or(1::BIGINT << (day(ts) - 1)))::BIGINT
+         AS n_active_days,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY 1
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -8292,4 +8455,6 @@ def catalog():
         "dow_hour_heatmap": (q_dow_hour_heatmap, SQL_DOW_HOUR_HEATMAP),
         "zone_map_prune": (q_zone_map_prune, SQL_ZONE_MAP_PRUNE),
         "median_cont": (q_median_cont, SQL_MEDIAN_CONT),
+        "host_reciprocity": (q_host_reciprocity, _host_reciprocity_sql()),
+        "user_active_bitmap": (q_user_active_bitmap, SQL_USER_ACTIVE_BITMAP),
     }
