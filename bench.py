@@ -162,6 +162,8 @@ BENCH_QUERIES = [
     "median_cont",
     "host_reciprocity",
     "user_active_bitmap",
+    "clustering_coeff",
+    "degree_assortativity",
 ]
 
 

@@ -543,6 +543,38 @@ def _group_combos(k: np.ndarray, v: np.ndarray):
             np.concatenate(outs_y))
 
 
+def cooccurrence_edges(items: rd.Dataset, group: str, node: str) -> rd.Dataset:
+    """Distinct undirected co-occurrence edges (a < b): two ``node``
+    values share an edge iff they appear in the same ``group``. Stage 1
+    of `triangle_counts`, exposed because every whole-graph metric
+    (clustering coefficient, assortativity, reciprocity) starts here:
+    ``bucketed_reduce`` by ``group`` co-locates each group, a vectorized
+    combos kernel emits its distinct pairs, and a global sort +
+    keep-first dedups across groups. Returns a MATERIALIZED (a, b)
+    dataset safe to consume multiple times."""
+    from .relational import bucketed_reduce
+    from ..util import drop_empty_blocks, keep_first_sorted
+
+    def pairs_of(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"a": pa.nulls(0, pa.int64()),
+                             "b": pa.nulls(0, pa.int64())})
+        g = t[group].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t[node].to_numpy(zero_copy_only=False).astype(np.int64)
+        kv = np.unique(np.stack([g, n], axis=1), axis=0)
+        _, x, y = _group_combos(kv[:, 0], kv[:, 1])
+        t2 = np.unique(np.stack([x, y], axis=1), axis=0) if x.size else \
+            np.empty((0, 2), np.int64)
+        return pa.table({"a": pa.array(t2[:, 0]), "b": pa.array(t2[:, 1])})
+
+    return keep_first_sorted(
+        drop_empty_blocks(
+            bucketed_reduce(items, group, pairs_of, n_buckets=16)
+        ).sort(["a", "b"]),
+        ["a", "b"],
+    ).materialize()
+
+
 def triangle_counts(items: rd.Dataset, group: str, node: str) -> rd.Dataset:
     """Per-node triangle counts of the co-occurrence graph: nodes are
     ``node`` values, with an (undirected, distinct) edge between two
@@ -564,26 +596,9 @@ def triangle_counts(items: rd.Dataset, group: str, node: str) -> rd.Dataset:
 
     Returns (node, n_triangles), nodes with >= 1 triangle only."""
     from .relational import bucketed_hash_join, bucketed_reduce
-    from ..util import drop_empty_blocks, keep_first_sorted
+    from ..util import drop_empty_blocks
 
-    def pairs_of(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"a": pa.nulls(0, pa.int64()),
-                             "b": pa.nulls(0, pa.int64())})
-        g = t[group].to_numpy(zero_copy_only=False).astype(np.int64)
-        n = t[node].to_numpy(zero_copy_only=False).astype(np.int64)
-        kv = np.unique(np.stack([g, n], axis=1), axis=0)
-        _, x, y = _group_combos(kv[:, 0], kv[:, 1])
-        t2 = np.unique(np.stack([x, y], axis=1), axis=0) if x.size else \
-            np.empty((0, 2), np.int64)
-        return pa.table({"a": pa.array(t2[:, 0]), "b": pa.array(t2[:, 1])})
-
-    edges = keep_first_sorted(
-        drop_empty_blocks(
-            bucketed_reduce(items, group, pairs_of, n_buckets=16)
-        ).sort(["a", "b"]),
-        ["a", "b"],
-    ).materialize()   # consumed twice: wedge generation + the close join
+    edges = cooccurrence_edges(items, group, node)
 
     def wedges_of(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

@@ -8296,6 +8296,190 @@ FROM events GROUP BY 1
 """
 
 
+def _copurchase_items(sf_dir: str):
+    """The co-purchase graph's item stream (the `triangle_counts`
+    predicate), shared by every whole-graph metric."""
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["l_partkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % TRIANGLE_PART_MOD == 0))
+
+    return _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_partkey"]).map_batches(
+        keep, batch_format="pyarrow")
+
+
+_COPURCHASE_PAIRS_CTE = f"""
+li AS (SELECT l_orderkey, l_partkey FROM lineitem
+       WHERE l_partkey % {TRIANGLE_PART_MOD} = 0),
+pairs AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM li l1 JOIN li l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey < l2.l_partkey
+)"""
+
+
+def q_clustering_coeff(sf_dir: str):
+    """GLOBAL CLUSTERING COEFFICIENT (transitivity) of the co-purchase
+    graph: 3 x triangles / wedges in exact floored ppm — the one-number
+    'how cliquey is this graph' metric. Triangles reuse the full
+    node-iterator plan (`graph.triangle_counts`, whose per-node counts
+    sum to exactly 3T); wedges need only degrees: one exchange of the
+    shared `cooccurrence_edges` by node (both endpoints emitted), each
+    bucket folding sum d(d-1)/2 plus node/edge counts to three ints.
+    Nothing but O(buckets) int rows reach the driver."""
+    from .pipelines.graph import cooccurrence_edges, triangle_counts
+    from .pipelines.relational import bucketed_reduce
+
+    items = _copurchase_items(sf_dir)
+    edges = cooccurrence_edges(items, "l_orderkey", "l_partkey")
+
+    closed = 0
+    for r in triangle_counts(items, "l_orderkey", "l_partkey").take_all():
+        closed += int(r["n_triangles"])
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()])})
+
+    def deg_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n_nodes": pa.nulls(0, pa.int64()),
+                             "n_half_edges": pa.nulls(0, pa.int64()),
+                             "wedges": pa.nulls(0, pa.int64())})
+        _, d = np.unique(t["node"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({
+            "n_nodes": pa.array([len(d)], pa.int64()),
+            "n_half_edges": pa.array([int(d.sum())], pa.int64()),
+            "wedges": pa.array([int((d * (d - 1) // 2).sum())], pa.int64()),
+        })
+
+    n_nodes = half = wedges = 0
+    for r in bucketed_reduce(
+            edges.map_batches(both_dirs, batch_format="pyarrow"),
+            "node", deg_fold, n_buckets=8).take_all():
+        n_nodes += int(r["n_nodes"]); half += int(r["n_half_edges"])
+        wedges += int(r["wedges"])
+    return pa.table({
+        "n_nodes": pa.array([n_nodes], pa.int64()),
+        "n_edges": pa.array([half // 2], pa.int64()),
+        "wedges": pa.array([wedges], pa.int64()),
+        "closed": pa.array([closed], pa.int64()),
+        "global_cc_ppm": pa.array(
+            [10**6 * closed // max(wedges, 1)], pa.int64()),
+    })
+
+
+SQL_CLUSTERING_COEFF = f"""
+WITH {_COPURCHASE_PAIRS_CTE},
+wedges AS (SELECT e1.a AS p, e1.b AS x, e2.b AS y
+           FROM pairs e1 JOIN pairs e2 ON e1.a = e2.a AND e1.b < e2.b),
+tris AS (SELECT w.p FROM wedges w
+         JOIN pairs e ON e.a = w.x AND e.b = w.y),
+deg AS (SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs),
+d AS (SELECT node, count(*)::HUGEINT AS dg FROM deg GROUP BY 1),
+s AS (SELECT count(*)::BIGINT AS n_nodes,
+             sum(dg)::BIGINT AS half,
+             sum(dg * (dg - 1) // 2)::BIGINT AS wedges
+      FROM d),
+t AS (SELECT 3 * count(*)::BIGINT AS closed FROM tris)
+SELECT s.n_nodes, (s.half // 2)::BIGINT AS n_edges, s.wedges, t.closed,
+       CAST(1000000::HUGEINT * t.closed
+            // greatest(s.wedges, 1)::HUGEINT AS BIGINT) AS global_cc_ppm
+FROM s, t
+"""
+
+
+def q_degree_assortativity(sf_dir: str):
+    """DEGREE ASSORTATIVITY of the co-purchase graph: Pearson
+    correlation of endpoint degrees over every edge (both orientations
+    — do hubs link to hubs?), in the repo's exact corr contract
+    (`price_correlation`): covariance sign + corr-squared in floored
+    ppm from the six integer sufficient statistics, no sqrt. Degrees
+    come from one exchange of the shared `cooccurrence_edges` by node;
+    attaching them to both endpoints is TWO `bucketed_hash_join`s (a
+    then b — degree is a 2-column table, never a driver dict); the
+    symmetrized sufficient stats fold per batch to 6 ints."""
+    from .pipelines.graph import cooccurrence_edges
+    from .pipelines.relational import bucketed_hash_join, bucketed_reduce
+    from .util import drop_empty_blocks
+
+    edges = cooccurrence_edges(
+        _copurchase_items(sf_dir), "l_orderkey", "l_partkey")
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()])})
+
+    def deg_of(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"node": pa.nulls(0, pa.int64()),
+                             "dg": pa.nulls(0, pa.int64())})
+        u, d = np.unique(t["node"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"node": pa.array(u.astype(np.int64)),
+                         "dg": pa.array(d.astype(np.int64))})
+
+    deg = drop_empty_blocks(bucketed_reduce(
+        edges.map_batches(both_dirs, batch_format="pyarrow"),
+        "node", deg_of, n_buckets=8)).materialize()
+
+    ea = edges.map_batches(
+        lambda t: t.rename_columns(["node", "b"]), batch_format="pyarrow")
+    j1 = drop_empty_blocks(bucketed_hash_join(ea, deg, "node", n_buckets=8))
+    j1 = j1.map_batches(
+        lambda t: pa.table({"node": t["b"], "da": t["dg"]}),
+        batch_format="pyarrow")
+    db = deg.map_batches(
+        lambda t: t.rename_columns(["node", "db"]), batch_format="pyarrow")
+    j2 = drop_empty_blocks(bucketed_hash_join(j1, db, "node", n_buckets=8))
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        da = t["da"].to_numpy(zero_copy_only=False)
+        db_ = t["db"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([2 * len(da)], pa.int64()),
+            "sx": pa.array([int(da.sum() + db_.sum())], pa.int64()),
+            "sxy": pa.array([int(2 * (da * db_).sum())], pa.int64()),
+            "sxx": pa.array([int((da * da).sum() + (db_ * db_).sum())],
+                            pa.int64()),
+        })
+
+    n = sx = sxy = sxx = 0
+    for r in j2.map_batches(stat_partial, batch_format="pyarrow").take_all():
+        n += int(r["n"]); sx += int(r["sx"])
+        sxy += int(r["sxy"]); sxx += int(r["sxx"])
+    num = n * sxy - sx * sx
+    den = n * sxx - sx * sx
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "cov_sign": pa.array([0 if num == 0 else (1 if num > 0 else -1)],
+                             pa.int64()),
+        "corr2_ppm": pa.array([num * num * 10**6 // (den * den)], pa.int64()),
+    })
+
+
+SQL_DEGREE_ASSORTATIVITY = f"""
+WITH {_COPURCHASE_PAIRS_CTE},
+deg AS (SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs),
+d AS (SELECT node, count(*)::BIGINT AS dg FROM deg GROUP BY 1),
+e AS (SELECT d1.dg AS x, d2.dg AS y
+      FROM pairs p JOIN d d1 ON d1.node = p.a JOIN d d2 ON d2.node = p.b),
+b AS (SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e),
+s AS (SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+             sum(x * y)::HUGEINT AS sxy, sum(x * x)::HUGEINT AS sxx
+      FROM b)
+SELECT CAST(n AS BIGINT) AS n,
+       CASE WHEN n * sxy - sx * sx = 0 THEN 0
+            WHEN n * sxy - sx * sx > 0 THEN 1 ELSE -1 END::BIGINT
+         AS cov_sign,
+       CAST((n * sxy - sx * sx) * (n * sxy - sx * sx) * 1000000::HUGEINT
+            // ((n * sxx - sx * sx) * (n * sxx - sx * sx)) AS BIGINT)
+         AS corr2_ppm
+FROM s
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -8457,4 +8641,7 @@ def catalog():
         "median_cont": (q_median_cont, SQL_MEDIAN_CONT),
         "host_reciprocity": (q_host_reciprocity, _host_reciprocity_sql()),
         "user_active_bitmap": (q_user_active_bitmap, SQL_USER_ACTIVE_BITMAP),
+        "clustering_coeff": (q_clustering_coeff, SQL_CLUSTERING_COEFF),
+        "degree_assortativity": (q_degree_assortativity,
+                                 SQL_DEGREE_ASSORTATIVITY),
     }
