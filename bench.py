@@ -164,6 +164,8 @@ BENCH_QUERIES = [
     "user_active_bitmap",
     "clustering_coeff",
     "degree_assortativity",
+    "cohort_ltv",
+    "ri_audit",
 ]
 
 

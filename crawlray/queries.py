@@ -8480,6 +8480,135 @@ FROM s
 """
 
 
+def q_cohort_ltv(sf_dir: str):
+    """Cohort LIFETIME VALUE: purchase revenue by (signup-day cohort,
+    days since signup) — the growth-analytics matrix behind retention
+    curves, and a correlated two-stream computation (each purchase needs
+    ITS user's first signup day) lowered with ZERO joins: one exchange
+    of the raw events by user co-locates a user's signups and purchases,
+    the per-bucket kernel takes min signup day per user (C-level
+    groupby), maps it onto that bucket's purchases, and emits
+    (cohort, age_days, cents) partials — <= 31 x 31 rows per bucket —
+    folded O(grid) on the driver. Users who never signed up (or
+    purchased before signing up) drop out exactly as the oracle's
+    JOIN + WHERE does."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.or_(pc.equal(t["event_type"], "signup"),
+                      pc.equal(t["event_type"], "purchase"))
+        t = t.filter(keep)
+        return pa.table({
+            "user_id": t["user_id"],
+            "day": pc.day(t["ts"]).cast(pa.int64()),
+            "is_purchase": pc.equal(t["event_type"],
+                                    "purchase").cast(pa.int64()),
+            "cents": _cents(t["value"]),
+        })
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        empty = pa.table({"cohort": pa.nulls(0, pa.int64()),
+                          "age_days": pa.nulls(0, pa.int64()),
+                          "cents": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas()
+        s = (df[df["is_purchase"] == 0].groupby("user_id")["day"].min())
+        p = df[df["is_purchase"] == 1].copy()
+        p["cohort"] = p["user_id"].map(s)
+        p = p[p["cohort"].notna() & (p["day"] >= p["user_id"].map(s))]
+        if p.empty:
+            return empty
+        p["age_days"] = p["day"] - p["cohort"].astype("int64")
+        g = p.groupby(["cohort", "age_days"], as_index=False)["cents"].sum()
+        return pa.table({
+            "cohort": pa.array(g["cohort"].astype("int64"), pa.int64()),
+            "age_days": pa.array(g["age_days"].astype("int64"), pa.int64()),
+            "cents": pa.array(g["cents"], pa.int64()),
+        })
+
+    partials = bucketed_reduce(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "user_id", bucket_fn, n_buckets=16)
+    acc: dict[tuple[int, int], int] = {}
+    for r in partials.take_all():
+        k = (int(r["cohort"]), int(r["age_days"]))
+        acc[k] = acc.get(k, 0) + int(r["cents"])
+    keys = sorted(acc)
+    return pa.table({
+        "cohort": pa.array([k[0] for k in keys], pa.int64()),
+        "age_days": pa.array([k[1] for k in keys], pa.int64()),
+        "cents": pa.array([acc[k] for k in keys], pa.int64()),
+    })
+
+
+SQL_COHORT_LTV = """
+WITH s AS (
+  SELECT user_id, min(day(ts))::BIGINT AS cohort
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+), p AS (
+  SELECT user_id, day(ts)::BIGINT AS d,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT s.cohort, (p.d - s.cohort)::BIGINT AS age_days,
+       sum(p.cents)::BIGINT AS cents
+FROM p JOIN s USING (user_id)
+WHERE p.d >= s.cohort
+GROUP BY 1, 2
+"""
+
+
+def q_ri_audit(sf_dir: str):
+    """Referential-integrity audit across the orders <-> lineitem
+    foreign key, both directions at once: total counts, ORPHAN
+    lineitems (no parent order) and CHILDLESS orders (no lineitem) —
+    the data-quality gate a 100 TB ingest runs before publishing a
+    snapshot. Each direction is a bloom-gated `bucketed_anti_join`
+    (the bloom proves absence, so clean data — the common case — rides
+    the bypass and almost nothing enters the exchange); only counts
+    fold on the driver."""
+    from .pipelines.relational import bucketed_anti_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def count_of(ds) -> int:
+        return int(ds.count())
+
+    n_orders = count_of(orders)
+    n_lineitems = count_of(li)
+    li_keys = li.map_batches(
+        lambda t: t.rename_columns(["o_orderkey"]), batch_format="pyarrow")
+    orphans = bucketed_anti_join(li_keys, orders, "o_orderkey",
+                                 n_buckets=8, bloom_bits=1 << 20)
+    childless = bucketed_anti_join(orders, li_keys, "o_orderkey",
+                                   n_buckets=8, bloom_bits=1 << 20)
+    return pa.table({
+        "n_orders": pa.array([n_orders], pa.int64()),
+        "n_lineitems": pa.array([n_lineitems], pa.int64()),
+        "orphan_lineitems": pa.array([int(orphans.count())], pa.int64()),
+        "childless_orders": pa.array([int(childless.count())], pa.int64()),
+    })
+
+
+SQL_RI_AUDIT = """
+SELECT (SELECT count(*) FROM orders)::BIGINT AS n_orders,
+       (SELECT count(*) FROM lineitem)::BIGINT AS n_lineitems,
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+         AS orphan_lineitems,
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey))::BIGINT
+         AS childless_orders
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -8644,4 +8773,6 @@ def catalog():
         "clustering_coeff": (q_clustering_coeff, SQL_CLUSTERING_COEFF),
         "degree_assortativity": (q_degree_assortativity,
                                  SQL_DEGREE_ASSORTATIVITY),
+        "cohort_ltv": (q_cohort_ltv, SQL_COHORT_LTV),
+        "ri_audit": (q_ri_audit, SQL_RI_AUDIT),
     }
