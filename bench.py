@@ -166,6 +166,8 @@ BENCH_QUERIES = [
     "degree_assortativity",
     "cohort_ltv",
     "ri_audit",
+    "pareto_share",
+    "charset_histogram",
 ]
 
 

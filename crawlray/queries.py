@@ -8609,6 +8609,166 @@ SELECT (SELECT count(*) FROM orders)::BIGINT AS n_orders,
 """
 
 
+def q_pareto_share(sf_dir: str):
+    """Revenue CONCENTRATION (Pareto 80/20 audit): the exact share of
+    total order revenue held by the top-k customers, k = n - ceil(0.8n)
+    — a global ORDER-STATISTIC-plus-sum query with no full sort: the
+    80th-percentile revenue threshold comes from
+    `stats.exact_quantiles_hist` (iterative histogram refinement, no
+    value stream to the driver), then ONE more streaming pass with the
+    broadcast threshold folds (count, sum) below it; the top-set sum is
+    total - bottom, with threshold ties resolved by VALUE (equal-valued
+    ties contribute the same cents whichever rows the rank cut picks,
+    so the engine and the oracle's row_number cut agree exactly).
+    Customer revenues come from one per-batch-partial + bucketed
+    exchange, the repo's standard two-step aggregate."""
+    from .pipelines.relational import bucketed_reduce
+    from .pipelines.stats import exact_quantiles_hist
+    from .util import drop_empty_blocks
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (pa.table({"o_custkey": t["o_custkey"],
+                          "r": _cents(t["o_totalprice"])})
+                .group_by(["o_custkey"]).aggregate([("r", "sum")])
+                .rename_columns(["o_custkey", "r"]))
+
+    def per_cust(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"o_custkey": pa.nulls(0, pa.int64()),
+                             "r": pa.nulls(0, pa.int64())})
+        return (t.group_by(["o_custkey"]).aggregate([("r", "sum")])
+                .rename_columns(["o_custkey", "r"]))
+
+    rev = drop_empty_blocks(bucketed_reduce(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        "o_custkey", per_cust, n_buckets=16)).materialize()
+
+    qt = exact_quantiles_hist(rev, "r", [800])
+    v = int(qt.column("r")[0].as_py())
+
+    def fold(t: pa.Table) -> pa.Table:
+        r = t["r"].to_numpy(zero_copy_only=False)
+        lt = r < v
+        return pa.table({
+            "n": pa.array([len(r)], pa.int64()),
+            "tot": pa.array([int(r.sum())], pa.int64()),
+            "n_lt": pa.array([int(lt.sum())], pa.int64()),
+            "s_lt": pa.array([int(r[lt].sum())], pa.int64()),
+        })
+
+    n = tot = n_lt = s_lt = 0
+    for row in rev.map_batches(fold, batch_format="pyarrow").take_all():
+        n += int(row["n"]); tot += int(row["tot"])
+        n_lt += int(row["n_lt"]); s_lt += int(row["s_lt"])
+    r_rank = (800 * n + 999) // 1000
+    k = n - r_rank
+    bottom = s_lt + (r_rank - n_lt) * v
+    top = tot - bottom
+    return pa.table({
+        "n_customers": pa.array([n], pa.int64()),
+        "k": pa.array([k], pa.int64()),
+        "top_cents": pa.array([top], pa.int64()),
+        "total_cents": pa.array([tot], pa.int64()),
+        "share_ppm": pa.array([10**6 * top // tot], pa.int64()),
+    })
+
+
+SQL_PARETO_SHARE = """
+WITH rev AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS r
+  FROM orders GROUP BY 1
+), o AS (
+  SELECT r, row_number() OVER (ORDER BY r, o_custkey) AS rn,
+         count(*) OVER () AS n, sum(r) OVER () AS tot
+  FROM rev
+)
+SELECT max(n)::BIGINT AS n_customers,
+       (max(n) - (800 * max(n) + 999) // 1000)::BIGINT AS k,
+       (max(tot) - sum(CASE WHEN rn <= (800 * n + 999) // 1000
+                       THEN r ELSE 0 END))::BIGINT AS top_cents,
+       max(tot)::BIGINT AS total_cents,
+       CAST(1000000::HUGEINT
+            * (max(tot) - sum(CASE WHEN rn <= (800 * n + 999) // 1000
+                              THEN r ELSE 0 END))::HUGEINT
+            // max(tot)::HUGEINT AS BIGINT) AS share_ppm
+FROM o
+"""
+
+
+def q_charset_histogram(sf_dir: str):
+    """Character-class profile per language: ppm of ASCII digits,
+    ASCII letters, spaces, and everything else over each language's
+    total characters — the byte-level corpus audit (mojibake / boiler-
+    plate detection) done with C-level vectorized regex counts per
+    batch (pandas str.count, compiled once), <= |langs| x 5 int
+    partials per block, exact floored-ppm driver fold. ASCII classes
+    on purpose: both engines' regex semantics agree exactly there."""
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        s = pd.Series(t["text"].to_pylist()).fillna("")
+        df = pd.DataFrame({
+            "lang": t["lang"].to_numpy(zero_copy_only=False),
+            "chars": s.str.len().to_numpy(np.int64),
+            "digits": s.str.count(r"[0-9]").to_numpy(np.int64),
+            "letters": s.str.count(r"[A-Za-z]").to_numpy(np.int64),
+            "spaces": s.str.count(r" ").to_numpy(np.int64),
+        })
+        g = df.groupby("lang", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    acc: dict[str, list[int]] = {}
+    for r in docs.map_batches(partial, batch_format="pyarrow").take_all():
+        a = acc.setdefault(r["lang"], [0, 0, 0, 0])
+        a[0] += int(r["chars"]); a[1] += int(r["digits"])
+        a[2] += int(r["letters"]); a[3] += int(r["spaces"])
+    langs = sorted(acc)
+
+    def ppm(i: int) -> list[int]:
+        return [10**6 * acc[l][i] // max(acc[l][0], 1) for l in langs]
+
+    return pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "n_chars": pa.array([acc[l][0] for l in langs], pa.int64()),
+        "digit_ppm": pa.array(ppm(1), pa.int64()),
+        "letter_ppm": pa.array(ppm(2), pa.int64()),
+        "space_ppm": pa.array(ppm(3), pa.int64()),
+        "other_ppm": pa.array(
+            [10**6 * (acc[l][0] - acc[l][1] - acc[l][2] - acc[l][3])
+             // max(acc[l][0], 1) for l in langs], pa.int64()),
+    })
+
+
+SQL_CHARSET_HISTOGRAM = """
+WITH c AS (
+  SELECT lang, length(text)::BIGINT AS chars,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS digits,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT
+           AS letters,
+         (length(text) - length(replace(text, ' ', '')))::BIGINT AS spaces
+  FROM documents
+), s AS (
+  SELECT lang, sum(chars)::HUGEINT AS chars, sum(digits)::HUGEINT AS digits,
+         sum(letters)::HUGEINT AS letters, sum(spaces)::HUGEINT AS spaces
+  FROM c GROUP BY 1
+)
+SELECT lang, CAST(chars AS BIGINT) AS n_chars,
+       CAST(1000000::HUGEINT * digits // greatest(chars, 1) AS BIGINT)
+         AS digit_ppm,
+       CAST(1000000::HUGEINT * letters // greatest(chars, 1) AS BIGINT)
+         AS letter_ppm,
+       CAST(1000000::HUGEINT * spaces // greatest(chars, 1) AS BIGINT)
+         AS space_ppm,
+       CAST(1000000::HUGEINT * (chars - digits - letters - spaces)
+            // greatest(chars, 1) AS BIGINT) AS other_ppm
+FROM s
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -8775,4 +8935,6 @@ def catalog():
                                  SQL_DEGREE_ASSORTATIVITY),
         "cohort_ltv": (q_cohort_ltv, SQL_COHORT_LTV),
         "ri_audit": (q_ri_audit, SQL_RI_AUDIT),
+        "pareto_share": (q_pareto_share, SQL_PARETO_SHARE),
+        "charset_histogram": (q_charset_histogram, SQL_CHARSET_HISTOGRAM),
     }
