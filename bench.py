@@ -168,6 +168,8 @@ BENCH_QUERIES = [
     "ri_audit",
     "pareto_share",
     "charset_histogram",
+    "table_diff",
+    "range_partition_bounds",
 ]
 
 

@@ -8769,6 +8769,135 @@ FROM s
 """
 
 
+def q_table_diff(sf_dir: str):
+    """SNAPSHOT DIFF (the CDC shape): compare each user's aggregate
+    state between two dataset versions — v1 = events of days 1-15, v2 =
+    days 16-31 — and classify every key as added / removed / changed /
+    unchanged, with per-category user counts and both versions' cents.
+    Semantically a FULL OUTER JOIN of the two versions, but lowered
+    with ZERO joins: one pass of per-batch (user, n1, c1, n2, c2)
+    masked partials, one exchange by user to merge them (presence =
+    n > 0, so a genuine 0-sum user differs from an absent one exactly
+    as the outer join's NULLs do), and a <= 4-row classify fold per
+    bucket. The diff a 100 TB pipeline runs between publishes."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.day(t["ts"]).cast(pa.int64())
+        is1 = pc.less_equal(day, 15).cast(pa.int64())
+        cents = _cents(t["value"])
+        z = pa.scalar(0, pa.int64())
+        tmp = pa.table({
+            "user_id": t["user_id"],
+            "n1": is1,
+            "c1": pc.if_else(pc.equal(is1, 1), cents, z),
+            "n2": pc.subtract(pa.scalar(1, pa.int64()), is1),
+            "c2": pc.if_else(pc.equal(is1, 0), cents, z),
+        })
+        return (tmp.group_by(["user_id"])
+                .aggregate([(c, "sum") for c in ("n1", "c1", "n2", "c2")])
+                .rename_columns(["user_id", "n1", "c1", "n2", "c2"]))
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        empty = pa.table({"category": pa.nulls(0, pa.string()),
+                          "n_users": pa.nulls(0, pa.int64()),
+                          "cents_v1": pa.nulls(0, pa.int64()),
+                          "cents_v2": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        g = (t.to_pandas().groupby("user_id", as_index=False)
+             [["n1", "c1", "n2", "c2"]].sum())
+        cat = np.where(g["n1"] == 0, "added",
+                       np.where(g["n2"] == 0, "removed",
+                                np.where(g["c1"] == g["c2"],
+                                         "unchanged", "changed")))
+        out = (pd.DataFrame({"category": cat, "c1": g["c1"], "c2": g["c2"]})
+               .groupby("category", as_index=False)
+               .agg(n_users=("c1", "size"), cents_v1=("c1", "sum"),
+                    cents_v2=("c2", "sum")))
+        return pa.table({
+            "category": pa.array(out["category"], pa.string()),
+            "n_users": pa.array(out["n_users"], pa.int64()),
+            "cents_v1": pa.array(out["cents_v1"], pa.int64()),
+            "cents_v2": pa.array(out["cents_v2"], pa.int64()),
+        })
+
+    partials = bucketed_reduce(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "user_id", bucket_fn, n_buckets=16)
+    acc: dict[str, list[int]] = {}
+    for r in partials.take_all():
+        a = acc.setdefault(r["category"], [0, 0, 0])
+        a[0] += int(r["n_users"])
+        a[1] += int(r["cents_v1"]); a[2] += int(r["cents_v2"])
+    cats = sorted(acc)
+    return pa.table({
+        "category": pa.array(cats, pa.string()),
+        "n_users": pa.array([acc[c][0] for c in cats], pa.int64()),
+        "cents_v1": pa.array([acc[c][1] for c in cats], pa.int64()),
+        "cents_v2": pa.array([acc[c][2] for c in cats], pa.int64()),
+    })
+
+
+SQL_TABLE_DIFF = """
+WITH v1 AS (
+  SELECT user_id, sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS c
+  FROM events WHERE day(ts) <= 15 GROUP BY 1
+), v2 AS (
+  SELECT user_id, sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS c
+  FROM events WHERE day(ts) >= 16 GROUP BY 1
+), j AS (
+  SELECT CASE WHEN v1.user_id IS NULL THEN 'added'
+              WHEN v2.user_id IS NULL THEN 'removed'
+              WHEN v1.c = v2.c THEN 'unchanged'
+              ELSE 'changed' END AS category,
+         coalesce(v1.c, 0) AS c1, coalesce(v2.c, 0) AS c2
+  FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id
+)
+SELECT category, count(*)::BIGINT AS n_users,
+       sum(c1)::BIGINT AS cents_v1, sum(c2)::BIGINT AS cents_v2
+FROM j GROUP BY 1
+"""
+
+
+RANGE_PART_PMS = [125, 250, 375, 500, 625, 750, 875]
+
+
+def q_range_partition_bounds(sf_dir: str):
+    """RANGE-PARTITION PLANNING: the 7 boundary values that split order
+    totals into 8 equal-count ranges — the boundaries a 100 TB range
+    exchange (sort, range-partitioned write) computes before moving any
+    data. Pure `stats.exact_quantiles_hist` (iterative histogram
+    refinement: O(blocks x q x bins) int partials per pass, never a
+    value stream to the driver), surfaced as its own catalog entry
+    because the planning step IS the operator at warehouse scale."""
+    from .pipelines.stats import exact_quantiles_hist
+
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+    prepped = orders.map_batches(
+        lambda t: pa.table({"cents": _cents(t["o_totalprice"])}),
+        batch_format="pyarrow")
+    qt = exact_quantiles_hist(prepped, "cents", RANGE_PART_PMS)
+    return pa.table({"q_pm": qt["q_pm"], "cents": qt["cents"]})
+
+
+SQL_RANGE_PARTITION_BOUNDS = """
+WITH t AS (SELECT round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+c AS (SELECT cents, count(*)::BIGINT AS n FROM t GROUP BY 1),
+w AS (SELECT cents, sum(n) OVER (ORDER BY cents) AS cum,
+             sum(n) OVER () AS tot
+      FROM c),
+q AS (SELECT unnest([125, 250, 375, 500, 625, 750, 875]) AS q_pm)
+SELECT q.q_pm::BIGINT AS q_pm, min(w.cents) AS cents
+FROM w CROSS JOIN q
+WHERE w.cum >= (q.q_pm * w.tot + 999) // 1000
+GROUP BY 1
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -8937,4 +9066,7 @@ def catalog():
         "ri_audit": (q_ri_audit, SQL_RI_AUDIT),
         "pareto_share": (q_pareto_share, SQL_PARETO_SHARE),
         "charset_histogram": (q_charset_histogram, SQL_CHARSET_HISTOGRAM),
+        "table_diff": (q_table_diff, SQL_TABLE_DIFF),
+        "range_partition_bounds": (q_range_partition_bounds,
+                                   SQL_RANGE_PARTITION_BOUNDS),
     }
