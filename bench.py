@@ -170,6 +170,8 @@ BENCH_QUERIES = [
     "charset_histogram",
     "table_diff",
     "range_partition_bounds",
+    "latest_state",
+    "bounce_rate",
 ]
 
 

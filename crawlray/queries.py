@@ -8898,6 +8898,128 @@ GROUP BY 1
 """
 
 
+def q_latest_state(sf_dir: str):
+    """KEEP-LATEST compaction (the upsert / log-compaction operator of
+    every log-structured table): per (user, event_type), the value of
+    the LATEST event — argmax by (ts, event_id), the deterministic tie
+    the oracle's row_number ORDER BY states. `exact_dedup` keeps the
+    FIRST by content hash; this is its dual, keyed and time-ordered.
+    One exchange on the user key (both key columns agree in one bucket
+    — composite grouping inside), a C-level sort + keep-last per
+    bucket, output bounded by |user x type|."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "event_type": t["event_type"],
+                         "ts": t["ts"], "event_id": t["event_id"],
+                         "cents": _cents(t["value"])})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.nulls(0, pa.int64()),
+                          "event_type": pa.nulls(0, pa.string()),
+                          "last_event_id": pa.nulls(0, pa.int64()),
+                          "last_cents": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        import pandas as pd
+        df = t.to_pandas()
+        ts = df["ts"].astype("datetime64[us]").astype("int64")
+        df = df.assign(_ts=ts).sort_values(
+            ["user_id", "event_type", "_ts", "event_id"])
+        last = df.groupby(["user_id", "event_type"], as_index=False).last()
+        return pa.table({
+            "user_id": pa.array(last["user_id"], pa.int64()),
+            "event_type": pa.array(last["event_type"], pa.string()),
+            "last_event_id": pa.array(last["event_id"], pa.int64()),
+            "last_cents": pa.array(last["cents"], pa.int64()),
+        })
+
+    return bucketed_reduce(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "user_id", bucket_fn, n_buckets=16)
+
+
+SQL_LATEST_STATE = """
+SELECT user_id, event_type, event_id AS last_event_id,
+       CAST(round(value * 100) AS BIGINT) AS last_cents
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def q_bounce_rate(sf_dir: str):
+    """Sessionized BOUNCE RATE: per calendar day (of session start),
+    the ppm of sessions containing exactly one event — the composed
+    form of `sessions` (same `streaming.sessionize` kernel, same 30-min
+    gap rule) with a <= 31 x 3-int partial rollup on top; proof the
+    windowed operators compose into downstream aggregates without a
+    second shuffle."""
+    from .pipelines.streaming import sessionize
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"], "ts": t["ts"],
+                         "user_id": t["user_id"],
+                         "cents": _cents(t["value"])})
+
+    sess = sessionize(ds.map_batches(prep, batch_format="pyarrow"),
+                      "user_id", "ts", "cents", "event_id",
+                      gap_seconds=SESSION_GAP_SECONDS)
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.day(t["session_start"]).cast(pa.int64())
+        one = pc.equal(t["n_events"], 1).cast(pa.int64())
+        return (pa.table({"day": day, "one": one})
+                .group_by(["day"])
+                .aggregate([([], "count_all"), ("one", "sum")]))
+
+    acc: dict[int, list[int]] = {}
+    for r in sess.map_batches(partial, batch_format="pyarrow").take_all():
+        a = acc.setdefault(int(r["day"]), [0, 0])
+        a[0] += int(r["count_all"]); a[1] += int(r["one_sum"])
+    days = sorted(acc)
+    return pa.table({
+        "day": pa.array(days, pa.int64()),
+        "n_sessions": pa.array([acc[d][0] for d in days], pa.int64()),
+        "n_bounces": pa.array([acc[d][1] for d in days], pa.int64()),
+        "bounce_ppm": pa.array(
+            [10**6 * acc[d][1] // acc[d][0] for d in days], pa.int64()),
+    })
+
+
+SQL_BOUNCE_RATE = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_SECONDS} SECOND
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM e
+), g AS (
+  SELECT user_id, session_id, min(ts) AS session_start,
+         count(*)::BIGINT AS n_events
+  FROM s GROUP BY 1, 2
+)
+SELECT day(session_start)::BIGINT AS day,
+       count(*)::BIGINT AS n_sessions,
+       sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces,
+       CAST(1000000::HUGEINT
+            * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::HUGEINT
+            // count(*)::HUGEINT AS BIGINT) AS bounce_ppm
+FROM g GROUP BY 1
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -9069,4 +9191,6 @@ def catalog():
         "table_diff": (q_table_diff, SQL_TABLE_DIFF),
         "range_partition_bounds": (q_range_partition_bounds,
                                    SQL_RANGE_PARTITION_BOUNDS),
+        "latest_state": (q_latest_state, SQL_LATEST_STATE),
+        "bounce_rate": (q_bounce_rate, SQL_BOUNCE_RATE),
     }
