@@ -172,6 +172,8 @@ BENCH_QUERIES = [
     "range_partition_bounds",
     "latest_state",
     "bounce_rate",
+    "longest_streak",
+    "third_largest",
 ]
 
 

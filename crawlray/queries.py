@@ -9020,6 +9020,127 @@ FROM g GROUP BY 1
 """
 
 
+def q_longest_streak(sf_dir: str):
+    """GAPS-AND-ISLANDS on the calendar grid: each user's longest run
+    of CONSECUTIVE active days plus their active-day count — the streak
+    feature (the islands come from day - rank being constant within a
+    run, the classic lowering the oracle states verbatim). One exchange
+    by user; per bucket the distinct (user, day) grid sorts once and a
+    single vectorized diff/cumsum pass labels runs for EVERY user at
+    once (new run where user changes or day gap > 1), then a C-level
+    run-length groupby takes each user's max. Output is one row per
+    user."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return (pa.table({"user_id": t["user_id"],
+                          "day": pc.day(t["ts"]).cast(pa.int64())})
+                .group_by(["user_id", "day"]).aggregate([]))
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        empty = pa.table({"user_id": pa.nulls(0, pa.int64()),
+                          "n_active_days": pa.nulls(0, pa.int64()),
+                          "longest_streak": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        df = (t.to_pandas().drop_duplicates(["user_id", "day"])
+              .sort_values(["user_id", "day"]))
+        u = df["user_id"].to_numpy()
+        d = df["day"].to_numpy()
+        new_run = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)]
+        run_id = np.cumsum(new_run)
+        runs = (pd.DataFrame({"u": u, "run": run_id})
+                .groupby(["u", "run"]).size().reset_index(name="len"))
+        out = runs.groupby("u", as_index=False).agg(
+            longest_streak=("len", "max"), n_runs=("len", "size"))
+        days = (pd.DataFrame({"u": u}).groupby("u").size()
+                .reset_index(name="n_active_days"))
+        out = out.merge(days, on="u")
+        return pa.table({
+            "user_id": pa.array(out["u"], pa.int64()),
+            "n_active_days": pa.array(out["n_active_days"], pa.int64()),
+            "longest_streak": pa.array(out["longest_streak"], pa.int64()),
+        })
+
+    return bucketed_reduce(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "user_id", bucket_fn, n_buckets=16)
+
+
+SQL_LONGEST_STREAK = """
+WITH d AS (
+  SELECT DISTINCT user_id, day(ts)::BIGINT AS day FROM events
+), r AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS island
+  FROM d
+), runs AS (
+  SELECT user_id, island, count(*)::BIGINT AS len
+  FROM r GROUP BY 1, 2
+)
+SELECT user_id, sum(len)::BIGINT AS n_active_days,
+       max(len)::BIGINT AS longest_streak
+FROM runs GROUP BY 1
+"""
+
+
+THIRD_K = 3
+
+
+def q_third_largest(sf_dir: str):
+    """K-th largest DISTINCT value per group (k=3): the order statistic
+    whose partial is a mergeable top-k-distinct set — each block emits
+    its 3 largest distinct cents per event type (8 B each), the driver
+    merges O(blocks x k x groups) ints and takes the 3rd largest of the
+    union, exact because a value in the global top-3 distinct is in
+    some block's local top-3 distinct. Groups with < 3 distinct values
+    drop out, as the oracle's dense_rank predicate does."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "cents": _cents(t["value"]).to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        top = (df.sort_values(["event_type", "cents"],
+                              ascending=[True, False])
+               .groupby("event_type").head(THIRD_K))
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    tops: dict[str, set[int]] = {}
+    for r in ev.map_batches(partial, batch_format="pyarrow").take_all():
+        tops.setdefault(r["event_type"], set()).add(int(r["cents"]))
+    types, vals = [], []
+    for ty in sorted(tops):
+        s = sorted(tops[ty], reverse=True)
+        if len(s) >= THIRD_K:
+            types.append(ty)
+            vals.append(s[THIRD_K - 1])
+    return pa.table({"event_type": pa.array(types, pa.string()),
+                     "third_cents": pa.array(vals, pa.int64())})
+
+
+SQL_THIRD_LARGEST = f"""
+WITH d AS (
+  SELECT DISTINCT event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), r AS (
+  SELECT event_type, cents,
+         dense_rank() OVER (PARTITION BY event_type
+                            ORDER BY cents DESC) AS rk
+  FROM d
+)
+SELECT event_type, cents AS third_cents
+FROM r WHERE rk = {THIRD_K}
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -9193,4 +9314,6 @@ def catalog():
                                    SQL_RANGE_PARTITION_BOUNDS),
         "latest_state": (q_latest_state, SQL_LATEST_STATE),
         "bounce_rate": (q_bounce_rate, SQL_BOUNCE_RATE),
+        "longest_streak": (q_longest_streak, SQL_LONGEST_STREAK),
+        "third_largest": (q_third_largest, SQL_THIRD_LARGEST),
     }
