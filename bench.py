@@ -174,6 +174,8 @@ BENCH_QUERIES = [
     "bounce_rate",
     "longest_streak",
     "third_largest",
+    "weighted_median",
+    "quartile_label",
 ]
 
 

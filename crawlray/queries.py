@@ -9141,6 +9141,129 @@ FROM r WHERE rk = {THIRD_K}
 """
 
 
+def q_weighted_median(sf_dir: str):
+    """WEIGHTED median per group: the quantity-weighted median price
+    per returnflag — the order statistic where each row counts `weight`
+    times (inventory-weighted pricing). Same histogram-partial plan as
+    `grouped_quantiles` but the per-(group, value) partial carries a
+    WEIGHT SUM instead of a count; the driver walks each group's value
+    histogram to the smallest value whose cumulative weight reaches
+    ceil(W/2) — the exact rank contract restated in the oracle's
+    window CTE. Never a sort of the input; quantities in exact rounded
+    integers."""
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (pa.table({
+            "flag": t["l_returnflag"],
+            "cents": _cents(t["l_extendedprice"]),
+            "w": pc.round(t["l_quantity"]).cast(pa.int64()),
+        }).group_by(["flag", "cents"]).aggregate([("w", "sum")]))
+
+    hist: dict[str, dict[int, int]] = {}
+    for r in li.map_batches(partial, batch_format="pyarrow").take_all():
+        h = hist.setdefault(r["flag"], {})
+        c = int(r["cents"])
+        h[c] = h.get(c, 0) + int(r["w_sum"])
+    flags = sorted(hist)
+    meds = []
+    for f in flags:
+        wtot = sum(hist[f].values())
+        rank = (wtot + 1) // 2
+        cum = 0
+        for v in sorted(hist[f]):
+            cum += hist[f][v]
+            if cum >= rank:
+                meds.append(v)
+                break
+    return pa.table({"flag": pa.array(flags, pa.string()),
+                     "wmedian_cents": pa.array(meds, pa.int64())})
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH t AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(round(l_quantity) AS BIGINT) AS w
+  FROM lineitem
+), c AS (SELECT flag, cents, sum(w)::BIGINT AS w FROM t GROUP BY 1, 2),
+w AS (SELECT flag, cents,
+             sum(w) OVER (PARTITION BY flag ORDER BY cents) AS cum,
+             sum(w) OVER (PARTITION BY flag) AS tot
+      FROM c)
+SELECT flag, min(cents) AS wmedian_cents
+FROM w WHERE cum >= (tot + 1) // 2 GROUP BY 1
+"""
+
+
+def q_quartile_label(sf_dir: str):
+    """Broadcast-threshold ENRICHMENT: label every order with its
+    global total-price quartile (1-4) and roll the labels up per order
+    priority — the two-phase pattern a 100 TB feature pipeline uses for
+    any rank feature: compute the 3 quartile bounds once
+    (`exact_quantiles_hist`, histogram refinement, no sort), broadcast
+    3 ints, then one vectorized searchsorted labels every row on its
+    way into a <= 5 x 4 partial rollup. Tie contract: label = smallest
+    quartile whose bound >= the value (values above the 750-bound get
+    4), exactly the CASE the oracle states."""
+    from .pipelines.stats import exact_quantiles_hist
+
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    prepped = orders.map_batches(
+        lambda t: pa.table({"priority": t["o_orderpriority"],
+                            "cents": _cents(t["o_totalprice"])}),
+        batch_format="pyarrow").materialize()
+    qt = exact_quantiles_hist(prepped, "cents", [250, 500, 750])
+    bounds = {int(q): int(v) for q, v in
+              zip(qt["q_pm"].to_pylist(), qt["cents"].to_pylist())}
+    b = np.array([bounds[250], bounds[500], bounds[750]], np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        lab = 1 + np.searchsorted(b, cents, side="left")
+        return (pa.table({"priority": t["priority"],
+                          "quartile": pa.array(lab, pa.int64())})
+                .group_by(["priority", "quartile"])
+                .aggregate([([], "count_all")]))
+
+    acc: dict[tuple[str, int], int] = {}
+    for r in prepped.map_batches(partial, batch_format="pyarrow").take_all():
+        k = (r["priority"], int(r["quartile"]))
+        acc[k] = acc.get(k, 0) + int(r["count_all"])
+    keys = sorted(acc)
+    return pa.table({
+        "priority": pa.array([k[0] for k in keys], pa.string()),
+        "quartile": pa.array([k[1] for k in keys], pa.int64()),
+        "n_orders": pa.array([acc[k] for k in keys], pa.int64()),
+    })
+
+
+SQL_QUARTILE_LABEL = """
+WITH t AS (
+  SELECT o_orderpriority AS priority,
+         round(o_totalprice * 100)::BIGINT AS cents
+  FROM orders
+), c AS (SELECT cents, count(*)::BIGINT AS n FROM t GROUP BY 1),
+w AS (SELECT cents, sum(n) OVER (ORDER BY cents) AS cum,
+             sum(n) OVER () AS tot FROM c),
+q AS (SELECT
+        (SELECT min(cents) FROM w WHERE cum >= (250 * tot + 999) // 1000)
+          AS b1,
+        (SELECT min(cents) FROM w WHERE cum >= (500 * tot + 999) // 1000)
+          AS b2,
+        (SELECT min(cents) FROM w WHERE cum >= (750 * tot + 999) // 1000)
+          AS b3)
+SELECT t.priority,
+       (CASE WHEN t.cents <= q.b1 THEN 1
+             WHEN t.cents <= q.b2 THEN 2
+             WHEN t.cents <= q.b3 THEN 3
+             ELSE 4 END)::BIGINT AS quartile,
+       count(*)::BIGINT AS n_orders
+FROM t, q GROUP BY 1, 2
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -9316,4 +9439,6 @@ def catalog():
         "bounce_rate": (q_bounce_rate, SQL_BOUNCE_RATE),
         "longest_streak": (q_longest_streak, SQL_LONGEST_STREAK),
         "third_largest": (q_third_largest, SQL_THIRD_LARGEST),
+        "weighted_median": (q_weighted_median, SQL_WEIGHTED_MEDIAN),
+        "quartile_label": (q_quartile_label, SQL_QUARTILE_LABEL),
     }
