@@ -176,6 +176,8 @@ BENCH_QUERIES = [
     "third_largest",
     "weighted_median",
     "quartile_label",
+    "forward_fill",
+    "week_mask_histogram",
 ]
 
 

@@ -9264,6 +9264,144 @@ FROM t, q GROUP BY 1, 2
 """
 
 
+def q_forward_fill(sf_dir: str):
+    """Time-series GAP FILL: materialize every user's dense 31-day grid
+    with the value carried forward from their latest event at or before
+    each day (LAST_VALUE IGNORE NULLS / the densify-then-ffill step
+    before any daily-grid model feature). One exchange by user; inside
+    a bucket the per-(user, day) latest collapses with a C-level sort +
+    keep-last, the grid is one np.repeat/tile, and the carry-forward is
+    ONE searchsorted over the composite (user * 64 + day) key — no
+    per-user loop, no 31-way self-join. Days before a user's first
+    event stay NULL, exactly as the oracle's window does."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "day": pc.day(t["ts"]).cast(pa.int64()),
+            "ts": t["ts"], "event_id": t["event_id"],
+            "cents": _cents(t["value"]),
+        })
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        empty = pa.table({"user_id": pa.nulls(0, pa.int64()),
+                          "day": pa.nulls(0, pa.int64()),
+                          "filled_cents": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas()
+        ts = df["ts"].astype("datetime64[us]").astype("int64")
+        df = (df.assign(_ts=ts)
+              .sort_values(["user_id", "day", "_ts", "event_id"])
+              .groupby(["user_id", "day"], as_index=False).last())
+        du = df["user_id"].to_numpy()
+        dd = df["day"].to_numpy()
+        dc = df["cents"].to_numpy()
+        users = np.unique(du)
+        gu = np.repeat(users, 31)
+        gd = np.tile(np.arange(1, 32, dtype=np.int64), len(users))
+        comp_d = du * 64 + dd
+        comp_g = gu * 64 + gd
+        idx = np.searchsorted(comp_d, comp_g, side="right") - 1
+        ok = (idx >= 0) & (du[np.maximum(idx, 0)] == gu)
+        vals = np.where(ok, dc[np.maximum(idx, 0)], 0)
+        return pa.table({
+            "user_id": pa.array(gu, pa.int64()),
+            "day": pa.array(gd, pa.int64()),
+            "filled_cents": pa.array(
+                np.ma.masked_array(vals, mask=~ok), pa.int64(),
+            ),
+        })
+
+    return bucketed_reduce(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "user_id", bucket_fn, n_buckets=16)
+
+
+SQL_FORWARD_FILL = """
+WITH last AS (
+  SELECT user_id, day(ts)::BIGINT AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id, day(ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), daily AS (SELECT user_id, day, cents FROM last WHERE rn = 1),
+grid AS (
+  SELECT u.user_id, g.day
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN (SELECT unnest(generate_series(1, 31))::BIGINT AS day) g
+)
+SELECT g.user_id, g.day,
+       last_value(d.cents IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.day) AS filled_cents
+FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+"""
+
+
+def q_week_mask_histogram(sf_dir: str):
+    """Audience-overlap HISTOGRAM over activity bitmasks: users bucketed
+    by their 5-bit week-of-month activity mask (bit w = any event in
+    week w) — the one table every pairwise 'active in week i AND week
+    j' overlap reads off for free, and the natural companion of
+    `user_active_bitmap` at coarser grain. Per-batch grouped OR
+    partials, one exchange by user to finish the ORs, <= 32-row count
+    partials to the driver."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        day = pc.day(t["ts"]).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "bit": np.left_shift(np.int64(1), (day - 1) // 7),
+        })
+        g = df.groupby("user_id", as_index=False).agg(
+            mask=("bit", lambda s: np.bitwise_or.reduce(s.to_numpy())))
+        return pa.table({"user_id": pa.array(g["user_id"], pa.int64()),
+                         "mask": pa.array(g["mask"], pa.int64())})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        if t.num_rows == 0:
+            return pa.table({"week_mask": pa.nulls(0, pa.int64()),
+                             "n_users": pa.nulls(0, pa.int64())})
+        g = (t.to_pandas().groupby("user_id", as_index=False)
+             .agg(mask=("mask",
+                        lambda s: np.bitwise_or.reduce(s.to_numpy()))))
+        h = g.groupby("mask", as_index=False).size()
+        return pa.table({"week_mask": pa.array(h["mask"], pa.int64()),
+                         "n_users": pa.array(h["size"], pa.int64())})
+
+    partials = bucketed_reduce(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        "user_id", bucket_fn, n_buckets=16)
+    acc: dict[int, int] = {}
+    for r in partials.take_all():
+        m = int(r["week_mask"])
+        acc[m] = acc.get(m, 0) + int(r["n_users"])
+    masks = sorted(acc)
+    return pa.table({"week_mask": pa.array(masks, pa.int64()),
+                     "n_users": pa.array([acc[m] for m in masks],
+                                         pa.int64())})
+
+
+SQL_WEEK_MASK_HISTOGRAM = """
+WITH m AS (
+  SELECT user_id,
+         bit_or(1::BIGINT << ((day(ts) - 1) // 7))::BIGINT AS week_mask
+  FROM events GROUP BY 1
+)
+SELECT week_mask, count(*)::BIGINT AS n_users
+FROM m GROUP BY 1
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -9441,4 +9579,7 @@ def catalog():
         "third_largest": (q_third_largest, SQL_THIRD_LARGEST),
         "weighted_median": (q_weighted_median, SQL_WEIGHTED_MEDIAN),
         "quartile_label": (q_quartile_label, SQL_QUARTILE_LABEL),
+        "forward_fill": (q_forward_fill, SQL_FORWARD_FILL),
+        "week_mask_histogram": (q_week_mask_histogram,
+                                SQL_WEEK_MASK_HISTOGRAM),
     }
