@@ -178,6 +178,13 @@ BENCH_QUERIES = [
     "quartile_label",
     "forward_fill",
     "week_mask_histogram",
+    "customer_rfm",
+    "hapax_ratio",
+    "part_hhi",
+    "join_size_estimate",
+    "key_skew_profile",
+    "order_day_share",
+    "relational_division",
 ]
 
 

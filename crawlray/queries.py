@@ -9402,6 +9402,532 @@ FROM m GROUP BY 1
 """
 
 
+def q_customer_rfm(sf_dir: str):
+    """RFM SEGMENTATION (recency / frequency / monetary), the classic
+    feature-engineering pipeline: per customer compute days-since-last-
+    order, order count, and total cents (one exchange by customer);
+    resolve each metric's quartile bounds with `exact_quantiles_hist`
+    (three histogram refinements over the per-customer table, never a
+    sort); broadcast 9 ints; label every customer with one vectorized
+    searchsorted per metric; roll up counts per 3-digit RFM code
+    (<= 64 partial rows per block). The full feature loop — aggregate,
+    rank, label, segment — with nothing but ints crossing stages."""
+    from .pipelines.relational import bucketed_reduce
+    from .pipelines.stats import exact_quantiles_hist
+    from .util import drop_empty_blocks
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate",
+                                      "o_totalprice"])
+    DAY_US = 86_400_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["o_orderdate"].cast(pa.int64()),
+                        DAY_US).cast(pa.int64())
+        return (pa.table({
+            "o_custkey": t["o_custkey"], "last_day": day,
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+            "cents": _cents(t["o_totalprice"]),
+        }).group_by(["o_custkey"])
+          .aggregate([("last_day", "max"), ("n", "sum"), ("cents", "sum")])
+          .rename_columns(["o_custkey", "last_day", "n", "cents"]))
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"o_custkey": pa.nulls(0, pa.int64()),
+                             "last_day": pa.nulls(0, pa.int64()),
+                             "n": pa.nulls(0, pa.int64()),
+                             "cents": pa.nulls(0, pa.int64())})
+        return (t.group_by(["o_custkey"])
+                .aggregate([("last_day", "max"), ("n", "sum"),
+                            ("cents", "sum")])
+                .rename_columns(["o_custkey", "last_day", "n", "cents"]))
+
+    cust = drop_empty_blocks(bucketed_reduce(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        "o_custkey", merge, n_buckets=16)).materialize()
+
+    gmax = 0
+    for r in cust.map_batches(
+            lambda t: pa.table({"m": pa.array(
+                [pc.max(t["last_day"]).as_py() or 0], pa.int64())}),
+            batch_format="pyarrow").take_all():
+        gmax = max(gmax, int(r["m"]))
+
+    rec = cust.map_batches(
+        lambda t: pa.table({"v": pc.subtract(pa.scalar(gmax, pa.int64()),
+                                             t["last_day"])}),
+        batch_format="pyarrow").materialize()
+    qr = exact_quantiles_hist(rec, "v", [250, 500, 750])
+    qf = exact_quantiles_hist(
+        cust.map_batches(lambda t: pa.table({"v": t["n"]}),
+                         batch_format="pyarrow"), "v", [250, 500, 750])
+    qm = exact_quantiles_hist(
+        cust.map_batches(lambda t: pa.table({"v": t["cents"]}),
+                         batch_format="pyarrow"), "v", [250, 500, 750])
+
+    def b_of(qt: pa.Table) -> np.ndarray:
+        d = {int(q): int(v) for q, v in
+             zip(qt["q_pm"].to_pylist(), qt["v"].to_pylist())}
+        return np.array([d[250], d[500], d[750]], np.int64)
+
+    br, bf, bm = b_of(qr), b_of(qf), b_of(qm)
+
+    def label(t: pa.Table) -> pa.Table:
+        r = 1 + np.searchsorted(
+            br, gmax - t["last_day"].to_numpy(zero_copy_only=False),
+            side="left")
+        f = 1 + np.searchsorted(
+            bf, t["n"].to_numpy(zero_copy_only=False), side="left")
+        m = 1 + np.searchsorted(
+            bm, t["cents"].to_numpy(zero_copy_only=False), side="left")
+        return (pa.table({"rfm": pa.array(100 * r + 10 * f + m, pa.int64())})
+                .group_by(["rfm"]).aggregate([([], "count_all")]))
+
+    acc: dict[int, int] = {}
+    for row in cust.map_batches(label, batch_format="pyarrow").take_all():
+        k = int(row["rfm"])
+        acc[k] = acc.get(k, 0) + int(row["count_all"])
+    codes = sorted(acc)
+    return pa.table({"rfm": pa.array(codes, pa.int64()),
+                     "n_customers": pa.array([acc[c] for c in codes],
+                                             pa.int64())})
+
+
+SQL_CUSTOMER_RFM = """
+WITH cust AS (
+  SELECT o_custkey,
+         max(epoch_us(o_orderdate) // 86400000000)::BIGINT AS last_day,
+         count(*)::BIGINT AS n,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+  FROM orders GROUP BY 1
+), g AS (SELECT max(last_day) AS gmax FROM cust),
+rv AS (SELECT (g.gmax - c.last_day)::BIGINT AS v FROM cust c, g),
+qb AS (
+  SELECT q,
+    (SELECT min(v) FROM (
+       SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, sum(cnt) OVER () AS tot
+       FROM (SELECT v, count(*)::BIGINT AS cnt FROM rv GROUP BY 1))
+     WHERE cum >= (q * tot + 999) // 1000) AS b
+  FROM (SELECT unnest([250, 500, 750]) AS q)
+), fb AS (
+  SELECT q,
+    (SELECT min(v) FROM (
+       SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, sum(cnt) OVER () AS tot
+       FROM (SELECT n AS v, count(*)::BIGINT AS cnt FROM cust GROUP BY 1))
+     WHERE cum >= (q * tot + 999) // 1000) AS b
+  FROM (SELECT unnest([250, 500, 750]) AS q)
+), mb AS (
+  SELECT q,
+    (SELECT min(v) FROM (
+       SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, sum(cnt) OVER () AS tot
+       FROM (SELECT cents AS v, count(*)::BIGINT AS cnt FROM cust
+             GROUP BY 1))
+     WHERE cum >= (q * tot + 999) // 1000) AS b
+  FROM (SELECT unnest([250, 500, 750]) AS q)
+), lab AS (
+  SELECT
+    (1 + (CASE WHEN g.gmax - c.last_day
+                    > (SELECT b FROM qb WHERE q = 250) THEN 1 ELSE 0 END)
+       + (CASE WHEN g.gmax - c.last_day
+                    > (SELECT b FROM qb WHERE q = 500) THEN 1 ELSE 0 END)
+       + (CASE WHEN g.gmax - c.last_day
+                    > (SELECT b FROM qb WHERE q = 750) THEN 1 ELSE 0 END))
+      AS r,
+    (1 + (CASE WHEN c.n > (SELECT b FROM fb WHERE q = 250)
+           THEN 1 ELSE 0 END)
+       + (CASE WHEN c.n > (SELECT b FROM fb WHERE q = 500)
+           THEN 1 ELSE 0 END)
+       + (CASE WHEN c.n > (SELECT b FROM fb WHERE q = 750)
+           THEN 1 ELSE 0 END)) AS f,
+    (1 + (CASE WHEN c.cents > (SELECT b FROM mb WHERE q = 250)
+           THEN 1 ELSE 0 END)
+       + (CASE WHEN c.cents > (SELECT b FROM mb WHERE q = 500)
+           THEN 1 ELSE 0 END)
+       + (CASE WHEN c.cents > (SELECT b FROM mb WHERE q = 750)
+           THEN 1 ELSE 0 END)) AS m
+  FROM cust c, g
+)
+SELECT (100 * r + 10 * f + m)::BIGINT AS rfm,
+       count(*)::BIGINT AS n_customers
+FROM lab GROUP BY 1
+"""
+
+
+def q_hapax_ratio(sf_dir: str):
+    """Lexical richness per source: the ppm of each source's vocabulary
+    that are HAPAX LEGOMENA (terms used exactly once in that source) —
+    the classic small-corpus / template-spam discriminator. Per-batch
+    (term, source, n) count partials, ONE exchange by term so each
+    (source, term) total finishes in exactly one bucket, per-bucket
+    fold to (source, vocab_partial, hapax_partial) int pairs, O(sources)
+    driver fold. Term strings cross the wire once."""
+    from .pipelines.relational import bucketed_reduce
+
+    docs = _read(sf_dir, "documents", ["text", "source"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        terms, srcs = [], []
+        for txt, src in zip(t["text"].to_pylist(), t["source"].to_pylist()):
+            for w in (txt or "").split():
+                terms.append(w); srcs.append(src)
+        out = pa.table({"term": pa.array(terms, pa.string()),
+                        "source": pa.array(srcs, pa.string())})
+        if out.num_rows == 0:
+            return pa.table({"term": pa.nulls(0, pa.string()),
+                             "source": pa.nulls(0, pa.string()),
+                             "n": pa.nulls(0, pa.int64())})
+        return (out.group_by(["term", "source"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["term", "source", "n"]))
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        if t.num_rows == 0:
+            return pa.table({"source": pa.nulls(0, pa.string()),
+                             "vocab": pa.nulls(0, pa.int64()),
+                             "hapax": pa.nulls(0, pa.int64())})
+        g = (t.to_pandas().groupby(["source", "term"], as_index=False)
+             ["n"].sum())
+        out = g.groupby("source", as_index=False).agg(
+            vocab=("n", "size"), total=("n", "sum"),
+            hapax=("n", lambda s: int((s == 1).sum())))
+        return pa.table({"source": pa.array(out["source"], pa.string()),
+                         "vocab": pa.array(out["vocab"], pa.int64()),
+                         "total": pa.array(out["total"], pa.int64()),
+                         "hapax": pa.array(out["hapax"], pa.int64())})
+
+    partials = bucketed_reduce(
+        docs.map_batches(prep, batch_format="pyarrow"),
+        "term", bucket_fn, n_buckets=32)
+    acc: dict[str, list[int]] = {}
+    for r in partials.take_all():
+        a = acc.setdefault(r["source"], [0, 0, 0])
+        a[0] += int(r["vocab"]); a[1] += int(r["total"])
+        a[2] += int(r["hapax"])
+    srcs = sorted(acc)
+    return pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "vocab": pa.array([acc[s][0] for s in srcs], pa.int64()),
+        "total": pa.array([acc[s][1] for s in srcs], pa.int64()),
+        "hapax": pa.array([acc[s][2] for s in srcs], pa.int64()),
+        "ttr_ppm": pa.array(
+            [10**6 * acc[s][0] // max(acc[s][1], 1) for s in srcs],
+            pa.int64()),
+        "hapax_ppm": pa.array(
+            [10**6 * acc[s][2] // max(acc[s][0], 1) for s in srcs],
+            pa.int64()),
+    })
+
+
+SQL_HAPAX_RATIO = """
+WITH t AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+), c AS (SELECT source, term, count(*)::BIGINT AS n FROM t GROUP BY 1, 2),
+s AS (SELECT source, count(*)::BIGINT AS vocab, sum(n)::BIGINT AS total,
+             sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax
+      FROM c GROUP BY 1)
+SELECT source, vocab, total, hapax,
+       CAST(1000000::HUGEINT * vocab::HUGEINT
+            // greatest(total, 1)::HUGEINT AS BIGINT) AS ttr_ppm,
+       CAST(1000000::HUGEINT * hapax::HUGEINT
+            // greatest(vocab, 1)::HUGEINT AS BIGINT) AS hapax_ppm
+FROM s
+"""
+
+
+def q_part_hhi(sf_dir: str):
+    """Supply-concentration audit: the HERFINDAHL-HIRSCHMAN index of
+    each part's supplier mix, exact in floored ppm (sum of squared
+    line-count shares = sum c_s^2 x 1e6 // n^2 — the anti-trust
+    concentration measure, and the single-supplier-risk flag a supply
+    chain runs at catalog scale). Per-batch (part, supplier, n)
+    partials, one exchange by part (all of a part's suppliers meet in
+    one bucket), per-bucket integer HHI — one row per part leaves."""
+    from .pipelines.relational import bucketed_reduce
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return (pa.table({"l_partkey": t["l_partkey"],
+                          "l_suppkey": t["l_suppkey"]})
+                .group_by(["l_partkey", "l_suppkey"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["l_partkey", "l_suppkey", "n"]))
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        if t.num_rows == 0:
+            return pa.table({"l_partkey": pa.nulls(0, pa.int64()),
+                             "n_lines": pa.nulls(0, pa.int64()),
+                             "n_suppliers": pa.nulls(0, pa.int64()),
+                             "hhi_ppm": pa.nulls(0, pa.int64())})
+        g = (t.to_pandas().groupby(["l_partkey", "l_suppkey"],
+                                   as_index=False)["n"].sum())
+        g["n2"] = g["n"] * g["n"]
+        out = g.groupby("l_partkey", as_index=False).agg(
+            n_lines=("n", "sum"), n_suppliers=("n", "size"),
+            s2=("n2", "sum"))
+        hhi = (10**6 * out["s2"].astype(object)
+               // (out["n_lines"].astype(object) ** 2)).astype("int64")
+        return pa.table({
+            "l_partkey": pa.array(out["l_partkey"], pa.int64()),
+            "n_lines": pa.array(out["n_lines"], pa.int64()),
+            "n_suppliers": pa.array(out["n_suppliers"], pa.int64()),
+            "hhi_ppm": pa.array(hhi, pa.int64()),
+        })
+
+    return bucketed_reduce(
+        li.map_batches(prep, batch_format="pyarrow"),
+        "l_partkey", bucket_fn, n_buckets=16)
+
+
+SQL_PART_HHI = """
+WITH c AS (
+  SELECT l_partkey, l_suppkey, count(*)::HUGEINT AS n
+  FROM lineitem GROUP BY 1, 2
+), s AS (
+  SELECT l_partkey, sum(n) AS n_lines, count(*)::BIGINT AS n_suppliers,
+         sum(n * n) AS s2
+  FROM c GROUP BY 1
+)
+SELECT l_partkey, CAST(n_lines AS BIGINT) AS n_lines, n_suppliers,
+       CAST(1000000::HUGEINT * s2 // (n_lines * n_lines) AS BIGINT)
+         AS hhi_ppm
+FROM s
+"""
+
+
+def q_join_size_estimate(sf_dir: str):
+    """JOIN-SIZE statistic, computed exactly WITHOUT running the join:
+    |orders x lineitem on orderkey| = sum over keys of a_k x b_k — the
+    cardinality a cost-based planner needs before choosing broadcast vs
+    shuffle vs salted plans, and the one number that predicts a blow-up
+    before it happens. Per-batch per-key count partials on BOTH sides
+    ride one tagged-union exchange on the key; each bucket finishes its
+    keys' counts and dots them locally (sum a_k b_k, plus max-key
+    contribution for the skew numerator); 3 ints per bucket reach the
+    driver."""
+    from .pipelines.relational import bucketed_reduce
+
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def prep(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            col = t.column(0)
+            g = (pa.table({"k": col}).group_by(["k"])
+                 .aggregate([([], "count_all")]))
+            return pa.table({"k": g["k"],
+                             "side": pa.array(
+                                 np.full(g.num_rows, side, np.int64)),
+                             "n": g["count_all"]})
+        return fn
+
+    both = orders.map_batches(prep(0), batch_format="pyarrow").union(
+        li.map_batches(prep(1), batch_format="pyarrow"))
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        empty = pa.table({"pairs": pa.nulls(0, pa.int64()),
+                          "max_pairs": pa.nulls(0, pa.int64()),
+                          "n_keys": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        df = (t.to_pandas().groupby(["k", "side"], as_index=False)
+              ["n"].sum()
+              .pivot(index="k", columns="side", values="n")
+              .reindex(columns=[0, 1]).fillna(0).astype("int64"))
+        prod = df[0].to_numpy() * df[1].to_numpy()
+        return pa.table({
+            "pairs": pa.array([int(prod.sum())], pa.int64()),
+            "max_pairs": pa.array([int(prod.max()) if len(prod) else 0],
+                                  pa.int64()),
+            "n_keys": pa.array([int((prod > 0).sum())], pa.int64()),
+        })
+
+    pairs = max_pairs = n_keys = 0
+    for r in bucketed_reduce(both, "k", bucket_fn, n_buckets=16).take_all():
+        pairs += int(r["pairs"])
+        max_pairs = max(max_pairs, int(r["max_pairs"]))
+        n_keys += int(r["n_keys"])
+    return pa.table({
+        "join_rows": pa.array([pairs], pa.int64()),
+        "max_key_rows": pa.array([max_pairs], pa.int64()),
+        "n_matching_keys": pa.array([n_keys], pa.int64()),
+    })
+
+
+SQL_JOIN_SIZE_ESTIMATE = """
+WITH a AS (SELECT o_orderkey AS k, count(*)::BIGINT AS n
+           FROM orders GROUP BY 1),
+     b AS (SELECT l_orderkey AS k, count(*)::BIGINT AS n
+           FROM lineitem GROUP BY 1),
+     j AS (SELECT a.n * b.n AS p FROM a JOIN b USING (k))
+SELECT sum(p)::BIGINT AS join_rows,
+       max(p)::BIGINT AS max_key_rows,
+       count(*)::BIGINT AS n_matching_keys
+FROM j
+"""
+
+
+SKEW_TOP_K = 10
+
+
+def q_key_skew_profile(sf_dir: str):
+    """KEY-SKEW diagnostic for the lineitem order key: the 10 hottest
+    keys with their row counts — what a planner inspects before
+    choosing plain vs salted exchanges (`q_grouped_distinct`'s salting
+    exists because of exactly this table). One exchange by key finishes
+    exact per-key counts; each bucket emits only its local top-10
+    (count desc, key asc — the oracle's deterministic tie order), and
+    the driver merges B x 10 rows: a global top-10 key is some bucket's
+    local top-10, so the merge is exact."""
+    from .pipelines.relational import bucketed_reduce
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return (t.group_by(["l_orderkey"]).aggregate([([], "count_all")])
+                .rename_columns(["l_orderkey", "n"]))
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        if t.num_rows == 0:
+            return pa.table({"l_orderkey": pa.nulls(0, pa.int64()),
+                             "n": pa.nulls(0, pa.int64())})
+        g = (t.to_pandas().groupby("l_orderkey", as_index=False)["n"].sum()
+             .sort_values(["n", "l_orderkey"], ascending=[False, True])
+             .head(SKEW_TOP_K))
+        return pa.table({"l_orderkey": pa.array(g["l_orderkey"], pa.int64()),
+                         "n": pa.array(g["n"], pa.int64())})
+
+    rows = []
+    for r in bucketed_reduce(
+            li.map_batches(prep, batch_format="pyarrow"),
+            "l_orderkey", bucket_fn, n_buckets=16).take_all():
+        rows.append((int(r["l_orderkey"]), int(r["n"])))
+    rows.sort(key=lambda x: (-x[1], x[0]))
+    rows = rows[:SKEW_TOP_K]
+    return pa.table({
+        "l_orderkey": pa.array([x[0] for x in rows], pa.int64()),
+        "n": pa.array([x[1] for x in rows], pa.int64()),
+    })
+
+
+SQL_KEY_SKEW_PROFILE = f"""
+SELECT l_orderkey, count(*)::BIGINT AS n
+FROM lineitem GROUP BY 1
+ORDER BY n DESC, l_orderkey ASC
+LIMIT {SKEW_TOP_K}
+"""
+
+
+def q_order_day_share(sf_dir: str):
+    """RATIO-TO-REPORT window without an exchange: every order's share
+    of its order-day's total revenue in exact floored ppm — `sum() OVER
+    (PARTITION BY day)` decomposed the `rank_normalize` way: per-batch
+    (day, cents) partials fold into a day-total table (bounded by
+    |days|, independent of row count), broadcast once, and a second
+    streaming pass labels every order. No row ever moves for a window
+    whose partition count is small."""
+    import ray
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        return (pa.table({
+            "day": pc.strftime(t["o_orderdate"], format="%Y-%m-%d"),
+            "cents": _cents(t["o_totalprice"]),
+        }).group_by(["day"]).aggregate([("cents", "sum")]))
+
+    totals: dict[str, int] = {}
+    for r in orders.map_batches(day_partial,
+                                batch_format="pyarrow").take_all():
+        totals[r["day"]] = totals.get(r["day"], 0) + int(r["cents_sum"])
+    ref = ray.put(totals)
+
+    def label(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        tot = ray.get(ref)
+        day = pc.strftime(t["o_orderdate"], format="%Y-%m-%d")
+        cents = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        dtot = pd.Series(day.to_pylist()).map(tot).to_numpy(np.int64)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "day": day,
+            "cents": pa.array(cents, pa.int64()),
+            "day_share_ppm": pa.array(10**6 * cents // dtot, pa.int64()),
+        })
+
+    return orders.map_batches(label, batch_format="pyarrow")
+
+
+SQL_ORDER_DAY_SHARE = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS day,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       CAST(1000000::HUGEINT
+            * CAST(round(o_totalprice * 100) AS BIGINT)::HUGEINT
+            // sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               OVER (PARTITION BY strftime(o_orderdate, '%Y-%m-%d'))::HUGEINT
+         AS BIGINT) AS day_share_ppm
+FROM orders
+"""
+
+
+DIVISION_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_relational_division(sf_dir: str):
+    """RELATIONAL DIVISION (the 'for all' join): users whose event
+    history covers EVERY event type — suppliers-who-supply-all-parts in
+    its streaming form. Lowered as a per-user distinct-type BITMASK
+    (each type a bit, per-batch grouped OR partials, one exchange by
+    user to finish the ORs) filtered against the full mask — division
+    as one integer compare instead of a double NOT EXISTS. Returns the
+    qualifying user ids."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    type_bit = {ty: 1 << i for i, ty in enumerate(DIVISION_TYPES)}
+    full = (1 << len(DIVISION_TYPES)) - 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "bit": pd.Series(t["event_type"].to_pylist())
+                     .map(type_bit).to_numpy(np.int64),
+        })
+        g = df.groupby("user_id", as_index=False).agg(
+            mask=("bit", lambda s: np.bitwise_or.reduce(s.to_numpy())))
+        return pa.table({"user_id": pa.array(g["user_id"], pa.int64()),
+                         "mask": pa.array(g["mask"], pa.int64())})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.nulls(0, pa.int64())})
+        g = (t.to_pandas().groupby("user_id", as_index=False)
+             .agg(mask=("mask",
+                        lambda s: np.bitwise_or.reduce(s.to_numpy()))))
+        keep = g[g["mask"] == full]
+        return pa.table({"user_id": pa.array(keep["user_id"], pa.int64())})
+
+    return bucketed_reduce(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        "user_id", bucket_fn, n_buckets=16)
+
+
+SQL_RELATIONAL_DIVISION = """
+SELECT user_id
+FROM events
+GROUP BY user_id
+HAVING count(DISTINCT event_type) = 5
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -9582,4 +10108,12 @@ def catalog():
         "forward_fill": (q_forward_fill, SQL_FORWARD_FILL),
         "week_mask_histogram": (q_week_mask_histogram,
                                 SQL_WEEK_MASK_HISTOGRAM),
+        "customer_rfm": (q_customer_rfm, SQL_CUSTOMER_RFM),
+        "hapax_ratio": (q_hapax_ratio, SQL_HAPAX_RATIO),
+        "part_hhi": (q_part_hhi, SQL_PART_HHI),
+        "join_size_estimate": (q_join_size_estimate, SQL_JOIN_SIZE_ESTIMATE),
+        "key_skew_profile": (q_key_skew_profile, SQL_KEY_SKEW_PROFILE),
+        "order_day_share": (q_order_day_share, SQL_ORDER_DAY_SHARE),
+        "relational_division": (q_relational_division,
+                                SQL_RELATIONAL_DIVISION),
     }
