@@ -185,6 +185,9 @@ BENCH_QUERIES = [
     "key_skew_profile",
     "order_day_share",
     "relational_division",
+    "weekday_index",
+    "biggest_jump",
+    "error_pressure",
 ]
 
 

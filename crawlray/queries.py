@@ -7663,17 +7663,15 @@ def q_purchase_attribution(sf_dir: str):
     to a window of a second stream, LEFT semantics: purchases with no
     views keep zeros). Not an asof join (wants ALL rows in the window,
     not the latest) and not a self band-join (two DIFFERENT filtered
-    streams, keyed by user). Lowered as ONE tagged-union exchange by
-    user — both filtered streams ride the same `bucketed_reduce`, so
-    views and probes of a user land in one bucket — then the
-    `trailing_hour_sum` disjoint-segment-shift idiom: view segments map
-    onto non-overlapping zts ranges, each purchase probes with TWO
-    global searchsorteds (window start / end), and a prefix-sum diff
-    yields count + sum with no per-user loop. Purchases whose user has
-    no views resolve via the unique-user lookup miss, never a join."""
-    from .pipelines.relational import bucketed_reduce
+    streams, keyed by user). Lowered via the generalized
+    `relational.interval_agg_join` operator: ONE tagged-union exchange
+    by user, then the `trailing_hour_sum` disjoint-segment-shift idiom
+    (view segments on non-overlapping zts ranges, two global
+    searchsorteds + a prefix-sum diff per probe). Purchases whose user
+    has no views resolve via the unique-key lookup miss, never a
+    join."""
+    from .pipelines.relational import interval_agg_join
 
-    W = np.int64(30 * 60 * 1_000_000)  # 30 min in us
     ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
                                   "event_type", "value"])
 
@@ -7682,51 +7680,18 @@ def q_purchase_attribution(sf_dir: str):
         is_p = pc.equal(t["event_type"], "purchase")
         t = t.filter(pc.or_(is_v, is_p))
         side = pc.equal(t["event_type"], "purchase").cast(pa.int64())
-        return pa.table({"event_id": t["event_id"], "ts": t["ts"],
+        return pa.table({"event_id": t["event_id"],
+                         "ts": t["ts"].cast(pa.int64()),
                          "user_id": t["user_id"], "side": side,
                          "cents": _cents(t["value"])})
 
-    def bucket_fn(t: pa.Table) -> pa.Table:
-        empty = pa.table({"event_id": pa.nulls(0, pa.int64()),
-                          "n_views": pa.nulls(0, pa.int64()),
-                          "view_cents": pa.nulls(0, pa.int64())})
-        if t.num_rows == 0:
-            return empty
-        u = t["user_id"].to_numpy(zero_copy_only=False)
-        ts = (t["ts"].to_numpy(zero_copy_only=False)
-              .astype("datetime64[us]").view(np.int64))
-        side = t["side"].to_numpy(zero_copy_only=False)
-        eid = t["event_id"].to_numpy(zero_copy_only=False)
-        cents = t["cents"].to_numpy(zero_copy_only=False)
-        base = ts.min()
-        rel = ts - base
-        offset = rel.max() + 2 * W + 2
-        v, p = side == 0, side == 1
-        if not p.any():
-            return empty
-        vu, vrel, vc = u[v], rel[v], cents[v]
-        order = np.lexsort((vrel, vu))
-        vu, vrel, vc = vu[order], vrel[order], vc[order]
-        uniq, seg_start = np.unique(vu, return_index=True)
-        vseg = np.cumsum(np.r_[0, vu[1:] != vu[:-1]]) if len(vu) else vu
-        vz = vrel + vseg * offset
-        pref = np.r_[np.int64(0), np.cumsum(vc)]
-        pu, prel, pe = u[p], rel[p], eid[p]
-        idx = np.searchsorted(uniq, pu)
-        hit = (idx < len(uniq))
-        idx_c = np.minimum(idx, max(len(uniq) - 1, 0))
-        hit &= (uniq[idx_c] == pu) if len(uniq) else False
-        pz = prel + idx_c * offset
-        lo = np.searchsorted(vz, pz - W, side="left")
-        hi = np.searchsorted(vz, pz, side="left")
-        n = np.where(hit, hi - lo, 0)
-        s = np.where(hit, pref[hi] - pref[lo], 0)
-        return pa.table({"event_id": pa.array(pe, pa.int64()),
-                         "n_views": pa.array(n, pa.int64()),
-                         "view_cents": pa.array(s, pa.int64())})
-
-    prepped = ev.map_batches(prep, batch_format="pyarrow")
-    return bucketed_reduce(prepped, "user_id", bucket_fn, n_buckets=32)
+    out = interval_agg_join(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key="user_id", ts="ts", side="side", id_col="event_id",
+        value="cents", window_us=30 * 60 * 1_000_000, n_buckets=32)
+    return out.map_batches(
+        lambda t: t.rename_columns(["event_id", "n_views", "view_cents"]),
+        batch_format="pyarrow")
 
 
 SQL_PURCHASE_ATTRIBUTION = """
@@ -9928,6 +9893,155 @@ HAVING count(DISTINCT event_type) = 5
 """
 
 
+def q_weekday_index(sf_dir: str):
+    """SEASONALITY INDEX per weekday: each ISO weekday's average order
+    value as a ppm ratio to the overall average — exact with zero
+    divisions of rationals by rationals via cross-multiplication:
+    index = 1e6 * (rev_d * n_total) // (n_d * rev_total). Per-batch
+    <= 7 x 2-int partials, O(7) big-int driver fold (the cross products
+    overflow int64 at warehouse scale; the oracle's HUGEINT matches
+    exactly)."""
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (pa.table({
+            "dow": pc.add(pc.day_of_week(t["o_orderdate"]),
+                          1).cast(pa.int64()),
+            "cents": _cents(t["o_totalprice"]),
+        }).group_by(["dow"]).aggregate([([], "count_all"),
+                                        ("cents", "sum")]))
+
+    acc: dict[int, list[int]] = {}
+    for r in orders.map_batches(partial, batch_format="pyarrow").take_all():
+        a = acc.setdefault(int(r["dow"]), [0, 0])
+        a[0] += int(r["count_all"]); a[1] += int(r["cents_sum"])
+    n_tot = sum(a[0] for a in acc.values())
+    rev_tot = sum(a[1] for a in acc.values())
+    days = sorted(acc)
+    return pa.table({
+        "dow": pa.array(days, pa.int64()),
+        "n_orders": pa.array([acc[d][0] for d in days], pa.int64()),
+        "cents": pa.array([acc[d][1] for d in days], pa.int64()),
+        "index_ppm": pa.array(
+            [10**6 * acc[d][1] * n_tot // (acc[d][0] * rev_tot)
+             for d in days], pa.int64()),
+    })
+
+
+SQL_WEEKDAY_INDEX = """
+WITH d AS (
+  SELECT isodow(o_orderdate)::BIGINT AS dow, count(*)::HUGEINT AS n,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::HUGEINT AS cents
+  FROM orders GROUP BY 1
+), t AS (SELECT sum(n) AS n_tot, sum(cents) AS rev_tot FROM d)
+SELECT d.dow, CAST(d.n AS BIGINT) AS n_orders,
+       CAST(d.cents AS BIGINT) AS cents,
+       CAST(1000000::HUGEINT * d.cents * t.n_tot
+            // (d.n * t.rev_tot) AS BIGINT) AS index_ppm
+FROM d, t
+"""
+
+
+def q_biggest_jump(sf_dir: str):
+    """CHANGE-POINT flag on the daily revenue series: the day with the
+    largest absolute day-over-day revenue delta (ties -> earliest day)
+    — the alert a revenue monitor fires. Daily partials are the only
+    distributed work (<= |days| x 2 ints per block); the lag/diff/argmax
+    over the ~2500-day series is an O(days) driver fold, exactly like
+    `monthly_growth`'s lag. Days with no previous calendar day present
+    in the data still diff against the last PRESENT day, matching the
+    oracle's lag-over-ordered-series (not calendar-gap) semantics."""
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (pa.table({
+            "day": pc.strftime(t["o_orderdate"], format="%Y-%m-%d"),
+            "cents": _cents(t["o_totalprice"]),
+        }).group_by(["day"]).aggregate([("cents", "sum")]))
+
+    acc: dict[str, int] = {}
+    for r in orders.map_batches(partial, batch_format="pyarrow").take_all():
+        acc[r["day"]] = acc.get(r["day"], 0) + int(r["cents_sum"])
+    days = sorted(acc)
+    best_day, best_delta, best_prev = None, None, 0
+    for prev, cur in zip(days, days[1:]):
+        delta = acc[cur] - acc[prev]
+        if best_delta is None or abs(delta) > abs(best_delta):
+            best_day, best_delta, best_prev = cur, delta, acc[prev]
+    return pa.table({
+        "day": pa.array([best_day], pa.string()),
+        "prev_cents": pa.array([best_prev], pa.int64()),
+        "cents": pa.array([acc[best_day]], pa.int64()),
+        "delta_cents": pa.array([best_delta], pa.int64()),
+    })
+
+
+SQL_BIGGEST_JUMP = """
+WITH d AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+  FROM orders GROUP BY 1
+), l AS (
+  SELECT day, cents, lag(cents) OVER (ORDER BY day) AS prev_cents
+  FROM d
+)
+SELECT day, prev_cents, cents, (cents - prev_cents)::BIGINT AS delta_cents
+FROM l WHERE prev_cents IS NOT NULL
+ORDER BY abs(cents - prev_cents) DESC, day ASC
+LIMIT 1
+"""
+
+
+def q_error_pressure(sf_dir: str):
+    """Second instantiation of `relational.interval_agg_join`, proving
+    the operator generalizes: for every ERROR event, the count and
+    cents of ALL the same user's activity in the preceding 5 minutes
+    (what was the user doing when it broke — the incident-context
+    join). Here the side stream is the WHOLE event log and errors are
+    also probes, so the prep emits error rows twice (once per tag) —
+    the documented both-roles pattern; window end is exclusive, so a
+    probe never counts itself."""
+    from .pipelines.relational import interval_agg_join
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        base = pa.table({"event_id": t["event_id"],
+                         "ts": t["ts"].cast(pa.int64()),
+                         "user_id": t["user_id"],
+                         "side": pa.array(np.zeros(t.num_rows, np.int64)),
+                         "cents": _cents(t["value"])})
+        err = t.filter(pc.equal(t["event_type"], "error"))
+        probes = pa.table({"event_id": err["event_id"],
+                           "ts": err["ts"].cast(pa.int64()),
+                           "user_id": err["user_id"],
+                           "side": pa.array(np.ones(err.num_rows, np.int64)),
+                           "cents": _cents(err["value"])})
+        return pa.concat_tables([base, probes])
+
+    out = interval_agg_join(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key="user_id", ts="ts", side="side", id_col="event_id",
+        value="cents", window_us=5 * 60 * 1_000_000, n_buckets=32)
+    return out.map_batches(
+        lambda t: t.rename_columns(["event_id", "n_prior", "prior_cents"]),
+        batch_format="pyarrow")
+
+
+SQL_ERROR_PRESSURE = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+)
+SELECT p.event_id, count(e.ts)::BIGINT AS n_prior,
+       coalesce(sum(CAST(round(e.value * 100) AS BIGINT)), 0)::BIGINT
+         AS prior_cents
+FROM p LEFT JOIN events e ON e.user_id = p.user_id
+  AND e.ts >= p.ts - INTERVAL 5 MINUTE AND e.ts < p.ts
+GROUP BY 1
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -10116,4 +10230,7 @@ def catalog():
         "order_day_share": (q_order_day_share, SQL_ORDER_DAY_SHARE),
         "relational_division": (q_relational_division,
                                 SQL_RELATIONAL_DIVISION),
+        "weekday_index": (q_weekday_index, SQL_WEEKDAY_INDEX),
+        "biggest_jump": (q_biggest_jump, SQL_BIGGEST_JUMP),
+        "error_pressure": (q_error_pressure, SQL_ERROR_PRESSURE),
     }
