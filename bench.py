@@ -188,6 +188,8 @@ BENCH_QUERIES = [
     "weekday_index",
     "biggest_jump",
     "error_pressure",
+    "max_concurrency",
+    "interval_coverage",
 ]
 
 

@@ -10042,6 +10042,191 @@ GROUP BY 1
 """
 
 
+def q_max_concurrency(sf_dir: str):
+    """PEAK-LOAD sweep line: the maximum number of simultaneously
+    active intervals (each event holds a worker for 10 minutes) and the
+    earliest instant it is reached — the capacity-planning query. The
+    classic answer is a global sort of +1/-1 deltas and a running sum,
+    which serializes 2N rows through one reducer. Here the prefix scan
+    is DISTRIBUTED: the time axis is cut into NT grid cells from an
+    O(blocks) min/max partial fold, each event emits its two deltas
+    tagged with a cell, one exchange co-locates each cell, and every
+    cell independently computes (net_total, local_peak, earliest
+    peak instant). The driver then folds <= NT rows: entering offsets
+    are the prefix sums of net totals (the carry of a two-pass scan),
+    and the global peak is max(offset + local_peak) with the earliest
+    cell/instant winning ties — cells partition TIME, so cell order is
+    instant order and the tie-break is exact. No sort, no single-reducer
+    stream; the only driver state is O(NT)."""
+    from .pipelines.relational import bucketed_reduce
+
+    W = np.int64(10 * 60 * 1_000_000)  # 10 min hold, in us
+    NT = 64                            # time-grid cells
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def minmax(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64())
+        return pa.table({"lo": [pc.min(ts).as_py()], "hi": [pc.max(ts).as_py()]})
+
+    mm = [r for r in ev.map_batches(minmax, batch_format="pyarrow").take_all()
+          if r["lo"] is not None]
+    if not mm:
+        return pa.table({"peak": pa.nulls(0, pa.int64()),
+                         "at_us": pa.nulls(0, pa.int64())})
+    t0 = min(r["lo"] for r in mm)
+    span = max(r["hi"] for r in mm) + int(W) - t0 + 1
+
+    def deltas(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tt = np.concatenate([ts, ts + W])
+        dd = np.concatenate([np.ones(len(ts), np.int64),
+                             np.full(len(ts), -1, np.int64)])
+        tb = (tt - t0) * NT // span
+        return pa.table({"tb": pa.array(tb, pa.int64()),
+                         "t": pa.array(tt, pa.int64()),
+                         "d": pa.array(dd, pa.int64())})
+
+    def cell_scan(t: pa.Table) -> pa.Table:
+        empty = pa.table({"tb": pa.nulls(0, pa.int64()),
+                          "total": pa.nulls(0, pa.int64()),
+                          "local_peak": pa.nulls(0, pa.int64()),
+                          "at_us": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        tb = t["tb"].to_numpy(zero_copy_only=False)
+        tt = t["t"].to_numpy(zero_copy_only=False)
+        dd = t["d"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tt, tb))
+        tb, tt, dd = tb[order], tt[order], dd[order]
+        out_tb, out_tot, out_pk, out_at = [], [], [], []
+        for s in np.flatnonzero(np.r_[True, tb[1:] != tb[:-1]]):
+            e = s
+            while e < len(tb) and tb[e] == tb[s]:
+                e += 1
+            ct, cd = tt[s:e], dd[s:e]
+            # net delta per distinct instant (ends at t exclude t itself)
+            starts = np.flatnonzero(np.r_[True, ct[1:] != ct[:-1]])
+            net = np.add.reduceat(cd, starts)
+            conc = np.cumsum(net)
+            k = int(np.argmax(conc))
+            out_tb.append(int(tb[s])); out_tot.append(int(net.sum()))
+            out_pk.append(int(conc[k])); out_at.append(int(ct[starts[k]]))
+        return pa.table({"tb": pa.array(out_tb, pa.int64()),
+                         "total": pa.array(out_tot, pa.int64()),
+                         "local_peak": pa.array(out_pk, pa.int64()),
+                         "at_us": pa.array(out_at, pa.int64())})
+
+    cells = sorted(
+        (r for r in bucketed_reduce(
+            ev.map_batches(deltas, batch_format="pyarrow"),
+            "tb", cell_scan, n_buckets=16).take_all()),
+        key=lambda r: r["tb"])
+    best, best_at, off = None, None, 0
+    for r in cells:                     # O(NT) carry fold, time order
+        v = off + r["local_peak"]
+        if best is None or v > best:
+            best, best_at = v, r["at_us"]
+        off += r["total"]
+    return pa.table({"peak": pa.array([best], pa.int64()),
+                     "at_us": pa.array([best_at], pa.int64())})
+
+
+SQL_MAX_CONCURRENCY = """
+WITH d AS (
+  SELECT ts AS t, 1 AS dd FROM events
+  UNION ALL
+  SELECT ts + INTERVAL 10 MINUTE AS t, -1 AS dd FROM events
+), g AS (
+  SELECT t, sum(dd) AS dd FROM d GROUP BY 1
+), s AS (
+  SELECT t, sum(dd) OVER (ORDER BY t) AS conc FROM g
+)
+SELECT conc::BIGINT AS peak, epoch_us(t)::BIGINT AS at_us
+FROM s ORDER BY conc DESC, t ASC LIMIT 1
+"""
+
+
+def q_interval_coverage(sf_dir: str):
+    """MERGE-OVERLAPPING-INTERVALS per user (gaps-and-islands on
+    ranges): each event opens a 10-minute activity interval; report,
+    per user, how many merged activity islands exist and the total
+    covered microseconds — the classic uptime/coverage rollup that SQL
+    spells as a cummax window + island grouping. One exchange by
+    user_id co-locates each user's intervals; inside a bucket the whole
+    computation is vectorized over ALL users at once: lexsort by
+    (user, start), a segment-reset running max of interval ends via the
+    offset trick (end + seg * LARGE keeps segments' cummaxes from
+    bleeding), island starts where start > prev hull end, then
+    `np.maximum.reduceat` per island and `np.add.reduceat` per user.
+    No per-user loop, no pair join; output is O(users)."""
+    from .pipelines.relational import bucketed_reduce
+
+    W = np.int64(10 * 60 * 1_000_000)
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        s = t["ts"].cast(pa.int64())
+        return pa.table({"user_id": t["user_id"], "s": s,
+                         "e": pc.add(s, W)})
+
+    def islands(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.nulls(0, pa.int64()),
+                          "n_islands": pa.nulls(0, pa.int64()),
+                          "covered_us": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        e = t["e"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, u))
+        u, s, e = u[order], s[order], e[order]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        seg = np.cumsum(new_user) - 1
+        # segment-reset cummax of e: offsets dominate the value range
+        big = np.int64(e.max() - s.min() + 1)
+        hull = np.maximum.accumulate(e + seg * big) - seg * big
+        prev_hull = np.r_[np.int64(0), hull[:-1]]
+        flag = new_user | (s > prev_hull)
+        isl = np.flatnonzero(flag)
+        isl_end = np.maximum.reduceat(e, isl)
+        isl_cov = isl_end - s[isl]
+        isl_user = u[isl]
+        us = np.flatnonzero(np.r_[True, isl_user[1:] != isl_user[:-1]])
+        n_isl = np.diff(np.r_[us, len(isl)])
+        cov = np.add.reduceat(isl_cov, us)
+        return pa.table({"user_id": pa.array(isl_user[us], pa.int64()),
+                         "n_islands": pa.array(n_isl, pa.int64()),
+                         "covered_us": pa.array(cov, pa.int64())})
+
+    return bucketed_reduce(ev.map_batches(prep, batch_format="pyarrow"),
+                           "user_id", islands, n_buckets=32)
+
+
+SQL_INTERVAL_COVERAGE = """
+WITH iv AS (
+  SELECT user_id, ts AS s, ts + INTERVAL 10 MINUTE AS e FROM events
+), m AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_e
+  FROM iv
+), g AS (
+  SELECT user_id, s, e,
+         sum(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s
+                 ROWS UNBOUNDED PRECEDING) AS grp
+  FROM m
+), i AS (
+  SELECT user_id, grp, min(s) AS s, max(e) AS e
+  FROM g GROUP BY 1, 2
+)
+SELECT user_id, count(*)::BIGINT AS n_islands,
+       sum(epoch_us(e) - epoch_us(s))::BIGINT AS covered_us
+FROM i GROUP BY 1
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -10233,4 +10418,6 @@ def catalog():
         "weekday_index": (q_weekday_index, SQL_WEEKDAY_INDEX),
         "biggest_jump": (q_biggest_jump, SQL_BIGGEST_JUMP),
         "error_pressure": (q_error_pressure, SQL_ERROR_PRESSURE),
+        "max_concurrency": (q_max_concurrency, SQL_MAX_CONCURRENCY),
+        "interval_coverage": (q_interval_coverage, SQL_INTERVAL_COVERAGE),
     }
