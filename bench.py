@@ -190,6 +190,8 @@ BENCH_QUERIES = [
     "error_pressure",
     "max_concurrency",
     "interval_coverage",
+    "twap",
+    "spend_drop",
 ]
 
 

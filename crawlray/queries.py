@@ -10227,6 +10227,146 @@ FROM i GROUP BY 1
 """
 
 
+def q_twap(sf_dir: str):
+    """TIME-WEIGHTED AVERAGE value per user (the SCD2 / validity-
+    interval aggregate): each event's value is "held" until the user's
+    next event — LEAD builds the validity interval [ts, next_ts), and
+    the average weights each value by how long it was held. One
+    exchange by user co-locates sequences; the bucket kernel lexsorts
+    by (user, ts, event_id), diffs timestamps within user segments, and
+    folds numerators EXACTLY despite cents x duration_us overflowing
+    int64: each duration splits as dur = q * 2^20 + r, the two partial
+    product sums stay in int64, and the per-USER recombination
+    ((sq << 20) + sr) runs in O(users) arbitrary-precision ints — the
+    same integer-exactness discipline as `price_regression`, matching
+    the oracle's HUGEINT fold bit-for-bit. Users with a single event
+    have no held interval and drop out, mirroring LEAD's NULL."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "ts": t["ts"].cast(pa.int64()),
+                         "event_id": t["event_id"],
+                         "cents": _cents(t["value"])})
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.nulls(0, pa.int64()),
+                          "held_us": pa.nulls(0, pa.int64()),
+                          "twap_cents": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts, c = u[order], ts[order], c[order]
+        same = u[1:] == u[:-1]              # row i holds until row i+1
+        if not same.any():
+            return empty
+        dur = (ts[1:] - ts[:-1])[same]
+        uu, cc = u[:-1][same], c[:-1][same]
+        q, r = dur >> 20, dur & ((1 << 20) - 1)
+        starts = np.flatnonzero(np.r_[True, uu[1:] != uu[:-1]])
+        held = np.add.reduceat(dur, starts)
+        sq = np.add.reduceat(cc * q, starts).astype(object)
+        sr = np.add.reduceat(cc * r, starts).astype(object)
+        num = (sq << 20) + sr               # O(users) big-int recombine
+        twap = num // held.astype(object)
+        return pa.table({"user_id": pa.array(uu[starts], pa.int64()),
+                         "held_us": pa.array(held, pa.int64()),
+                         "twap_cents": pa.array([int(x) for x in twap],
+                                                pa.int64())})
+
+    return bucketed_reduce(ev.map_batches(prep, batch_format="pyarrow"),
+                           "user_id", fold, n_buckets=32)
+
+
+SQL_TWAP = """
+WITH l AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT user_id,
+       sum(epoch_us(nxt) - epoch_us(ts))::BIGINT AS held_us,
+       CAST(sum(cents::HUGEINT * (epoch_us(nxt) - epoch_us(ts)))
+            // sum(epoch_us(nxt) - epoch_us(ts))::HUGEINT AS BIGINT)
+         AS twap_cents
+FROM l WHERE nxt IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_spend_drop(sf_dir: str):
+    """REVENUE-DROP alert per customer: months where a customer's spend
+    fell by more than half vs their previous ACTIVE month (lag over the
+    present series, like `biggest_jump`) — the churn-risk screen.
+    Unlike `monthly_growth` (a global O(months) driver fold), the
+    partition key here is the CUSTOMER, so the series count is
+    unbounded and the lag must run distributed: per-batch
+    (cust, month, cents) partials bound the exchange at
+    O(blocks x active cust-months), one exchange by custkey, and the
+    bucket kernel combines partials, lags within customer segments,
+    and filters 2*cents < prev_cents in pure integers (no 0.5 float)."""
+    from .pipelines.relational import bucketed_reduce
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (pa.table({
+            "custkey": t["o_custkey"],
+            "month": pc.strftime(t["o_orderdate"], format="%Y-%m"),
+            "cents": _cents(t["o_totalprice"]),
+        }).group_by(["custkey", "month"]).aggregate([("cents", "sum")])
+          .rename_columns(["custkey", "month", "cents"]))
+
+    def lag_filter(t: pa.Table) -> pa.Table:
+        empty = pa.table({"custkey": pa.nulls(0, pa.int64()),
+                          "month": pa.nulls(0, pa.string()),
+                          "prev_cents": pa.nulls(0, pa.int64()),
+                          "cents": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        # combine cross-block partials for the same (cust, month)
+        t = (t.group_by(["custkey", "month"]).aggregate([("cents", "sum")])
+              .rename_columns(["custkey", "month", "cents"]))
+        k = t["custkey"].to_numpy(zero_copy_only=False)
+        m = np.asarray(t["month"].to_pylist(), dtype=object)
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((m, k))
+        k, m, c = k[order], m[order], c[order]
+        same = np.r_[False, k[1:] == k[:-1]]
+        prev = np.r_[np.int64(0), c[:-1]]
+        hit = same & (2 * c < prev)
+        return pa.table({"custkey": pa.array(k[hit], pa.int64()),
+                         "month": pa.array(list(m[hit]), pa.string()),
+                         "prev_cents": pa.array(prev[hit], pa.int64()),
+                         "cents": pa.array(c[hit], pa.int64())})
+
+    parts = orders.map_batches(partial, batch_format="pyarrow")
+    return bucketed_reduce(parts, "custkey", lag_filter, n_buckets=32)
+
+
+SQL_SPEND_DROP = """
+WITH m AS (
+  SELECT o_custkey AS custkey, strftime(o_orderdate, '%Y-%m') AS month,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+  FROM orders GROUP BY 1, 2
+), l AS (
+  SELECT custkey, month, cents,
+         lag(cents) OVER (PARTITION BY custkey ORDER BY month)
+           AS prev_cents
+  FROM m
+)
+SELECT custkey, month, prev_cents, cents
+FROM l WHERE prev_cents IS NOT NULL AND 2 * cents < prev_cents
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -10420,4 +10560,6 @@ def catalog():
         "error_pressure": (q_error_pressure, SQL_ERROR_PRESSURE),
         "max_concurrency": (q_max_concurrency, SQL_MAX_CONCURRENCY),
         "interval_coverage": (q_interval_coverage, SQL_INTERVAL_COVERAGE),
+        "twap": (q_twap, SQL_TWAP),
+        "spend_drop": (q_spend_drop, SQL_SPEND_DROP),
     }
