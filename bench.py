@@ -192,6 +192,11 @@ BENCH_QUERIES = [
     "interval_coverage",
     "twap",
     "spend_drop",
+    "returned_customers",
+    "top_supplier",
+    "supplier_variety",
+    "nation_profit",
+    "important_parts",
 ]
 
 

@@ -10367,6 +10367,434 @@ FROM l WHERE prev_cents IS NOT NULL AND 2 * cents < prev_cents
 """
 
 
+def q_returned_customers(sf_dir: str):
+    """TPC-H Q10 shape — lost-revenue ranking: per customer, the
+    revenue of their RETURNED lineitems ('R' flag) on orders placed in
+    one quarter, top 20 customers enriched with name/nation/balance.
+    Plan: both fact sides pre-shrink BEFORE the one real exchange —
+    orders by the date window, lineitems by return flag plus a
+    per-batch partial sum by orderkey — then bucketed join on orderkey,
+    per-block partials by custkey, and ONE exchange by custkey whose
+    bucket kernel emits only its local top 20 (rev desc, custkey asc),
+    so the driver merges B x 20 rows, never |customers|. The dimension
+    lookup INVERTS the broadcast direction: the 20 winning custkeys
+    broadcast into a filtered customer scan (never the customer table
+    into the fact side), which is the only direction that survives a
+    customer dimension too big to ship."""
+    import ray
+
+    from .pipelines.relational import bucketed_hash_join, bucketed_reduce
+
+    lo = pa.scalar(np.datetime64("1997-07-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1997-10-01", "us"), pa.timestamp("us"))
+
+    def orders_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                             pc.less(t["o_orderdate"], hi)))
+        return pa.table({"o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                         "custkey": t["o_custkey"].cast(pa.int64())})
+
+    def items_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])))
+        g = (pa.table({"o_orderkey": t["l_orderkey"].cast(pa.int64()),
+                       "rev_centicents": rev})
+             .group_by(["o_orderkey"]).aggregate([("rev_centicents", "sum")]))
+        return g.rename_columns(["o_orderkey", "rev_centicents"])
+
+    orders = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_custkey", "o_orderdate"])
+              .map_batches(orders_prep, batch_format="pyarrow"))
+    items = (_read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_extendedprice", "l_discount",
+                    "l_returnflag"])
+             .map_batches(items_prep, batch_format="pyarrow"))
+    joined = bucketed_hash_join(orders.materialize(), items.materialize(),
+                                "o_orderkey", n_buckets=16)
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["custkey", "rev_centicents"])
+             .group_by(["custkey"]).aggregate([("rev_centicents", "sum")]))
+        return g.rename_columns(["custkey", "rev_centicents"])
+
+    def bucket_top(t: pa.Table) -> pa.Table:
+        t = cust_partial(t)  # combine cross-block partials
+        if t.num_rows == 0:
+            return t
+        order = pc.sort_indices(
+            t, sort_keys=[("rev_centicents", "descending"),
+                          ("custkey", "ascending")])
+        return t.take(order[:20])
+
+    per_cust = joined.map_batches(cust_partial, batch_format="pyarrow")
+    top = (bucketed_reduce(per_cust, "custkey", bucket_top, n_buckets=16)
+           .to_pandas()
+           .sort_values(["rev_centicents", "custkey"],
+                        ascending=[False, True], kind="stable")
+           .head(20))
+
+    keys = set(int(k) for k in top["custkey"])
+    cust = (_read(sf_dir, "customer",
+                  ["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
+            .map_batches(
+                lambda t: t.filter(
+                    pc.is_in(t["c_custkey"].cast(pa.int64()),
+                             value_set=pa.array(sorted(keys), pa.int64()))),
+                batch_format="pyarrow")
+            .to_pandas())
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    cust = cust.set_index("c_custkey")
+    ck = top["custkey"].to_numpy()
+    return pa.table({
+        "custkey": pa.array(ck, pa.int64()),
+        "c_name": pa.array([cust.at[k, "c_name"] for k in ck], pa.string()),
+        "n_name": pa.array([n2name[cust.at[k, "c_nationkey"]] for k in ck],
+                           pa.string()),
+        "bal_cents": pa.array(
+            [int(round(float(cust.at[k, "c_acctbal"]) * 100)) for k in ck],
+            pa.int64()),
+        "rev_centicents": pa.array(top["rev_centicents"].to_numpy(),
+                                   pa.int64()),
+    })
+
+
+SQL_RETURNED_CUSTOMERS = """
+WITH r AS (
+  SELECT o.o_custkey AS custkey,
+         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT
+           AS rev_centicents
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= DATE '1997-07-01'
+    AND o.o_orderdate <  DATE '1997-10-01'
+    AND l.l_returnflag = 'R'
+  GROUP BY 1
+)
+SELECT c.c_custkey AS custkey, c.c_name, n.n_name,
+       CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_cents,
+       r.rev_centicents
+FROM r
+JOIN customer c ON c.c_custkey = r.custkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+ORDER BY r.rev_centicents DESC, custkey
+LIMIT 20
+"""
+
+
+def q_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape — the global argmax WITH TIES (the revenue view
+    + scalar MAX subquery): the supplier(s) whose shipped revenue over
+    one quarter equals the global maximum. Every supplier's rows land
+    in exactly one bucket of the ONE exchange (per-batch partials by
+    suppkey bound it at O(blocks x suppliers-per-block)), so each
+    bucket can resolve its OWN max-with-ties locally and emit only
+    those rows; the driver folds B tiny tables and keeps the global
+    max — |suppliers| never reaches any single task or the driver.
+    Name enrichment inverts the broadcast (winner keys into a filtered
+    supplier scan), as in `returned_customers`."""
+    from .pipelines.relational import bucketed_reduce
+
+    lo = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1997-04-01", "us"), pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])))
+        g = (pa.table({"s_suppkey": t["l_suppkey"].cast(pa.int64()),
+                       "total_centicents": rev})
+             .group_by(["s_suppkey"])
+             .aggregate([("total_centicents", "sum")]))
+        return g.rename_columns(["s_suppkey", "total_centicents"])
+
+    items = (_read(sf_dir, "lineitem",
+                   ["l_suppkey", "l_extendedprice", "l_discount",
+                    "l_shipdate"])
+             .map_batches(partial, batch_format="pyarrow"))
+
+    def bucket_max(t: pa.Table) -> pa.Table:
+        g = (t.group_by(["s_suppkey"]).aggregate([("total_centicents", "sum")])
+             .rename_columns(["s_suppkey", "total_centicents"]))
+        if g.num_rows == 0:
+            return g
+        m = pc.max(g["total_centicents"])
+        return g.filter(pc.equal(g["total_centicents"], m))
+
+    cand = (bucketed_reduce(items, "s_suppkey", bucket_max, n_buckets=16)
+            .to_pandas())
+    best = int(cand["total_centicents"].max())
+    win = cand[cand["total_centicents"] == best].sort_values("s_suppkey")
+
+    keys = pa.array(sorted(int(k) for k in win["s_suppkey"]), pa.int64())
+    supp = (_read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+            .map_batches(
+                lambda t: t.filter(
+                    pc.is_in(t["s_suppkey"].cast(pa.int64()),
+                             value_set=keys)),
+                batch_format="pyarrow")
+            .to_pandas().set_index("s_suppkey"))
+    sk = win["s_suppkey"].to_numpy()
+    return pa.table({
+        "s_suppkey": pa.array(sk, pa.int64()),
+        "s_name": pa.array([supp.at[k, "s_name"] for k in sk], pa.string()),
+        "total_centicents": pa.array(win["total_centicents"].to_numpy(),
+                                     pa.int64()),
+    })
+
+
+SQL_TOP_SUPPLIER = """
+WITH r AS (
+  SELECT l_suppkey AS s_suppkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+           AS total_centicents
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1997-01-01'
+    AND l_shipdate <  DATE '1997-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, r.total_centicents
+FROM r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+WHERE r.total_centicents = (SELECT max(total_centicents) FROM r)
+"""
+
+
+def q_supplier_variety(sf_dir: str):
+    """TPC-H Q16 shape — supplier variety per part profile: for parts
+    outside one brand/type and in a size list, how many DISTINCT
+    suppliers have shipped them (lineitem supplies the part-supplier
+    pairs; this schema has no partsupp), excluding negative-balance
+    suppliers (the NOT IN complaint list). Plan: the filtered part
+    dimension broadcasts as partkey -> 'brand|type|size' ONCE via
+    ray.put; the exclusion set rides the same broadcast; the
+    COUNT(DISTINCT supplier) GROUP BY profile then runs on the salted
+    distinct-count exchange (`relational.salted_distinct_count`) —
+    per-block pair dedup, value-salted buckets so the 6 x 25 x 8 hot
+    profile groups spread over all reducers, exact cross-bucket sum."""
+    import ray
+
+    from .pipelines.relational import salted_distinct_count
+
+    sizes = {1, 4, 9, 14, 19, 24, 29, 34}
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_type", "p_size"]).to_pandas()
+    keep = (~(part["p_brand"] == "Brand#2")
+            & ~(part["p_type"] == "ECONOMY")
+            & part["p_size"].isin(sizes))
+    part = part[keep]
+    p2key = dict(zip(
+        part["p_partkey"],
+        part["p_brand"] + "|" + part["p_type"] + "|"
+        + part["p_size"].astype(str)))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).to_pandas()
+    bad = set(supp.loc[supp["s_acctbal"] < 0, "s_suppkey"].astype(int))
+    ref = ray.put((p2key, bad))
+
+    class PairPrep:
+        def __init__(self):
+            self.p2key, self.bad = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            key = df["l_partkey"].map(self.p2key)
+            keep = key.notna().to_numpy() & ~df["l_suppkey"].isin(self.bad)
+            df = df[keep]
+            return pa.table({
+                "profile": pa.array(key[keep], pa.string()),
+                "l_suppkey": pa.array(df["l_suppkey"].astype("int64"),
+                                      pa.int64()),
+            })
+
+    pairs = (_read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+             .map_batches(PairPrep, batch_format="pyarrow", concurrency=2))
+    counts = salted_distinct_count(pairs, "profile", "l_suppkey",
+                                   n_buckets=16, count_name="supplier_cnt")
+
+    def decode(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["profile"], "|")
+        brand = pc.list_element(parts, 0)
+        typ = pc.list_element(parts, 1)
+        size = pc.list_element(parts, 2).cast(pa.int64())
+        return pa.table({"p_brand": brand, "p_type": typ, "p_size": size,
+                         "supplier_cnt": t["supplier_cnt"]})
+
+    return counts.map_batches(decode, batch_format="pyarrow")
+
+
+SQL_SUPPLIER_VARIETY = """
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#2' AND p.p_type <> 'ECONOMY'
+  AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND l.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+def q_nation_profit(sf_dir: str):
+    """TPC-H Q9 shape — product-line profit by supplier nation and
+    order year, for one part family (p_name prefix; unit cost proxied
+    by p_retailprice since this schema has no partsupp): profit =
+    line revenue minus cost, all in exact centicents. Plan: part
+    (filtered to the family) and supplier->nation broadcast once; the
+    ONE exchange is orders x lineitem on orderkey (the Q5/Q10 regime);
+    per-block partials by (nation, year) bound the driver fold at
+    O(blocks x nations x years)."""
+    import ray
+
+    from .pipelines.relational import bucketed_hash_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name",
+                                  "p_retailprice"]).to_pandas()
+    part = part[part["p_name"].str.startswith("red")]
+    p2cost = dict(zip(part["p_partkey"],
+                      (part["p_retailprice"] * 100).round().astype("int64")))
+    suppn = _read(sf_dir, "supplier",
+                  ["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    s2n = dict(zip(suppn["s_suppkey"], suppn["s_nationkey"]))
+    n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    ref = ray.put((p2cost, s2n, n2name))
+
+    def orders_prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+            "l_year": pc.year(t["o_orderdate"]).cast(pa.int64()),
+        })
+
+    def items_prep(t: pa.Table) -> pa.Table:
+        p2cost, s2n, _ = ray.get(ref)
+        df = t.to_pandas()
+        cost = df["l_partkey"].map(p2cost)
+        keep = cost.notna().to_numpy()
+        df = df[keep]
+        price = (df["l_extendedprice"] * 100).round().astype("int64")
+        disc = (df["l_discount"] * 100).round().astype("int64")
+        qty = df["l_quantity"].round().astype("int64")
+        amount = price * (100 - disc) - cost[keep].astype("int64") * qty * 100
+        return pa.table({
+            "o_orderkey": pa.array(df["l_orderkey"], pa.int64()),
+            "nat": pa.array(df["l_suppkey"].map(s2n).astype("int64"),
+                            pa.int64()),
+            "amount": pa.array(amount, pa.int64()),
+        })
+
+    orders = (_read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+              .map_batches(orders_prep, batch_format="pyarrow"))
+    items = (_read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                    "l_extendedprice", "l_discount"])
+             .map_batches(items_prep, batch_format="pyarrow"))
+    joined = bucketed_hash_join(orders.materialize(), items.materialize(),
+                                "o_orderkey", n_buckets=16)
+
+    def block_partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["nat", "l_year", "amount"])
+             .group_by(["nat", "l_year"]).aggregate([("amount", "sum")]))
+        return g.rename_columns(["nat", "l_year", "amount"])
+
+    parts_df = (joined.map_batches(block_partial, batch_format="pyarrow")
+                .to_pandas())
+    out = (parts_df.groupby(["nat", "l_year"], as_index=False)["amount"]
+           .sum())
+    return pa.table({
+        "nation": pa.array([n2name[k] for k in out["nat"]], pa.string()),
+        "l_year": pa.array(out["l_year"], pa.int64()),
+        "profit_centicents": pa.array(out["amount"], pa.int64()),
+    })
+
+
+SQL_NATION_PROFIT = """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS l_year,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+           - CAST(round(p.p_retailprice * 100) AS BIGINT)
+             * CAST(round(l.l_quantity) AS BIGINT) * 100)::BIGINT
+         AS profit_centicents
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN part p     ON p.p_partkey = l.l_partkey
+WHERE p.p_name LIKE 'red%'
+GROUP BY 1, 2
+"""
+
+
+def q_important_parts(sf_dir: str):
+    """TPC-H Q11 shape — filter a grouped aggregate by a GLOBAL scalar
+    of itself: parts whose shipped value exceeds 1.5x the
+    average part's value (scale-free, unlike Q11's fixed 0.0001/SF
+    fraction, so the selectivity is stable at any SF; the synthetic
+    per-part values are flat, max/avg ~1.8). The test never touches a
+    float: 2 * value * n_parts > 3 * total in integers (Python ints on
+    the Ray side, HUGEINT in the oracle). Plan: per-batch partials by
+    partkey, ONE exchange by partkey to finalize per-part values, an
+    O(blocks) driver fold for the global (total, n_parts) pair, then a
+    broadcast-scalar filter over the per-part dataset."""
+    from .pipelines.relational import bucketed_reduce
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])))
+        g = (pa.table({"p_partkey": t["l_partkey"].cast(pa.int64()),
+                       "value_centicents": rev})
+             .group_by(["p_partkey"])
+             .aggregate([("value_centicents", "sum")]))
+        return g.rename_columns(["p_partkey", "value_centicents"])
+
+    items = (_read(sf_dir, "lineitem",
+                   ["l_partkey", "l_extendedprice", "l_discount"])
+             .map_batches(partial, batch_format="pyarrow"))
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        g = (t.group_by(["p_partkey"]).aggregate([("value_centicents", "sum")])
+             .rename_columns(["p_partkey", "value_centicents"]))
+        return g
+
+    per_part = bucketed_reduce(items, "p_partkey", bucket_fn, n_buckets=16)
+
+    # O(blocks) scalar fold for the global (total, n_parts) pair
+    totals = per_part.map_batches(
+        lambda t: pa.table({
+            "s": pa.array([pc.sum(t["value_centicents"]).as_py() or 0],
+                          pa.int64()),
+            "n": pa.array([t.num_rows], pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    total, n_parts = int(totals["s"].sum()), int(totals["n"].sum())
+
+    def keep(t: pa.Table) -> pa.Table:
+        v = t["value_centicents"].to_numpy(zero_copy_only=False)
+        mask = (2 * v.astype(object) * n_parts) > 3 * total  # exact big ints
+        return t.filter(pa.array(mask.astype(bool)))
+
+    return per_part.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_IMPORTANT_PARTS = """
+WITH v AS (
+  SELECT l_partkey AS p_partkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+           AS value_centicents
+  FROM lineitem GROUP BY 1
+)
+SELECT p_partkey, value_centicents
+FROM v
+WHERE 2 * value_centicents::HUGEINT * (SELECT count(*) FROM v) >
+      3 * (SELECT sum(value_centicents::HUGEINT) FROM v)
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -10562,4 +10990,10 @@ def catalog():
         "interval_coverage": (q_interval_coverage, SQL_INTERVAL_COVERAGE),
         "twap": (q_twap, SQL_TWAP),
         "spend_drop": (q_spend_drop, SQL_SPEND_DROP),
+        "returned_customers": (q_returned_customers,
+                               SQL_RETURNED_CUSTOMERS),
+        "top_supplier": (q_top_supplier, SQL_TOP_SUPPLIER),
+        "supplier_variety": (q_supplier_variety, SQL_SUPPLIER_VARIETY),
+        "nation_profit": (q_nation_profit, SQL_NATION_PROFIT),
+        "important_parts": (q_important_parts, SQL_IMPORTANT_PARTS),
     }
