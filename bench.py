@@ -197,6 +197,9 @@ BENCH_QUERIES = [
     "supplier_variety",
     "nation_profit",
     "important_parts",
+    "order_part_list",
+    "scd2_intervals",
+    "merge_upsert",
 ]
 
 

@@ -10795,6 +10795,235 @@ WHERE 2 * value_centicents::HUGEINT * (SELECT count(*) FROM v) >
 """
 
 
+def q_order_part_list(sf_dir: str):
+    """ORDERED GROUPED STRING_AGG — the list-valued aggregate SQL
+    spells string_agg(x, ',' ORDER BY x): per order, its part keys
+    as one comma-joined ascending string (plus the item count). Rows
+    genuinely have to move (the concat needs every element of a key
+    together and IN ORDER), so the plan is ONE exchange by orderkey;
+    the bucket kernel is zero-Python-per-row: one table sort by
+    (orderkey, partkey), Arrow's order-preserving hash_list
+    aggregation, then the vectorized pc.binary_join — no per-group
+    join loop. Output stays one row per order, so what leaves each
+    bucket is bounded by its distinct keys."""
+    from .pipelines.relational import bucketed_reduce
+
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": t["l_orderkey"].cast(pa.int64()),
+                         "pk": t["l_partkey"].cast(pa.int64())})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"l_orderkey": pa.nulls(0, pa.int64()),
+                             "parts": pa.nulls(0, pa.string()),
+                             "n_items": pa.nulls(0, pa.int64())})
+        t = t.sort_by([("l_orderkey", "ascending"), ("pk", "ascending")])
+        t = pa.table({"l_orderkey": t["l_orderkey"],
+                      "pk": t["pk"].cast(pa.string())})
+        g = (t.group_by("l_orderkey", use_threads=False)
+             .aggregate([("pk", "list"), ("pk", "count")]))
+        return pa.table({
+            "l_orderkey": g["l_orderkey"],
+            "parts": pc.binary_join(g["pk_list"], ","),
+            "n_items": g["pk_count"].cast(pa.int64()),
+        })
+
+    return bucketed_reduce(items.map_batches(prep, batch_format="pyarrow"),
+                           "l_orderkey", bucket_fn, n_buckets=32)
+
+
+SQL_ORDER_PART_LIST = """
+SELECT l_orderkey,
+       string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_partkey)
+         AS parts,
+       count(*)::BIGINT AS n_items
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_scd2_intervals(sf_dir: str):
+    """SCD TYPE-2 BUILD — turn an event stream into a validity-interval
+    dimension: per user, consecutive runs of the same event_type
+    collapse into one row [valid_from, valid_to) with the run's event
+    count; the OPEN current interval gets valid_to_us = -1 (sentinel
+    instead of NULL so both engines agree on an int64 column). One
+    exchange by user; the bucket kernel lexsorts (user, ts, event_id)
+    once, flags run starts where the user or state changes, and reads
+    every interval of every user off the start indices (valid_to is
+    the NEXT run's first ts when that run belongs to the same user) —
+    no per-user loop, O(runs) rows out."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "at_us": t["ts"].cast(pa.int64()),
+                         "event_id": t["event_id"],
+                         "state": t["event_type"]})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.nulls(0, pa.int64()),
+                          "state": pa.nulls(0, pa.string()),
+                          "valid_from_us": pa.nulls(0, pa.int64()),
+                          "valid_to_us": pa.nulls(0, pa.int64()),
+                          "n_events": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["at_us"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        st = np.asarray(t["state"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, u))
+        u, ts, st = u[order], ts[order], st[order]
+        new = np.r_[True, (u[1:] != u[:-1]) | (st[1:] != st[:-1])]
+        starts = np.flatnonzero(new)
+        n = np.diff(np.r_[starts, len(u)])
+        nxt = np.r_[starts[1:], len(u)]          # next run's first row
+        same_user = nxt < len(u)
+        same_user[same_user] &= u[nxt[same_user]] == u[starts[same_user]]
+        vto = np.where(same_user, ts[np.minimum(nxt, len(u) - 1)], -1)
+        return pa.table({
+            "user_id": pa.array(u[starts], pa.int64()),
+            "state": pa.array(list(st[starts]), pa.string()),
+            "valid_from_us": pa.array(ts[starts], pa.int64()),
+            "valid_to_us": pa.array(vto, pa.int64()),
+            "n_events": pa.array(n, pa.int64()),
+        })
+
+    return bucketed_reduce(ev.map_batches(prep, batch_format="pyarrow"),
+                           "user_id", bucket_fn, n_buckets=32)
+
+
+SQL_SCD2_INTERVALS = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+), g AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run
+  FROM e
+), r AS (
+  SELECT user_id, min(event_type) AS state,
+         min(epoch_us(ts))::BIGINT AS valid_from_us,
+         count(*)::BIGINT AS n_events
+  FROM g GROUP BY user_id, run
+)
+SELECT user_id, state, valid_from_us,
+       COALESCE(lead(valid_from_us) OVER
+                (PARTITION BY user_id ORDER BY valid_from_us), -1)
+         AS valid_to_us,
+       n_events
+FROM r
+"""
+
+
+def q_merge_upsert(sf_dir: str):
+    """MERGE INTO (upsert + delete) — apply a CDC batch to a snapshot:
+    the target is each user's last value BEFORE the cutover, the
+    source is each user's last event AT/AFTER it; MERGE semantics are
+    WHEN MATCHED AND source is an 'error' THEN DELETE / WHEN MATCHED
+    THEN UPDATE / WHEN NOT MATCHED THEN INSERT (an 'error' source with
+    no target row inserts nothing). Never a join: both sides ride ONE
+    tagged-union exchange by user (the `table_diff` regime), the
+    bucket kernel takes each (user, side)'s last row by (ts, event_id)
+    with one lexsort + group-boundary mask, and resolves the op
+    vectorized. Output: the merged rows plus the op that produced
+    them ('keep' rows are the unmatched target)."""
+    from .pipelines.relational import bucketed_reduce
+
+    cut = pa.scalar(np.datetime64("2024-01-20", "us"), pa.timestamp("us"))
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        side = pc.greater_equal(t["ts"], cut).cast(pa.int8())
+        return pa.table({"user_id": t["user_id"],
+                         "side": side,
+                         "at_us": t["ts"].cast(pa.int64()),
+                         "event_id": t["event_id"],
+                         "etype": t["event_type"],
+                         "cents": _cents(t["value"])})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.nulls(0, pa.int64()),
+                          "cents": pa.nulls(0, pa.int64()),
+                          "op": pa.nulls(0, pa.string())})
+        if t.num_rows == 0:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        ts = t["at_us"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(t["etype"].to_pylist(), dtype=object)
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, side, u))
+        u, side, et, c = u[order], side[order], et[order], c[order]
+        # last row of each (user, side) group
+        last = np.r_[(u[1:] != u[:-1]) | (side[1:] != side[:-1]), True]
+        lu, lside, let, lc = u[last], side[last], et[last], c[last]
+        # per-user target/source slots (users sorted; <=2 rows each)
+        uu = np.unique(lu)
+        pos = np.searchsorted(uu, lu)
+        has_t = np.zeros(len(uu), bool)
+        has_s = np.zeros(len(uu), bool)
+        tc = np.zeros(len(uu), np.int64)
+        sc = np.zeros(len(uu), np.int64)
+        s_err = np.zeros(len(uu), bool)
+        m0, m1 = lside == 0, lside == 1
+        has_t[pos[m0]] = True
+        tc[pos[m0]] = lc[m0]
+        has_s[pos[m1]] = True
+        sc[pos[m1]] = lc[m1]
+        s_err[pos[m1]] = et[last][m1] == "error"
+        keep = has_t & ~has_s
+        upd = has_t & has_s & ~s_err
+        ins = ~has_t & has_s & ~s_err
+        mask = keep | upd | ins
+        cents = np.where(has_s & ~s_err, sc, tc)
+        op = np.where(keep, "keep", np.where(upd, "update", "insert"))
+        return pa.table({
+            "user_id": pa.array(uu[mask], pa.int64()),
+            "cents": pa.array(cents[mask], pa.int64()),
+            "op": pa.array(list(op[mask]), pa.string()),
+        })
+
+    return bucketed_reduce(ev.map_batches(prep, batch_format="pyarrow"),
+                           "user_id", bucket_fn, n_buckets=32)
+
+
+SQL_MERGE_UPSERT = """
+WITH tgt AS (
+  SELECT user_id, cents FROM (
+    SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts < TIMESTAMP '2024-01-20') WHERE rn = 1
+), src AS (
+  SELECT user_id, cents, event_type FROM (
+    SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+           event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts >= TIMESTAMP '2024-01-20') WHERE rn = 1
+)
+SELECT COALESCE(t.user_id, s.user_id) AS user_id,
+       CASE WHEN s.user_id IS NOT NULL THEN s.cents ELSE t.cents END
+         AS cents,
+       CASE WHEN s.user_id IS NULL THEN 'keep'
+            WHEN t.user_id IS NULL THEN 'insert'
+            ELSE 'update' END AS op
+FROM tgt t FULL OUTER JOIN src s ON t.user_id = s.user_id
+WHERE s.user_id IS NULL OR s.event_type <> 'error'
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -10996,4 +11225,7 @@ def catalog():
         "supplier_variety": (q_supplier_variety, SQL_SUPPLIER_VARIETY),
         "nation_profit": (q_nation_profit, SQL_NATION_PROFIT),
         "important_parts": (q_important_parts, SQL_IMPORTANT_PARTS),
+        "order_part_list": (q_order_part_list, SQL_ORDER_PART_LIST),
+        "scd2_intervals": (q_scd2_intervals, SQL_SCD2_INTERVALS),
+        "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
     }
