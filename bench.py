@@ -200,6 +200,8 @@ BENCH_QUERIES = [
     "order_part_list",
     "scd2_intervals",
     "merge_upsert",
+    "price_kurtosis",
+    "session_patterns",
 ]
 
 

@@ -11024,6 +11024,154 @@ WHERE s.user_id IS NULL OR s.event_type <> 'error'
 """
 
 
+def q_price_kurtosis(sf_dir: str):
+    """GROUPED KURTOSIS, exact — per order priority, the 4th
+    standardized moment of the order value (thousand-dollar bins so
+    every power sum stays in int64) in floored ppm. Higher moments are
+    still PARTIAL FOLDS: each block contributes (n, S1..S4) integer
+    power sums per group — five ints, O(blocks x groups) to the driver
+    — and the central-moment algebra runs ONCE per group in
+    arbitrary-precision ints: n^3*sum(d^4) = n^3*S4 - 4n^2*S1*S3 +
+    6n*S1^2*S2 - 3*S1^4 and n*sum(d^2) = n*S2 - S1^2, so kurt =
+    n*sum(d^4)/sum(d^2)^2 = A/B^2 exactly, with no mean ever
+    materialized as a float (the oracle's HUGEINT restatement is
+    bit-identical)."""
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = pc.divide(_cents(t["o_totalprice"]),
+                      pa.scalar(100000, pa.int64()))
+        h2 = pc.multiply(h, h)
+        g = (pa.table({"priority": t["o_orderpriority"],
+                       "n": pa.array(np.ones(t.num_rows, np.int64)),
+                       "s1": h, "s2": h2,
+                       "s3": pc.multiply(h2, h),
+                       "s4": pc.multiply(h2, h2)})
+             .group_by(["priority"])
+             .aggregate([("n", "sum"), ("s1", "sum"), ("s2", "sum"),
+                         ("s3", "sum"), ("s4", "sum")]))
+        return g.rename_columns(["priority", "n", "s1", "s2", "s3", "s4"])
+
+    parts = (orders.map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    out = parts.groupby("priority", as_index=False).sum()
+    rows = []
+    for _, r in out.iterrows():
+        n, s1, s2, s3, s4 = (int(r["n"]), int(r["s1"]), int(r["s2"]),
+                             int(r["s3"]), int(r["s4"]))
+        a = n**3 * s4 - 4 * n**2 * s1 * s3 + 6 * n * s1**2 * s2 - 3 * s1**4
+        b = n * s2 - s1 * s1
+        rows.append((r["priority"], n, 10**6 * a // (b * b)))
+    rows.sort()
+    return pa.table({
+        "priority": pa.array([x[0] for x in rows], pa.string()),
+        "n": pa.array([x[1] for x in rows], pa.int64()),
+        "kurt_ppm": pa.array([x[2] for x in rows], pa.int64()),
+    })
+
+
+SQL_PRICE_KURTOSIS = """
+WITH h AS (
+  SELECT o_orderpriority AS priority,
+         CAST(round(o_totalprice * 100) AS BIGINT) // 100000 AS v
+  FROM orders
+), s AS (
+  SELECT priority, count(*)::HUGEINT AS n,
+         sum(v::HUGEINT) AS s1, sum(v::HUGEINT * v) AS s2,
+         sum(v::HUGEINT * v * v) AS s3,
+         sum(v::HUGEINT * v * v * v) AS s4
+  FROM h GROUP BY 1
+)
+SELECT priority, n::BIGINT AS n,
+       CAST(1000000 * (n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2 - 3*s1*s1*s1*s1)
+            // ((n*s2 - s1*s1) * (n*s2 - s1*s1)) AS BIGINT) AS kurt_ppm
+FROM s
+"""
+
+
+def q_session_patterns(sf_dir: str):
+    """SEQUENCE PATTERN MATCH over sessions (the MATCH_RECOGNIZE
+    shape): sessions (30-min idle gap, the `sessions` definition)
+    whose ordered event-type sequence contains a view IMMEDIATELY
+    followed by a purchase ('vp' in the initial-letter encoding —
+    every event type here starts with a distinct letter; adjacency is
+    what a mere co-occurrence groupby cannot express). One exchange
+    by user; the bucket kernel lexsorts once, flags session starts
+    (user change or gap), numbers sessions per user by a cumsum diff,
+    and builds EVERY session's sequence string with the
+    order-preserving hash_list + binary_join idiom from
+    `order_part_list` — then one vectorized substring match. Only
+    matching sessions leave the bucket."""
+    from .pipelines.relational import bucketed_reduce
+
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "at_us": t["ts"].cast(pa.int64()),
+            "event_id": t["event_id"],
+            "letter": pc.utf8_slice_codeunits(t["event_type"], 0, 1),
+        })
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.nulls(0, pa.int64()),
+                          "session_id": pa.nulls(0, pa.int64()),
+                          "seq": pa.nulls(0, pa.string())})
+        if t.num_rows == 0:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["at_us"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts = u[order], ts[order]
+        letters = t["letter"].take(pa.array(order))
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        new_s = new_user | np.r_[True, (ts[1:] - ts[:-1]) > gap_us]
+        sess = np.cumsum(new_s)                       # bucket-global id
+        ustart = np.flatnonzero(new_user)
+        ucnt = np.diff(np.r_[ustart, len(u)])
+        session_id = sess - np.repeat(sess[ustart], ucnt) + 1
+        g = (pa.table({"sess": pa.array(sess, pa.int64()),
+                       "letter": pa.chunked_array([letters]).combine_chunks()})
+             .group_by("sess", use_threads=False)
+             .aggregate([("letter", "list")]))
+        seq = pc.binary_join(g["letter_list"], "")
+        starts = np.flatnonzero(new_s)
+        out = pa.table({
+            "user_id": pa.array(u[starts], pa.int64()),
+            "session_id": pa.array(session_id[starts], pa.int64()),
+            "seq": seq,
+        })
+        return out.filter(pc.match_substring(out["seq"], "vp"))
+
+    return bucketed_reduce(ev.map_batches(prep, batch_format="pyarrow"),
+                           "user_id", bucket_fn, n_buckets=32)
+
+
+SQL_SESSION_PATTERNS = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS letter,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_SECONDS} SECOND
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM e
+), q AS (
+  SELECT user_id, session_id::BIGINT AS session_id,
+         string_agg(letter, '' ORDER BY ts, event_id) AS seq
+  FROM s GROUP BY user_id, session_id
+)
+SELECT user_id, session_id, seq FROM q WHERE seq LIKE '%vp%'
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -11228,4 +11376,6 @@ def catalog():
         "order_part_list": (q_order_part_list, SQL_ORDER_PART_LIST),
         "scd2_intervals": (q_scd2_intervals, SQL_SCD2_INTERVALS),
         "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
+        "price_kurtosis": (q_price_kurtosis, SQL_PRICE_KURTOSIS),
+        "session_patterns": (q_session_patterns, SQL_SESSION_PATTERNS),
     }
