@@ -202,6 +202,10 @@ BENCH_QUERIES = [
     "merge_upsert",
     "price_kurtosis",
     "session_patterns",
+    "cheapest_path",
+    "debounce_events",
+    "first_touch",
+    "kfold_assignment",
 ]
 
 

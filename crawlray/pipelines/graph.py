@@ -642,3 +642,171 @@ def triangle_counts(items: rd.Dataset, group: str, node: str) -> rd.Dataset:
         columns={"__cnt": "n_triangles"})
     return rd.from_arrow(pa.Table.from_pandas(out.astype("int64"),
                                               preserve_index=False))
+
+
+def cheapest_paths(
+    edges: rd.Dataset,
+    seeds: list[str],
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    n_shards: int = 8,
+    max_hops: int = 6,
+) -> rd.Dataset:
+    """Min-COST path within ``max_hops`` edges from ``seeds`` over a
+    WEIGHTED (src, dst, w) edge dataset — hop-bounded Bellman-Ford on
+    the :func:`bfs_depths` shard layout (costs owned by hash(node) % K,
+    edges by hash(src) % K — same hash, so a frontier node's outgoing
+    edges are shard-local). One round relaxes every frontier node's
+    out-edges (vectorized searchsorted + per-dst min via sorted
+    reduceat), ships only per-(shard, dst) best candidates, and absorbs
+    IMPROVEMENTS only — after r rounds each cost is exactly the min
+    over paths of <= r edges, so ``max_hops`` rounds implement the
+    recursive oracle's hop cap. Early-exits when a round improves
+    nothing (the <= max_hops semantics are unaffected: no improvement
+    means a fixpoint on every shorter hop count too). Seeds absent
+    from the edge set are ignored (the bfs_depths contract)."""
+    k = n_shards
+
+    @ray.remote(num_returns=2 * k if k > 1 else 2)
+    def split(t: pa.Table):
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        s = t[src].to_pandas().to_numpy()
+        e = t[dst].to_pandas().to_numpy()
+        w = t[weight].to_pandas().to_numpy().astype(np.int64)
+        sh, eh = hash64(pa.array(s)), hash64(pa.array(e))
+        es = _shard_of(sh, k)
+        edge_parts = [
+            {"src_h": sh[es == i], "dst_h": eh[es == i], "w": w[es == i]}
+            for i in range(k)
+        ]
+        nh = np.concatenate([sh, eh])
+        nu = np.concatenate([s, e])
+        ns = _shard_of(nh, k)
+        node_parts = [{"h": nh[ns == i], "url": nu[ns == i]} for i in range(k)]
+        return (*edge_parts, *node_parts)
+
+    @ray.remote
+    class _CostShard:
+        def __init__(self, shard: int, n_edge_parts: int, *parts):
+            edge_parts = list(parts[:n_edge_parts])
+            node_parts = list(parts[n_edge_parts:])
+            self.shard = shard
+            eh = [p for p in edge_parts if len(p["src_h"])]
+            src_h = (np.concatenate([p["src_h"] for p in eh]) if eh
+                     else np.empty(0, np.uint64))
+            dst_h = (np.concatenate([p["dst_h"] for p in eh]) if eh
+                     else np.empty(0, np.uint64))
+            w = (np.concatenate([p["w"] for p in eh]) if eh
+                 else np.empty(0, np.int64))
+            order = np.argsort(src_h, kind="stable")
+            self.src_h, self.dst_h = src_h[order], dst_h[order]
+            self.w = w[order]
+            nh = (np.concatenate([p["h"] for p in node_parts])
+                  if node_parts else np.empty(0, np.uint64))
+            nu = (np.concatenate([p["url"] for p in node_parts])
+                  if node_parts else np.empty(0, object))
+            self.nodes, first = np.unique(nh, return_index=True)
+            self.urls = nu[first]
+            self.cost = np.full(len(self.nodes), -1, np.int64)
+            self.frontier = np.empty(0, np.uint64)
+            self.fcost = np.empty(0, np.int64)
+
+        def seed(self, seed_h: np.ndarray) -> int:
+            pos = np.searchsorted(self.nodes, seed_h)
+            ok = pos < len(self.nodes)
+            ok[ok] &= self.nodes[pos[ok]] == seed_h[ok]
+            hit = np.unique(pos[ok])
+            self.cost[hit] = 0
+            self.frontier = self.nodes[hit]
+            self.fcost = np.zeros(len(hit), np.int64)
+            return len(hit)
+
+        def relax(self):
+            """Candidate (dst, frontier_cost + w) pairs, min-combined
+            per dst locally, split by dst owner shard."""
+            f, fc = self.frontier, self.fcost
+            empties = [{"h": np.empty(0, np.uint64),
+                        "c": np.empty(0, np.int64)}] * k
+            if not len(f) or not len(self.src_h):
+                out = empties
+            else:
+                pos = np.searchsorted(f, self.src_h)
+                m = pos < len(f)
+                m[m] = f[pos[m]] == self.src_h[m]
+                if not m.any():
+                    return tuple(empties) if k > 1 else empties[0]
+                cand_h = self.dst_h[m]
+                cand_c = fc[np.searchsorted(f, self.src_h[m])] + self.w[m]
+                order = np.lexsort((cand_c, cand_h))
+                cand_h, cand_c = cand_h[order], cand_c[order]
+                starts = np.flatnonzero(
+                    np.r_[True, cand_h[1:] != cand_h[:-1]])
+                best_h, best_c = cand_h[starts], cand_c[starts]
+                ds_ = _shard_of(best_h, k)
+                out = [{"h": best_h[ds_ == i], "c": best_c[ds_ == i]}
+                       for i in range(k)]
+            return tuple(out) if k > 1 else out[0]
+
+        def absorb(self, *parts) -> int:
+            live = [p for p in parts if len(p["h"])]
+            if not live:
+                self.frontier = np.empty(0, np.uint64)
+                self.fcost = np.empty(0, np.int64)
+                return 0
+            h = np.concatenate([p["h"] for p in live])
+            c = np.concatenate([p["c"] for p in live])
+            order = np.lexsort((c, h))
+            h, c = h[order], c[order]
+            starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+            h, c = h[starts], c[starts]
+            pos = np.searchsorted(self.nodes, h)
+            ok = pos < len(self.nodes)
+            ok[ok] &= self.nodes[pos[ok]] == h[ok]
+            pos, c = pos[ok], c[ok]
+            better = (self.cost[pos] < 0) | (c < self.cost[pos])
+            pos, c = pos[better], c[better]
+            self.cost[pos] = c
+            self.frontier = self.nodes[pos]
+            self.fcost = c
+            return len(pos)
+
+        def table(self) -> pa.Table:
+            m = self.cost >= 0
+            return pa.table({
+                "url": pa.array(self.urls[m].tolist(), pa.string()),
+                "cost": pa.array(self.cost[m], pa.int64()),
+            })
+
+    blocks = edges.to_arrow_refs()
+    parts = [split.remote(b) for b in blocks]
+    shards = [
+        _CostShard.remote(
+            i, len(parts),
+            *[p[i] for p in parts],
+            *[p[k + i] for p in parts],
+        )
+        for i in range(k)
+    ]
+    seed_h = hash64(pa.array(np.asarray(seeds, object), pa.string()))
+    ss = _shard_of(seed_h, k)
+    n_seeded = sum(ray.get([
+        shards[i].seed.remote(np.sort(seed_h[ss == i])) for i in range(k)
+    ]))
+    if n_seeded:
+        for _hop in range(max_hops):
+            outs = [s.relax.options(num_returns=k).remote() for s in shards]
+            refs = [o if k > 1 else [o] for o in outs]
+            improved = sum(ray.get([
+                shards[i].absorb.remote(*[refs[s][i] for s in range(k)])
+                for i in range(k)
+            ]))
+            if improved == 0:
+                break
+    tables = [s.table.remote() for s in shards]
+    ray.wait(tables, num_returns=len(tables))
+    out = rd.from_arrow_refs(tables)
+    for s in shards:
+        ray.kill(s)
+    return out

@@ -10795,6 +10795,318 @@ WHERE 2 * value_centicents::HUGEINT * (SELECT count(*) FROM v) >
 """
 
 
+CHEAPEST_MAX_HOPS = 6
+
+
+def q_cheapest_path(sf_dir: str):
+    """WEIGHTED hop-bounded shortest path (min-plus / bounded
+    Bellman-Ford) from the BFS seed set over the mini-web's outlink
+    graph — `bfs_depths` counts hops; this costs them (edge weight =
+    1 + (|src| + |dst|) % 5, a deterministic function both engines
+    restate identically). `graph.cheapest_paths`: costs owned by
+    hash(node) % K shards, edges by hash(src) % K (same hash, so
+    relaxation is shard-local), per-round vectorized relax + per-dst
+    min combine, improvements-only exchange; after r rounds each cost
+    is exactly min over <= r-edge paths, matching the recursive
+    oracle's hop cap."""
+    from .htmlx import parse_document
+    from .pipelines.graph import cheapest_paths
+    from .synth import World
+
+    cfg = _crawl_cfg(sf_dir)
+    world = World(cfg.world)
+    urls = [world.url(i % cfg.world.n_hosts, i // cfg.world.n_hosts)
+            for i in range(min(PAGERANK_N_URLS, cfg.world.n_urls))]
+    seeds = rd.from_items([{"url": u} for u in urls], override_num_blocks=8)
+
+    def edges_of(t: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for u in t["url"].to_pylist():
+            for link in parse_document(world.gen_page(u), u).links:
+                src.append(u)
+                dst.append(link.url)
+        w = [1 + (len(s) + len(d)) % 5 for s, d in zip(src, dst)]
+        return pa.table({"src": pa.array(src, pa.string()),
+                         "dst": pa.array(dst, pa.string()),
+                         "w": pa.array(w, pa.int64())})
+
+    edges = seeds.map_batches(edges_of, batch_format="pyarrow")
+    return cheapest_paths(edges, urls[:BFS_N_SEEDS], n_shards=8,
+                          max_hops=CHEAPEST_MAX_HOPS)
+
+
+@functools.lru_cache(maxsize=1)
+def _cheapest_path_sql() -> str:
+    """The same bounded min-cost walk as a recursive CTE over a VALUES
+    edge list (weights restated as 1 + (length(src)+length(dst)) % 5);
+    min(cost) per node over every <= cap-hop path."""
+    src, dst = _pagerank_edge_lists(_ORACLE_SF_DIR)
+    rows = ",\n".join(
+        f"({_sql_str(s)}, {_sql_str(t)})" for s, t in zip(src, dst)
+    )
+    from .synth import World
+
+    cfg = _crawl_cfg(_ORACLE_SF_DIR)
+    world = World(cfg.world)
+    seed_urls = [world.url(i % cfg.world.n_hosts, i // cfg.world.n_hosts)
+                 for i in range(BFS_N_SEEDS)]
+    seed_rows = ", ".join(f"({_sql_str(u)})" for u in seed_urls)
+    return f"""
+WITH RECURSIVE e0(src, dst) AS (VALUES
+{rows}
+),
+edges(src, dst, w) AS (
+  SELECT src, dst, 1 + (length(src) + length(dst)) % 5 FROM e0
+),
+seeds(u) AS (
+  SELECT u FROM (VALUES {seed_rows}) s(u)
+  WHERE u IN (SELECT src FROM edges UNION SELECT dst FROM edges)
+),
+walk(u, c, h) AS (
+  SELECT u, 0, 0 FROM seeds
+  UNION
+  SELECT e.dst, w.c + e.w, w.h + 1
+  FROM walk w JOIN edges e ON e.src = w.u
+  WHERE w.h < {CHEAPEST_MAX_HOPS}
+)
+SELECT u AS url, min(c)::BIGINT AS cost FROM walk GROUP BY u
+"""
+
+
+def q_debounce_events(sf_dir: str):
+    """STREAM DEBOUNCE audit — rapid-fire duplicate suppression, the
+    first cleaning pass of any event pipeline: flag events whose
+    previous event of the SAME (user, type) lies within one hour (the
+    lag-based contract, so the oracle is a plain window function; the
+    throttle variant that measures from the last KEPT event is
+    deliberately not this operator — it is not expressible as a
+    window). One exchange by user co-locates all of a user's types;
+    the bucket kernel lexsorts (user, type, ts, event_id) once and
+    diffs within segments — flagged rows only leave the bucket."""
+    from .pipelines.relational import bucketed_reduce
+
+    thresh_us = 3_600_000_000
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "at_us": t["ts"].cast(pa.int64()),
+                         "event_id": t["event_id"],
+                         "event_type": t["event_type"]})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.nulls(0, pa.int64()),
+                          "user_id": pa.nulls(0, pa.int64()),
+                          "event_type": pa.nulls(0, pa.string()),
+                          "gap_us": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["at_us"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, et, u))
+        u, ts, eid, et = u[order], ts[order], eid[order], et[order]
+        same = np.r_[False, (u[1:] == u[:-1]) & (et[1:] == et[:-1])]
+        gap = np.r_[np.int64(0), ts[1:] - ts[:-1]]
+        hit = same & (gap <= thresh_us)
+        return pa.table({
+            "event_id": pa.array(eid[hit], pa.int64()),
+            "user_id": pa.array(u[hit], pa.int64()),
+            "event_type": pa.array(list(et[hit]), pa.string()),
+            "gap_us": pa.array(gap[hit], pa.int64()),
+        })
+
+    return bucketed_reduce(ev.map_batches(prep, batch_format="pyarrow"),
+                           "user_id", bucket_fn, n_buckets=32)
+
+
+SQL_DEBOUNCE_EVENTS = """
+WITH g AS (
+  SELECT event_id, user_id, event_type,
+         epoch_us(ts) - epoch_us(lag(ts) OVER
+           (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+           AS gap_us
+  FROM events
+)
+SELECT event_id, user_id, event_type, gap_us::BIGINT AS gap_us
+FROM g WHERE gap_us IS NOT NULL AND gap_us <= 3600000000
+"""
+
+
+def q_first_touch(sf_dir: str):
+    """FIRST-TOUCH attribution — for every purchase, the EARLIEST view
+    by the same user in the trailing 7 days (the complement of
+    `asof_last_view`'s last-touch): the marketing question 'what
+    started the journey'. Both filtered streams ride ONE tagged-union
+    exchange by user (the `interval_agg_join` regime), each user's
+    view segment shifts onto a disjoint encoded range, and every
+    purchase resolves its window's FIRST element with two global
+    searchsorteds — the answer is literally index `lo` (views sort by
+    (ts, event_id), so equal-ts ties pick the smallest event id,
+    matching the oracle's min-then-min). Inner semantics: untouched
+    purchases drop."""
+    from .pipelines.relational import bucketed_reduce
+
+    W = np.int64(7 * 24 * 3600 * 1_000_000)
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        is_v = pc.equal(t["event_type"], "view")
+        is_p = pc.equal(t["event_type"], "purchase")
+        t = t.filter(pc.or_(is_v, is_p))
+        return pa.table({
+            "user_id": t["user_id"],
+            "at_us": t["ts"].cast(pa.int64()),
+            "event_id": t["event_id"],
+            "side": pc.equal(t["event_type"], "purchase").cast(pa.int8()),
+        })
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.nulls(0, pa.int64()),
+                          "view_event_id": pa.nulls(0, pa.int64()),
+                          "lag_us": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["at_us"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        sd = t["side"].to_numpy(zero_copy_only=False)
+        rel = ts - ts.min()
+        offset = rel.max() + 2 * W + 2
+        v, p = sd == 0, sd == 1
+        if not p.any() or not v.any():
+            return empty
+        vu, vrel, ve = u[v], rel[v], eid[v]
+        order = np.lexsort((ve, vrel, vu))
+        vu, vrel, ve = vu[order], vrel[order], ve[order]
+        uniq = np.unique(vu)
+        vseg = np.cumsum(np.r_[0, vu[1:] != vu[:-1]])
+        vz = vrel + vseg * offset
+        pu, prel, pe = u[p], rel[p], eid[p]
+        idx = np.searchsorted(uniq, pu)
+        hit = idx < len(uniq)
+        idx_c = np.minimum(idx, max(len(uniq) - 1, 0))
+        hit &= uniq[idx_c] == pu
+        pz = prel + idx_c * offset
+        lo = np.searchsorted(vz, pz - W, side="left")
+        hi = np.searchsorted(vz, pz, side="left")
+        hit &= lo < hi
+        lo_c = np.minimum(lo, len(vz) - 1)
+        return pa.table({
+            "event_id": pa.array(pe[hit], pa.int64()),
+            "view_event_id": pa.array(ve[lo_c][hit], pa.int64()),
+            "lag_us": pa.array((prel - vrel[lo_c])[hit], pa.int64()),
+        })
+
+    return bucketed_reduce(ev.map_batches(prep, batch_format="pyarrow"),
+                           "user_id", bucket_fn, n_buckets=32)
+
+
+SQL_FIRST_TOUCH = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+), j AS (
+  SELECT p.event_id AS pe, p.ts AS pts, v.ts AS vts, v.event_id AS ve
+  FROM p JOIN v ON v.user_id = p.user_id
+   AND v.ts < p.ts AND v.ts >= p.ts - INTERVAL 7 DAY
+), m AS (
+  SELECT pe, min(vts) AS fv FROM j GROUP BY 1
+)
+SELECT j.pe AS event_id, min(j.ve)::BIGINT AS view_event_id,
+       (epoch_us(min(j.pts)) - epoch_us(m.fv))::BIGINT AS lag_us
+FROM j JOIN m ON m.pe = j.pe AND j.vts = m.fv
+GROUP BY j.pe, m.fv
+"""
+
+
+K_FOLDS = 5
+
+
+def q_kfold_assignment(sf_dir: str):
+    """STRATIFIED K-FOLD assignment — distributed ROW_NUMBER over giant
+    partitions WITHOUT a global sort: fold(doc) = rank of doc within
+    its lang (by doc_id) mod K, the train/eval split every corpus
+    pipeline needs, balanced per stratum by construction. The rank
+    never ships rows: pass 1 counts (block, lang) in parallel over the
+    ORDERED block list (Ray preserves read order; the parquet is
+    doc_id-sorted — the ordered-combine contract from SURVEY §2 S10),
+    the driver exclusive-prefixes O(blocks x langs) counts, pass 2
+    re-reads each block with its broadcast offset dict and labels
+    locally. Output is the per-(lang, fold) count + char mass — the
+    audit a split job publishes."""
+    import ray
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    refs = docs.to_arrow_refs()
+
+    @ray.remote
+    def lang_counts(t) -> dict:
+        t = t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
+        g = t.group_by(["lang"]).aggregate([("lang", "count")])
+        return dict(zip(g["lang"].to_pylist(),
+                        [int(x) for x in g["lang_count"].to_pylist()]))
+
+    per_block = ray.get([lang_counts.remote(r) for r in refs])
+    offsets = []
+    running: dict = {}
+    for d in per_block:
+        offsets.append(dict(running))
+        for lang, n in d.items():
+            running[lang] = running.get(lang, 0) + n
+
+    @ray.remote
+    def assign(t, off: dict) -> pa.Table:
+        t = t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
+        t = t.sort_by([("doc_id", "ascending")])  # in-block order
+        lang = np.asarray(t["lang"].to_pylist(), dtype=object)
+        chars = t["n_chars"].to_numpy(zero_copy_only=False)
+        order = np.argsort(lang, kind="stable")
+        lang_s = lang[order]
+        starts = np.flatnonzero(np.r_[True, lang_s[1:] != lang_s[:-1]])
+        local = np.arange(len(lang_s)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(lang_s)]))
+        base = np.array([off.get(str(v), 0) for v in lang_s[starts]],
+                        np.int64)
+        rank = local + np.repeat(base, np.diff(np.r_[starts, len(lang_s)]))
+        fold = rank % K_FOLDS
+        out = pa.table({"lang": pa.array(list(lang_s), pa.string()),
+                        "fold": pa.array(fold, pa.int64()),
+                        "n": pa.array(np.ones(len(lang_s), np.int64)),
+                        "chars": pa.array(chars[order], pa.int64())})
+        g = out.group_by(["lang", "fold"]).aggregate(
+            [("n", "sum"), ("chars", "sum")])
+        return g.rename_columns(["lang", "fold", "n_docs", "sum_chars"])
+
+    parts = rd.from_arrow_refs(
+        [assign.remote(r, o) for r, o in zip(refs, offsets)]).to_pandas()
+    out = (parts.groupby(["lang", "fold"], as_index=False)
+           [["n_docs", "sum_chars"]].sum()
+           .sort_values(["lang", "fold"]))
+    return pa.table({
+        "lang": pa.array(out["lang"], pa.string()),
+        "fold": pa.array(out["fold"], pa.int64()),
+        "n_docs": pa.array(out["n_docs"], pa.int64()),
+        "sum_chars": pa.array(out["sum_chars"], pa.int64()),
+    })
+
+
+SQL_KFOLD_ASSIGNMENT = f"""
+WITH r AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1 AS rn
+  FROM documents
+)
+SELECT lang, (rn % {K_FOLDS})::BIGINT AS fold, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars
+FROM r GROUP BY 1, 2
+"""
+
+
 def q_order_part_list(sf_dir: str):
     """ORDERED GROUPED STRING_AGG — the list-valued aggregate SQL
     spells string_agg(x, ',' ORDER BY x): per order, its part keys
@@ -11378,4 +11690,8 @@ def catalog():
         "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
         "price_kurtosis": (q_price_kurtosis, SQL_PRICE_KURTOSIS),
         "session_patterns": (q_session_patterns, SQL_SESSION_PATTERNS),
+        "cheapest_path": (q_cheapest_path, _cheapest_path_sql()),
+        "debounce_events": (q_debounce_events, SQL_DEBOUNCE_EVENTS),
+        "first_touch": (q_first_touch, SQL_FIRST_TOUCH),
+        "kfold_assignment": (q_kfold_assignment, SQL_KFOLD_ASSIGNMENT),
     }
