@@ -206,6 +206,9 @@ BENCH_QUERIES = [
     "debounce_events",
     "first_touch",
     "kfold_assignment",
+    "q6_revenue",
+    "nearest_view",
+    "linear_interp",
 ]
 
 

@@ -11484,6 +11484,285 @@ SELECT user_id, session_id, seq FROM q WHERE seq LIKE '%vp%'
 """
 
 
+def q_q6_revenue(sf_dir: str):
+    """TPC-H Q6 shape — the canonical 'promotion revenue delta' scan:
+    one filtered pass over lineitem, zero joins, zero shuffles. Each
+    batch folds to a single (count, sum) partial in the exact integer
+    domain cents(extendedprice) x hundredths(discount) (product unit =
+    1e-4 dollars), so the commutative driver fold over O(blocks) rows
+    is bit-exact regardless of block order — the same rationale as
+    `pricing_summary`. The predicate prunes at the batch level with
+    Arrow compute kernels; the read itself projects only the four
+    touched columns."""
+    ship_lo = pa.scalar(np.datetime64("1995-01-01", "us"),
+                        pa.timestamp("us"))
+    ship_hi = pa.scalar(np.datetime64("1996-01-01", "us"),
+                        pa.timestamp("us"))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity",
+                "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"]
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(sd, ship_lo), pc.less(sd, ship_hi)),
+            pc.and_(
+                pc.and_(pc.greater_equal(t["l_discount"], 0.05),
+                        pc.less_equal(t["l_discount"], 0.07)),
+                pc.less(t["l_quantity"], 24.0)))
+        f = t.filter(keep)
+        ep = _cents(f["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        dh = pc.round(pc.multiply(f["l_discount"], 100)).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_items": pa.array([np.int64(f.num_rows)], pa.int64()),
+            "revenue_e4": pa.array([np.int64((ep * dh).sum())], pa.int64()),
+        })
+
+    parts = li.map_batches(partial, batch_format="pyarrow").take_all()
+    return pa.table({
+        "n_items": pa.array([sum(r["n_items"] for r in parts)], pa.int64()),
+        "revenue_e4": pa.array([sum(r["revenue_e4"] for r in parts)],
+                               pa.int64()),
+    })
+
+
+SQL_Q6_REVENUE = """
+SELECT count(*)::BIGINT AS n_items,
+       coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)), 0)::BIGINT
+         AS revenue_e4
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_nearest_view(sf_dir: str):
+    """NEAREST-event join, BOTH directions — for every purchase, the
+    temporally closest view by the same user (before OR after), the
+    general form of the asof family (`asof_last_view` looks only
+    backward, `first_touch` only at a trailing window). One tagged
+    exchange by user; inside a bucket the views sort once by
+    (user, ts, event_id) onto disjoint encoded segments and every
+    purchase resolves BOTH neighbours with a single searchsorted:
+    index i-1 is the latest view <= t, index i the earliest view >= t,
+    and the winner is the smaller |gap| with ties broken by the
+    smaller view id across both sides (run heads are id-minimal
+    because ids are the innermost lexsort key). No per-user loop, no
+    |P| x |V| pair blowup — the oracle's quadratic join is exactly
+    what this plan avoids."""
+    from .pipelines.relational import bucketed_reduce
+
+    BIG = np.int64(2**62)
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        is_v = pc.equal(t["event_type"], "view")
+        is_p = pc.equal(t["event_type"], "purchase")
+        t = t.filter(pc.or_(is_v, is_p))
+        return pa.table({
+            "user_id": t["user_id"],
+            "at_us": t["ts"].cast(pa.int64()),
+            "event_id": t["event_id"],
+            "side": pc.equal(t["event_type"], "purchase").cast(pa.int8()),
+        })
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.nulls(0, pa.int64()),
+                          "nearest_view_id": pa.nulls(0, pa.int64()),
+                          "gap_us": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["at_us"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        sd = t["side"].to_numpy(zero_copy_only=False)
+        rel = ts - ts.min()
+        # segment stride: no |gap| can reach into a neighbouring user
+        offset = 3 * (rel.max() + np.int64(2))
+        v, p = sd == 0, sd == 1
+        if not p.any() or not v.any():
+            return empty
+        vu, vrel, ve = u[v], rel[v], eid[v]
+        order = np.lexsort((ve, vrel, vu))
+        vu, vrel, ve = vu[order], vrel[order], ve[order]
+        uniq = np.unique(vu)
+        vseg = np.cumsum(np.r_[0, vu[1:] != vu[:-1]])
+        vz = vrel + vseg * offset
+        pu, prel, pe = u[p], rel[p], eid[p]
+        idx = np.searchsorted(uniq, pu)
+        hit = idx < len(uniq)
+        idx_c = np.minimum(idx, max(len(uniq) - 1, 0))
+        hit &= uniq[idx_c] == pu
+        pz = prel + idx_c * offset
+        i = np.searchsorted(vz, pz, side="left")
+        lo_seg = idx_c * offset
+        hi_seg = lo_seg + offset
+        ib = np.maximum(i - 1, 0)
+        ok_b = (i - 1 >= 0) & (vz[ib] >= lo_seg)
+        ia = np.minimum(i, len(vz) - 1)
+        ok_a = (i < len(vz)) & (vz[ia] < hi_seg)
+        gap_b = np.where(ok_b, pz - vz[ib], BIG)
+        gap_a = np.where(ok_a, vz[ia] - pz, BIG)
+        d = np.minimum(gap_b, gap_a)
+        hit &= d < BIG
+        # run heads at exactly distance d on each side are id-minimal
+        hb = np.minimum(np.searchsorted(vz, pz - d, side="left"),
+                        len(vz) - 1)
+        ha = np.minimum(np.searchsorted(vz, pz + d, side="left"),
+                        len(vz) - 1)
+        cand_b = np.where(gap_b == d, ve[hb], BIG)
+        cand_a = np.where(gap_a == d, ve[ha], BIG)
+        nearest = np.minimum(cand_b, cand_a)
+        return pa.table({
+            "event_id": pa.array(pe[hit], pa.int64()),
+            "nearest_view_id": pa.array(nearest[hit], pa.int64()),
+            "gap_us": pa.array(d[hit], pa.int64()),
+        })
+
+    return bucketed_reduce(ev.map_batches(prep, batch_format="pyarrow"),
+                           "user_id", bucket_fn, n_buckets=32)
+
+
+SQL_NEAREST_VIEW = """
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts
+  FROM events WHERE event_type = 'view'
+), j AS (
+  SELECT p.event_id AS pe, v.event_id AS ve, abs(p.ts - v.ts)::BIGINT AS d
+  FROM p JOIN v ON v.user_id = p.user_id
+), m AS (
+  SELECT pe, min(d) AS d FROM j GROUP BY 1
+)
+SELECT m.pe AS event_id, min(j.ve)::BIGINT AS nearest_view_id,
+       m.d AS gap_us
+FROM m JOIN j ON j.pe = m.pe AND j.d = m.d
+GROUP BY m.pe, m.d
+"""
+
+
+def q_linear_interp(sf_dir: str):
+    """Time-series LINEAR-INTERPOLATION gap fill — the companion of
+    `forward_fill` for model features that want a smooth daily signal:
+    each user's 31-day grid, missing days filled by interpolating
+    between the bracketing anchor days (per-(user, day) LATEST event
+    value). The interpolated value is emitted as an EXACT RATIONAL
+    (numerator = prev*(next_d - d) + next*(d - prev_d) in cents,
+    denominator = next_d - prev_d), so both engines compare bit-exact
+    integers and no IEEE rounding contract is needed. Days outside a
+    user's anchor hull stay NULL. One exchange by user; inside a
+    bucket BOTH brackets come from two searchsorteds over a composite
+    (user * 64 + day) key — no per-user loop, no self-join."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "day": pc.day(t["ts"]).cast(pa.int64()),
+            "ts": t["ts"], "event_id": t["event_id"],
+            "cents": _cents(t["value"]),
+        })
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        empty = pa.table({"user_id": pa.nulls(0, pa.int64()),
+                          "day": pa.nulls(0, pa.int64()),
+                          "interp_num": pa.nulls(0, pa.int64()),
+                          "interp_den": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas()
+        ts = df["ts"].astype("datetime64[us]").astype("int64")
+        df = (df.assign(_ts=ts)
+              .sort_values(["user_id", "day", "_ts", "event_id"])
+              .groupby(["user_id", "day"], as_index=False).last())
+        du = df["user_id"].to_numpy()
+        dd = df["day"].to_numpy()
+        dc = df["cents"].to_numpy()
+        users = np.unique(du)
+        gu = np.repeat(users, 31)
+        gd = np.tile(np.arange(1, 32, dtype=np.int64), len(users))
+        comp_d = du * 64 + dd
+        comp_g = gu * 64 + gd
+        pi = np.searchsorted(comp_d, comp_g, side="right") - 1
+        pic = np.maximum(pi, 0)
+        ok_p = (pi >= 0) & (du[pic] == gu)
+        ni = np.searchsorted(comp_d, comp_g, side="left")
+        nic = np.minimum(ni, len(comp_d) - 1)
+        ok_n = (ni < len(comp_d)) & (du[nic] == gu)
+        ok = ok_p & ok_n
+        pd_, pv = dd[pic], dc[pic]
+        nd_, nv = dd[nic], dc[nic]
+        anchor = pd_ == nd_          # grid day IS an anchor day
+        num = np.where(anchor, pv,
+                       pv * (nd_ - gd) + nv * (gd - pd_))
+        den = np.where(anchor, np.int64(1), nd_ - pd_)
+        return pa.table({
+            "user_id": pa.array(gu, pa.int64()),
+            "day": pa.array(gd, pa.int64()),
+            "interp_num": pa.array(
+                np.ma.masked_array(num, mask=~ok), pa.int64()),
+            "interp_den": pa.array(
+                np.ma.masked_array(den, mask=~ok), pa.int64()),
+        })
+
+    return bucketed_reduce(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "user_id", bucket_fn, n_buckets=16)
+
+
+SQL_LINEAR_INTERP = """
+WITH last AS (
+  SELECT user_id, day(ts)::BIGINT AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id, day(ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), daily AS (SELECT user_id, day, cents FROM last WHERE rn = 1),
+grid AS (
+  SELECT u.user_id, g.day
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN (SELECT unnest(generate_series(1, 31))::BIGINT AS day) g
+), w AS (
+  SELECT g.user_id, g.day,
+         last_value(CASE WHEN d.cents IS NOT NULL THEN g.day END
+                    IGNORE NULLS)
+           OVER (PARTITION BY g.user_id ORDER BY g.day
+                 ROWS UNBOUNDED PRECEDING) AS pd,
+         last_value(d.cents IGNORE NULLS)
+           OVER (PARTITION BY g.user_id ORDER BY g.day
+                 ROWS UNBOUNDED PRECEDING) AS pv,
+         first_value(CASE WHEN d.cents IS NOT NULL THEN g.day END
+                     IGNORE NULLS)
+           OVER (PARTITION BY g.user_id ORDER BY g.day
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd,
+         first_value(d.cents IGNORE NULLS)
+           OVER (PARTITION BY g.user_id ORDER BY g.day
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+  FROM grid g LEFT JOIN daily d
+    ON d.user_id = g.user_id AND d.day = g.day
+)
+SELECT user_id, day,
+       CASE WHEN pd IS NULL OR nd IS NULL THEN NULL
+            WHEN pd = nd THEN pv
+            ELSE pv * (nd - day) + nv * (day - pd) END::BIGINT
+         AS interp_num,
+       CASE WHEN pd IS NULL OR nd IS NULL THEN NULL
+            WHEN pd = nd THEN 1 ELSE nd - pd END::BIGINT AS interp_den
+FROM w
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -11694,4 +11973,7 @@ def catalog():
         "debounce_events": (q_debounce_events, SQL_DEBOUNCE_EVENTS),
         "first_touch": (q_first_touch, SQL_FIRST_TOUCH),
         "kfold_assignment": (q_kfold_assignment, SQL_KFOLD_ASSIGNMENT),
+        "q6_revenue": (q_q6_revenue, SQL_Q6_REVENUE),
+        "nearest_view": (q_nearest_view, SQL_NEAREST_VIEW),
+        "linear_interp": (q_linear_interp, SQL_LINEAR_INTERP),
     }
