@@ -209,6 +209,9 @@ BENCH_QUERIES = [
     "q6_revenue",
     "nearest_view",
     "linear_interp",
+    "order_count_distribution",
+    "big_qty_orders",
+    "rolling_moments",
 ]
 
 

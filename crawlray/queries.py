@@ -11763,6 +11763,218 @@ FROM w
 """
 
 
+def q_order_count_distribution(sf_dir: str):
+    """TPC-H Q13 shape — the order-count HISTOGRAM over customers,
+    INCLUDING zero-order customers (the left-outer-join-then-double-
+    groupby every 'engagement distribution' dashboard runs). No row-
+    level join ever happens: orders collapse to per-batch (custkey,
+    partial count) rows, the customer side rides the SAME tagged
+    exchange as (custkey, 0) sentinel rows, and each bucket finishes
+    the per-customer count and ALREADY folds it into a <= |distinct
+    counts| histogram partial — so the driver merges O(buckets x
+    counts) tiny rows. Shuffle volume is O(blocks x customers-per-
+    block) partials, never a row per order."""
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        return pa.table({
+            "k": g["o_custkey"],
+            "cnt": g["o_custkey_count"].cast(pa.int64()),
+            "is_cust": pa.array(np.zeros(g.num_rows, np.int8)),
+        })
+
+    def c_partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t["c_custkey"],
+            "cnt": pa.array(np.zeros(t.num_rows, np.int64)),
+            "is_cust": pa.array(np.ones(t.num_rows, np.int8)),
+        })
+
+    tagged = orders.map_batches(o_partial, batch_format="pyarrow").union(
+        cust.map_batches(c_partial, batch_format="pyarrow"))
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"c_count": pa.nulls(0, pa.int64()),
+                          "custdist": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        g = t.group_by("k").aggregate(
+            [("cnt", "sum"), ("is_cust", "max")])
+        g = g.filter(pc.equal(g["is_cust_max"], 1))
+        h = (pa.table({"c_count": g["cnt_sum"]})
+             .group_by("c_count")
+             .aggregate([("c_count", "count")]))
+        return pa.table({"c_count": h["c_count"],
+                         "custdist": h["c_count_count"].cast(pa.int64())})
+
+    from .pipelines.relational import bucketed_reduce
+    parts = bucketed_reduce(tagged, "k", bucket_fn,
+                            n_buckets=32).to_pandas()
+    out = (parts.groupby("c_count", as_index=False)["custdist"].sum()
+           .sort_values("c_count"))
+    return pa.table({
+        "c_count": pa.array(out["c_count"], pa.int64()),
+        "custdist": pa.array(out["custdist"], pa.int64()),
+    })
+
+
+SQL_ORDER_COUNT_DISTRIBUTION = """
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_custkey)::BIGINT AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+)
+GROUP BY 1
+"""
+
+
+Q18_QTY_THRESHOLD = 300
+
+
+def q_big_qty_orders(sf_dir: str):
+    """TPC-H Q18 shape — large-volume orders: orders whose lineitem
+    quantity total exceeds the threshold, joined back to the order
+    header and the (broadcast) customer name. The HAVING side never
+    ships rows: lineitem folds to per-batch (orderkey, qty partial)
+    in the exact integer quantity domain, ONE exchange by orderkey
+    finishes the sums and filters, and the surviving handful joins the
+    header via the bucketed hash exchange (both sides large at real
+    scale); the 1-column customer name map broadcasts once. Output
+    money stays in cents."""
+    import ray
+
+    from .pipelines.relational import bucketed_hash_join, bucketed_reduce
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    name_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        q = pc.round(t["l_quantity"]).cast(pa.int64())
+        g = (pa.table({"o_orderkey": t["l_orderkey"], "q": q})
+             .group_by("o_orderkey").aggregate([("q", "sum")]))
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         "q": g["q_sum"]})
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"o_orderkey": pa.nulls(0, pa.int64()),
+                             "sum_qty": pa.nulls(0, pa.int64())})
+        g = t.group_by("o_orderkey").aggregate([("q", "sum")])
+        g = g.filter(pc.greater(g["q_sum"], Q18_QTY_THRESHOLD))
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         "sum_qty": g["q_sum"]})
+
+    big = bucketed_reduce(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        "o_orderkey", finish, n_buckets=32)
+    joined = bucketed_hash_join(orders, big, "o_orderkey", n_buckets=16)
+
+    def enrich(t: pa.Table) -> pa.Table:
+        names = ray.get(name_ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_name": pa.array([names[int(k)] for k in ck], pa.string()),
+            "o_custkey": t["o_custkey"],
+            "o_orderkey": t["o_orderkey"],
+            "totalprice_cents": _cents(t["o_totalprice"]),
+            "sum_qty": t["sum_qty"],
+        })
+
+    return joined.map_batches(enrich, batch_format="pyarrow")
+
+
+SQL_BIG_QTY_ORDERS = f"""
+SELECT c.c_name, o.o_custkey, o.o_orderkey,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       sum(CAST(round(l.l_quantity) AS BIGINT))::BIGINT AS sum_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2, 3, 4
+HAVING sum(CAST(round(l.l_quantity) AS BIGINT)) > {Q18_QTY_THRESHOLD}
+"""
+
+
+ROLLING_WINDOW_ROWS = 5
+
+
+def q_rolling_moments(sf_dir: str):
+    """Grouped ROLLING MOMENTS (the Bollinger-band primitive): for
+    every event, the trailing-5-row (count, sum, sum-of-squares) of
+    the cents value within its user's (ts, event_id) order — mean and
+    variance read off exactly downstream, published as integers so no
+    IEEE summation contract is needed. One exchange by user; inside a
+    bucket one lexsort + TWO prefix sums answer every window by
+    subtraction (cs[i+1] - cs[start]), with the window start clamped
+    to the user-segment head — no per-row loop, no 5-way self-join."""
+    from .pipelines.relational import bucketed_reduce
+
+    W = ROLLING_WINDOW_ROWS
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "at_us": t["ts"].cast(pa.int64()),
+            "event_id": t["event_id"],
+            "cents": _cents(t["value"]),
+        })
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.nulls(0, pa.int64()),
+                          "w_n": pa.nulls(0, pa.int64()),
+                          "w_sum": pa.nulls(0, pa.int64()),
+                          "w_sumsq": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["at_us"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, eid, c = u[order], eid[order], c[order]
+        n = len(u)
+        seg = np.cumsum(np.r_[0, u[1:] != u[:-1]])
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        pos = np.arange(n) - np.repeat(starts, np.diff(np.r_[starts, n]))
+        w_n = np.minimum(pos + 1, W)
+        lo = np.arange(n) - w_n + 1
+        cs = np.r_[np.int64(0), np.cumsum(c)]
+        cs2 = np.r_[np.int64(0), np.cumsum(c * c)]
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "w_n": pa.array(w_n, pa.int64()),
+            "w_sum": pa.array(cs[np.arange(n) + 1] - cs[lo], pa.int64()),
+            "w_sumsq": pa.array(cs2[np.arange(n) + 1] - cs2[lo],
+                                pa.int64()),
+        })
+
+    return bucketed_reduce(ev.map_batches(prep, batch_format="pyarrow"),
+                           "user_id", bucket_fn, n_buckets=32)
+
+
+SQL_ROLLING_MOMENTS = f"""
+SELECT event_id,
+       count(*) OVER w::BIGINT AS w_n,
+       sum(cents) OVER w::BIGINT AS w_sum,
+       sum(cents * cents) OVER w::BIGINT AS w_sumsq
+FROM (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {ROLLING_WINDOW_ROWS - 1} PRECEDING
+             AND CURRENT ROW)
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -11976,4 +12188,8 @@ def catalog():
         "q6_revenue": (q_q6_revenue, SQL_Q6_REVENUE),
         "nearest_view": (q_nearest_view, SQL_NEAREST_VIEW),
         "linear_interp": (q_linear_interp, SQL_LINEAR_INTERP),
+        "order_count_distribution": (q_order_count_distribution,
+                                     SQL_ORDER_COUNT_DISTRIBUTION),
+        "big_qty_orders": (q_big_qty_orders, SQL_BIG_QTY_ORDERS),
+        "rolling_moments": (q_rolling_moments, SQL_ROLLING_MOMENTS),
     }

@@ -120,6 +120,44 @@ class TestNearestViewTies:
             _norm(_oracle(sf, SQL_NEAREST_VIEW)))
 
 
+class TestOrderCountDistribution:
+    def test_zero_order_customers_counted(self, ray_session, tmp_path):
+        """sf0.01 has no order-less customer, so the left-join edge of
+        the Q13 shape is pinned here: customers 1..5, orders only for
+        1 (x3) and 2 (x1) -> histogram {0: 3, 1: 1, 3: 1}."""
+        from crawlray.queries import (SQL_ORDER_COUNT_DISTRIBUTION,
+                                      q_order_count_distribution)
+
+        cust = pd.DataFrame({
+            "c_custkey": [1, 2, 3, 4, 5],
+            "c_name": [f"c{i}" for i in range(5)],
+            "c_nationkey": [0] * 5,
+            "c_acctbal": [0.0] * 5,
+            "c_mktsegment": ["A"] * 5,
+        })
+        orders = pd.DataFrame({
+            "o_orderkey": [10, 11, 12, 13],
+            "o_custkey": [1, 1, 1, 2],
+            "o_orderstatus": ["F"] * 4,
+            "o_totalprice": [1.0] * 4,
+            "o_orderdate": pd.to_datetime(
+                ["2024-01-01"] * 4).astype("datetime64[us]"),
+            "o_orderpriority": ["1-URGENT"] * 4,
+        })
+        for name, df in (("customer", cust), ("orders", orders)):
+            pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                           str(tmp_path / f"{name}.parquet"))
+        got = q_order_count_distribution(str(tmp_path)).to_pandas()
+        assert dict(zip(got["c_count"], got["custdist"])) == {
+            0: 3, 1: 1, 3: 1}
+        con = duckdb.connect()
+        for t in ("customer", "orders"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{tmp_path}/{t}.parquet')")
+        exp = con.execute(SQL_ORDER_COUNT_DISTRIBUTION).fetchdf()
+        pd.testing.assert_frame_equal(_norm(got), _norm(exp))
+
+
 class TestLinearInterpHull:
     def test_single_anchor_user(self, ray_session, tmp_path):
         # one anchor day: that day = value/1, every other day NULL
