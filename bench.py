@@ -212,6 +212,9 @@ BENCH_QUERIES = [
     "order_count_distribution",
     "big_qty_orders",
     "rolling_moments",
+    "kcore",
+    "snm_candidates",
+    "word_length_histogram",
 ]
 
 

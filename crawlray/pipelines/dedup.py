@@ -1192,3 +1192,54 @@ def dedup_spans(
                                  *[hs[i] for hs in hsplit])
            for i in range(b)]
     return rd.from_arrow_refs(out)
+
+
+def sorted_window_pairs(ordered: rd.Dataset, id_col: str,
+                        window: int) -> rd.Dataset:
+    """Sorted-neighborhood pair emission: given a dataset whose BLOCKS
+    are globally ordered (the output of ``Dataset.sort`` — range-
+    partitioned, blocks in rank order), emit every (earlier, later) id
+    pair at rank distance 1..window-1. Each block pairs locally; the
+    only cross-block state is the (window-1)-row TAIL of the previous
+    block, collected once — O(blocks x window) rows on the driver,
+    never the data. Tiny blocks shorter than the window extend the
+    carried tail so a pair can span an entire intermediate block."""
+    import ray
+
+    refs = ordered.to_arrow_refs()
+    w = window
+
+    @ray.remote
+    def tail_of(t) -> np.ndarray:
+        t = t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return ids[max(0, len(ids) - (w - 1)):].astype(np.int64)
+
+    tails = ray.get([tail_of.remote(r) for r in refs])
+    prev: list[np.ndarray] = []
+    carry = np.empty(0, np.int64)
+    for tl in tails:
+        prev.append(carry)
+        carry = (np.concatenate([carry, tl])[-(w - 1):]
+                 if len(tl) < (w - 1) else tl)
+
+    @ray.remote
+    def pairs_of(t, tail_ids: np.ndarray) -> pa.Table:
+        t = t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
+        ids = np.concatenate([
+            tail_ids,
+            t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)])
+        p = len(tail_ids)
+        aa, bb = [], []
+        idx = np.arange(p, len(ids))
+        for d in range(1, w):
+            sel = idx[idx - d >= 0]
+            aa.append(ids[sel - d])
+            bb.append(ids[sel])
+        a = np.concatenate(aa) if aa else np.empty(0, np.int64)
+        b = np.concatenate(bb) if bb else np.empty(0, np.int64)
+        return pa.table({"doc_a": pa.array(a, pa.int64()),
+                         "doc_b": pa.array(b, pa.int64())})
+
+    return rd.from_arrow_refs(
+        [pairs_of.remote(r, p) for r, p in zip(refs, prev)])

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -810,3 +811,76 @@ def cheapest_paths(
     for s in shards:
         ray.kill(s)
     return out
+
+
+def kcore_peel(edges: rd.Dataset, k: int, rounds: int) -> rd.Dataset:
+    """Bounded K-CORE peel over a distinct undirected (a, b) edge set:
+    ``rounds`` iterations of (degree count -> drop nodes with degree
+    < k -> drop edges touching a dropped node), then the surviving
+    degrees. A FIXED round count, not a fixpoint test, so the SQL
+    restatement (the same rounds unrolled as CTEs) is equal by
+    construction whether or not the peel has converged — the
+    ``pagerank`` unrolled-oracle contract. Every round is fully
+    distributed: per-batch np.unique endpoint partials -> ONE exchange
+    by node finishes degrees and filters, and the survivor set prunes
+    the edge list through two :func:`bucketed_semi_join` passes (never
+    a driver-side membership set — the near-dup candidate-id lesson).
+    Shuffle volume per round is O(E) edge rows + O(V) degree partials.
+
+    Returns (node, core_degree) for every endpoint of a surviving
+    edge; isolated survivors of earlier rounds drop with their last
+    edge, matching the oracle's endpoint scan."""
+    from .relational import bucketed_reduce, bucketed_semi_join
+    from ..util import drop_empty_blocks
+
+    def ends_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"node": pa.nulls(0, pa.int64()),
+                             "cnt": pa.nulls(0, pa.int64())})
+        allv = np.concatenate([t["a"].to_numpy(zero_copy_only=False),
+                               t["b"].to_numpy(zero_copy_only=False)])
+        u, c = np.unique(allv, return_counts=True)
+        return pa.table({"node": pa.array(u.astype(np.int64)),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    def degrees(es: rd.Dataset, keep_min: int | None) -> rd.Dataset:
+        def finish(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"node": pa.nulls(0, pa.int64()),
+                                 "cnt": pa.nulls(0, pa.int64())})
+            g = t.group_by("node").aggregate([("cnt", "sum")])
+            out = pa.table({"node": g["node"], "cnt": g["cnt_sum"]})
+            if keep_min is not None:
+                out = out.filter(pc.greater_equal(out["cnt"], keep_min))
+            return out
+
+        return bucketed_reduce(
+            es.map_batches(ends_partial, batch_format="pyarrow"),
+            "node", finish, n_buckets=16)
+
+    cur = edges
+    for _ in range(rounds):
+        alive = drop_empty_blocks(
+            degrees(cur, keep_min=k).select_columns(["node"])
+        ).materialize()
+        if alive.count() == 0:
+            # the peel annihilated the graph; later rounds are no-ops
+            return rd.from_arrow(pa.table({
+                "node": pa.nulls(0, pa.int64()),
+                "core_degree": pa.nulls(0, pa.int64())}))
+        # materialize the renames: a lazy map_batches has no schema yet
+        # and bucketed_semi_join reads right.schema() for the key type
+        cur = bucketed_semi_join(
+            cur,
+            alive.map_batches(lambda t: t.rename_columns(["a"]),
+                              batch_format="pyarrow").materialize(),
+            "a", n_buckets=16)
+        cur = bucketed_semi_join(
+            cur,
+            alive.map_batches(lambda t: t.rename_columns(["b"]),
+                              batch_format="pyarrow").materialize(),
+            "b", n_buckets=16).materialize()
+
+    return drop_empty_blocks(degrees(cur, keep_min=None)).map_batches(
+        lambda t: t.rename_columns(["node", "core_degree"]),
+        batch_format="pyarrow")

@@ -11975,6 +11975,148 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+KCORE_K = 16
+KCORE_ROUNDS = 4
+
+
+def q_kcore(sf_dir: str):
+    """Bounded K-CORE of the co-purchase graph (same graph as
+    `triangle_counts`: parts sharing an order, ``l_partkey % 5 == 0``):
+    4 peel rounds at k=20, then the surviving degrees — the density
+    backbone every graph-cleaning pipeline extracts before community
+    work. All rounds distributed (`graph.kcore_peel`): degree partials
+    + one exchange per round, survivor set applied through
+    `bucketed_semi_join`, never a driver membership set. The oracle
+    unrolls the SAME fixed rounds, so equality does not depend on
+    convergence."""
+    from .pipelines.graph import cooccurrence_edges, kcore_peel
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["l_partkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % TRIANGLE_PART_MOD == 0))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        keep, batch_format="pyarrow")
+    edges = cooccurrence_edges(li, group="l_orderkey", node="l_partkey")
+    out = kcore_peel(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
+    return out.map_batches(
+        lambda t: t.rename_columns(["l_partkey", "core_degree"]),
+        batch_format="pyarrow")
+
+
+def _kcore_sql() -> str:
+    parts = [f"""
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+            WHERE l_partkey % {TRIANGLE_PART_MOD} = 0),
+e0 AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM li l1 JOIN li l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey < l2.l_partkey
+)"""]
+    for r in range(1, KCORE_ROUNDS + 1):
+        parts.append(f""",
+d{r} AS (SELECT n, count(*) AS c
+         FROM (SELECT a AS n FROM e{r - 1}
+               UNION ALL SELECT b FROM e{r - 1}) GROUP BY 1),
+a{r} AS (SELECT n FROM d{r} WHERE c >= {KCORE_K}),
+e{r} AS (SELECT a, b FROM e{r - 1}
+         WHERE a IN (SELECT n FROM a{r})
+           AND b IN (SELECT n FROM a{r}))""")
+    parts.append(f"""
+SELECT n AS l_partkey, count(*)::BIGINT AS core_degree
+FROM (SELECT a AS n FROM e{KCORE_ROUNDS}
+      UNION ALL SELECT b FROM e{KCORE_ROUNDS})
+GROUP BY 1
+""")
+    return "".join(parts)
+
+
+SNM_KEY_CHARS = 12
+SNM_WINDOW = 3
+
+
+def q_snm_candidates(sf_dir: str):
+    """SORTED-NEIGHBORHOOD dedup candidates — the classic SNM
+    alternative to LSH banding: docs sort globally by a normalized
+    blocking key (first 12 chars of lowercased text, then doc_id) and
+    every pair within a 3-row window is a candidate. The global sort
+    is Ray Data's range-partitioned `sort`; the window pass is
+    `dedup.sorted_window_pairs` — per-block pair emission where the
+    only cross-block state is each block's (w-1)-row tail, O(blocks x
+    w) rows through the driver, never the data. At 10^10 docs the
+    window pass stays embarrassingly parallel because a pair never
+    spans more than w-1 ranks."""
+    from .pipelines.dedup import sorted_window_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        key = pc.utf8_slice_codeunits(
+            pc.utf8_lower(t["text"]), 0, SNM_KEY_CHARS)
+        return pa.table({"key": key, "doc_id": t["doc_id"]})
+
+    ordered = docs.map_batches(keyed, batch_format="pyarrow").sort(
+        ["key", "doc_id"])
+    return sorted_window_pairs(ordered, "doc_id", SNM_WINDOW)
+
+
+SQL_SNM_CANDIDATES = f"""
+WITH k AS (
+  SELECT doc_id, substr(lower(text), 1, {SNM_KEY_CHARS}) AS key
+  FROM documents
+), r AS (
+  SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) AS rn FROM k
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + {SNM_WINDOW - 1}
+"""
+
+
+def q_word_length_histogram(sf_dir: str):
+    """WORD-LENGTH histogram per language — the tokenizer-sizing audit
+    (how long are this corpus's tokens?) and a pure map-side shape:
+    each batch explodes whitespace tokens and folds straight to
+    (lang, len) partial counts, so only O(langs x max_len) tiny rows
+    ever leave a task; the driver merge is bounded by the same product.
+    Lengths are codepoints in both engines (Python len == DuckDB
+    len)."""
+    import pandas as pd
+
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ex = (df.assign(w=df["text"].fillna("").str.split())
+              .explode("w").dropna(subset=["w"]))
+        ex["word_len"] = ex["w"].str.len().astype("int64")
+        g = ex.groupby(["lang", "word_len"], as_index=False).size()
+        return pa.table({
+            "lang": pa.array(g["lang"], pa.string()),
+            "word_len": pa.array(g["word_len"], pa.int64()),
+            "n_words": pa.array(g["size"], pa.int64()),
+        })
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (parts.groupby(["lang", "word_len"], as_index=False)
+           ["n_words"].sum().sort_values(["lang", "word_len"]))
+    return pa.table({
+        "lang": pa.array(out["lang"], pa.string()),
+        "word_len": pa.array(out["word_len"], pa.int64()),
+        "n_words": pa.array(out["n_words"], pa.int64()),
+    })
+
+
+SQL_WORD_LENGTH_HISTOGRAM = r"""
+SELECT lang, len(w)::BIGINT AS word_len, count(*)::BIGINT AS n_words
+FROM (
+  SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS w
+  FROM documents
+)
+WHERE w <> ''
+GROUP BY 1, 2
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -12192,4 +12334,8 @@ def catalog():
                                      SQL_ORDER_COUNT_DISTRIBUTION),
         "big_qty_orders": (q_big_qty_orders, SQL_BIG_QTY_ORDERS),
         "rolling_moments": (q_rolling_moments, SQL_ROLLING_MOMENTS),
+        "kcore": (q_kcore, _kcore_sql()),
+        "snm_candidates": (q_snm_candidates, SQL_SNM_CANDIDATES),
+        "word_length_histogram": (q_word_length_histogram,
+                                  SQL_WORD_LENGTH_HISTOGRAM),
     }

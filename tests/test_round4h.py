@@ -1,0 +1,101 @@
+"""Round-4h units: k-core peel and sorted-neighborhood window pairs.
+
+The kcore / snm_candidates / word_length_histogram queries are covered by
+the parameterized oracle gate in test_queries.py; this file pins the
+operator kernels on edges the sf data may not exercise — the bounded peel
+against a brute-force numpy reference (including graph annihilation), and
+the cross-block tail carry of `sorted_window_pairs` (boundary pairs,
+blocks smaller than the window).
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _brute_peel(edges: set, k: int, rounds: int):
+    """Sequential reference: fixed-round peel, then surviving degrees."""
+    cur = set(edges)
+    for _ in range(rounds):
+        deg: dict = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        alive = {n for n, d in deg.items() if d >= k}
+        cur = {(a, b) for a, b in cur if a in alive and b in alive}
+    deg = {}
+    for a, b in cur:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return deg
+
+
+def _rand_edges(seed: int, n: int, m: int) -> set:
+    rs = np.random.RandomState(seed)
+    es = set()
+    while len(es) < m:
+        a, b = rs.randint(0, n, 2)
+        if a != b:
+            es.add((min(a, b), max(a, b)))
+    return es
+
+
+class TestKcorePeel:
+    def _run(self, edges: set, k: int, rounds: int, blocks: int = 3):
+        from crawlray.pipelines.graph import kcore_peel
+
+        df = pd.DataFrame(sorted(edges), columns=["a", "b"])
+        ds = rd.from_pandas(df, override_num_blocks=blocks)
+        got = kcore_peel(ds, k=k, rounds=rounds).to_pandas()
+        if got.empty:   # Ray's to_pandas drops columns on 0-row data
+            return {}
+        return dict(zip(got["node"], got["core_degree"]))
+
+    def test_matches_bruteforce(self, ray_session):
+        for seed, k in ((3, 3), (7, 4)):
+            edges = _rand_edges(seed, 25, 120)
+            assert self._run(edges, k, 3) == _brute_peel(edges, k, 3), (
+                seed, k)
+
+    def test_annihilation_returns_empty(self, ray_session):
+        # a path graph has max degree 2: k=3 kills everything round 1
+        edges = {(i, i + 1) for i in range(10)}
+        assert self._run(edges, 3, 2) == {}
+
+    def test_triangle_core_survives(self, ray_session):
+        # triangle + pendant: k=2 peels the pendant, keeps the triangle
+        edges = {(1, 2), (1, 3), (2, 3), (3, 4)}
+        assert self._run(edges, 2, 2) == {1: 2, 2: 2, 3: 2}
+
+
+class TestSortedWindowPairs:
+    def _pairs(self, blocks, w):
+        from crawlray.pipelines.dedup import sorted_window_pairs
+
+        refs = [ray.put(pa.table({"doc_id": pa.array(b, pa.int64())}))
+                for b in blocks]
+        got = sorted_window_pairs(
+            rd.from_arrow_refs(refs), "doc_id", w).to_pandas()
+        return sorted(zip(got["doc_a"], got["doc_b"]))
+
+    @staticmethod
+    def _expected(ids, w):
+        return sorted((ids[i], ids[j])
+                      for i in range(len(ids))
+                      for j in range(i + 1, min(i + w, len(ids))))
+
+    def test_boundary_pairs_cross_blocks(self, ray_session):
+        blocks = [[10, 11, 12], [13, 14], [15, 16, 17]]
+        ids = [x for b in blocks for x in b]
+        assert self._pairs(blocks, 3) == self._expected(ids, 3)
+
+    def test_block_smaller_than_window_carries(self, ray_session):
+        # middle block of 1 row: a w=3 pair spans the whole block
+        blocks = [[1, 2], [3], [4, 5]]
+        ids = [1, 2, 3, 4, 5]
+        assert self._pairs(blocks, 3) == self._expected(ids, 3)
+
+    def test_single_block_and_w2(self, ray_session):
+        assert self._pairs([[7, 8, 9]], 2) == [(7, 8), (8, 9)]
