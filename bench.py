@@ -215,6 +215,9 @@ BENCH_QUERIES = [
     "kcore",
     "snm_candidates",
     "word_length_histogram",
+    "kmv_jaccard",
+    "daily_autocov",
+    "partition_checksums",
 ]
 
 

@@ -12117,6 +12117,215 @@ GROUP BY 1, 2
 """
 
 
+KMVJ_K = 64
+KMVJ_M = 2305843009213693951
+KMVJ_SRC_A = "src0"
+KMVJ_SRC_B = "src1"
+
+
+def q_kmv_jaccard(sf_dir: str):
+    """KMV-sketch JACCARD between two sources' vocabularies — the
+    sketch-space companion of `source_vocab_overlap` (which is exact):
+    keep each side's K smallest distinct word hashes, take the K
+    smallest of their union, and the fraction of those present in BOTH
+    side sketches estimates J(A, B). Like `kmv_distinct`, the whole
+    sketch state is ORDER BY hash LIMIT K, so the SQL oracle restates
+    it bit-for-bit (same md5-upper-8 contract). Per-batch partials are
+    K-min merges (associative); the driver folds O(blocks x K) ints
+    and never sees a word list."""
+    from .util import md5_id_bucket
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = t["source"].to_numpy(zero_copy_only=False)
+        txt = t["text"].to_numpy(zero_copy_only=False)
+        out_side, out_h = [], []
+        for side, name in ((0, KMVJ_SRC_A), (1, KMVJ_SRC_B)):
+            rows = txt[src == name]
+            if not len(rows):
+                continue
+            words = np.unique(np.concatenate(
+                [np.array(s.split(), dtype=object) for s in rows]
+                or [np.array([], object)]))
+            h = np.unique(md5_id_bucket("kmvj-v1", words, KMVJ_M))[:KMVJ_K]
+            out_side.append(np.full(len(h), side, np.int8))
+            out_h.append(h)
+        if not out_h:
+            return pa.table({"side": pa.nulls(0, pa.int8()),
+                             "h": pa.nulls(0, pa.int64())})
+        return pa.table({"side": pa.array(np.concatenate(out_side)),
+                         "h": pa.array(np.concatenate(out_h), pa.int64())})
+
+    ka = np.array([], np.int64)
+    kb = np.array([], np.int64)
+    for r in docs.map_batches(partial, batch_format="pyarrow").take_all():
+        if r["side"] == 0:
+            ka = np.append(ka, r["h"])
+        else:
+            kb = np.append(kb, r["h"])
+    ka = np.unique(ka)[:KMVJ_K]
+    kb = np.unique(kb)[:KMVJ_K]
+    u = np.unique(np.concatenate([ka, kb]))[:KMVJ_K]
+    k_used = len(u)
+    n_both = int(np.sum(np.isin(u, ka) & np.isin(u, kb)))
+    jac_ppm = n_both * 1_000_000 // k_used if k_used else 0
+    return pa.table({"k_used": pa.array([k_used], pa.int64()),
+                     "n_both": pa.array([n_both], pa.int64()),
+                     "jaccard_ppm": pa.array([jac_ppm], pa.int64())})
+
+
+SQL_KMV_JACCARD = rf"""
+WITH wa AS (
+  SELECT DISTINCT unnest(regexp_split_to_array(text, '\s+')) AS w
+  FROM documents WHERE source = '{KMVJ_SRC_A}'
+), ka AS (
+  SELECT DISTINCT (md5_number_upper('kmvj-v1:' || w)::HUGEINT
+                   % {KMVJ_M}::HUGEINT)::BIGINT AS h
+  FROM wa WHERE w <> '' ORDER BY h LIMIT {KMVJ_K}
+), wb AS (
+  SELECT DISTINCT unnest(regexp_split_to_array(text, '\s+')) AS w
+  FROM documents WHERE source = '{KMVJ_SRC_B}'
+), kb AS (
+  SELECT DISTINCT (md5_number_upper('kmvj-v1:' || w)::HUGEINT
+                   % {KMVJ_M}::HUGEINT)::BIGINT AS h
+  FROM wb WHERE w <> '' ORDER BY h LIMIT {KMVJ_K}
+), u AS (
+  SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+  ORDER BY h LIMIT {KMVJ_K}
+)
+SELECT count(*)::BIGINT AS k_used,
+       count(*) FILTER (h IN (SELECT h FROM ka)
+                        AND h IN (SELECT h FROM kb))::BIGINT AS n_both,
+       CASE WHEN count(*) = 0 THEN 0
+            ELSE count(*) FILTER (h IN (SELECT h FROM ka)
+                                  AND h IN (SELECT h FROM kb))
+                 * 1000000 // count(*) END::BIGINT AS jaccard_ppm
+FROM u
+"""
+
+
+AUTOCOV_MAX_LAG = 7
+
+
+def q_daily_autocov(sf_dir: str):
+    """Time-series AUTOCOVARIANCE sufficient statistics of the global
+    daily value series at lags 1..7 — the seasonality probe behind
+    every 'is there a weekly cycle' question, published as the exact
+    integer partials (n_pairs, Σx·y, Σx, Σy) per lag so downstream
+    computes cov/corr at any precision with no IEEE contract. The
+    daily series folds from per-batch (day, cents) partials
+    (O(blocks x 31) driver rows); the lag products are a trivial
+    driver pass over the 31-point series — the data itself is never
+    shuffled at all."""
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"day": pc.day(t["ts"]).cast(pa.int64()),
+                       "c": _cents(t["value"])})
+             .group_by("day").aggregate([("c", "sum")]))
+        return pa.table({"day": g["day"], "c": g["c_sum"]})
+
+    import pandas as pd
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    daily = (parts.groupby("day", as_index=False)["c"].sum()
+             .sort_values("day"))
+    d = daily["day"].to_numpy()
+    c = daily["c"].to_numpy()
+    pos = {int(dv): i for i, dv in enumerate(d)}
+    lags, n_p, cross, s_a, s_b = [], [], [], [], []
+    for lag in range(1, AUTOCOV_MAX_LAG + 1):
+        ia = [pos[dv] for dv in d if dv + lag in pos]
+        ib = [pos[dv + lag] for dv in d if dv + lag in pos]
+        a, b = c[ia], c[ib]
+        lags.append(lag)
+        n_p.append(len(a))
+        cross.append(int((a * b).sum()))
+        s_a.append(int(a.sum()))
+        s_b.append(int(b.sum()))
+    return pa.table({"lag": pa.array(lags, pa.int64()),
+                     "n_pairs": pa.array(n_p, pa.int64()),
+                     "cross_sum": pa.array(cross, pa.int64()),
+                     "sum_a": pa.array(s_a, pa.int64()),
+                     "sum_b": pa.array(s_b, pa.int64())})
+
+
+SQL_DAILY_AUTOCOV = f"""
+WITH daily AS (
+  SELECT day(ts)::BIGINT AS d,
+         sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS c
+  FROM events GROUP BY 1
+)
+SELECT l.lag::BIGINT AS lag, count(*)::BIGINT AS n_pairs,
+       sum(a.c * b.c)::BIGINT AS cross_sum,
+       sum(a.c)::BIGINT AS sum_a, sum(b.c)::BIGINT AS sum_b
+FROM (SELECT unnest(generate_series(1, {AUTOCOV_MAX_LAG})) AS lag) l
+JOIN daily a ON TRUE
+JOIN daily b ON b.d = a.d + l.lag
+GROUP BY 1
+"""
+
+
+CHECKSUM_BUCKETS = 16
+CHECKSUM_MOD = 2305843009213693951
+
+
+def q_partition_checksums(sf_dir: str):
+    """Per-partition MERKLE-style table digest — the replica/sync audit
+    a 100 TB mirror job runs instead of diffing rows: bucket by
+    ``doc_id % 16`` and publish each bucket's row count + the mod-P sum
+    of a keyed md5 over the row's content columns. Comparing two
+    tables' digests localizes a divergence to a bucket at O(buckets)
+    cost. Commutative mod-sum partials fold per batch (Python-int
+    accumulation, immune to int64 overflow), O(blocks x buckets) rows
+    to the driver, data never shuffles."""
+    from .util import md5_id_bucket
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        nch = t["n_chars"].to_numpy(zero_copy_only=False)
+        rows = np.array([f"{i}|{n}|{s}"
+                         for i, n, s in zip(ids, nch, lang)], object)
+        h = md5_id_bucket("cks-v1", rows, CHECKSUM_MOD)
+        bucket = ids % CHECKSUM_BUCKETS
+        bs, ns, ds_ = [], [], []
+        for b in np.unique(bucket):
+            m = bucket == b
+            bs.append(int(b))
+            ns.append(int(m.sum()))
+            ds_.append(int(h[m].astype(object).sum()) % CHECKSUM_MOD)
+        return pa.table({"bucket": pa.array(bs, pa.int64()),
+                         "n_rows": pa.array(ns, pa.int64()),
+                         "digest": pa.array(ds_, pa.int64())})
+
+    import pandas as pd
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (parts.groupby("bucket", as_index=False)
+           .agg(n_rows=("n_rows", "sum"),
+                digest=("digest",
+                        lambda s: int(sum(int(x) for x in s))
+                        % CHECKSUM_MOD))
+           .sort_values("bucket"))
+    return pa.table({"bucket": pa.array(out["bucket"], pa.int64()),
+                     "n_rows": pa.array(out["n_rows"], pa.int64()),
+                     "digest": pa.array(out["digest"], pa.int64())})
+
+
+SQL_PARTITION_CHECKSUMS = f"""
+SELECT (doc_id % {CHECKSUM_BUCKETS})::BIGINT AS bucket,
+       count(*)::BIGINT AS n_rows,
+       (sum((md5_number_upper('cks-v1:' || doc_id::VARCHAR || '|'
+                              || n_chars::VARCHAR || '|' || lang)::HUGEINT
+             % {CHECKSUM_MOD}::HUGEINT))
+        % {CHECKSUM_MOD}::HUGEINT)::BIGINT AS digest
+FROM documents
+GROUP BY 1
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -12338,4 +12547,8 @@ def catalog():
         "snm_candidates": (q_snm_candidates, SQL_SNM_CANDIDATES),
         "word_length_histogram": (q_word_length_histogram,
                                   SQL_WORD_LENGTH_HISTOGRAM),
+        "kmv_jaccard": (q_kmv_jaccard, SQL_KMV_JACCARD),
+        "daily_autocov": (q_daily_autocov, SQL_DAILY_AUTOCOV),
+        "partition_checksums": (q_partition_checksums,
+                                SQL_PARTITION_CHECKSUMS),
     }
