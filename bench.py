@@ -218,6 +218,9 @@ BENCH_QUERIES = [
     "kmv_jaccard",
     "daily_autocov",
     "partition_checksums",
+    "mutual_knn",
+    "name_edit_pairs",
+    "cumulative_users",
 ]
 
 

@@ -440,3 +440,63 @@ def ivf_topk(
     return final.sort_values(["query_id", "rank"]).reset_index(drop=True)[
         ["query_id", "vec_id", "rank"]
     ]
+
+
+def mutual_topk_pairs(embeddings: rd.Dataset, k: int = 5) -> rd.Dataset:
+    """RECIPROCAL k-NN pairs — (a, b) where each vector is in the
+    other's cosine top-k (self excluded): the mutual-neighbor graph
+    that seeds agglomerative dedup clustering and hubness-robust
+    retrieval eval. BRUTE regime like :func:`brute_force_topk` (the
+    whole matrix broadcasts once; the IVF/LSH paths are the scale
+    story): per-batch local top-(k+1) against the broadcast matrix,
+    distributed per-query merge drops self and re-ranks to k, then the
+    reciprocal check is ONE exchange on the normalized (min, max) pair
+    key counting directions — no driver pass over pairs."""
+    from .relational import bucketed_reduce
+
+    allv = embeddings.to_pandas().sort_values("vec_id")
+    mref = ray.put({
+        "ids": allv["vec_id"].to_numpy().astype(np.int64),
+        "matrix": np.stack(allv["embedding"].to_numpy()).astype(np.float64),
+    })
+
+    partial = embeddings.map_batches(
+        _PartialTopK,
+        fn_constructor_args=(mref, k + 1),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=2,
+        num_cpus=0.5,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["sim", "vec_id"],
+                           ascending=[False, True], kind="stable")
+        g = g[g["vec_id"] != g["query_id"]].head(k)
+        return g[["query_id", "vec_id"]]
+
+    topk = partial.groupby("query_id").map_groups(
+        finish, batch_format="pandas")
+
+    def norm_pairs(t: pa.Table) -> pa.Table:
+        q = t["query_id"].to_numpy(zero_copy_only=False)
+        v = t["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"a": pa.array(np.minimum(q, v), pa.int64()),
+                         "b": pa.array(np.maximum(q, v), pa.int64())})
+
+    def mutual(t: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_a": pa.nulls(0, pa.int64()),
+                          "vec_b": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        key = np.stack([a, b], axis=1)
+        uniq, cnt = np.unique(key, axis=0, return_counts=True)
+        both = uniq[cnt == 2]
+        return pa.table({"vec_a": pa.array(both[:, 0], pa.int64()),
+                         "vec_b": pa.array(both[:, 1], pa.int64())})
+
+    return bucketed_reduce(
+        topk.map_batches(norm_pairs, batch_format="pyarrow"),
+        "a", mutual, n_buckets=16)

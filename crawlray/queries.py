@@ -12326,6 +12326,184 @@ GROUP BY 1
 """
 
 
+MUTUAL_K = 5
+
+
+def q_mutual_knn(sf_dir: str):
+    """Reciprocal k-NN pairs over the embedding table — vectors that
+    are in EACH OTHER's cosine top-5 (self excluded), the
+    mutual-neighbor graph agglomerative near-dup clustering seeds.
+    `ann.mutual_topk_pairs`: brute regime (matrix broadcast once, the
+    IVF path is the scale story), distributed per-query re-rank, one
+    exchange on the normalized pair key for the reciprocity check."""
+    from .pipelines.ann import mutual_topk_pairs
+
+    return mutual_topk_pairs(_read(sf_dir, "embeddings"), k=MUTUAL_K)
+
+
+SQL_MUTUAL_KNN = f"""
+WITH sims AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         list_cosine_similarity(q.embedding, e.embedding) AS sim
+  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rank
+  FROM sims
+), topk AS (
+  SELECT query_id, vec_id FROM ranked WHERE rank <= {MUTUAL_K}
+)
+SELECT a.query_id AS vec_a, a.vec_id AS vec_b
+FROM topk a JOIN topk b
+  ON b.query_id = a.vec_id AND b.vec_id = a.query_id
+WHERE a.query_id < a.vec_id
+"""
+
+
+def _edit1(a: str, b: str) -> bool:
+    """Exact LD == 1 for FastSS candidate verification."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if abs(la - lb) != 1:
+        return False
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def q_name_edit_pairs(sf_dir: str):
+    """Edit-distance-1 string pairs via the FastSS
+    DELETION-NEIGHBORHOOD join — the typo/variant detector that scales
+    where a quadratic string self-join cannot: every name maps to
+    itself plus its 1-deletion variants, two strings at LD <= 1 MUST
+    share a variant key, so ONE exchange by variant co-locates every
+    candidate; sharing a key is not sufficient (transpositions slip
+    in), so a per-batch exact LD == 1 verify finishes. Pairs dedup
+    through the sort + keep-first pass every graph edge build here
+    uses. Runs over customer names (19.5k true pairs at the gate sf —
+    the document vocab has none)."""
+    from .pipelines.relational import bucketed_reduce
+    from .util import drop_empty_blocks, keep_first_sorted
+
+    cust = _read(sf_dir, "customer", ["c_name"])
+
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"w": pc.unique(t["c_name"])})
+
+    def distinct_words(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"w": pa.nulls(0, pa.string())})
+        return pa.table({"w": pc.unique(t["w"])})
+
+    vocab = drop_empty_blocks(bucketed_reduce(
+        cust.map_batches(vocab_partial, batch_format="pyarrow"),
+        "w", distinct_words, n_buckets=16))
+
+    def variants(t: pa.Table) -> pa.Table:
+        ws = t["w"].to_pylist()
+        keys, words = [], []
+        for w in ws:
+            keys.append(w)
+            words.append(w)
+            for i in range(len(w)):
+                keys.append(w[:i] + w[i + 1:])
+                words.append(w)
+        return pa.table({"key": pa.array(keys, pa.string()),
+                         "w": pa.array(words, pa.string())})
+
+    def cand_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"word_a": pa.nulls(0, pa.string()),
+                          "word_b": pa.nulls(0, pa.string())})
+        if t.num_rows == 0:
+            return empty
+        import pandas as pd
+        df = t.to_pandas().drop_duplicates()
+        aa, bb = [], []
+        for _, g in df.groupby("key"):
+            ws = sorted(set(g["w"]))
+            for i in range(len(ws)):
+                for j in range(i + 1, len(ws)):
+                    aa.append(ws[i])
+                    bb.append(ws[j])
+        return pa.table({"word_a": pa.array(aa, pa.string()),
+                         "word_b": pa.array(bb, pa.string())})
+
+    cands = keep_first_sorted(
+        drop_empty_blocks(bucketed_reduce(
+            vocab.map_batches(variants, batch_format="pyarrow"),
+            "key", cand_pairs, n_buckets=16)
+        ).sort(["word_a", "word_b"]),
+        ["word_a", "word_b"])
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = t["word_a"].to_pylist()
+        b = t["word_b"].to_pylist()
+        keep = [_edit1(x, y) for x, y in zip(a, b)]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    return cands.map_batches(verify, batch_format="pyarrow")
+
+
+SQL_NAME_EDIT_PAIRS = """
+WITH v AS (SELECT DISTINCT c_name AS w FROM customer)
+SELECT a.w AS word_a, b.w AS word_b
+FROM v a JOIN v b ON a.w < b.w AND levenshtein(a.w, b.w) = 1
+"""
+
+
+def q_cumulative_users(sf_dir: str):
+    """CUMULATIVE DISTINCT users per day — running count-distinct, the
+    window no engine computes directly at scale; the standard lowering
+    is the FIRST-OCCURRENCE trick: distinct-count-to-date(d) = number
+    of users whose FIRST event day <= d. One exchange by user finishes
+    per-user min-day from per-batch partials, per-day first counts are
+    <= 31 rows, and the prefix sum over the 31-day grid is a driver
+    fold of O(days)."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"user_id": t["user_id"],
+                       "d": pc.day(t["ts"]).cast(pa.int64())})
+             .group_by("user_id").aggregate([("d", "min")]))
+        return pa.table({"user_id": g["user_id"], "d": g["d_min"]})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"d": pa.nulls(0, pa.int64()),
+                             "n_first": pa.nulls(0, pa.int64())})
+        g = (t.group_by("user_id").aggregate([("d", "min")])
+             .group_by("d_min").aggregate([("d_min", "count")]))
+        return pa.table({"d": g["d_min"],
+                         "n_first": g["d_min_count"].cast(pa.int64())})
+
+    import pandas as pd
+    parts = bucketed_reduce(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        "user_id", bucket_fn, n_buckets=16).to_pandas()
+    per_day = parts.groupby("d")["n_first"].sum()
+    days = np.arange(1, 32, dtype=np.int64)
+    firsts = np.array([per_day.get(int(d), 0) for d in days], np.int64)
+    return pa.table({"day": pa.array(days, pa.int64()),
+                     "cum_users": pa.array(np.cumsum(firsts), pa.int64())})
+
+
+SQL_CUMULATIVE_USERS = """
+WITH f AS (
+  SELECT user_id, min(day(ts))::BIGINT AS d FROM events GROUP BY 1
+), g AS (SELECT unnest(generate_series(1, 31))::BIGINT AS day)
+SELECT g.day, count(f.user_id)::BIGINT AS cum_users
+FROM g LEFT JOIN f ON f.d <= g.day
+GROUP BY 1
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -12551,4 +12729,7 @@ def catalog():
         "daily_autocov": (q_daily_autocov, SQL_DAILY_AUTOCOV),
         "partition_checksums": (q_partition_checksums,
                                 SQL_PARTITION_CHECKSUMS),
+        "mutual_knn": (q_mutual_knn, SQL_MUTUAL_KNN),
+        "name_edit_pairs": (q_name_edit_pairs, SQL_NAME_EDIT_PAIRS),
+        "cumulative_users": (q_cumulative_users, SQL_CUMULATIVE_USERS),
     }

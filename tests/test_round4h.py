@@ -99,3 +99,37 @@ class TestSortedWindowPairs:
 
     def test_single_block_and_w2(self, ray_session):
         assert self._pairs([[7, 8, 9]], 2) == [(7, 8), (8, 9)]
+
+
+class TestEdit1Kernel:
+    """_edit1 is the FastSS verify: exact agreement with true
+    Levenshtein distance == 1 on adversarial short strings."""
+
+    @staticmethod
+    def _lev(a, b):
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                cur = d[j]
+                d[j] = min(d[j] + 1, d[j - 1] + 1,
+                           prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return d[n]
+
+    def test_exhaustive_small_alphabet(self):
+        from crawlray.queries import _edit1
+        from itertools import product
+
+        words = [""]
+        for L in (1, 2, 3):
+            words += ["".join(p) for p in product("abc", repeat=L)]
+        for a in words:
+            for b in words:
+                assert _edit1(a, b) == (self._lev(a, b) == 1), (a, b)
+
+    def test_transposition_is_not_edit1(self):
+        from crawlray.queries import _edit1
+        assert not _edit1("ab", "ba")
+        assert not _edit1("Customer#01", "Customer#10")
