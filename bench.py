@@ -221,6 +221,9 @@ BENCH_QUERIES = [
     "mutual_knn",
     "name_edit_pairs",
     "cumulative_users",
+    "ks_statistic",
+    "linkage_features",
+    "acctbal_gini",
 ]
 
 

@@ -12504,6 +12504,199 @@ GROUP BY 1
 """
 
 
+KS_SRC_A = "src0"
+KS_SRC_B = "src1"
+
+
+def q_ks_statistic(sf_dir: str):
+    """Two-sample KOLMOGOROV-SMIRNOV statistic between two sources'
+    n_chars distributions — the drift detector every corpus-refresh
+    pipeline runs before accepting a new shard. Exact integer
+    contract: D = max_v |F_A(v) - F_B(v)| is published as the scaled
+    numerator max|c_A(v)*n_B - c_B(v)*n_A| over denominator n_A*n_B,
+    plus the smallest threshold attaining it. Per-batch (side, value)
+    count partials fold on the driver at O(blocks x distinct-values);
+    the cum-sum scan is O(distinct) — the data never shuffles."""
+    docs = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = t["source"].to_numpy(zero_copy_only=False)
+        v = t["n_chars"].to_numpy(zero_copy_only=False)
+        side = np.where(src == KS_SRC_A, 0, np.where(src == KS_SRC_B, 1, -1))
+        keep = side >= 0
+        if not keep.any():
+            return pa.table({"side": pa.nulls(0, pa.int64()),
+                             "v": pa.nulls(0, pa.int64()),
+                             "n": pa.nulls(0, pa.int64())})
+        key = np.stack([side[keep], v[keep]], axis=1)
+        uniq, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table({"side": pa.array(uniq[:, 0], pa.int64()),
+                         "v": pa.array(uniq[:, 1], pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    import pandas as pd
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby(["side", "v"])["n"].sum()
+    a = g.get(0, pd.Series(dtype="int64"))
+    b = g.get(1, pd.Series(dtype="int64"))
+    vals = np.unique(np.concatenate([
+        np.asarray(a.index, np.int64), np.asarray(b.index, np.int64)]))
+    ca = np.cumsum([int(a.get(int(v), 0)) for v in vals])
+    cb = np.cumsum([int(b.get(int(v), 0)) for v in vals])
+    n1, n2 = int(ca[-1]) if len(ca) else 0, int(cb[-1]) if len(cb) else 0
+    diff = np.abs(ca * n2 - cb * n1)
+    d_num = int(diff.max()) if len(diff) else 0
+    at_value = int(vals[np.argmax(diff)]) if len(diff) else 0
+    return pa.table({"n1": pa.array([n1], pa.int64()),
+                     "n2": pa.array([n2], pa.int64()),
+                     "d_num": pa.array([d_num], pa.int64()),
+                     "at_value": pa.array([at_value], pa.int64())})
+
+
+SQL_KS_STATISTIC = f"""
+WITH a AS (SELECT n_chars AS v FROM documents WHERE source = '{KS_SRC_A}'),
+b AS (SELECT n_chars AS v FROM documents WHERE source = '{KS_SRC_B}'),
+vals AS (SELECT DISTINCT v FROM (SELECT v FROM a UNION SELECT v FROM b)),
+c AS (
+  SELECT vals.v,
+         (SELECT count(*) FROM a WHERE a.v <= vals.v)::BIGINT AS c1,
+         (SELECT count(*) FROM b WHERE b.v <= vals.v)::BIGINT AS c2
+  FROM vals
+), m AS (
+  SELECT max(abs(c1 * (SELECT count(*) FROM b)
+               - c2 * (SELECT count(*) FROM a)))::BIGINT AS d FROM c
+)
+SELECT (SELECT count(*) FROM a)::BIGINT AS n1,
+       (SELECT count(*) FROM b)::BIGINT AS n2,
+       m.d AS d_num,
+       (SELECT min(v) FROM c
+        WHERE abs(c1 * (SELECT count(*) FROM b)
+                - c2 * (SELECT count(*) FROM a)) = m.d)::BIGINT AS at_value
+FROM m
+"""
+
+
+def q_linkage_features(sf_dir: str):
+    """RECORD-LINKAGE feature join — the Fellegi-Sunter scoring input:
+    for every edit-distance-1 customer-name pair (the FastSS candidate
+    set of `name_edit_pairs`), the field-agreement features a linkage
+    model consumes: same-nation flag, same-segment flag, absolute
+    balance gap in cents. The pair table joins the customer dim TWICE
+    through the bucketed hash exchange keyed on the name string —
+    feature extraction never touches the quadratic name space."""
+    from .pipelines.relational import bucketed_hash_join
+
+    pairs = q_name_edit_pairs(sf_dir).materialize()
+    cust = _read(sf_dir, "customer",
+                 ["c_name", "c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def side(tag: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                f"word_{tag}": t["c_name"],
+                f"nat_{tag}": t["c_nationkey"].cast(pa.int64()),
+                f"seg_{tag}": t["c_mktsegment"],
+                f"bal_{tag}": _cents(t["c_acctbal"]),
+            })
+        return f
+
+    ca = cust.map_batches(side("a"), batch_format="pyarrow").materialize()
+    cb = cust.map_batches(side("b"), batch_format="pyarrow").materialize()
+    j = bucketed_hash_join(pairs, ca, "word_a", n_buckets=16)
+    j = bucketed_hash_join(j, cb, "word_b", n_buckets=16)
+
+    def feats(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "name_a": t["word_a"],
+            "name_b": t["word_b"],
+            "same_nation": pc.equal(t["nat_a"], t["nat_b"]).cast(pa.int64()),
+            "same_segment": pc.equal(t["seg_a"], t["seg_b"]).cast(pa.int64()),
+            "bal_diff_cents": pc.abs(pc.subtract(t["bal_a"], t["bal_b"])),
+        })
+
+    return j.map_batches(feats, batch_format="pyarrow")
+
+
+SQL_LINKAGE_FEATURES = """
+WITH v AS (SELECT DISTINCT c_name AS w FROM customer),
+p AS (
+  SELECT a.w AS word_a, b.w AS word_b
+  FROM v a JOIN v b ON a.w < b.w AND levenshtein(a.w, b.w) = 1
+)
+SELECT p.word_a AS name_a, p.word_b AS name_b,
+       (ca.c_nationkey = cb.c_nationkey)::BIGINT AS same_nation,
+       (ca.c_mktsegment = cb.c_mktsegment)::BIGINT AS same_segment,
+       abs(CAST(round(ca.c_acctbal * 100) AS BIGINT)
+           - CAST(round(cb.c_acctbal * 100) AS BIGINT))::BIGINT
+         AS bal_diff_cents
+FROM p JOIN customer ca ON ca.c_name = p.word_a
+       JOIN customer cb ON cb.c_name = p.word_b
+"""
+
+
+def q_acctbal_gini(sf_dir: str):
+    """Per-nation GINI COEFFICIENT of customer balances as an EXACT
+    RATIONAL — the inequality audit, via the rank formula
+    G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) over the (balance, custkey)-
+    sorted sequence; numerator and denominator publish as integers so
+    no division order matters. ONE exchange by nation; inside a bucket
+    a single lexsort + segment-local ranks compute every nation's sums
+    vectorized — no per-nation loop, no window shuffle."""
+    from .pipelines.relational import bucketed_reduce
+
+    cust = _read(sf_dir, "customer",
+                 ["c_nationkey", "c_custkey", "c_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "nat": t["c_nationkey"].cast(pa.int64()),
+            "ck": t["c_custkey"],
+            "bal": _cents(t["c_acctbal"]),
+        })
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"c_nationkey": pa.nulls(0, pa.int64()),
+                          "gini_num": pa.nulls(0, pa.int64()),
+                          "gini_den": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        nat = t["nat"].to_numpy(zero_copy_only=False)
+        ck = t["ck"].to_numpy(zero_copy_only=False)
+        bal = t["bal"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ck, bal, nat))
+        nat, bal = nat[order], bal[order]
+        starts = np.flatnonzero(np.r_[True, nat[1:] != nat[:-1]])
+        cnt = np.diff(np.r_[starts, len(nat)])
+        rank = (np.arange(len(nat))
+                - np.repeat(starts, cnt) + 1)          # 1-based in-group
+        sx = np.add.reduceat(bal, starts)
+        six = np.add.reduceat(rank * bal, starts)
+        num = 2 * six - (cnt + 1) * sx
+        den = cnt * sx
+        return pa.table({"c_nationkey": pa.array(nat[starts], pa.int64()),
+                         "gini_num": pa.array(num, pa.int64()),
+                         "gini_den": pa.array(den, pa.int64())})
+
+    return bucketed_reduce(cust.map_batches(prep, batch_format="pyarrow"),
+                           "nat", bucket_fn, n_buckets=16)
+
+
+SQL_ACCTBAL_GINI = """
+WITH r AS (
+  SELECT c_nationkey::BIGINT AS c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY round(c_acctbal * 100), c_custkey)
+           AS i
+  FROM customer
+)
+SELECT c_nationkey,
+       (2 * sum(i * bal) - (count(*) + 1) * sum(bal))::BIGINT AS gini_num,
+       (count(*) * sum(bal))::BIGINT AS gini_den
+FROM r GROUP BY 1
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -12732,4 +12925,7 @@ def catalog():
         "mutual_knn": (q_mutual_knn, SQL_MUTUAL_KNN),
         "name_edit_pairs": (q_name_edit_pairs, SQL_NAME_EDIT_PAIRS),
         "cumulative_users": (q_cumulative_users, SQL_CUMULATIVE_USERS),
+        "ks_statistic": (q_ks_statistic, SQL_KS_STATISTIC),
+        "linkage_features": (q_linkage_features, SQL_LINKAGE_FEATURES),
+        "acctbal_gini": (q_acctbal_gini, SQL_ACCTBAL_GINI),
     }
