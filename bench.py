@@ -224,6 +224,9 @@ BENCH_QUERIES = [
     "ks_statistic",
     "linkage_features",
     "acctbal_gini",
+    "bloom_fp_audit",
+    "rolling_median",
+    "diversified_topk",
 ]
 
 

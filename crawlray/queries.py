@@ -12697,6 +12697,249 @@ FROM r GROUP BY 1
 """
 
 
+BLOOM_FP_M = 4096
+BLOOM_FP_K = 3
+
+
+def q_bloom_fp_audit(sf_dir: str):
+    """BLOOM-FILTER false-positive audit — the calibration every
+    membership stage (the crawl's URL-seen pre-filter, `ri_audit`'s
+    gate) should publish: build an m=4096-bit / k=3 double-hashed
+    bloom over the member keys (orderkey % 3 == 0), probe with the
+    DISJOINT key set (% 3 == 1), and report bits set + false-positive
+    count. Deterministic end to end via the repo-wide md5 contract, so
+    the SQL oracle rebuilds the SAME filter bit-for-bit. Member
+    position partials OR into a 4096-bit driver bitmap (O(blocks x m)
+    bits); the broadcast bitmap probes map-side — nothing shuffles."""
+    import ray
+
+    from .util import md5_id_bucket
+
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def positions(keys: np.ndarray) -> np.ndarray:
+        h1 = md5_id_bucket("bf1", keys, BLOOM_FP_M)
+        h2 = md5_id_bucket("bf2", keys, BLOOM_FP_M - 1) + 1
+        return np.concatenate([(h1 + i * h2) % BLOOM_FP_M
+                               for i in range(BLOOM_FP_K)])
+
+    def member_partial(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        k = k[k % 3 == 0]
+        bits = np.zeros(BLOOM_FP_M, bool)
+        if len(k):
+            bits[positions(k)] = True
+        # bit = -1 row carries this batch's member count (aligned cols)
+        pos = np.r_[np.flatnonzero(bits).astype(np.int64), np.int64(-1)]
+        cnt = np.zeros(len(pos), np.int64)
+        cnt[-1] = len(k)
+        return pa.table({"bit": pa.array(pos, pa.int64()),
+                         "n_members": pa.array(cnt, pa.int64())})
+
+    import pandas as pd
+    parts = orders.map_batches(member_partial,
+                               batch_format="pyarrow").to_pandas()
+    bits = np.zeros(BLOOM_FP_M, bool)
+    real = parts[parts["bit"] >= 0] if len(parts) else parts
+    if len(real):
+        bits[real["bit"].to_numpy()] = True
+    n_members = int(parts["n_members"].sum()) if len(parts) else 0
+    bits_ref = ray.put(bits)
+
+    class Prober:
+        def __init__(self):
+            self.bits = ray.get(bits_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+            k = k[k % 3 == 1]
+            if not len(k):
+                return pa.table({"n_probes": pa.array([0], pa.int64()),
+                                 "n_fp": pa.array([0], pa.int64())})
+            h1 = md5_id_bucket("bf1", k, BLOOM_FP_M)
+            h2 = md5_id_bucket("bf2", k, BLOOM_FP_M - 1) + 1
+            hit = np.ones(len(k), bool)
+            for i in range(BLOOM_FP_K):
+                hit &= self.bits[(h1 + i * h2) % BLOOM_FP_M]
+            return pa.table({
+                "n_probes": pa.array([np.int64(len(k))], pa.int64()),
+                "n_fp": pa.array([np.int64(hit.sum())], pa.int64())})
+
+    probe = orders.map_batches(Prober, batch_format="pyarrow",
+                               concurrency=2).to_pandas()
+    return pa.table({
+        "n_members": pa.array([n_members], pa.int64()),
+        "n_probes": pa.array([int(probe["n_probes"].sum())], pa.int64()),
+        "bits_set": pa.array([int(bits.sum())], pa.int64()),
+        "n_fp": pa.array([int(probe["n_fp"].sum())], pa.int64()),
+    })
+
+
+SQL_BLOOM_FP_AUDIT = f"""
+WITH members AS (
+  SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 3 = 0
+), probes AS (
+  SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 3 = 1
+), hm AS (
+  SELECT k,
+    (md5_number_upper('bf1:' || k::VARCHAR)::HUGEINT
+     % {BLOOM_FP_M}::HUGEINT)::BIGINT AS h1,
+    (md5_number_upper('bf2:' || k::VARCHAR)::HUGEINT
+     % {BLOOM_FP_M - 1}::HUGEINT)::BIGINT + 1 AS h2
+  FROM members
+), mbits AS (
+  SELECT DISTINCT (h1 + i.i * h2) % {BLOOM_FP_M} AS p
+  FROM hm CROSS JOIN
+       (SELECT unnest(generate_series(0, {BLOOM_FP_K - 1})) AS i) i
+), hp AS (
+  SELECT k,
+    (md5_number_upper('bf1:' || k::VARCHAR)::HUGEINT
+     % {BLOOM_FP_M}::HUGEINT)::BIGINT AS h1,
+    (md5_number_upper('bf2:' || k::VARCHAR)::HUGEINT
+     % {BLOOM_FP_M - 1}::HUGEINT)::BIGINT + 1 AS h2
+  FROM probes
+), pp AS (
+  SELECT k, (h1 + i.i * h2) % {BLOOM_FP_M} AS p
+  FROM hp CROSS JOIN
+       (SELECT unnest(generate_series(0, {BLOOM_FP_K - 1})) AS i) i
+), fp AS (
+  SELECT k FROM pp GROUP BY k
+  HAVING count(*) FILTER (p IN (SELECT p FROM mbits)) = {BLOOM_FP_K}
+)
+SELECT (SELECT count(*) FROM members)::BIGINT AS n_members,
+       (SELECT count(*) FROM probes)::BIGINT AS n_probes,
+       (SELECT count(*) FROM mbits)::BIGINT AS bits_set,
+       (SELECT count(*) FROM fp)::BIGINT AS n_fp
+"""
+
+
+def q_rolling_median(sf_dir: str):
+    """Grouped ROLLING MEDIAN (trailing 5 rows) of cents per event —
+    the robust companion of `rolling_moments`, published as 2x the
+    median so partial (even-count) windows stay exact integers. One
+    exchange by user; inside a bucket the five shifted columns (with
+    a segment-guard sentinel) sort ROW-WISE in one np.sort over an
+    (n, 5) matrix, and the median reads off by window count — no
+    per-row loop, no window shuffle."""
+    from .pipelines.relational import bucketed_reduce
+
+    W = ROLLING_WINDOW_ROWS
+    SENT = np.int64(2**62)
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "at_us": t["ts"].cast(pa.int64()),
+            "event_id": t["event_id"],
+            "cents": _cents(t["value"]),
+        })
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.nulls(0, pa.int64()),
+                          "w_n": pa.nulls(0, pa.int64()),
+                          "med2": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["at_us"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, eid, c = u[order], eid[order], c[order]
+        n = len(u)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        pos = np.arange(n) - np.repeat(starts, np.diff(np.r_[starts, n]))
+        w_n = np.minimum(pos + 1, W)
+        M = np.full((n, W), SENT, np.int64)
+        for d in range(W):
+            src = np.arange(n) - d
+            ok = pos >= d
+            M[ok, d] = c[src[ok]]
+        M.sort(axis=1)
+        odd = w_n % 2 == 1
+        mid = (w_n - 1) // 2
+        rows = np.arange(n)
+        med2 = np.where(odd, 2 * M[rows, mid],
+                        M[rows, np.maximum(w_n // 2 - 1, 0)]
+                        + M[rows, w_n // 2])
+        return pa.table({"event_id": pa.array(eid, pa.int64()),
+                         "w_n": pa.array(w_n, pa.int64()),
+                         "med2": pa.array(med2, pa.int64())})
+
+    return bucketed_reduce(ev.map_batches(prep, batch_format="pyarrow"),
+                           "user_id", bucket_fn, n_buckets=32)
+
+
+SQL_ROLLING_MEDIAN = f"""
+SELECT event_id,
+       count(*) OVER w::BIGINT AS w_n,
+       (2 * median(cents) OVER w)::BIGINT AS med2
+FROM (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {ROLLING_WINDOW_ROWS - 1} PRECEDING
+             AND CURRENT ROW)
+"""
+
+
+DIVERSIFIED_PER_GROUP = 2
+DIVERSIFIED_TOTAL = 10
+
+
+def q_diversified_topk(sf_dir: str):
+    """DIVERSIFIED top-k — the leaderboard with a fairness quota:
+    global top-10 customers by balance, at most 2 per nation. The
+    quota makes it distributable in two bounded stages: per-nation
+    top-2 via `grouped_topk` (<= 2 rows per (batch, nation) shuffle),
+    then a global sort + limit over <= 2*|nations| survivors — the
+    quota guarantees the global answer lives in the survivor set."""
+    from .pipelines.relational import grouped_topk
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "c_nationkey": t["c_nationkey"].cast(pa.int64()),
+            "bal_cents": _cents(t["c_acctbal"]),
+        })
+
+    per_nation = grouped_topk(
+        cust.map_batches(prep, batch_format="pyarrow"),
+        ["c_nationkey"], "bal_cents", "c_custkey",
+        DIVERSIFIED_PER_GROUP)
+    top = (per_nation.to_pandas()
+           .sort_values(["bal_cents", "c_custkey"],
+                        ascending=[False, True], kind="stable")
+           .head(DIVERSIFIED_TOTAL))
+    return pa.table({
+        "c_custkey": pa.array(top["c_custkey"].to_numpy(), pa.int64()),
+        "c_nationkey": pa.array(top["c_nationkey"].to_numpy(), pa.int64()),
+        "bal_cents": pa.array(top["bal_cents"].to_numpy(), pa.int64()),
+    })
+
+
+SQL_DIVERSIFIED_TOPK = f"""
+WITH r AS (
+  SELECT c_custkey, c_nationkey::BIGINT AS c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY round(c_acctbal * 100) DESC,
+                                     c_custkey) AS rn
+  FROM customer
+)
+SELECT c_custkey, c_nationkey, bal_cents
+FROM r WHERE rn <= {DIVERSIFIED_PER_GROUP}
+ORDER BY bal_cents DESC, c_custkey
+LIMIT {DIVERSIFIED_TOTAL}
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -12928,4 +13171,7 @@ def catalog():
         "ks_statistic": (q_ks_statistic, SQL_KS_STATISTIC),
         "linkage_features": (q_linkage_features, SQL_LINKAGE_FEATURES),
         "acctbal_gini": (q_acctbal_gini, SQL_ACCTBAL_GINI),
+        "bloom_fp_audit": (q_bloom_fp_audit, SQL_BLOOM_FP_AUDIT),
+        "rolling_median": (q_rolling_median, SQL_ROLLING_MEDIAN),
+        "diversified_topk": (q_diversified_topk, SQL_DIVERSIFIED_TOPK),
     }
