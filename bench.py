@@ -227,6 +227,9 @@ BENCH_QUERIES = [
     "bloom_fp_audit",
     "rolling_median",
     "diversified_topk",
+    "above_p90_counts",
+    "ship_delay_histogram",
+    "name_clusters",
 ]
 
 

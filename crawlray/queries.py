@@ -12940,6 +12940,234 @@ LIMIT {DIVERSIFIED_TOTAL}
 """
 
 
+def q_above_p90_counts(sf_dir: str):
+    """Per-user ABOVE-OWN-P90 alert counts — the decorrelated
+    'value > the same user's 90th percentile' subquery every anomaly
+    alerter runs: because every user's rows land in exactly one bucket
+    of the exchange, the per-user order statistic (rank ceil(0.9 n),
+    integer rank math — float ceil(0.9*n) is a cross-engine trap) and
+    the count above it resolve in the SAME pass, no join-back. One
+    lexsort + reduceat per bucket, vectorized across users."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "c": _cents(t["value"])})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.nulls(0, pa.int64()),
+                          "n_events": pa.nulls(0, pa.int64()),
+                          "p90_cents": pa.nulls(0, pa.int64()),
+                          "n_above": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, u))
+        u, c = u[order], c[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        cnt = np.diff(np.r_[starts, len(u)])
+        rank90 = (9 * cnt + 9) // 10                    # ceil(0.9 n)
+        p90 = c[starts + rank90 - 1]
+        # all users' "rows above own p90" via ONE searchsorted over the
+        # segment-encoded value domain (no per-user loop)
+        rel = c - c.min()
+        offset = rel.max() + np.int64(2)
+        seg = np.repeat(np.arange(len(starts), dtype=np.int64), cnt)
+        z = rel + seg * offset
+        pz = (p90 - c.min()) + np.arange(len(starts),
+                                         dtype=np.int64) * offset
+        above = (starts + cnt) - np.searchsorted(z, pz, side="right")
+        return pa.table({"user_id": pa.array(u[starts], pa.int64()),
+                         "n_events": pa.array(cnt, pa.int64()),
+                         "p90_cents": pa.array(p90, pa.int64()),
+                         "n_above": pa.array(above, pa.int64())})
+
+    return bucketed_reduce(ev.map_batches(prep, batch_format="pyarrow"),
+                           "user_id", bucket_fn, n_buckets=16)
+
+
+SQL_ABOVE_P90_COUNTS = """
+WITH e AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c FROM events
+), r AS (
+  SELECT user_id, c,
+         row_number() OVER (PARTITION BY user_id ORDER BY c) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM e
+), p AS (
+  SELECT user_id, max(n)::BIGINT AS n_events,
+         max(CASE WHEN rn = (9 * n + 9) // 10 THEN c END)::BIGINT AS p90
+  FROM r GROUP BY 1
+)
+SELECT p.user_id, p.n_events, p.p90 AS p90_cents,
+       count(*) FILTER (e.c > p.p90)::BIGINT AS n_above
+FROM p JOIN e ON e.user_id = p.user_id
+GROUP BY 1, 2, 3
+"""
+
+
+SHIP_DELAY_BIN_US = 30 * 86_400 * 1_000_000
+SHIP_DELAY_SHIFT = 100
+
+
+def q_ship_delay_histogram(sf_dir: str):
+    """ORDER-TO-FIRST-SHIP delay histogram in 30-day bins — the
+    fulfillment-latency SLA curve: per order, min lineitem shipdate
+    minus orderdate, binned. Lineitem folds to per-batch (orderkey,
+    min-ship) partials, ONE exchange by orderkey finishes the min, the
+    order header attaches through the bucketed hash exchange (both
+    sides large at scale), and each batch emits only O(bins) histogram
+    partials. Negative delays (the synthetic dates are independent)
+    bin correctly because the shift-then-floor-divide keeps the
+    numerator non-negative — '//' truncation vs floor never
+    diverges."""
+    from .pipelines.relational import bucketed_hash_join, bucketed_reduce
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"o_orderkey": t["l_orderkey"],
+                       "s": t["l_shipdate"].cast(pa.int64())})
+             .group_by("o_orderkey").aggregate([("s", "min")]))
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         "min_ship_us": g["s_min"]})
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"o_orderkey": pa.nulls(0, pa.int64()),
+                             "min_ship_us": pa.nulls(0, pa.int64())})
+        g = t.group_by("o_orderkey").aggregate([("min_ship_us", "min")])
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         "min_ship_us": g["min_ship_us_min"]})
+
+    first_ship = bucketed_reduce(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        "o_orderkey", finish, n_buckets=32)
+    joined = bucketed_hash_join(orders, first_ship, "o_orderkey",
+                                n_buckets=16)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        d = (t["min_ship_us"].to_numpy(zero_copy_only=False)
+             - t["o_orderdate"].cast(pa.int64())
+             .to_numpy(zero_copy_only=False))
+        b = ((d + SHIP_DELAY_BIN_US * SHIP_DELAY_SHIFT)
+             // SHIP_DELAY_BIN_US) - SHIP_DELAY_SHIFT
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"delay_bucket": pa.array(u, pa.int64()),
+                         "n_orders": pa.array(c.astype(np.int64))})
+
+    import pandas as pd
+    parts = joined.map_batches(hist_partial,
+                               batch_format="pyarrow").to_pandas()
+    out = (parts.groupby("delay_bucket", as_index=False)["n_orders"].sum()
+           .sort_values("delay_bucket"))
+    return pa.table({
+        "delay_bucket": pa.array(out["delay_bucket"], pa.int64()),
+        "n_orders": pa.array(out["n_orders"], pa.int64()),
+    })
+
+
+SQL_SHIP_DELAY_HISTOGRAM = f"""
+WITH f AS (
+  SELECT l_orderkey, min(epoch_us(l_shipdate))::BIGINT AS ship_us
+  FROM lineitem GROUP BY 1
+), d AS (
+  SELECT ((f.ship_us - epoch_us(o.o_orderdate)
+           + {SHIP_DELAY_BIN_US}::BIGINT * {SHIP_DELAY_SHIFT})
+          // {SHIP_DELAY_BIN_US}::BIGINT) - {SHIP_DELAY_SHIFT}
+           AS delay_bucket
+  FROM orders o JOIN f ON f.l_orderkey = o.o_orderkey
+)
+SELECT delay_bucket::BIGINT AS delay_bucket,
+       count(*)::BIGINT AS n_orders
+FROM d GROUP BY 1
+"""
+
+
+def q_name_clusters(sf_dir: str):
+    """ENTITY-RESOLUTION clusters with survivorship — the golden-record
+    builder: connected components over the edit-distance-1 name pair
+    graph (`name_edit_pairs` -> custkey pairs via two bucketed hash
+    joins), then per-cluster survivorship rules (min custkey as the
+    surviving id, member count, max balance) in ONE exchange by
+    cluster label. CC is the distributed min-label propagation of
+    `dedup.connected_components_ds` (pointer jumping, sharded state);
+    the oracle restates the closure as a recursive CTE over the same
+    LD = 1 pair set."""
+    from .pipelines.dedup import connected_components_ds
+    from .pipelines.relational import bucketed_hash_join, bucketed_reduce
+
+    pairs = q_name_edit_pairs(sf_dir).materialize()
+    cust = _read(sf_dir, "customer",
+                 ["c_name", "c_custkey", "c_acctbal"])
+
+    def side(tag: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({f"word_{tag}": t["c_name"],
+                             f"ck_{tag}": t["c_custkey"]})
+        return f
+
+    ca = cust.map_batches(side("a"), batch_format="pyarrow").materialize()
+    cb = cust.map_batches(side("b"), batch_format="pyarrow").materialize()
+    j = bucketed_hash_join(pairs, ca, "word_a", n_buckets=16)
+    j = bucketed_hash_join(j, cb, "word_b", n_buckets=16)
+    edge_ids = j.map_batches(
+        lambda t: pa.table({"a": t["ck_a"].cast(pa.int64()),
+                            "b": t["ck_b"].cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+    cc = connected_components_ds(edge_ids)     # (doc_id, cluster)
+
+    balmap = cust.map_batches(
+        lambda t: pa.table({"doc_id": t["c_custkey"].cast(pa.int64()),
+                            "bal": _cents(t["c_acctbal"])}),
+        batch_format="pyarrow").materialize()
+    withbal = bucketed_hash_join(cc, balmap, "doc_id", n_buckets=16)
+
+    def survive(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"cluster": pa.nulls(0, pa.int64()),
+                             "n_members": pa.nulls(0, pa.int64()),
+                             "max_bal_cents": pa.nulls(0, pa.int64())})
+        g = t.group_by("cluster").aggregate(
+            [("doc_id", "count"), ("bal", "max")])
+        return pa.table({
+            "cluster": g["cluster"],
+            "n_members": g["doc_id_count"].cast(pa.int64()),
+            "max_bal_cents": g["bal_max"],
+        })
+
+    return bucketed_reduce(withbal, "cluster", survive, n_buckets=16)
+
+
+SQL_NAME_CLUSTERS = """
+WITH RECURSIVE v AS (SELECT DISTINCT c_name AS w FROM customer),
+p AS (
+  SELECT ca.c_custkey AS a, cb.c_custkey AS b
+  FROM v x JOIN v y ON x.w < y.w AND levenshtein(x.w, y.w) = 1
+  JOIN customer ca ON ca.c_name = x.w
+  JOIN customer cb ON cb.c_name = y.w
+),
+nodes AS (SELECT a AS x FROM p UNION SELECT b FROM p),
+edges AS (SELECT a AS s, b AS d FROM p UNION SELECT b, a FROM p),
+reach(x, y) AS (
+  SELECT x, x FROM nodes
+  UNION
+  SELECT r.x, e.d FROM reach r JOIN edges e ON r.y = e.s
+),
+lab AS (SELECT x AS ck, min(y) AS cluster FROM reach GROUP BY x)
+SELECT lab.cluster::BIGINT AS cluster,
+       count(*)::BIGINT AS n_members,
+       max(CAST(round(c.c_acctbal * 100) AS BIGINT))::BIGINT
+         AS max_bal_cents
+FROM lab JOIN customer c ON c.c_custkey = lab.ck
+GROUP BY 1
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -13174,4 +13402,8 @@ def catalog():
         "bloom_fp_audit": (q_bloom_fp_audit, SQL_BLOOM_FP_AUDIT),
         "rolling_median": (q_rolling_median, SQL_ROLLING_MEDIAN),
         "diversified_topk": (q_diversified_topk, SQL_DIVERSIFIED_TOPK),
+        "above_p90_counts": (q_above_p90_counts, SQL_ABOVE_P90_COUNTS),
+        "ship_delay_histogram": (q_ship_delay_histogram,
+                                 SQL_SHIP_DELAY_HISTOGRAM),
+        "name_clusters": (q_name_clusters, SQL_NAME_CLUSTERS),
     }
