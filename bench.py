@@ -230,6 +230,9 @@ BENCH_QUERIES = [
     "above_p90_counts",
     "ship_delay_histogram",
     "name_clusters",
+    "ab_lift",
+    "km_survival",
+    "order_total_reconcile",
 ]
 
 

@@ -56,19 +56,19 @@ class _PartialTopK:
         sims = m @ self.qm.T                  # (B, Q)
         vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         k = min(self.k, sims.shape[0])
-        out_q, out_v, out_s = [], [], []
-        for qi, qid in enumerate(self.q_ids):
-            col = sims[:, qi]
-            # local top-k with deterministic (sim desc, vec_id asc) tie-break
-            idx = np.lexsort((vec_ids, -col))[:k]
-            out_q.append(np.full(len(idx), qid, dtype=np.int64))
-            out_v.append(vec_ids[idx].astype(np.int64))
-            out_s.append(col[idx])
+        # SUPERSET partial: emit every row at or above each column's
+        # k-th largest sim (boundary ties included), fully vectorized —
+        # one partition + one nonzero instead of a Python loop of
+        # per-query lexsorts. The global merge (`_final_topk`) applies
+        # the exact (sim desc, vec_id asc) tie-break, so over-emitting
+        # here never changes the answer, only ships a few extra rows.
+        thresh = -np.partition(-sims, k - 1, axis=0)[k - 1]   # (Q,)
+        rows, cols = np.nonzero(sims >= thresh[None, :])
         return pa.table(
             {
-                "query_id": pa.array(np.concatenate(out_q)),
-                "vec_id": pa.array(np.concatenate(out_v)),
-                "sim": pa.array(np.concatenate(out_s), pa.float64()),
+                "query_id": pa.array(self.q_ids[cols].astype(np.int64)),
+                "vec_id": pa.array(vec_ids[rows].astype(np.int64)),
+                "sim": pa.array(sims[rows, cols], pa.float64()),
             }
         )
 
@@ -469,14 +469,32 @@ def mutual_topk_pairs(embeddings: rd.Dataset, k: int = 5) -> rd.Dataset:
         num_cpus=0.5,
     )
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.sort_values(["sim", "vec_id"],
-                           ascending=[False, True], kind="stable")
-        g = g[g["vec_id"] != g["query_id"]].head(k)
-        return g[["query_id", "vec_id"]]
+    def finish(t: pa.Table) -> pa.Table:
+        # per-query merge, vectorized across every query in the bucket
+        # (a groupby().map_groups here pays a per-group pandas call per
+        # query and, being lazy, re-executes under the next exchange)
+        empty = pa.table({"query_id": pa.nulls(0, pa.int64()),
+                          "vec_id": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        q = t["query_id"].to_numpy(zero_copy_only=False)
+        v = t["vec_id"].to_numpy(zero_copy_only=False)
+        s = t["sim"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -s, q))      # q asc, sim desc, vec asc
+        q, v = q[order], v[order]
+        m = v != q                          # drop self
+        q, v = q[m], v[m]
+        if not len(q):
+            return empty
+        starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
+        pos = (np.arange(len(q))
+               - np.repeat(starts, np.diff(np.r_[starts, len(q)])))
+        keep = pos < k
+        return pa.table({"query_id": pa.array(q[keep], pa.int64()),
+                         "vec_id": pa.array(v[keep], pa.int64())})
 
-    topk = partial.groupby("query_id").map_groups(
-        finish, batch_format="pandas")
+    from .relational import bucketed_reduce as _br
+    topk = _br(partial, "query_id", finish, n_buckets=16)
 
     def norm_pairs(t: pa.Table) -> pa.Table:
         q = t["query_id"].to_numpy(zero_copy_only=False)

@@ -13168,6 +13168,251 @@ GROUP BY 1
 """
 
 
+def q_ab_lift(sf_dir: str):
+    """A/B EXPERIMENT readout over a deterministic hash split — arm =
+    md5(user) parity (the same salt-keyed assignment `split` uses, so
+    assignment is reproducible and SQL-restatable), metric = purchase
+    conversion. Publishes per-arm users / converters and the lift in
+    ppm by exact integer division — the experimentation harness's
+    primitive readout. Per-user flags fold in ONE exchange by user
+    (per-batch partials first); arms then collapse to two rows."""
+    from .pipelines.relational import bucketed_reduce
+    from .util import md5_id_bucket
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({
+            "user_id": t["user_id"],
+            "p": pc.equal(t["event_type"], "purchase").cast(pa.int64()),
+        }).group_by("user_id").aggregate([("p", "max")]))
+        return pa.table({"user_id": g["user_id"], "p": g["p_max"]})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"arm": pa.nulls(0, pa.int64()),
+                          "n_users": pa.nulls(0, pa.int64()),
+                          "n_converted": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        g = t.group_by("user_id").aggregate([("p", "max")])
+        ids = g["user_id"].to_numpy(zero_copy_only=False)
+        conv = g["p_max"].to_numpy(zero_copy_only=False)
+        arm = md5_id_bucket("ab-v1", ids, 2)
+        out_arm, out_n, out_c = [], [], []
+        for a in (0, 1):
+            m = arm == a
+            out_arm.append(a)
+            out_n.append(int(m.sum()))
+            out_c.append(int(conv[m].sum()))
+        return pa.table({"arm": pa.array(out_arm, pa.int64()),
+                         "n_users": pa.array(out_n, pa.int64()),
+                         "n_converted": pa.array(out_c, pa.int64())})
+
+    import pandas as pd
+    parts = bucketed_reduce(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        "user_id", bucket_fn, n_buckets=16).to_pandas()
+    g = (parts.groupby("arm", as_index=False)
+         [["n_users", "n_converted"]].sum().sort_values("arm"))
+    na, nb = int(g["n_users"].iloc[0]), int(g["n_users"].iloc[1])
+    ca, cb = int(g["n_converted"].iloc[0]), int(g["n_converted"].iloc[1])
+    lift = (cb * na * 1_000_000 // (ca * nb)) if ca and nb else 0
+    return pa.table({
+        "arm": pa.array([0, 1], pa.int64()),
+        "n_users": pa.array([na, nb], pa.int64()),
+        "n_converted": pa.array([ca, cb], pa.int64()),
+        "lift_vs_control_ppm": pa.array([1_000_000, lift], pa.int64()),
+    })
+
+
+SQL_AB_LIFT = """
+WITH u AS (
+  SELECT user_id,
+         (md5_number_upper('ab-v1:' || user_id::VARCHAR)::HUGEINT
+          % 2::HUGEINT)::BIGINT AS arm,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS conv
+  FROM events GROUP BY 1
+), g AS (
+  SELECT arm, count(*)::BIGINT AS n_users,
+         sum(conv)::BIGINT AS n_converted
+  FROM u GROUP BY 1
+), w AS (
+  SELECT
+    (SELECT n_users FROM g WHERE arm = 0) AS na,
+    (SELECT n_converted FROM g WHERE arm = 0) AS ca,
+    (SELECT n_users FROM g WHERE arm = 1) AS nb,
+    (SELECT n_converted FROM g WHERE arm = 1) AS cb
+)
+SELECT g.arm, g.n_users, g.n_converted,
+       CASE WHEN g.arm = 0 THEN 1000000
+            ELSE (w.cb * w.na * 1000000 // (w.ca * w.nb)) END::BIGINT
+         AS lift_vs_control_ppm
+FROM g, w
+"""
+
+
+KM_CENSOR_DAY = 25
+
+
+def q_km_survival(sf_dir: str):
+    """KAPLAN-MEIER survival TABLE for user lifetime — the churn curve
+    input: lifetime = last-active day − first-active day, an event
+    (churn) if the user's last activity is before the censor day, else
+    censored. Publishes the exact KM ingredients per lifetime t:
+    n_at_risk (users with lifetime >= t still under observation) and
+    d_churned — the estimator multiplies these rationals downstream.
+    Per-user (min, max) day folds in ONE exchange; the life table is a
+    driver scan of <= 31 rows."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"user_id": t["user_id"],
+                       "d": pc.day(t["ts"]).cast(pa.int64())})
+             .group_by("user_id")
+             .aggregate([("d", "min"), ("d", "max")]))
+        return pa.table({"user_id": g["user_id"],
+                         "dmin": g["d_min"], "dmax": g["d_max"]})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"life": pa.nulls(0, pa.int64()),
+                             "churn": pa.nulls(0, pa.int64()),
+                             "n": pa.nulls(0, pa.int64())})
+        g = (t.group_by("user_id")
+             .aggregate([("dmin", "min"), ("dmax", "max")]))
+        life = (g["dmax_max"].to_numpy(zero_copy_only=False)
+                - g["dmin_min"].to_numpy(zero_copy_only=False))
+        churn = (g["dmax_max"].to_numpy(zero_copy_only=False)
+                 < KM_CENSOR_DAY).astype(np.int64)
+        key = np.stack([life, churn], axis=1)
+        uniq, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table({"life": pa.array(uniq[:, 0], pa.int64()),
+                         "churn": pa.array(uniq[:, 1], pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    import pandas as pd
+    parts = bucketed_reduce(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        "user_id", bucket_fn, n_buckets=16).to_pandas()
+    g = parts.groupby(["life", "churn"])["n"].sum()
+    lives = np.array(sorted({int(k[0]) for k in g.index}), np.int64)
+    total = int(g.sum())
+    # n_at_risk(t) = users with lifetime >= t; d(t) = churned at t
+    below = {int(t): int(sum(v for (lf, _), v in g.items() if lf < t))
+             for t in lives}
+    rows_t, rows_r, rows_d = [], [], []
+    for t in lives:
+        d = int(g.get((int(t), 1), 0))
+        rows_t.append(int(t))
+        rows_r.append(total - below[int(t)])
+        rows_d.append(d)
+    return pa.table({"life_days": pa.array(rows_t, pa.int64()),
+                     "n_at_risk": pa.array(rows_r, pa.int64()),
+                     "d_churned": pa.array(rows_d, pa.int64())})
+
+
+SQL_KM_SURVIVAL = f"""
+WITH u AS (
+  SELECT user_id,
+         (max(day(ts)) - min(day(ts)))::BIGINT AS life,
+         (max(day(ts)) < {KM_CENSOR_DAY})::BIGINT AS churn
+  FROM events GROUP BY 1
+), lives AS (SELECT DISTINCT life FROM u)
+SELECT l.life AS life_days,
+       (SELECT count(*) FROM u WHERE u.life >= l.life)::BIGINT
+         AS n_at_risk,
+       (SELECT count(*) FROM u
+        WHERE u.life = l.life AND u.churn = 1)::BIGINT AS d_churned
+FROM lives l
+"""
+
+
+def q_order_total_reconcile(sf_dir: str):
+    """ORDER-TOTAL RECONCILIATION audit — the financial-close check:
+    recompute every order's total from its lineitems
+    (round(extprice x (1-disc) x (1+tax) x 100), fixed IEEE op order
+    both engines share) and compare against the header's totalprice
+    cents. Publishes order count, mismatch count, and the max absolute
+    gap. Lineitem folds to per-batch (orderkey, cents) partials, ONE
+    exchange finishes sums, the header attaches via the bucketed hash
+    exchange, and only O(1) audit rows reach the driver."""
+    from .pipelines.relational import bucketed_hash_join, bucketed_reduce
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_tax"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        di = t["l_discount"].to_numpy(zero_copy_only=False)
+        tx = t["l_tax"].to_numpy(zero_copy_only=False)
+        cents = np.round(ep * (1 - di) * (1 + tx) * 100).astype(np.int64)
+        g = (pa.table({"o_orderkey": t["l_orderkey"],
+                       "c": pa.array(cents)})
+             .group_by("o_orderkey").aggregate([("c", "sum")]))
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         "computed_cents": g["c_sum"]})
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"o_orderkey": pa.nulls(0, pa.int64()),
+                             "computed_cents": pa.nulls(0, pa.int64())})
+        g = t.group_by("o_orderkey").aggregate([("computed_cents", "sum")])
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         "computed_cents": g["computed_cents_sum"]})
+
+    comp = bucketed_reduce(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        "o_orderkey", finish, n_buckets=32)
+    j = bucketed_hash_join(orders, comp, "o_orderkey", n_buckets=16)
+
+    def audit(t: pa.Table) -> pa.Table:
+        diff = np.abs(_cents(t["o_totalprice"])
+                      .to_numpy(zero_copy_only=False)
+                      - t["computed_cents"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "n_orders": pa.array([np.int64(len(diff))], pa.int64()),
+            "n_mismatch": pa.array([np.int64((diff != 0).sum())],
+                                   pa.int64()),
+            "max_abs_diff_cents": pa.array(
+                [np.int64(diff.max()) if len(diff) else np.int64(0)],
+                pa.int64()),
+        })
+
+    import pandas as pd
+    parts = j.map_batches(audit, batch_format="pyarrow").to_pandas()
+    return pa.table({
+        "n_orders": pa.array([int(parts["n_orders"].sum())], pa.int64()),
+        "n_mismatch": pa.array([int(parts["n_mismatch"].sum())],
+                               pa.int64()),
+        "max_abs_diff_cents": pa.array(
+            [int(parts["max_abs_diff_cents"].max()) if len(parts) else 0],
+            pa.int64()),
+    })
+
+
+SQL_ORDER_TOTAL_RECONCILE = """
+WITH c AS (
+  SELECT l_orderkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount)
+                        * (1 + l_tax) * 100) AS BIGINT))::BIGINT
+           AS computed_cents
+  FROM lineitem GROUP BY 1
+), d AS (
+  SELECT abs(CAST(round(o.o_totalprice * 100) AS BIGINT)
+             - c.computed_cents) AS diff
+  FROM orders o JOIN c ON c.l_orderkey = o.o_orderkey
+)
+SELECT count(*)::BIGINT AS n_orders,
+       count(*) FILTER (diff <> 0)::BIGINT AS n_mismatch,
+       coalesce(max(diff), 0)::BIGINT AS max_abs_diff_cents
+FROM d
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -13406,4 +13651,8 @@ def catalog():
         "ship_delay_histogram": (q_ship_delay_histogram,
                                  SQL_SHIP_DELAY_HISTOGRAM),
         "name_clusters": (q_name_clusters, SQL_NAME_CLUSTERS),
+        "ab_lift": (q_ab_lift, SQL_AB_LIFT),
+        "km_survival": (q_km_survival, SQL_KM_SURVIVAL),
+        "order_total_reconcile": (q_order_total_reconcile,
+                                  SQL_ORDER_TOTAL_RECONCILE),
     }
