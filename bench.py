@@ -233,6 +233,9 @@ BENCH_QUERIES = [
     "ab_lift",
     "km_survival",
     "order_total_reconcile",
+    "best_run",
+    "dau_overlap",
+    "linenumber_gap_audit",
 ]
 
 

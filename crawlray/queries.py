@@ -13413,6 +13413,228 @@ FROM d
 """
 
 
+BEST_RUN_BASELINE_CENTS = 500
+
+
+def q_best_run(sf_dir: str):
+    """Per-user MAX-SUBARRAY (Kadane) — the most profitable contiguous
+    run of events, net of a fixed per-event baseline: the 'best streak'
+    primitive behind engagement scoring. The sequential Kadane scan
+    vectorizes exactly via prefix sums: best-ending-at-i = P_i -
+    min(0, min_{j<i} P_j), with the running minimum computed across ALL
+    users in one np.minimum.accumulate over a segment-OFFSET domain
+    (each user's prefixes shifted onto a disjoint band, so the
+    accumulate never leaks across users — no per-user loop). One
+    exchange by user."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "at_us": t["ts"].cast(pa.int64()),
+            "event_id": t["event_id"],
+            "net": pc.subtract(_cents(t["value"]),
+                               BEST_RUN_BASELINE_CENTS),
+        })
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.nulls(0, pa.int64()),
+                          "best_sum": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["at_us"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        net = t["net"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, net = u[order], net[order]
+        n = len(u)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        cnt = np.diff(np.r_[starts, n])
+        seg = np.repeat(np.arange(len(starts), dtype=np.int64), cnt)
+        P = np.cumsum(net)
+        base = np.r_[np.int64(0), P[starts[1:] - 1]]
+        relP = P - base[seg]                       # per-user prefix sums
+        # running min of (0, relP[j<i]) via ONE accumulate on a banded
+        # domain. Bands must DECREASE along the scan so an earlier
+        # user's (higher-band, larger) values can never win the min for
+        # a later user; the stride dominates any prefix magnitude
+        # (bound: segs-per-bucket x 4Σ|net| must fit int64).
+        BIG = (np.abs(net).sum() + np.int64(1)) * 4
+        band = (np.int64(len(starts)) - seg) * BIG
+        shifted = np.empty(n, np.int64)
+        shifted[0] = band[0]                        # empty prefix = 0
+        shifted[1:] = np.where(seg[1:] != seg[:-1], band[1:],
+                               relP[:-1] + band[1:])
+        runmin = np.minimum.accumulate(shifted) - band
+        best_at = relP - runmin
+        best = np.maximum.reduceat(best_at, starts)
+        return pa.table({"user_id": pa.array(u[starts], pa.int64()),
+                         "best_sum": pa.array(best, pa.int64())})
+
+    return bucketed_reduce(ev.map_batches(prep, batch_format="pyarrow"),
+                           "user_id", bucket_fn, n_buckets=32)
+
+
+SQL_BEST_RUN = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT)
+           - {BEST_RUN_BASELINE_CENTS} AS net
+  FROM events
+), p0 AS (
+  SELECT user_id, ts, event_id,
+         sum(net) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS pre
+  FROM e
+), p AS (
+  SELECT user_id, pre,
+         min(pre) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS min_before
+  FROM p0
+)
+SELECT user_id,
+       max(pre - least(coalesce(min_before, 0), 0))::BIGINT AS best_sum
+FROM p GROUP BY 1
+"""
+
+
+def q_dau_overlap(sf_dir: str):
+    """Day-over-day ACTIVE-USER JACCARD — the retention pulse: for each
+    consecutive day pair (d, d+1), |active(d) ∩ active(d+1)| and
+    |active(d) ∪ active(d+1)| as exact integers. Per-user 31-bit
+    activity bitmaps fold in ONE exchange by user (per-batch OR
+    partials first); each bucket then emits O(30) popcount partials —
+    the day-pair self-join the oracle runs never materializes."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        day = pc.day(t["ts"]).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "bit": np.left_shift(np.int64(1), day - 1),
+        })
+        g = df.groupby("user_id", as_index=False).agg(
+            mask=("bit", lambda s: np.bitwise_or.reduce(s.to_numpy())))
+        return pa.table({"user_id": pa.array(g["user_id"], pa.int64()),
+                         "mask": pa.array(g["mask"], pa.int64())})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"day": pa.nulls(0, pa.int64()),
+                          "n_inter": pa.nulls(0, pa.int64()),
+                          "n_union": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        import pandas as pd
+        g = (t.to_pandas().groupby("user_id")["mask"]
+             .agg(lambda s: np.bitwise_or.reduce(s.to_numpy())))
+        masks = g.to_numpy()
+        days, inter, union = [], [], []
+        for d in range(1, 31):
+            a = (masks >> (d - 1)) & 1
+            b = (masks >> d) & 1
+            days.append(d)
+            inter.append(int((a & b).sum()))
+            union.append(int((a | b).sum()))
+        return pa.table({"day": pa.array(days, pa.int64()),
+                         "n_inter": pa.array(inter, pa.int64()),
+                         "n_union": pa.array(union, pa.int64())})
+
+    import pandas as pd
+    parts = bucketed_reduce(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        "user_id", bucket_fn, n_buckets=16).to_pandas()
+    out = (parts.groupby("day", as_index=False)
+           [["n_inter", "n_union"]].sum().sort_values("day"))
+    return pa.table({"day": pa.array(out["day"], pa.int64()),
+                     "n_inter": pa.array(out["n_inter"], pa.int64()),
+                     "n_union": pa.array(out["n_union"], pa.int64())})
+
+
+SQL_DAU_OVERLAP = """
+WITH a AS (SELECT DISTINCT day(ts)::BIGINT AS d, user_id FROM events),
+g AS (SELECT unnest(generate_series(1, 30))::BIGINT AS day)
+SELECT g.day,
+       (SELECT count(*) FROM a x JOIN a y
+        ON x.user_id = y.user_id AND x.d = g.day
+        AND y.d = g.day + 1)::BIGINT AS n_inter,
+       (SELECT count(DISTINCT user_id) FROM a
+        WHERE d = g.day OR d = g.day + 1)::BIGINT AS n_union
+FROM g
+"""
+
+
+def q_linenumber_gap_audit(sf_dir: str):
+    """LINENUMBER completeness audit — the sequence-integrity check a
+    CDC/ingest pipeline runs: per order, linenumbers must be exactly
+    1..n with no gaps or duplicates (min = 1, max = count = distinct
+    count). Publishes total orders, gap orders, dup orders. Per-batch
+    (orderkey, min, max, count) partials; duplicates across batch
+    splits are caught by a distinct-count pass inside the single
+    exchange by orderkey."""
+    from .pipelines.relational import bucketed_reduce
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["l_orderkey"],
+            "ln": t["l_linenumber"].cast(pa.int64()),
+        })
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"n_orders": pa.nulls(0, pa.int64()),
+                          "n_gap": pa.nulls(0, pa.int64()),
+                          "n_dup": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        g = (t.group_by("o_orderkey")
+             .aggregate([("ln", "min"), ("ln", "max"),
+                         ("ln", "count"), ("ln", "count_distinct")]))
+        mn = g["ln_min"].to_numpy(zero_copy_only=False)
+        mx = g["ln_max"].to_numpy(zero_copy_only=False)
+        n = g["ln_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = (g["ln_count_distinct"].to_numpy(zero_copy_only=False)
+              .astype(np.int64))
+        dup = nd != n
+        gap = (mn != 1) | (mx != nd)
+        return pa.table({
+            "n_orders": pa.array([np.int64(len(mn))], pa.int64()),
+            "n_gap": pa.array([np.int64(gap.sum())], pa.int64()),
+            "n_dup": pa.array([np.int64(dup.sum())], pa.int64()),
+        })
+
+    import pandas as pd
+    parts = bucketed_reduce(
+        li.map_batches(prep, batch_format="pyarrow"),
+        "o_orderkey", bucket_fn, n_buckets=32).to_pandas()
+    return pa.table({
+        "n_orders": pa.array([int(parts["n_orders"].sum())], pa.int64()),
+        "n_gap": pa.array([int(parts["n_gap"].sum())], pa.int64()),
+        "n_dup": pa.array([int(parts["n_dup"].sum())], pa.int64()),
+    })
+
+
+SQL_LINENUMBER_GAP_AUDIT = """
+WITH g AS (
+  SELECT l_orderkey, min(l_linenumber) AS mn, max(l_linenumber) AS mx,
+         count(*) AS n, count(DISTINCT l_linenumber) AS nd
+  FROM lineitem GROUP BY 1
+)
+SELECT count(*)::BIGINT AS n_orders,
+       count(*) FILTER (mn <> 1 OR mx <> nd)::BIGINT AS n_gap,
+       count(*) FILTER (nd <> n)::BIGINT AS n_dup
+FROM g
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -13655,4 +13877,8 @@ def catalog():
         "km_survival": (q_km_survival, SQL_KM_SURVIVAL),
         "order_total_reconcile": (q_order_total_reconcile,
                                   SQL_ORDER_TOTAL_RECONCILE),
+        "best_run": (q_best_run, SQL_BEST_RUN),
+        "dau_overlap": (q_dau_overlap, SQL_DAU_OVERLAP),
+        "linenumber_gap_audit": (q_linenumber_gap_audit,
+                                 SQL_LINENUMBER_GAP_AUDIT),
     }

@@ -133,3 +133,55 @@ class TestEdit1Kernel:
         from crawlray.queries import _edit1
         assert not _edit1("ab", "ba")
         assert not _edit1("Customer#01", "Customer#10")
+
+
+class TestBestRunKernel:
+    """q_best_run's banded prefix-min Kadane vs brute force O(n^2),
+    including the cross-user band isolation the first draft got wrong."""
+
+    @staticmethod
+    def _brute(vals):
+        best = vals[0] if vals else 0
+        for i in range(len(vals)):
+            s = 0
+            for j in range(i, len(vals)):
+                s += vals[j]
+                best = max(best, s)
+        return best
+
+    def test_matches_bruteforce_multiuser(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow.parquet as pq
+        from crawlray.queries import (BEST_RUN_BASELINE_CENTS, SQL_BEST_RUN,
+                                      q_best_run)
+
+        rs = np.random.RandomState(5)
+        rows = []
+        eid = 0
+        for u in range(1, 7):
+            for _ in range(int(rs.randint(1, 40))):
+                rows.append((eid, u, int(rs.randint(0, 1200))))
+                eid += 1
+        df = pd.DataFrame({
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime(
+                [1700000000_000000 + i * 1000 for i in range(len(rows))],
+                unit="us").astype("datetime64[us]"),
+            "user_id": [r[1] for r in rows],
+            "event_type": ["view"] * len(rows),
+            "value": [r[2] / 100 for r in rows],
+            "props": ["{}"] * len(rows),
+        })
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       str(tmp_path / "events.parquet"))
+        got = q_best_run(str(tmp_path)).to_pandas()
+        got = dict(zip(got["user_id"], got["best_sum"]))
+        for u in sorted(set(r[1] for r in rows)):
+            nets = [r[2] - BEST_RUN_BASELINE_CENTS
+                    for r in rows if r[1] == u]
+            assert got[u] == self._brute(nets), u
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/events.parquet')")
+        exp = dict(con.execute(SQL_BEST_RUN).fetchall())
+        assert got == {int(k): int(v) for k, v in exp.items()}
