@@ -236,6 +236,9 @@ BENCH_QUERIES = [
     "best_run",
     "dau_overlap",
     "linenumber_gap_audit",
+    "nation_median_spend",
+    "daily_concentration",
+    "jsonl_roundtrip",
 ]
 
 

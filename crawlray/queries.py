@@ -13635,6 +13635,259 @@ FROM g
 """
 
 
+def q_nation_median_spend(sf_dir: str):
+    """Per-nation MEDIAN of per-customer total spend — the nested
+    aggregate (aggregate of an aggregate) that defeats one-pass
+    engines: spend folds per customer in one exchange by custkey
+    (per-batch partials first), the nation attaches via the broadcast
+    customer map, and the per-nation median (published as 2x to stay
+    integer on even counts) comes from a second exchange by nation
+    with one lexsort + order-statistic pick per bucket. Customers with
+    no orders count at spend 0, exactly like the oracle's left
+    join."""
+    import ray
+
+    from .pipelines.relational import bucketed_reduce
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    nat_ref = ray.put(dict(zip(cust["c_custkey"],
+                               cust["c_nationkey"].astype("int64"))))
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"c_custkey": t["o_custkey"],
+                       "c": _cents(t["o_totalprice"])})
+             .group_by("c_custkey").aggregate([("c", "sum")]))
+        return pa.table({"c_custkey": g["c_custkey"],
+                         "spend": g["c_sum"], "is_cust": pa.array(
+                             np.zeros(g.num_rows, np.int8))})
+
+    def c_partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "spend": pa.array(np.zeros(t.num_rows, np.int64)),
+            "is_cust": pa.array(np.ones(t.num_rows, np.int8)),
+        })
+
+    cust_ds = _read(sf_dir, "customer", ["c_custkey"])
+    tagged = orders.map_batches(o_partial, batch_format="pyarrow").union(
+        cust_ds.map_batches(c_partial, batch_format="pyarrow"))
+
+    def spend_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"nat": pa.nulls(0, pa.int64()),
+                          "spend": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        g = t.group_by("c_custkey").aggregate(
+            [("spend", "sum"), ("is_cust", "max")])
+        g = g.filter(pc.equal(g["is_cust_max"], 1))
+        nat = ray.get(nat_ref)
+        ck = g["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "nat": pa.array([nat[int(k)] for k in ck], pa.int64()),
+            "spend": g["spend_sum"],
+        })
+
+    spends = bucketed_reduce(tagged, "c_custkey", spend_fn, n_buckets=32)
+
+    def median_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"c_nationkey": pa.nulls(0, pa.int64()),
+                          "n_cust": pa.nulls(0, pa.int64()),
+                          "median_spend_x2": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        nat = t["nat"].to_numpy(zero_copy_only=False)
+        sp = t["spend"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sp, nat))
+        nat, sp = nat[order], sp[order]
+        starts = np.flatnonzero(np.r_[True, nat[1:] != nat[:-1]])
+        cnt = np.diff(np.r_[starts, len(nat)])
+        lo = starts + (cnt - 1) // 2
+        hi = starts + cnt // 2
+        return pa.table({
+            "c_nationkey": pa.array(nat[starts], pa.int64()),
+            "n_cust": pa.array(cnt, pa.int64()),
+            "median_spend_x2": pa.array(sp[lo] + sp[hi], pa.int64()),
+        })
+
+    return bucketed_reduce(spends, "nat", median_fn, n_buckets=8)
+
+
+SQL_NATION_MEDIAN_SPEND = """
+WITH s AS (
+  SELECT c.c_custkey, c.c_nationkey::BIGINT AS c_nationkey,
+         coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)),
+                  0)::BIGINT AS spend
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), r AS (
+  SELECT c_nationkey, spend,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY spend) AS rn,
+         count(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM s
+)
+SELECT c_nationkey, max(n)::BIGINT AS n_cust,
+       (max(CASE WHEN rn = (n + 1) // 2 THEN spend END)
+        + max(CASE WHEN rn = n // 2 + 1 THEN spend END))::BIGINT
+         AS median_spend_x2
+FROM r GROUP BY 1
+"""
+
+
+def q_daily_concentration(sf_dir: str):
+    """DAILY value CONCENTRATION — per day, how much of the total came
+    from that day's TOP-DECILE (by per-user daily value) users: the
+    whale-dependence drift metric. Needs a per-(day, user) rollup, a
+    per-day order statistic, and a conditional sum — all inside ONE
+    exchange by day after per-batch (day, user) partials; the integer
+    ceil-rank picks the decile cut exactly like `above_p90_counts`.
+    Users tied with the cut value all count (>= cut), matching the
+    oracle's rank filter."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"day": pc.day(t["ts"]).cast(pa.int64()),
+                       "user_id": t["user_id"],
+                       "c": _cents(t["value"])})
+             .group_by(["day", "user_id"]).aggregate([("c", "sum")]))
+        return pa.table({"day": g["day"], "user_id": g["user_id"],
+                         "c": g["c_sum"]})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"day": pa.nulls(0, pa.int64()),
+                          "n_users": pa.nulls(0, pa.int64()),
+                          "total_cents": pa.nulls(0, pa.int64()),
+                          "top_decile_cents": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        g = t.group_by(["day", "user_id"]).aggregate([("c", "sum")])
+        d = g["day"].to_numpy(zero_copy_only=False)
+        c = g["c_sum"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, d))
+        d, c = d[order], c[order]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        cnt = np.diff(np.r_[starts, len(d)])
+        # decile cut = value at ascending rank n - ceil(n/10) + 1
+        k_top = (cnt + 9) // 10                    # ceil(n/10) users
+        cut = c[starts + cnt - k_top]
+        P = np.r_[np.int64(0), np.cumsum(c)]
+        total = P[starts + cnt] - P[starts]
+        # sum of values >= cut: one banded searchsorted like above_p90
+        rel = c - c.min()
+        offset = rel.max() + np.int64(2)
+        seg = np.repeat(np.arange(len(starts), dtype=np.int64), cnt)
+        z = rel + seg * offset
+        cz = (cut - c.min()) + np.arange(len(starts),
+                                         dtype=np.int64) * offset
+        first_ge = np.searchsorted(z, cz, side="left")
+        top = P[starts + cnt] - P[first_ge]
+        return pa.table({
+            "day": pa.array(d[starts], pa.int64()),
+            "n_users": pa.array(cnt, pa.int64()),
+            "total_cents": pa.array(total, pa.int64()),
+            "top_decile_cents": pa.array(top, pa.int64()),
+        })
+
+    return bucketed_reduce(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        "day", bucket_fn, n_buckets=8)
+
+
+SQL_DAILY_CONCENTRATION = """
+WITH du AS (
+  SELECT day(ts)::BIGINT AS day, user_id,
+         sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS c
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT day, c,
+         row_number() OVER (PARTITION BY day ORDER BY c) AS rn,
+         count(*) OVER (PARTITION BY day) AS n
+  FROM du
+), cu AS (
+  SELECT day, max(CASE WHEN rn = n - (n + 9) // 10 + 1 THEN c END)
+           AS cut
+  FROM r GROUP BY 1
+)
+SELECT r.day, max(r.n)::BIGINT AS n_users,
+       sum(r.c)::BIGINT AS total_cents,
+       sum(r.c) FILTER (r.c >= cu.cut)::BIGINT AS top_decile_cents
+FROM r JOIN cu ON cu.day = r.day
+GROUP BY 1
+"""
+
+
+JSONL_SNAPSHOT = "/tmp/crawlray_jsonl/documents.jsonl"
+
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL source-format PARITY — the cross-format ingest audit: a
+    deterministic JSONL snapshot of the documents table (written once,
+    driver-side, keyed to the sf dir) is read back through
+    ``ray.data.read_json`` and aggregated; the oracle reads the SAME
+    file through DuckDB's ``read_json_auto``. Proves the engine's JSON
+    line ingestion (schema inference, unicode round-trip) matches the
+    parquet path bit-for-bit — the per-lang char sums would diverge on
+    any escaping or type drift."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(JSONL_SNAPSHOT), exist_ok=True)
+    marker = JSONL_SNAPSHOT + ".src"
+    want = sf_dir.rstrip("/")
+    if (not os.path.exists(marker)
+            or open(marker).read() != want):
+        import pyarrow.parquet as pq
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "lang", "n_chars", "text"])
+        with open(JSONL_SNAPSHOT, "w") as f:
+            for row in t.to_pylist():
+                f.write(json.dumps(row, ensure_ascii=False,
+                                   sort_keys=True) + "\n")
+        with open(marker, "w") as f:
+            f.write(want)
+
+    ds = rd.read_json(JSONL_SNAPSHOT)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"lang": t["lang"],
+                       "n_chars": t["n_chars"].cast(pa.int64()),
+                       "text_len": pc.utf8_length(t["text"])
+                       .cast(pa.int64())})
+             .group_by("lang")
+             .aggregate([("n_chars", "sum"), ("text_len", "sum"),
+                         ("n_chars", "count")]))
+        return pa.table({"lang": g["lang"],
+                         "n_docs": g["n_chars_count"].cast(pa.int64()),
+                         "sum_chars": g["n_chars_sum"],
+                         "sum_text_len": g["text_len_sum"]})
+
+    import pandas as pd
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (parts.groupby("lang", as_index=False)
+           .agg(n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"),
+                sum_text_len=("sum_text_len", "sum"))
+           .sort_values("lang"))
+    return pa.table({
+        "lang": pa.array(out["lang"], pa.string()),
+        "n_docs": pa.array(out["n_docs"], pa.int64()),
+        "sum_chars": pa.array(out["sum_chars"], pa.int64()),
+        "sum_text_len": pa.array(out["sum_text_len"], pa.int64()),
+    })
+
+
+SQL_JSONL_ROUNDTRIP = f"""
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars,
+       sum(length(text))::BIGINT AS sum_text_len
+FROM read_json_auto('{JSONL_SNAPSHOT}')
+GROUP BY 1
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -13881,4 +14134,9 @@ def catalog():
         "dau_overlap": (q_dau_overlap, SQL_DAU_OVERLAP),
         "linenumber_gap_audit": (q_linenumber_gap_audit,
                                  SQL_LINENUMBER_GAP_AUDIT),
+        "nation_median_spend": (q_nation_median_spend,
+                                SQL_NATION_MEDIAN_SPEND),
+        "daily_concentration": (q_daily_concentration,
+                                SQL_DAILY_CONCENTRATION),
+        "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
     }
