@@ -239,6 +239,9 @@ BENCH_QUERIES = [
     "nation_median_spend",
     "daily_concentration",
     "jsonl_roundtrip",
+    "brand_topk_others",
+    "leaderboard_churn",
+    "multi_nation_orders",
 ]
 
 

@@ -13888,6 +13888,236 @@ GROUP BY 1
 """
 
 
+BRAND_TOPK = 3
+
+
+def q_brand_topk_others(sf_dir: str):
+    """TOP-K PLUS OTHERS rollup — the dashboard staple: per
+    returnflag, the top-3 brands by revenue plus ONE aggregated
+    'OTHER' row so the panel always sums to the total. Revenue folds
+    to per-batch (flag, brand) partials in cents (brand via the
+    broadcast part map), ONE exchange by flag finishes the sums, and
+    the per-flag sort + split happens inside the bucket — the OTHER
+    row is born aggregated, never a row per part."""
+    import ray
+
+    from .pipelines.relational import bucketed_reduce
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_returnflag", "l_extendedprice"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    brand_ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
+
+    class Partial:
+        def __init__(self):
+            self.brand = ray.get(brand_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+            b = np.array([self.brand[int(k)] for k in pk], object)
+            g = (pa.table({"flag": t["l_returnflag"],
+                           "brand": pa.array(list(b), pa.string()),
+                           "c": _cents(t["l_extendedprice"])})
+                 .group_by(["flag", "brand"]).aggregate([("c", "sum")]))
+            return pa.table({"flag": g["flag"], "brand": g["brand"],
+                             "c": g["c_sum"]})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"l_returnflag": pa.nulls(0, pa.string()),
+                          "brand": pa.nulls(0, pa.string()),
+                          "revenue_cents": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        import pandas as pd
+        df = (t.to_pandas().groupby(["flag", "brand"], as_index=False)
+              ["c"].sum())
+        out = []
+        for flag, g in df.groupby("flag"):
+            g = g.sort_values(["c", "brand"],
+                              ascending=[False, True], kind="stable")
+            top = g.head(BRAND_TOPK)
+            rest = g.iloc[BRAND_TOPK:]["c"].sum()
+            for _, r in top.iterrows():
+                out.append((flag, r["brand"], int(r["c"])))
+            if len(g) > BRAND_TOPK:
+                out.append((flag, "OTHER", int(rest)))
+        return pa.table({
+            "l_returnflag": pa.array([o[0] for o in out], pa.string()),
+            "brand": pa.array([o[1] for o in out], pa.string()),
+            "revenue_cents": pa.array([o[2] for o in out], pa.int64()),
+        })
+
+    return bucketed_reduce(
+        li.map_batches(Partial, batch_format="pyarrow", concurrency=2),
+        "flag", bucket_fn, n_buckets=4)
+
+
+SQL_BRAND_TOPK_OTHERS = f"""
+WITH rev AS (
+  SELECT l.l_returnflag, p.p_brand AS brand,
+         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))::BIGINT
+           AS c
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                               ORDER BY c DESC, brand) AS rn
+  FROM rev
+)
+SELECT l_returnflag, brand, c AS revenue_cents
+FROM r WHERE rn <= {BRAND_TOPK}
+UNION ALL
+SELECT l_returnflag, 'OTHER', sum(c)::BIGINT
+FROM r WHERE rn > {BRAND_TOPK}
+GROUP BY 1
+"""
+
+
+LEADERBOARD_K = 10
+
+
+def q_leaderboard_churn(sf_dir: str):
+    """LEADERBOARD CHURN — how stable is the daily top-10: for each
+    consecutive day pair, how many of day d's top-10 users (by daily
+    cents, ties to the smaller user id) survive into day d+1's top-10.
+    Per-(day, user) partials fold in ONE exchange by day; each bucket
+    emits only its days' top-10 id lists (<= 31 x 10 rows), and the
+    day-pair overlap is an O(days x k) driver fold — the oracle's
+    rank-self-join never materializes."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"day": pc.day(t["ts"]).cast(pa.int64()),
+                       "user_id": t["user_id"],
+                       "c": _cents(t["value"])})
+             .group_by(["day", "user_id"]).aggregate([("c", "sum")]))
+        return pa.table({"day": g["day"], "user_id": g["user_id"],
+                         "c": g["c_sum"]})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"day": pa.nulls(0, pa.int64()),
+                          "rank": pa.nulls(0, pa.int64()),
+                          "user_id": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        g = t.group_by(["day", "user_id"]).aggregate([("c", "sum")])
+        d = g["day"].to_numpy(zero_copy_only=False)
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        c = g["c_sum"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((u, -c, d))
+        d, u = d[order], u[order]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        pos = (np.arange(len(d))
+               - np.repeat(starts, np.diff(np.r_[starts, len(d)])))
+        keep = pos < LEADERBOARD_K
+        return pa.table({"day": pa.array(d[keep], pa.int64()),
+                         "rank": pa.array(pos[keep] + 1, pa.int64()),
+                         "user_id": pa.array(u[keep], pa.int64())})
+
+    import pandas as pd
+    tops = bucketed_reduce(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        "day", bucket_fn, n_buckets=8).to_pandas()
+    byday = {int(d): set(g["user_id"]) for d, g in tops.groupby("day")}
+    days = sorted(byday)
+    rows = [(d, len(byday[d] & byday.get(d + 1, set())))
+            for d in days if d + 1 in byday]
+    return pa.table({
+        "day": pa.array([r[0] for r in rows], pa.int64()),
+        "n_retained": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
+SQL_LEADERBOARD_CHURN = f"""
+WITH du AS (
+  SELECT day(ts)::BIGINT AS day, user_id,
+         sum(CAST(round(value * 100) AS BIGINT)) AS c
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT day, user_id,
+         row_number() OVER (PARTITION BY day
+                            ORDER BY c DESC, user_id) AS rn
+  FROM du
+), t AS (SELECT day, user_id FROM r WHERE rn <= {LEADERBOARD_K})
+SELECT a.day, count(b.user_id)::BIGINT AS n_retained
+FROM t a LEFT JOIN t b ON b.day = a.day + 1 AND b.user_id = a.user_id
+WHERE a.day + 1 IN (SELECT DISTINCT day FROM t)
+GROUP BY 1
+"""
+
+
+def q_multi_nation_orders(sf_dir: str):
+    """SUPPLY-CHAIN complexity histogram — orders by how many DISTINCT
+    supplier nations their lineitems span (the multi-sourcing audit).
+    Supplier -> nation is the broadcast small side; per-batch (order,
+    nation) distinct partials collapse before the ONE exchange by
+    orderkey, where the per-order distinct count finishes and folds
+    straight into a <= |nations| histogram partial."""
+    import ray
+
+    from .pipelines.relational import bucketed_reduce
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat_ref = ray.put(dict(zip(supp["s_suppkey"],
+                               supp["s_nationkey"].astype("int64"))))
+
+    class Partial:
+        def __init__(self):
+            self.nat = ray.get(nat_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+            ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            nat = np.array([self.nat[int(k)] for k in sk], np.int64)
+            key = np.unique(np.stack([ok, nat], axis=1), axis=0)
+            return pa.table({
+                "o_orderkey": pa.array(key[:, 0], pa.int64()),
+                "nat": pa.array(key[:, 1], pa.int64()),
+            })
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"n_nations": pa.nulls(0, pa.int64()),
+                          "n_orders": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        g = (t.group_by("o_orderkey")
+             .aggregate([("nat", "count_distinct")]))
+        h = (pa.table({"n_nations": g["nat_count_distinct"]
+                       .cast(pa.int64())})
+             .group_by("n_nations")
+             .aggregate([("n_nations", "count")]))
+        return pa.table({"n_nations": h["n_nations"],
+                         "n_orders": h["n_nations_count"]
+                         .cast(pa.int64())})
+
+    import pandas as pd
+    parts = bucketed_reduce(
+        li.map_batches(Partial, batch_format="pyarrow", concurrency=2),
+        "o_orderkey", bucket_fn, n_buckets=32).to_pandas()
+    out = (parts.groupby("n_nations", as_index=False)["n_orders"].sum()
+           .sort_values("n_nations"))
+    return pa.table({
+        "n_nations": pa.array(out["n_nations"], pa.int64()),
+        "n_orders": pa.array(out["n_orders"], pa.int64()),
+    })
+
+
+SQL_MULTI_NATION_ORDERS = """
+WITH g AS (
+  SELECT l.l_orderkey,
+         count(DISTINCT s.s_nationkey)::BIGINT AS n_nations
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1
+)
+SELECT n_nations, count(*)::BIGINT AS n_orders
+FROM g GROUP BY 1
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -14139,4 +14369,8 @@ def catalog():
         "daily_concentration": (q_daily_concentration,
                                 SQL_DAILY_CONCENTRATION),
         "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
+        "brand_topk_others": (q_brand_topk_others, SQL_BRAND_TOPK_OTHERS),
+        "leaderboard_churn": (q_leaderboard_churn, SQL_LEADERBOARD_CHURN),
+        "multi_nation_orders": (q_multi_nation_orders,
+                                SQL_MULTI_NATION_ORDERS),
     }
