@@ -242,6 +242,9 @@ BENCH_QUERIES = [
     "brand_topk_others",
     "leaderboard_churn",
     "multi_nation_orders",
+    "event_type_phi",
+    "record_highs",
+    "frequent_triples",
 ]
 
 

@@ -14118,6 +14118,270 @@ FROM g GROUP BY 1
 """
 
 
+EVENT_TYPES_ORDERED = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_type_phi(sf_dir: str):
+    """Pairwise event-type CONTINGENCY table over users — the exact
+    (n11, n10, n01, n00) every phi-coefficient / lift matrix needs:
+    which behaviors co-occur in the same users. The trick that makes
+    it one cheap pass: each user folds to a 5-BIT TYPE MASK (one
+    exchange by user), buckets emit only the <= 32-row mask HISTOGRAM,
+    and every pair's contingency reads off the histogram on the driver
+    — the |users| x |types| matrix never materializes, let alone the
+    pair join."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    idx = {t: i for i, t in enumerate(EVENT_TYPES_ORDERED)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        ty = t["event_type"].to_numpy(zero_copy_only=False)
+        bit = np.array([1 << idx[x] for x in ty], np.int64)
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "bit": bit})
+        g = df.groupby("user_id", as_index=False).agg(
+            mask=("bit", lambda s: np.bitwise_or.reduce(s.to_numpy())))
+        return pa.table({"user_id": pa.array(g["user_id"], pa.int64()),
+                         "mask": pa.array(g["mask"], pa.int64())})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"mask": pa.nulls(0, pa.int64()),
+                          "n": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        import pandas as pd
+        g = (t.to_pandas().groupby("user_id")["mask"]
+             .agg(lambda s: np.bitwise_or.reduce(s.to_numpy())))
+        u, c = np.unique(g.to_numpy(), return_counts=True)
+        return pa.table({"mask": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64))})
+
+    import pandas as pd
+    parts = bucketed_reduce(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        "user_id", bucket_fn, n_buckets=16).to_pandas()
+    hist = parts.groupby("mask")["n"].sum()
+    masks = np.asarray(hist.index, np.int64)
+    counts = hist.to_numpy()
+    rows = []
+    for i, a in enumerate(EVENT_TYPES_ORDERED):
+        for j in range(i + 1, len(EVENT_TYPES_ORDERED)):
+            b = EVENT_TYPES_ORDERED[j]
+            ha = (masks >> i) & 1
+            hb = (masks >> j) & 1
+            n11 = int(counts[(ha == 1) & (hb == 1)].sum())
+            n10 = int(counts[(ha == 1) & (hb == 0)].sum())
+            n01 = int(counts[(ha == 0) & (hb == 1)].sum())
+            n00 = int(counts[(ha == 0) & (hb == 0)].sum())
+            rows.append((a, b, n11, n10, n01, n00))
+    return pa.table({
+        "type_a": pa.array([r[0] for r in rows], pa.string()),
+        "type_b": pa.array([r[1] for r in rows], pa.string()),
+        "n11": pa.array([r[2] for r in rows], pa.int64()),
+        "n10": pa.array([r[3] for r in rows], pa.int64()),
+        "n01": pa.array([r[4] for r in rows], pa.int64()),
+        "n00": pa.array([r[5] for r in rows], pa.int64()),
+    })
+
+
+SQL_EVENT_TYPE_PHI = """
+WITH types AS (
+  SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS t
+), pairs AS (
+  SELECT a.t AS type_a, b.t AS type_b
+  FROM types a JOIN types b ON a.t < b.t
+), u AS (SELECT DISTINCT user_id FROM events),
+h AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT p.type_a, p.type_b,
+  (SELECT count(*) FROM u
+   WHERE EXISTS (SELECT 1 FROM h WHERE h.user_id = u.user_id
+                 AND h.event_type = p.type_a)
+     AND EXISTS (SELECT 1 FROM h WHERE h.user_id = u.user_id
+                 AND h.event_type = p.type_b))::BIGINT AS n11,
+  (SELECT count(*) FROM u
+   WHERE EXISTS (SELECT 1 FROM h WHERE h.user_id = u.user_id
+                 AND h.event_type = p.type_a)
+     AND NOT EXISTS (SELECT 1 FROM h WHERE h.user_id = u.user_id
+                     AND h.event_type = p.type_b))::BIGINT AS n10,
+  (SELECT count(*) FROM u
+   WHERE NOT EXISTS (SELECT 1 FROM h WHERE h.user_id = u.user_id
+                     AND h.event_type = p.type_a)
+     AND EXISTS (SELECT 1 FROM h WHERE h.user_id = u.user_id
+                 AND h.event_type = p.type_b))::BIGINT AS n01,
+  (SELECT count(*) FROM u
+   WHERE NOT EXISTS (SELECT 1 FROM h WHERE h.user_id = u.user_id
+                     AND h.event_type = p.type_a)
+     AND NOT EXISTS (SELECT 1 FROM h WHERE h.user_id = u.user_id
+                     AND h.event_type = p.type_b))::BIGINT AS n00
+FROM pairs p
+"""
+
+
+def q_record_highs(sf_dir: str):
+    """Per-user RECORD-HIGH count — how many events set a new personal
+    value maximum (the first event always does): the engagement
+    'personal best' counter and another sequential scan vectorized via
+    the BANDED accumulate (this time np.maximum with bands INCREASING
+    along the scan, the mirror of `best_run`'s minimum): one exchange
+    by user, zero per-user Python."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "at_us": t["ts"].cast(pa.int64()),
+            "event_id": t["event_id"],
+            "c": _cents(t["value"]),
+        })
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.nulls(0, pa.int64()),
+                          "n_records": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["at_us"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, c = u[order], c[order]
+        n = len(u)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        cnt = np.diff(np.r_[starts, n])
+        seg = np.repeat(np.arange(len(starts), dtype=np.int64), cnt)
+        # prefix max of values BEFORE i, banded (bands increase so an
+        # earlier user's larger band value never wins a later user's max)
+        BIG = (np.abs(c).max() + np.int64(1)) * 4 if n else np.int64(1)
+        band = seg * BIG
+        LOW = np.int64(-2**62)
+        shifted = np.empty(n, np.int64)
+        shifted[0] = LOW
+        shifted[1:] = np.where(seg[1:] != seg[:-1], LOW,
+                               c[:-1] + band[1:])
+        runmax = np.maximum.accumulate(shifted) - band
+        heads = np.zeros(n, bool)
+        heads[starts] = True                 # first event: always a record
+        is_rec = heads | (c > runmax)
+        n_rec = np.add.reduceat(is_rec.astype(np.int64), starts)
+        return pa.table({"user_id": pa.array(u[starts], pa.int64()),
+                         "n_records": pa.array(n_rec, pa.int64())})
+
+    return bucketed_reduce(ev.map_batches(prep, batch_format="pyarrow"),
+                           "user_id", bucket_fn, n_buckets=32)
+
+
+SQL_RECORD_HIGHS = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), m AS (
+  SELECT user_id, c,
+         max(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS max_before
+  FROM e
+)
+SELECT user_id,
+       count(*) FILTER (max_before IS NULL OR c > max_before)::BIGINT
+         AS n_records
+FROM m GROUP BY 1
+"""
+
+
+TRIPLE_MIN_SUPPORT = 3
+
+
+def q_frequent_triples(sf_dir: str):
+    """FREQUENT ITEMSETS of size 3 — the market-basket step past
+    `association_rules`' pairs, over (user, day) behavior baskets:
+    which event-type TRIPLES co-occur in the same user-day at least 3
+    times. Per-batch distinct (basket, type) partials collapse before
+    the ONE exchange by basket; per-basket sorted combinations are
+    bounded by C(5,3) and fold straight into a <= 10-row histogram
+    partial per bucket — the oracle's 3-way self-join never runs."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    idx = {t: i for i, t in enumerate(EVENT_TYPES_ORDERED)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        day = pc.day(t["ts"]).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ty = t["event_type"].to_numpy(zero_copy_only=False)
+        ti = np.array([idx[x] for x in ty], np.int64)
+        basket = u * 64 + day
+        kv = np.unique(np.stack([basket, ti], axis=1), axis=0)
+        return pa.table({"basket": pa.array(kv[:, 0], pa.int64()),
+                         "ti": pa.array(kv[:, 1], pa.int64())})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"pack": pa.nulls(0, pa.int64()),
+                          "n": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        from itertools import combinations
+        kv = np.unique(np.stack(
+            [t["basket"].to_numpy(zero_copy_only=False),
+             t["ti"].to_numpy(zero_copy_only=False)], axis=1), axis=0)
+        starts = np.flatnonzero(np.r_[True, kv[1:, 0] != kv[:-1, 0]])
+        bounds = np.r_[starts, len(kv)]
+        counts: dict = {}
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            items = kv[s:e, 1]
+            if len(items) < 3:
+                continue
+            for a, b, c in combinations(items.tolist(), 3):
+                p = a * 49 + b * 7 + c
+                counts[p] = counts.get(p, 0) + 1
+        if not counts:
+            return empty
+        ks = sorted(counts)
+        return pa.table({"pack": pa.array(ks, pa.int64()),
+                         "n": pa.array([counts[k] for k in ks],
+                                       pa.int64())})
+
+    import pandas as pd
+    parts = bucketed_reduce(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        "basket", bucket_fn, n_buckets=16).to_pandas()
+    g = parts.groupby("pack")["n"].sum()
+    g = g[g >= TRIPLE_MIN_SUPPORT].sort_index()
+    names = EVENT_TYPES_ORDERED
+    return pa.table({
+        "type_a": pa.array([names[int(p) // 49] for p in g.index],
+                           pa.string()),
+        "type_b": pa.array([names[(int(p) // 7) % 7] for p in g.index],
+                           pa.string()),
+        "type_c": pa.array([names[int(p) % 7] for p in g.index],
+                           pa.string()),
+        "support": pa.array([int(v) for v in g.to_numpy()], pa.int64()),
+    })
+
+
+SQL_FREQUENT_TRIPLES = f"""
+WITH li AS (
+  SELECT DISTINCT user_id, day(ts) AS day, event_type FROM events
+), t AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         c.event_type AS type_c, count(*)::BIGINT AS support
+  FROM li a
+  JOIN li b ON b.user_id = a.user_id AND b.day = a.day
+           AND b.event_type > a.event_type
+  JOIN li c ON c.user_id = a.user_id AND c.day = a.day
+           AND c.event_type > b.event_type
+  GROUP BY 1, 2, 3
+)
+SELECT * FROM t WHERE support >= {TRIPLE_MIN_SUPPORT}
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -14373,4 +14637,7 @@ def catalog():
         "leaderboard_churn": (q_leaderboard_churn, SQL_LEADERBOARD_CHURN),
         "multi_nation_orders": (q_multi_nation_orders,
                                 SQL_MULTI_NATION_ORDERS),
+        "event_type_phi": (q_event_type_phi, SQL_EVENT_TYPE_PHI),
+        "record_highs": (q_record_highs, SQL_RECORD_HIGHS),
+        "frequent_triples": (q_frequent_triples, SQL_FREQUENT_TRIPLES),
     }
