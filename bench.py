@@ -245,6 +245,9 @@ BENCH_QUERIES = [
     "event_type_phi",
     "record_highs",
     "frequent_triples",
+    "priority_linestatus",
+    "first_event_breakdown",
+    "type_breadth_histogram",
 ]
 
 

@@ -14382,6 +14382,215 @@ SELECT * FROM t WHERE support >= {TRIPLE_MIN_SUPPORT}
 """
 
 
+def q_priority_linestatus(sf_dir: str):
+    """TPC-H Q12 shape — conditional counts over the orders⋈lineitem
+    join: per linestatus, how many lineitems belong to HIGH-priority
+    orders (1-URGENT / 2-HIGH) vs not. The join is the bucketed hash
+    exchange by orderkey (both sides large at scale — no broadcast),
+    but only (orderkey, status-count partials) enter it: lineitem
+    pre-folds per batch, so the exchange carries O(orders) tiny rows
+    and the CASE split happens against the joined priority flag."""
+    from .pipelines.relational import bucketed_hash_join, bucketed_reduce
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linestatus"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"o_orderkey": t["l_orderkey"],
+                       "l_linestatus": t["l_linestatus"]})
+             .group_by(["o_orderkey", "l_linestatus"])
+             .aggregate([("o_orderkey", "count")]))
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         "l_linestatus": g["l_linestatus"],
+                         "n": g["o_orderkey_count"].cast(pa.int64())})
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"o_orderkey": pa.nulls(0, pa.int64()),
+                             "l_linestatus": pa.nulls(0, pa.string()),
+                             "n": pa.nulls(0, pa.int64())})
+        g = (t.group_by(["o_orderkey", "l_linestatus"])
+             .aggregate([("n", "sum")]))
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         "l_linestatus": g["l_linestatus"],
+                         "n": g["n_sum"]})
+
+    per_order = bucketed_reduce(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        "o_orderkey", finish, n_buckets=32)
+    j = bucketed_hash_join(per_order, orders, "o_orderkey", n_buckets=16)
+
+    def split(t: pa.Table) -> pa.Table:
+        hi = pc.or_(pc.equal(t["o_orderpriority"], "1-URGENT"),
+                    pc.equal(t["o_orderpriority"], "2-HIGH"))
+        n = t["n"].to_numpy(zero_copy_only=False)
+        him = hi.to_numpy(zero_copy_only=False)
+        import pandas as pd
+        df = pd.DataFrame({
+            "l_linestatus": t["l_linestatus"].to_pandas(),
+            "high": np.where(him, n, 0),
+            "low": np.where(him, 0, n),
+        })
+        g = df.groupby("l_linestatus", as_index=False).sum()
+        return pa.table({
+            "l_linestatus": pa.array(g["l_linestatus"], pa.string()),
+            "high_line_count": pa.array(g["high"].astype("int64")),
+            "low_line_count": pa.array(g["low"].astype("int64")),
+        })
+
+    import pandas as pd
+    parts = j.map_batches(split, batch_format="pyarrow").to_pandas()
+    out = (parts.groupby("l_linestatus", as_index=False)
+           [["high_line_count", "low_line_count"]].sum()
+           .sort_values("l_linestatus"))
+    return pa.table({
+        "l_linestatus": pa.array(out["l_linestatus"], pa.string()),
+        "high_line_count": pa.array(out["high_line_count"], pa.int64()),
+        "low_line_count": pa.array(out["low_line_count"], pa.int64()),
+    })
+
+
+SQL_PRIORITY_LINESTATUS = """
+SELECT l.l_linestatus,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+"""
+
+
+def q_first_event_breakdown(sf_dir: str):
+    """ONBOARDING integrity — what each user's FIRST event was: the
+    histogram of first-event types (ties at the first timestamp break
+    to the smaller event id). Per-batch (user, min-(ts, event_id))
+    argmin partials carry the type along; ONE exchange by user
+    finishes the argmin, buckets emit <= |types| histogram rows."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u_s = u[order]
+        starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+        pick = order[starts]
+        return pa.table({
+            "user_id": pa.array(u[pick], pa.int64()),
+            "at_us": pa.array(ts[pick], pa.int64()),
+            "event_id": pa.array(eid[pick], pa.int64()),
+            "event_type": t["event_type"].take(pa.array(pick)),
+        })
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.nulls(0, pa.string()),
+                          "n_users": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["at_us"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u_s = u[order]
+        starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+        first = t["event_type"].take(pa.array(order[starts]))
+        h = (pa.table({"event_type": first})
+             .group_by("event_type")
+             .aggregate([("event_type", "count")]))
+        return pa.table({"event_type": h["event_type"],
+                         "n_users": h["event_type_count"]
+                         .cast(pa.int64())})
+
+    import pandas as pd
+    parts = bucketed_reduce(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        "user_id", bucket_fn, n_buckets=16).to_pandas()
+    out = (parts.groupby("event_type", as_index=False)["n_users"].sum()
+           .sort_values("event_type"))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n_users": pa.array(out["n_users"], pa.int64()),
+    })
+
+
+SQL_FIRST_EVENT_BREAKDOWN = """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT event_type, count(*)::BIGINT AS n_users
+FROM r WHERE rn = 1 GROUP BY 1
+"""
+
+
+def q_type_breadth_histogram(sf_dir: str):
+    """BEHAVIOR BREADTH histogram — users bucketed by how many
+    DISTINCT event types they used (1..5): the engagement-depth
+    distribution, and the popcount projection of `event_type_phi`'s
+    mask space. Same plan: per-user type mask in one exchange,
+    <= 5-row popcount histogram partials out."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    idx = {t: i for i, t in enumerate(EVENT_TYPES_ORDERED)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        ty = t["event_type"].to_numpy(zero_copy_only=False)
+        bit = np.array([1 << idx[x] for x in ty], np.int64)
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "bit": bit})
+        g = df.groupby("user_id", as_index=False).agg(
+            mask=("bit", lambda s: np.bitwise_or.reduce(s.to_numpy())))
+        return pa.table({"user_id": pa.array(g["user_id"], pa.int64()),
+                         "mask": pa.array(g["mask"], pa.int64())})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"n_types": pa.nulls(0, pa.int64()),
+                          "n_users": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        import pandas as pd
+        g = (t.to_pandas().groupby("user_id")["mask"]
+             .agg(lambda s: np.bitwise_or.reduce(s.to_numpy())))
+        m = g.to_numpy().astype(np.int64)
+        pop = np.zeros(len(m), np.int64)
+        for b in range(len(EVENT_TYPES_ORDERED)):
+            pop += (m >> b) & 1
+        u, c = np.unique(pop, return_counts=True)
+        return pa.table({"n_types": pa.array(u, pa.int64()),
+                         "n_users": pa.array(c.astype(np.int64))})
+
+    import pandas as pd
+    parts = bucketed_reduce(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        "user_id", bucket_fn, n_buckets=16).to_pandas()
+    out = (parts.groupby("n_types", as_index=False)["n_users"].sum()
+           .sort_values("n_types"))
+    return pa.table({
+        "n_types": pa.array(out["n_types"], pa.int64()),
+        "n_users": pa.array(out["n_users"], pa.int64()),
+    })
+
+
+SQL_TYPE_BREADTH_HISTOGRAM = """
+WITH u AS (
+  SELECT user_id, count(DISTINCT event_type)::BIGINT AS n_types
+  FROM events GROUP BY 1
+)
+SELECT n_types, count(*)::BIGINT AS n_users
+FROM u GROUP BY 1
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -14640,4 +14849,10 @@ def catalog():
         "event_type_phi": (q_event_type_phi, SQL_EVENT_TYPE_PHI),
         "record_highs": (q_record_highs, SQL_RECORD_HIGHS),
         "frequent_triples": (q_frequent_triples, SQL_FREQUENT_TRIPLES),
+        "priority_linestatus": (q_priority_linestatus,
+                                SQL_PRIORITY_LINESTATUS),
+        "first_event_breakdown": (q_first_event_breakdown,
+                                  SQL_FIRST_EVENT_BREAKDOWN),
+        "type_breadth_histogram": (q_type_breadth_histogram,
+                                   SQL_TYPE_BREADTH_HISTOGRAM),
     }
