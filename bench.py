@@ -248,6 +248,9 @@ BENCH_QUERIES = [
     "priority_linestatus",
     "first_event_breakdown",
     "type_breadth_histogram",
+    "weekday_residuals",
+    "premium_parts_by_brand",
+    "halflife_histogram",
 ]
 
 

@@ -14591,6 +14591,207 @@ FROM u GROUP BY 1
 """
 
 
+def q_weekday_residuals(sf_dir: str):
+    """WEEKDAY-SEASONAL residuals of the daily value series — the
+    'which day broke its own weekday's pattern' detector, kept exact
+    by publishing the residual as a CROSS-MULTIPLIED numerator:
+    resid_num(day) = daily*n_w − weekday_total (denominator n_w rides
+    along), so no per-weekday float mean exists anywhere. One pass of
+    per-batch (day, cents) partials; the weekday fold is O(31) on the
+    driver. Weekday = the same epoch-day mod 7 both engines compute
+    from integers."""
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"day": pc.day(t["ts"]).cast(pa.int64()),
+                       "epoch_d": pc.divide(t["ts"].cast(pa.int64()),
+                                            np.int64(86_400_000_000)),
+                       "c": _cents(t["value"])})
+             .group_by(["day", "epoch_d"]).aggregate([("c", "sum")]))
+        return pa.table({"day": g["day"], "epoch_d": g["epoch_d"],
+                         "c": g["c_sum"]})
+
+    import pandas as pd
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    daily = (parts.groupby(["day", "epoch_d"], as_index=False)["c"].sum()
+             .sort_values("day"))
+    daily["w"] = daily["epoch_d"].to_numpy() % 7
+    wk = daily.groupby("w")["c"].agg(["sum", "count"])
+    n_w = daily["w"].map(wk["count"]).to_numpy().astype(np.int64)
+    sum_w = daily["w"].map(wk["sum"]).to_numpy().astype(np.int64)
+    c = daily["c"].to_numpy().astype(np.int64)
+    return pa.table({
+        "day": pa.array(daily["day"].to_numpy(), pa.int64()),
+        "daily_cents": pa.array(c, pa.int64()),
+        "n_weekday_days": pa.array(n_w, pa.int64()),
+        "resid_num": pa.array(c * n_w - sum_w, pa.int64()),
+    })
+
+
+SQL_WEEKDAY_RESIDUALS = """
+WITH daily AS (
+  SELECT day(ts)::BIGINT AS day,
+         (epoch_us(ts) // 86400000000)::BIGINT AS epoch_d,
+         sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS c
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT *, epoch_d % 7 AS wd,
+         sum(c) OVER (PARTITION BY epoch_d % 7) AS sum_w,
+         count(*) OVER (PARTITION BY epoch_d % 7) AS n_w
+  FROM daily
+)
+SELECT day, c AS daily_cents, n_w::BIGINT AS n_weekday_days,
+       (c * n_w - sum_w)::BIGINT AS resid_num
+FROM w
+"""
+
+
+def q_premium_parts_by_brand(sf_dir: str):
+    """PREMIUM-share per brand — how many of each brand's parts price
+    above the GLOBAL p75 retail price: a global order statistic feeding
+    grouped conditional counts, with NO shuffle at all. Pass 1 folds
+    per-batch (price, count) partials into the exact global p75 (the
+    integer ceil-rank over the O(distinct)-bounded cents histogram);
+    pass 2 re-scans with the broadcast cut and emits per-brand
+    (total, premium) partials."""
+    part = _read(sf_dir, "part", ["p_brand", "p_retailprice"])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        c = _cents(t["p_retailprice"]).to_numpy(zero_copy_only=False)
+        u, n = np.unique(c, return_counts=True)
+        return pa.table({"c": pa.array(u, pa.int64()),
+                         "n": pa.array(n.astype(np.int64))})
+
+    import pandas as pd
+    hist = (part.map_batches(hist_partial, batch_format="pyarrow")
+            .to_pandas().groupby("c")["n"].sum().sort_index())
+    total = int(hist.sum())
+    rank = (3 * total + 3) // 4                  # ceil(0.75 n)
+    cut = int(hist.index[np.searchsorted(np.cumsum(hist.to_numpy()),
+                                         rank)])
+
+    def brand_partial(t: pa.Table) -> pa.Table:
+        c = _cents(t["p_retailprice"]).to_numpy(zero_copy_only=False)
+        import pandas as pd
+        df = pd.DataFrame({
+            "p_brand": t["p_brand"].to_pandas(),
+            "n": np.ones(len(c), np.int64),
+            "prem": (c > cut).astype(np.int64),
+        })
+        g = df.groupby("p_brand", as_index=False).sum()
+        return pa.table({"p_brand": pa.array(g["p_brand"], pa.string()),
+                         "n_parts": pa.array(g["n"].astype("int64")),
+                         "n_premium": pa.array(g["prem"]
+                                               .astype("int64"))})
+
+    parts = (part.map_batches(brand_partial, batch_format="pyarrow")
+             .to_pandas().groupby("p_brand", as_index=False)
+             [["n_parts", "n_premium"]].sum().sort_values("p_brand"))
+    return pa.table({
+        "p_brand": pa.array(parts["p_brand"], pa.string()),
+        "n_parts": pa.array(parts["n_parts"], pa.int64()),
+        "n_premium": pa.array(parts["n_premium"], pa.int64()),
+    })
+
+
+SQL_PREMIUM_PARTS_BY_BRAND = """
+WITH c AS (
+  SELECT p_brand, CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+  FROM part
+), r AS (
+  SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+         count(*) OVER () AS n
+  FROM c
+), cut AS (
+  SELECT max(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS v
+  FROM r
+)
+SELECT c.p_brand, count(*)::BIGINT AS n_parts,
+       count(*) FILTER (c.cents > cut.v)::BIGINT AS n_premium
+FROM c, cut GROUP BY 1
+"""
+
+
+def q_halflife_histogram(sf_dir: str):
+    """ACTIVITY HALF-LIFE histogram — for each user, the day offset (from
+    their first active day) by which HALF their total events had
+    happened; bucketed into a histogram. The per-user scan is the
+    standard cumulative trick inside ONE exchange by user: per-(user,
+    day) counts, per-user day-ordered cumsum, first index where
+    2*cum >= total — all reduceat/searchsorted-vectorized across
+    users."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"user_id": t["user_id"],
+                       "day": pc.day(t["ts"]).cast(pa.int64())})
+             .group_by(["user_id", "day"])
+             .aggregate([("day", "count")]))
+        return pa.table({"user_id": g["user_id"], "day": g["day"],
+                         "n": g["day_count"].cast(pa.int64())})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"half_life_days": pa.nulls(0, pa.int64()),
+                          "n_users": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        import pandas as pd
+        df = (t.to_pandas().groupby(["user_id", "day"], as_index=False)
+              ["n"].sum().sort_values(["user_id", "day"]))
+        u = df["user_id"].to_numpy()
+        d = df["day"].to_numpy()
+        n = df["n"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        cnt = np.diff(np.r_[starts, len(u)])
+        P = np.cumsum(n)
+        base = np.r_[np.int64(0), P[starts[1:] - 1]]
+        seg = np.repeat(np.arange(len(starts), dtype=np.int64), cnt)
+        cum = P - base[seg]
+        total = np.repeat(cum[starts + cnt - 1], cnt)
+        hit = 2 * cum >= total
+        # first hit per user (init above any in-segment offset)
+        fh = np.full(len(starts), np.int64(2**31), np.int64)
+        np.minimum.at(fh, seg[hit],
+                      np.arange(len(u))[hit] - starts[seg[hit]])
+        hl = d[starts + fh] - d[starts]
+        uq, cts = np.unique(hl, return_counts=True)
+        return pa.table({"half_life_days": pa.array(uq, pa.int64()),
+                         "n_users": pa.array(cts.astype(np.int64))})
+
+    import pandas as pd
+    parts = bucketed_reduce(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        "user_id", bucket_fn, n_buckets=16).to_pandas()
+    out = (parts.groupby("half_life_days", as_index=False)
+           ["n_users"].sum().sort_values("half_life_days"))
+    return pa.table({
+        "half_life_days": pa.array(out["half_life_days"], pa.int64()),
+        "n_users": pa.array(out["n_users"], pa.int64()),
+    })
+
+
+SQL_HALFLIFE_HISTOGRAM = """
+WITH ud AS (
+  SELECT user_id, day(ts)::BIGINT AS day, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT user_id, day,
+         sum(n) OVER (PARTITION BY user_id ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n) OVER (PARTITION BY user_id) AS total,
+         min(day) OVER (PARTITION BY user_id) AS first_day
+  FROM ud
+), h AS (
+  SELECT user_id, min(day - first_day)::BIGINT AS hl
+  FROM c WHERE 2 * cum >= total GROUP BY 1
+)
+SELECT hl AS half_life_days, count(*)::BIGINT AS n_users
+FROM h GROUP BY 1
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -14855,4 +15056,9 @@ def catalog():
                                   SQL_FIRST_EVENT_BREAKDOWN),
         "type_breadth_histogram": (q_type_breadth_histogram,
                                    SQL_TYPE_BREADTH_HISTOGRAM),
+        "weekday_residuals": (q_weekday_residuals, SQL_WEEKDAY_RESIDUALS),
+        "premium_parts_by_brand": (q_premium_parts_by_brand,
+                                   SQL_PREMIUM_PARTS_BY_BRAND),
+        "halflife_histogram": (q_halflife_histogram,
+                               SQL_HALFLIFE_HISTOGRAM),
     }
