@@ -251,6 +251,9 @@ BENCH_QUERIES = [
     "weekday_residuals",
     "premium_parts_by_brand",
     "halflife_histogram",
+    "order_upgrades",
+    "repurchase_gap_quantiles",
+    "autocomplete_table",
 ]
 
 

@@ -14792,6 +14792,218 @@ FROM h GROUP BY 1
 """
 
 
+def q_order_upgrades(sf_dir: str):
+    """ORDER-UPGRADE pair counts — per customer, how many order pairs
+    are strict upgrades (a later order date AND a strictly larger
+    total): the concordant-pair half of Kendall's tau, the
+    'customers trading up' signal. All pairs live inside one exchange
+    by custkey; the pairwise scan vectorizes as a LAG-DISTANCE loop
+    bounded by the largest per-customer order count (orders per
+    customer is small and bounded by construction at any scale — the
+    documented partitioning assumption), never a Python loop over
+    customers."""
+    from .pipelines.relational import bucketed_reduce
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_orderdate",
+                    "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "o_orderkey": t["o_orderkey"],
+            "d": t["o_orderdate"].cast(pa.int64()),
+            "c": _cents(t["o_totalprice"]),
+        })
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"o_custkey": pa.nulls(0, pa.int64()),
+                          "n_upgrades": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t["o_custkey"].to_numpy(zero_copy_only=False)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, d, u))
+        u, d, c = u[order], d[order], c[order]
+        n = len(u)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        cnt = np.diff(np.r_[starts, n])
+        pos = np.arange(n) - np.repeat(starts, cnt)
+        ups = np.zeros(n, np.int64)       # upgrades ending at j
+        for dist in range(1, int(cnt.max())):
+            j = np.flatnonzero(pos >= dist)
+            i = j - dist
+            hit = (d[i] < d[j]) & (c[i] < c[j])
+            ups[j[hit]] += 1
+        n_up = np.add.reduceat(ups, starts)
+        keep = n_up > 0
+        return pa.table({
+            "o_custkey": pa.array(u[starts][keep], pa.int64()),
+            "n_upgrades": pa.array(n_up[keep], pa.int64()),
+        })
+
+    return bucketed_reduce(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        "o_custkey", bucket_fn, n_buckets=32)
+
+
+SQL_ORDER_UPGRADES = """
+SELECT o1.o_custkey, count(*)::BIGINT AS n_upgrades
+FROM orders o1 JOIN orders o2
+  ON o2.o_custkey = o1.o_custkey
+ AND o2.o_orderdate > o1.o_orderdate
+ AND round(o2.o_totalprice * 100) > round(o1.o_totalprice * 100)
+GROUP BY 1
+"""
+
+
+def q_repurchase_gap_quantiles(sf_dir: str):
+    """REPURCHASE-CYCLE quantiles — exact p50/p90 of the microsecond
+    gap between a user's consecutive purchases: a DERIVED stream (one
+    exchange by user builds the lag gaps) feeding the scalable global
+    order statistic (`stats.exact_quantiles_hist`: iterative histogram
+    refinement, O(blocks x bins) partials, nothing row-shaped on the
+    driver) — the composition a real pipeline runs when the quantile
+    input doesn't exist as a column."""
+    from .pipelines.relational import bucketed_reduce
+    from .pipelines.stats import exact_quantiles_hist
+    from .util import drop_empty_blocks
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        return pa.table({
+            "user_id": t["user_id"],
+            "at_us": t["ts"].cast(pa.int64()),
+            "event_id": t["event_id"],
+        })
+
+    def gaps_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"gap_us": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["at_us"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts = u[order], ts[order]
+        same = u[1:] == u[:-1]
+        return pa.table({"gap_us": pa.array((ts[1:] - ts[:-1])[same],
+                                            pa.int64())})
+
+    gaps = drop_empty_blocks(bucketed_reduce(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "user_id", gaps_fn, n_buckets=16))
+    out = exact_quantiles_hist(gaps, "gap_us", q_pms=[500, 900])
+    return pa.table({"q_pm": out["q_pm"], "value": out["gap_us"]})
+
+
+SQL_REPURCHASE_GAP_QUANTILES = """
+WITH p AS (
+  SELECT user_id, ts, event_id FROM events
+  WHERE event_type = 'purchase'
+), g AS (
+  SELECT epoch_us(ts)
+         - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)) AS gap_us
+  FROM p
+), t AS (SELECT gap_us FROM g WHERE gap_us IS NOT NULL),
+c AS (SELECT gap_us, count(*)::BIGINT AS n FROM t GROUP BY 1),
+w AS (SELECT gap_us, sum(n) OVER (ORDER BY gap_us) AS cum,
+             sum(n) OVER () AS tot
+      FROM c),
+q AS (SELECT unnest([500, 900]) AS q_pm)
+SELECT q.q_pm::BIGINT AS q_pm, min(w.gap_us)::BIGINT AS value
+FROM w CROSS JOIN q
+WHERE w.cum >= (q.q_pm * w.tot + 999) // 1000
+GROUP BY 1
+"""
+
+
+AUTOCOMPLETE_MIN_COUNT = 20
+
+
+def q_autocomplete_table(sf_dir: str):
+    """AUTOCOMPLETE table — for every word with enough signal, its most
+    frequent FOLLOWER (the unigram language model's argmax): per-batch
+    adjacent-bigram count partials, one exchange by first word where
+    the counts finish, the min-support filter applies, and the
+    per-word argmax (ties to the lexicographically smaller follower)
+    resolves with one lexsort — the classic grouped-argmax over a
+    derived pair stream."""
+    from .pipelines.relational import bucketed_reduce
+    from .util import drop_empty_blocks
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        txt = t["text"].to_numpy(zero_copy_only=False)
+        firsts, seconds = [], []
+        for s in txt:
+            w = s.split()
+            firsts.extend(w[:-1])
+            seconds.extend(w[1:])
+        if not firsts:
+            return pa.table({"w1": pa.nulls(0, pa.string()),
+                             "w2": pa.nulls(0, pa.string()),
+                             "n": pa.nulls(0, pa.int64())})
+        df = pd.DataFrame({"w1": firsts, "w2": seconds})
+        g = df.groupby(["w1", "w2"], as_index=False).size()
+        return pa.table({"w1": pa.array(g["w1"], pa.string()),
+                         "w2": pa.array(g["w2"], pa.string()),
+                         "n": pa.array(g["size"].astype("int64"))})
+
+    def argmax_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"word": pa.nulls(0, pa.string()),
+                          "next_word": pa.nulls(0, pa.string()),
+                          "n_pairs": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        import pandas as pd
+        df = (t.to_pandas().groupby(["w1", "w2"], as_index=False)
+              ["n"].sum())
+        df = (df.sort_values(["w1", "n", "w2"],
+                             ascending=[True, False, True],
+                             kind="stable")
+              .groupby("w1", as_index=False).first())
+        df = df[df["n"] >= AUTOCOMPLETE_MIN_COUNT]
+        return pa.table({"word": pa.array(df["w1"], pa.string()),
+                         "next_word": pa.array(df["w2"], pa.string()),
+                         "n_pairs": pa.array(df["n"].astype("int64"))})
+
+    return drop_empty_blocks(bucketed_reduce(
+        docs.map_batches(bigram_partial, batch_format="pyarrow"),
+        "w1", argmax_fn, n_buckets=16))
+
+
+SQL_AUTOCOMPLETE_TABLE = rf"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(text, '\s+')) AS w,
+         generate_subscripts(regexp_split_to_array(text, '\s+'), 1)
+           AS pos
+  FROM documents
+), bi AS (
+  SELECT a.w AS w1, b.w AS w2, count(*)::BIGINT AS n
+  FROM words a JOIN words b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+), r AS (
+  SELECT w1, w2, n,
+         row_number() OVER (PARTITION BY w1
+                            ORDER BY n DESC, w2) AS rn
+  FROM bi
+)
+SELECT w1 AS word, w2 AS next_word, n AS n_pairs
+FROM r WHERE rn = 1 AND n >= {AUTOCOMPLETE_MIN_COUNT}
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -15061,4 +15273,9 @@ def catalog():
                                    SQL_PREMIUM_PARTS_BY_BRAND),
         "halflife_histogram": (q_halflife_histogram,
                                SQL_HALFLIFE_HISTOGRAM),
+        "order_upgrades": (q_order_upgrades, SQL_ORDER_UPGRADES),
+        "repurchase_gap_quantiles": (q_repurchase_gap_quantiles,
+                                     SQL_REPURCHASE_GAP_QUANTILES),
+        "autocomplete_table": (q_autocomplete_table,
+                               SQL_AUTOCOMPLETE_TABLE),
     }
