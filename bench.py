@@ -254,6 +254,9 @@ BENCH_QUERIES = [
     "order_upgrades",
     "repurchase_gap_quantiles",
     "autocomplete_table",
+    "daily_p90_median",
+    "tenure_spend_corr",
+    "two_hop_reach",
 ]
 
 

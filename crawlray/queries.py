@@ -15004,6 +15004,237 @@ FROM r WHERE rn = 1 AND n >= {AUTOCOMPLETE_MIN_COUNT}
 """
 
 
+def q_daily_p90_median(sf_dir: str):
+    """NESTED ORDER STATISTICS — the SRE latency-report shape: the
+    exact p90 of event values per day (integer ceil-rank), then the
+    exact median OF THOSE daily p90s (2x-scaled for even counts). The
+    inner statistic resolves per day inside ONE exchange by day; the
+    outer one is a driver fold over <= 31 values. No engine computes
+    this in SQL without the same two levels."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.day(t["ts"]).cast(pa.int64()),
+                         "c": _cents(t["value"])})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"day": pa.nulls(0, pa.int64()),
+                          "p90_cents": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        d = t["day"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, d))
+        d, c = d[order], c[order]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        cnt = np.diff(np.r_[starts, len(d)])
+        rank = (9 * cnt + 9) // 10
+        return pa.table({"day": pa.array(d[starts], pa.int64()),
+                         "p90_cents": pa.array(c[starts + rank - 1],
+                                               pa.int64())})
+
+    import pandas as pd
+    daily = bucketed_reduce(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "day", bucket_fn, n_buckets=8).to_pandas().sort_values("day")
+    p90s = np.sort(daily["p90_cents"].to_numpy())
+    n = len(p90s)
+    med2 = int(p90s[(n - 1) // 2] + p90s[n // 2]) if n else 0
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "median_daily_p90_x2": pa.array([med2], pa.int64()),
+    })
+
+
+SQL_DAILY_P90_MEDIAN = """
+WITH e AS (
+  SELECT day(ts)::BIGINT AS day,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), r AS (
+  SELECT day, c,
+         row_number() OVER (PARTITION BY day ORDER BY c) AS rn,
+         count(*) OVER (PARTITION BY day) AS n
+  FROM e
+), p AS (
+  SELECT day, max(CASE WHEN rn = (9 * n + 9) // 10 THEN c END) AS p90
+  FROM r GROUP BY 1
+), m AS (
+  SELECT p90, row_number() OVER (ORDER BY p90) AS rn,
+         count(*) OVER () AS n
+  FROM p
+)
+SELECT max(n)::BIGINT AS n_days,
+       (max(CASE WHEN rn = (n + 1) // 2 THEN p90 END)
+        + max(CASE WHEN rn = n // 2 + 1 THEN p90 END))::BIGINT
+         AS median_daily_p90_x2
+FROM m
+"""
+
+
+def q_tenure_spend_corr(sf_dir: str):
+    """TENURE-vs-SPEND correlation INGREDIENTS over DERIVED per-user
+    aggregates — the 'do long-tenured users spend more' question:
+    x = active-day span, y = total cents, correlated via the six
+    integer sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²), all
+    exact. The per-user (tenure, spend) pair resolves in ONE exchange
+    by user from per-batch (min, max, sum) partials; each bucket then
+    folds to a single 6-number partial — O(buckets) rows reach the
+    driver."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"user_id": t["user_id"],
+                       "d": pc.day(t["ts"]).cast(pa.int64()),
+                       "c": _cents(t["value"])})
+             .group_by("user_id")
+             .aggregate([("d", "min"), ("d", "max"), ("c", "sum")]))
+        return pa.table({"user_id": g["user_id"],
+                         "dmin": g["d_min"], "dmax": g["d_max"],
+                         "spend": g["c_sum"]})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({k: pa.nulls(0, pa.int64()) for k in
+                          ("n", "sx", "sy", "sxy", "sxx", "syy")})
+        if t.num_rows == 0:
+            return empty
+        g = (t.group_by("user_id")
+             .aggregate([("dmin", "min"), ("dmax", "max"),
+                         ("spend", "sum")]))
+        x = (g["dmax_max"].to_numpy(zero_copy_only=False)
+             - g["dmin_min"].to_numpy(zero_copy_only=False))
+        y = g["spend_sum"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([np.int64(len(x))], pa.int64()),
+            "sx": pa.array([np.int64(x.sum())], pa.int64()),
+            "sy": pa.array([np.int64(y.sum())], pa.int64()),
+            "sxy": pa.array([np.int64((x * y).sum())], pa.int64()),
+            "sxx": pa.array([np.int64((x * x).sum())], pa.int64()),
+            "syy": pa.array([np.int64((y * y).sum())], pa.int64()),
+        })
+
+    import pandas as pd
+    parts = bucketed_reduce(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        "user_id", bucket_fn, n_buckets=16).to_pandas()
+    return pa.table({c: pa.array([int(parts[c].sum())], pa.int64())
+                     for c in ("n", "sx", "sy", "sxy", "sxx", "syy")})
+
+
+SQL_TENURE_SPEND_CORR = """
+WITH u AS (
+  SELECT user_id,
+         (max(day(ts)) - min(day(ts)))::BIGINT AS x,
+         sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS y
+  FROM events GROUP BY 1
+)
+SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+       sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+       sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+FROM u
+"""
+
+
+def q_two_hop_reach(sf_dir: str):
+    """TWO-HOP REACH per node — |{w : dist(v, w) = 1 or 2}|, the
+    friends-of-friends audience size on the bounded co-purchase graph
+    (`l_partkey % 5`). Wedges generate through ONE exchange by the
+    middle node (each middle emits its neighbor pairs, both
+    directions), the distinct union with direct neighbors resolves in
+    a second exchange by source — the textbook 2-step graph join with
+    dedup BETWEEN the hops, never a driver set."""
+    from .pipelines.graph import cooccurrence_edges
+    from .pipelines.relational import bucketed_reduce
+    from .util import drop_empty_blocks
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["l_partkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % TRIANGLE_PART_MOD == 0))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey"]).map_batches(
+        keep, batch_format="pyarrow")
+    edges = cooccurrence_edges(li, group="l_orderkey", node="l_partkey")
+
+    def symm(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table({"m": pa.array(np.r_[a, b], pa.int64()),
+                         "n": pa.array(np.r_[b, a], pa.int64())})
+
+    def wedge_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"src": pa.nulls(0, pa.int64()),
+                          "dst": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        m = t["m"].to_numpy(zero_copy_only=False)
+        nb = t["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nb, m))
+        m, nb = m[order], nb[order]
+        starts = np.flatnonzero(np.r_[True, m[1:] != m[:-1]])
+        bounds = np.r_[starts, len(m)]
+        # direct neighbors (dist 1) plus neighbor-pairs through this
+        # middle (dist <= 2)
+        out_s, out_d = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            nbrs = nb[s:e]
+            k = len(nbrs)
+            if k > 1:
+                out_s.append(np.repeat(nbrs, k))
+                out_d.append(np.tile(nbrs, k))
+        src = np.r_[m, np.concatenate(out_s) if out_s else
+                    np.empty(0, np.int64)]
+        dst = np.r_[nb, np.concatenate(out_d) if out_d else
+                    np.empty(0, np.int64)]
+        kv = np.unique(np.stack([src, dst], axis=1), axis=0)
+        kv = kv[kv[:, 0] != kv[:, 1]]
+        return pa.table({"src": pa.array(kv[:, 0], pa.int64()),
+                         "dst": pa.array(kv[:, 1], pa.int64())})
+
+    pairs = drop_empty_blocks(bucketed_reduce(
+        edges.map_batches(symm, batch_format="pyarrow"),
+        "m", wedge_fn, n_buckets=16))
+
+    def count_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"l_partkey": pa.nulls(0, pa.int64()),
+                          "n_reach": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        kv = np.unique(np.stack(
+            [t["src"].to_numpy(zero_copy_only=False),
+             t["dst"].to_numpy(zero_copy_only=False)], axis=1), axis=0)
+        u, c = np.unique(kv[:, 0], return_counts=True)
+        return pa.table({"l_partkey": pa.array(u, pa.int64()),
+                         "n_reach": pa.array(c.astype(np.int64))})
+
+    return drop_empty_blocks(bucketed_reduce(pairs, "src", count_fn,
+                                             n_buckets=16))
+
+
+SQL_TWO_HOP_REACH = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_partkey % {TRIANGLE_PART_MOD} = 0),
+e0 AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM li l1 JOIN li l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey < l2.l_partkey
+),
+e AS (SELECT a AS s, b AS d FROM e0 UNION SELECT b, a FROM e0),
+reach AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT e1.s, e2.d FROM e e1 JOIN e e2 ON e2.s = e1.d
+  WHERE e1.s <> e2.d
+)
+SELECT s AS l_partkey, count(*)::BIGINT AS n_reach
+FROM reach GROUP BY 1
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -15278,4 +15509,8 @@ def catalog():
                                      SQL_REPURCHASE_GAP_QUANTILES),
         "autocomplete_table": (q_autocomplete_table,
                                SQL_AUTOCOMPLETE_TABLE),
+        "daily_p90_median": (q_daily_p90_median, SQL_DAILY_P90_MEDIAN),
+        "tenure_spend_corr": (q_tenure_spend_corr,
+                              SQL_TENURE_SPEND_CORR),
+        "two_hop_reach": (q_two_hop_reach, SQL_TWO_HOP_REACH),
     }
