@@ -257,6 +257,9 @@ BENCH_QUERIES = [
     "daily_p90_median",
     "tenure_spend_corr",
     "two_hop_reach",
+    "k_anonymity_audit",
+    "prefix_compress_estimate",
+    "daily_cross_metrics",
 ]
 
 

@@ -15235,6 +15235,236 @@ FROM reach GROUP BY 1
 """
 
 
+K_ANON_THRESHOLD = 25
+
+
+def q_k_anonymity_audit(sf_dir: str):
+    """K-ANONYMITY audit over the (nation, segment) quasi-identifier —
+    the privacy gate a dataset release runs: how many equivalence
+    classes fall below k=25, how many customers they expose, and the
+    smallest class. Per-batch (nation, segment) count partials, one
+    tiny exchange (the QI domain is bounded), O(1) audit rows out."""
+    from .pipelines.relational import bucketed_reduce
+
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"nat": t["c_nationkey"].cast(pa.int64()),
+                       "seg": t["c_mktsegment"]})
+             .group_by(["nat", "seg"]).aggregate([("nat", "count")]))
+        return pa.table({"nat": g["nat"], "seg": g["seg"],
+                         "n": g["nat_count"].cast(pa.int64())})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"n_classes": pa.nulls(0, pa.int64()),
+                          "n_small_classes": pa.nulls(0, pa.int64()),
+                          "n_exposed": pa.nulls(0, pa.int64()),
+                          "min_class_size": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        g = t.group_by(["nat", "seg"]).aggregate([("n", "sum")])
+        n = g["n_sum"].to_numpy(zero_copy_only=False)
+        small = n < K_ANON_THRESHOLD
+        return pa.table({
+            "n_classes": pa.array([np.int64(len(n))], pa.int64()),
+            "n_small_classes": pa.array([np.int64(small.sum())],
+                                        pa.int64()),
+            "n_exposed": pa.array([np.int64(n[small].sum())],
+                                  pa.int64()),
+            "min_class_size": pa.array([np.int64(n.min())], pa.int64()),
+        })
+
+    import pandas as pd
+    parts = bucketed_reduce(
+        cust.map_batches(partial, batch_format="pyarrow"),
+        "nat", bucket_fn, n_buckets=8).to_pandas()
+    return pa.table({
+        "n_classes": pa.array([int(parts["n_classes"].sum())],
+                              pa.int64()),
+        "n_small_classes": pa.array(
+            [int(parts["n_small_classes"].sum())], pa.int64()),
+        "n_exposed": pa.array([int(parts["n_exposed"].sum())],
+                              pa.int64()),
+        "min_class_size": pa.array([int(parts["min_class_size"].min())],
+                                   pa.int64()),
+    })
+
+
+SQL_K_ANONYMITY_AUDIT = f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n
+  FROM customer GROUP BY 1, 2
+)
+SELECT count(*)::BIGINT AS n_classes,
+       count(*) FILTER (n < {K_ANON_THRESHOLD})::BIGINT
+         AS n_small_classes,
+       coalesce(sum(n) FILTER (n < {K_ANON_THRESHOLD}), 0)::BIGINT
+         AS n_exposed,
+       min(n)::BIGINT AS min_class_size
+FROM g
+"""
+
+
+def q_prefix_compress_estimate(sf_dir: str):
+    """SORTED-KEY PREFIX-COMPRESSIBILITY estimate — the storage-planning
+    stat behind prefix/delta encoding choices: over customer names in
+    sorted order, the total and max longest-common-prefix between
+    consecutive keys. The global sort is Ray's range-partitioned sort;
+    consecutive pairs come per block with only each block's 1-row TAIL
+    crossing (the `sorted_window_pairs` discipline, carried inline here
+    because the pair payload is the string, not an id); the LCP kernel
+    is a vectorized per-batch column scan."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_name"])
+    ordered = cust.map_batches(
+        lambda t: pa.table({"name": t["c_name"]}),
+        batch_format="pyarrow").sort("name")
+    refs = ordered.to_arrow_refs()
+
+    @ray.remote
+    def tail_of(t):
+        t = t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
+        names = t["name"].to_pylist()
+        return names[-1] if names else None
+
+    tails = ray.get([tail_of.remote(r) for r in refs])
+    prev = [None]
+    for tl in tails[:-1]:
+        prev.append(tl if tl is not None else prev[-1])
+
+    @ray.remote
+    def lcps_of(t, carry) -> pa.Table:
+        t = t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
+        names = t["name"].to_pylist()
+        if carry is not None:
+            names = [carry] + names
+        if len(names) < 2:
+            return pa.table({"n_pairs": pa.array([0], pa.int64()),
+                             "sum_lcp": pa.array([0], pa.int64()),
+                             "max_lcp": pa.array([0], pa.int64())})
+        a = np.array(names[:-1], dtype="U")
+        b = np.array(names[1:], dtype="U")
+        width = max(a.dtype.itemsize, b.dtype.itemsize) // 4
+        av = np.zeros((len(a), width), np.uint32)
+        bv = np.zeros((len(b), width), np.uint32)
+        av[:, :a.dtype.itemsize // 4] = a.view(np.uint32).reshape(
+            len(a), -1)
+        bv[:, :b.dtype.itemsize // 4] = b.view(np.uint32).reshape(
+            len(b), -1)
+        neq = av != bv
+        first_diff = np.where(neq.any(axis=1),
+                              neq.argmax(axis=1), width)
+        lens = np.minimum(np.char.str_len(a), np.char.str_len(b))
+        lcp = np.minimum(first_diff, lens)
+        return pa.table({
+            "n_pairs": pa.array([np.int64(len(lcp))], pa.int64()),
+            "sum_lcp": pa.array([np.int64(lcp.sum())], pa.int64()),
+            "max_lcp": pa.array([np.int64(lcp.max())], pa.int64()),
+        })
+
+    import pandas as pd
+    parts = rd.from_arrow_refs(
+        [lcps_of.remote(r, p) for r, p in zip(refs, prev)]).to_pandas()
+    return pa.table({
+        "n_pairs": pa.array([int(parts["n_pairs"].sum())], pa.int64()),
+        "sum_lcp": pa.array([int(parts["sum_lcp"].sum())], pa.int64()),
+        "max_lcp": pa.array([int(parts["max_lcp"].max())], pa.int64()),
+    })
+
+
+SQL_PREFIX_COMPRESS_ESTIMATE = """
+WITH s AS (
+  SELECT c_name AS name,
+         lag(c_name) OVER (ORDER BY c_name) AS prev
+  FROM customer
+), l AS (
+  SELECT (SELECT coalesce(max(i), 0)
+          FROM (SELECT unnest(generate_series(
+                  1, least(len(name), len(prev)))) AS i)
+          WHERE substr(name, 1, i) = substr(prev, 1, i)) AS lcp
+  FROM s WHERE prev IS NOT NULL
+)
+SELECT count(*)::BIGINT AS n_pairs, sum(lcp)::BIGINT AS sum_lcp,
+       max(lcp)::BIGINT AS max_lcp
+FROM l
+"""
+
+
+def q_daily_cross_metrics(sf_dir: str):
+    """CROSS-TABLE daily dashboard — events count, orders count, and
+    lineitem revenue aligned on day-of-month via FULL OUTER semantics
+    (a day present in any stream appears; absent metrics are 0): three
+    independent partial-aggregate scans, each O(blocks x 31) rows, and
+    a coalescing driver fold over the 31-day grid — no join ever
+    runs."""
+    ev = _read(sf_dir, "events", ["ts"])
+    orders = _read(sf_dir, "orders", ["o_orderdate"])
+    li = _read(sf_dir, "lineitem", ["l_shipdate", "l_extendedprice"])
+
+    def ev_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"day": pc.day(t["ts"]).cast(pa.int64())})
+             .group_by("day").aggregate([("day", "count")]))
+        return pa.table({"day": g["day"],
+                         "v": g["day_count"].cast(pa.int64())})
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"day": pc.day(t["o_orderdate"]).cast(pa.int64())})
+             .group_by("day").aggregate([("day", "count")]))
+        return pa.table({"day": g["day"],
+                         "v": g["day_count"].cast(pa.int64())})
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"day": pc.day(t["l_shipdate"]).cast(pa.int64()),
+                       "c": _cents(t["l_extendedprice"])})
+             .group_by("day").aggregate([("c", "sum")]))
+        return pa.table({"day": g["day"], "v": g["c_sum"]})
+
+    import pandas as pd
+
+    def fold(ds) -> pd.Series:
+        df = ds.to_pandas()
+        return df.groupby("day")["v"].sum()
+
+    e = fold(ev.map_batches(ev_partial, batch_format="pyarrow"))
+    o = fold(orders.map_batches(o_partial, batch_format="pyarrow"))
+    r = fold(li.map_batches(li_partial, batch_format="pyarrow"))
+    days = sorted(set(e.index) | set(o.index) | set(r.index))
+    return pa.table({
+        "day": pa.array([int(d) for d in days], pa.int64()),
+        "n_events": pa.array([int(e.get(d, 0)) for d in days],
+                             pa.int64()),
+        "n_orders": pa.array([int(o.get(d, 0)) for d in days],
+                             pa.int64()),
+        "ship_revenue_cents": pa.array([int(r.get(d, 0)) for d in days],
+                                       pa.int64()),
+    })
+
+
+SQL_DAILY_CROSS_METRICS = """
+WITH e AS (
+  SELECT day(ts)::BIGINT AS day, count(*)::BIGINT AS n FROM events
+  GROUP BY 1
+), o AS (
+  SELECT day(o_orderdate)::BIGINT AS day, count(*)::BIGINT AS n
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT day(l_shipdate)::BIGINT AS day,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS c
+  FROM lineitem GROUP BY 1
+), days AS (
+  SELECT day FROM e UNION SELECT day FROM o UNION SELECT day FROM r
+)
+SELECT d.day, coalesce(e.n, 0)::BIGINT AS n_events,
+       coalesce(o.n, 0)::BIGINT AS n_orders,
+       coalesce(r.c, 0)::BIGINT AS ship_revenue_cents
+FROM days d
+LEFT JOIN e ON e.day = d.day
+LEFT JOIN o ON o.day = d.day
+LEFT JOIN r ON r.day = d.day
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -15510,6 +15740,11 @@ def catalog():
         "autocomplete_table": (q_autocomplete_table,
                                SQL_AUTOCOMPLETE_TABLE),
         "daily_p90_median": (q_daily_p90_median, SQL_DAILY_P90_MEDIAN),
+        "k_anonymity_audit": (q_k_anonymity_audit, SQL_K_ANONYMITY_AUDIT),
+        "prefix_compress_estimate": (q_prefix_compress_estimate,
+                                     SQL_PREFIX_COMPRESS_ESTIMATE),
+        "daily_cross_metrics": (q_daily_cross_metrics,
+                                SQL_DAILY_CROSS_METRICS),
         "tenure_spend_corr": (q_tenure_spend_corr,
                               SQL_TENURE_SPEND_CORR),
         "two_hop_reach": (q_two_hop_reach, SQL_TWO_HOP_REACH),
