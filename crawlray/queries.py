@@ -15465,6 +15465,222 @@ LEFT JOIN r ON r.day = d.day
 """
 
 
+CUSUM_H_MULT = 3
+
+
+def q_cusum_drift(sf_dir: str):
+    """CUSUM drift detection over the daily event-count series — the
+    classic 'did traffic drift above its allowance' control chart. The
+    recursion S_i = max(0, S_{i-1} + x_i - k) has the closed form
+    S_i = P_i - min(0, min_{j<=i} P_j) over prefix sums P of (x_i - k),
+    so no sequential state survives the aggregation: per-batch
+    (day, n) count partials cross (O(blocks x 31) rows), and the scan
+    itself is a prefix-sum + running-min over the BOUNDED day grid on
+    the driver. Everything runs in the doubled-integer domain
+    (diff = 2n - k2, k2 = ceil(2*total/n_days)) so the fractional mean
+    allowance needs no floats; alarm when S > CUSUM_H_MULT * k2."""
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"day": pc.day(t["ts"]).cast(pa.int64())})
+             .group_by("day").aggregate([("day", "count")]))
+        return pa.table({"day": g["day"],
+                         "n": g["day_count"].cast(pa.int64())})
+
+    daily = (ev.map_batches(partial, batch_format="pyarrow")
+             .to_pandas().groupby("day")["n"].sum().sort_index())
+    n = daily.to_numpy(dtype=np.int64)
+    nd = len(n)
+    total = int(n.sum())
+    k2 = -(-2 * total // nd) if nd else 0
+    p = np.cumsum(2 * n - k2)
+    s = p - np.minimum(np.minimum.accumulate(p), 0)
+    alarm = s > CUSUM_H_MULT * k2
+    days = daily.index.to_numpy(dtype=np.int64)
+    first = int(days[alarm][0]) if alarm.any() else -1
+    return pa.table({
+        "n_days": pa.array([nd], pa.int64()),
+        "n_alarms": pa.array([int(alarm.sum())], pa.int64()),
+        "max_s": pa.array([int(s.max()) if nd else 0], pa.int64()),
+        "first_alarm_day": pa.array([first], pa.int64()),
+    })
+
+
+SQL_CUSUM_DRIFT = f"""
+WITH x AS (
+  SELECT day(ts)::BIGINT AS d, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS nd FROM x
+), ss AS (
+  SELECT d, 2 * n - ((2 * total + nd - 1) // nd) AS diff,
+         ((2 * total + nd - 1) // nd) AS k2
+  FROM x, tot
+), p AS (
+  SELECT d, k2, sum(diff) OVER (ORDER BY d)::BIGINT AS psum FROM ss
+), s AS (
+  SELECT d, k2,
+         (psum - least(0, min(psum) OVER (ORDER BY d)))::BIGINT AS s
+  FROM p
+)
+SELECT count(*)::BIGINT AS n_days,
+       sum(CASE WHEN s > {CUSUM_H_MULT} * k2 THEN 1 ELSE 0 END)::BIGINT
+         AS n_alarms,
+       max(s)::BIGINT AS max_s,
+       coalesce(min(CASE WHEN s > {CUSUM_H_MULT} * k2 THEN d END),
+                -1)::BIGINT AS first_alarm_day
+FROM s
+"""
+
+
+HDR_PCTS = (50, 90, 99)
+
+
+def q_hdr_quantiles(sf_dir: str):
+    """HdrHistogram-style MERGEABLE log2-bucket quantile sketch over
+    order totals — the constant-size structure a 100 TB pipeline uses
+    when exact quantiles would shuffle every value: bucket =
+    bit_length(cents), so each per-batch partial is <= 64 rows, merge
+    is addition, and any quantile resolves to a [2^(b-1), 2^b - 1]
+    bound from the merged histogram. O(blocks x 64) rows cross; the
+    cumulative walk runs over <= 64 rows on the driver. The oracle
+    restates bit_length as length(bin(c)) — exact, no floats."""
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        # frexp exponent == bit_length exactly for 0 < c < 2^53 (cents
+        # fit float64 exactly); log2+floor would misround at powers of 2
+        b = np.frexp(c.astype(np.float64))[1].astype(np.int64)
+        u, n = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(u, pa.int64()),
+                         "n": pa.array(n.astype(np.int64))})
+
+    hist = (orders.map_batches(partial, batch_format="pyarrow")
+            .to_pandas().groupby("bucket")["n"].sum().sort_index())
+    buckets = hist.index.to_numpy(dtype=np.int64)
+    counts = hist.to_numpy(dtype=np.int64)
+    cum = np.cumsum(counts)
+    total = int(cum[-1]) if len(cum) else 0
+    rows = []
+    for pct in HDR_PCTS:
+        rank = (pct * total + 99) // 100
+        i = int(np.searchsorted(cum, rank))
+        b = int(buckets[i])
+        rows.append((pct, b, 1 << (b - 1) if b > 0 else 0,
+                     (1 << b) - 1))
+    return pa.table({
+        "pct": pa.array([r[0] for r in rows], pa.int64()),
+        "bucket": pa.array([r[1] for r in rows], pa.int64()),
+        "lo_cents": pa.array([r[2] for r in rows], pa.int64()),
+        "hi_cents": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+SQL_HDR_QUANTILES = """
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+), h AS (
+  SELECT length(bin(c))::BIGINT AS b, count(*)::BIGINT AS n
+  FROM c GROUP BY 1
+), cum AS (
+  SELECT b, sum(n) OVER (ORDER BY b)::BIGINT AS cn,
+         (SELECT sum(n)::BIGINT FROM h) AS tot
+  FROM h
+)
+SELECT q.pct::BIGINT AS pct, min(cum.b)::BIGINT AS bucket,
+       (1::BIGINT << (min(cum.b)::INT - 1))::BIGINT AS lo_cents,
+       ((1::BIGINT << min(cum.b)::INT) - 1)::BIGINT AS hi_cents
+FROM (VALUES (50), (90), (99)) q(pct)
+JOIN cum ON cum.cn >= (q.pct * cum.tot + 99) // 100
+GROUP BY 1
+"""
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 16
+
+
+def q_cms_estimates(sf_dir: str):
+    """COUNT-MIN SKETCH estimate-vs-exact audit over event types — the
+    canonical fixed-memory frequency sketch (depth 4 x width 16,
+    md5-derived rows) next to the ground truth it approximates: per
+    batch, each of the 4 salted rows bins the batch's type counts into
+    16 buckets (O(blocks x 64) partial rows; merge is addition because
+    CMS is linear), the estimate for a type is the min over rows of its
+    bucket, and the deliberately tiny width forces visible collisions
+    so `overestimate` is non-trivial. Exact counts ride the same pass.
+    Bucket hash = md5 upper-8-LE % width == DuckDB md5_number_upper."""
+    import hashlib
+
+    ev = _read(sf_dir, "events", ["event_type"])
+
+    def bucket_of(salt: int, types) -> np.ndarray:
+        return np.array(
+            [int.from_bytes(
+                hashlib.md5(f"cms-{salt}:{t}".encode()).digest()[:8],
+                "little") % CMS_WIDTH for t in types], np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        types, n = np.unique(
+            t["event_type"].to_numpy(zero_copy_only=False),
+            return_counts=True)
+        n = n.astype(np.int64)
+        salts, bks, vals = [], [], []
+        for s in range(CMS_DEPTH):
+            b = bucket_of(s, types)
+            for bk in np.unique(b):
+                salts.append(s)
+                bks.append(int(bk))
+                vals.append(int(n[b == bk].sum()))
+        return pa.table({
+            "salt": pa.array(salts + [-1] * len(types), pa.int64()),
+            "bucket": pa.array(bks + [0] * len(types), pa.int64()),
+            "key": pa.array([""] * len(salts) + list(types)),
+            "n": pa.array(vals + list(n), pa.int64()),
+        })
+
+    df = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cms = (df[df["salt"] >= 0].groupby(["salt", "bucket"])["n"].sum())
+    exact = df[df["salt"] < 0].groupby("key")["n"].sum().sort_index()
+    types = list(exact.index)
+    est = []
+    for t in types:
+        est.append(min(
+            int(cms.get((s, int.from_bytes(
+                hashlib.md5(f"cms-{s}:{t}".encode()).digest()[:8],
+                "little") % CMS_WIDTH), 0))
+            for s in range(CMS_DEPTH)))
+    ex = exact.to_numpy(dtype=np.int64)
+    return pa.table({
+        "event_type": pa.array(types),
+        "exact_n": pa.array(ex, pa.int64()),
+        "cms_n": pa.array(np.array(est, np.int64)),
+        "overestimate": pa.array(np.array(est, np.int64) - ex),
+    })
+
+
+SQL_CMS_ESTIMATES = f"""
+WITH t AS (
+  SELECT event_type, count(*)::BIGINT AS n FROM events GROUP BY 1
+), b AS (
+  SELECT s.salt, event_type, n,
+         (md5_number_upper('cms-' || s.salt || ':' || event_type)
+            ::HUGEINT % {CMS_WIDTH})::BIGINT AS bucket
+  FROM t, (VALUES (0), (1), (2), (3)) s(salt)
+), cms AS (
+  SELECT salt, bucket, sum(n)::BIGINT AS bn FROM b GROUP BY 1, 2
+), est AS (
+  SELECT b.event_type, min(cms.bn)::BIGINT AS cms_n
+  FROM b JOIN cms ON b.salt = cms.salt AND b.bucket = cms.bucket
+  GROUP BY 1
+)
+SELECT t.event_type, t.n AS exact_n, est.cms_n,
+       (est.cms_n - t.n)::BIGINT AS overestimate
+FROM t JOIN est USING (event_type)
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -15748,4 +15964,7 @@ def catalog():
         "tenure_spend_corr": (q_tenure_spend_corr,
                               SQL_TENURE_SPEND_CORR),
         "two_hop_reach": (q_two_hop_reach, SQL_TWO_HOP_REACH),
+        "cusum_drift": (q_cusum_drift, SQL_CUSUM_DRIFT),
+        "hdr_quantiles": (q_hdr_quantiles, SQL_HDR_QUANTILES),
+        "cms_estimates": (q_cms_estimates, SQL_CMS_ESTIMATES),
     }

@@ -1,0 +1,163 @@
+"""Round-4j units: adversarial edges for the session-9 sketch kernels.
+
+The queries are covered by the parameterized oracle gate at sf0.01; this
+file pins the edges the corpus may not exercise — the CUSUM closed form
+vs the literal recursion and the strict > alarm boundary, HdrHistogram
+buckets at exact powers of two (where a float log2 would misround), and
+count-min monotonicity (estimate >= exact, always) under forced
+collisions — each against the same DuckDB oracle over tiny tables.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+US = 1_000_000
+BASE = np.datetime64("2024-01-01T00:00:00", "us").astype("int64")
+DAY = 86_400
+
+
+def _events(rows) -> pd.DataFrame:
+    """rows: (event_id, user_id, event_type, sec_offset, value)."""
+    return pd.DataFrame({
+        "event_id": [r[0] for r in rows],
+        "ts": pd.to_datetime([BASE + r[3] * US for r in rows],
+                             unit="us").astype("datetime64[us]"),
+        "user_id": [r[1] for r in rows],
+        "event_type": [r[2] for r in rows],
+        "value": [float(r[4]) for r in rows],
+        "props": ["{}"] * len(rows),
+    })
+
+
+def _write(tmp_path, df: pd.DataFrame, name: str) -> str:
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / f"{name}.parquet"))
+    return str(tmp_path)
+
+
+def _oracle(tmp_path, sql: str, tables) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{t}.parquet')")
+    return con.execute(sql).fetchdf()
+
+
+def _cusum_reference(counts):
+    """The literal textbook recursion the closed form must equal."""
+    total, nd = sum(counts), len(counts)
+    k2 = -(-2 * total // nd)
+    s, out = 0, []
+    for n in counts:
+        s = max(0, s + 2 * n - k2)
+        out.append(s)
+    return out, k2
+
+
+class TestCusumEdges:
+    def _sf(self, tmp_path, counts):
+        rows, eid = [], 0
+        for day, n in enumerate(counts):
+            for _ in range(n):
+                eid += 1
+                rows.append((eid, 1, "view", day * DAY, 1.0))
+        return _write(tmp_path, _events(rows), "events")
+
+    def test_closed_form_equals_recursion_and_alarm_day(
+            self, ray_session, tmp_path):
+        from crawlray.queries import (CUSUM_H_MULT, SQL_CUSUM_DRIFT,
+                                      q_cusum_drift)
+
+        # flat traffic then a late sustained drift
+        counts = [4, 4, 4, 4, 20, 20, 20]
+        sf = self._sf(tmp_path, counts)
+        ref, k2 = _cusum_reference(counts)
+        got = q_cusum_drift(sf).to_pandas().iloc[0]
+        assert got["max_s"] == max(ref)
+        alarms = [d + 1 for d, s in enumerate(ref)
+                  if s > CUSUM_H_MULT * k2]
+        assert got["n_alarms"] == len(alarms)
+        assert got["first_alarm_day"] == (alarms[0] if alarms else -1)
+        ora = _oracle(tmp_path, SQL_CUSUM_DRIFT, ["events"]).iloc[0]
+        for c in ("n_days", "n_alarms", "max_s", "first_alarm_day"):
+            assert got[c] == ora[c], c
+
+    def test_boundary_is_strict_and_no_drift_no_alarm(
+            self, ray_session, tmp_path):
+        from crawlray.queries import SQL_CUSUM_DRIFT, q_cusum_drift
+
+        # perfectly flat: S returns to 0 every day, never alarms
+        counts = [7, 7, 7, 7]
+        sf = self._sf(tmp_path, counts)
+        got = q_cusum_drift(sf).to_pandas().iloc[0]
+        assert got["n_alarms"] == 0
+        assert got["first_alarm_day"] == -1
+        assert got["max_s"] == 0
+        ora = _oracle(tmp_path, SQL_CUSUM_DRIFT, ["events"]).iloc[0]
+        for c in ("n_days", "n_alarms", "max_s", "first_alarm_day"):
+            assert got[c] == ora[c], c
+
+
+class TestHdrEdges:
+    def test_powers_of_two_bucket_exactly(self, ray_session, tmp_path):
+        from crawlray.queries import SQL_HDR_QUANTILES, q_hdr_quantiles
+
+        # cents exactly at 2^k must land in bucket k+1 (bin length),
+        # cents at 2^k - 1 in bucket k; a float floor(log2) misrounds
+        # the first class.  1.28 -> 128 = 2^7 -> bucket 8; 1.27 -> 127
+        # -> bucket 7; 81.92 -> 8192 = 2^13 -> bucket 14.
+        prices = [1.28, 1.27, 81.92, 0.01, 655.36]
+        orders = pd.DataFrame({
+            "o_orderkey": range(1, len(prices) + 1),
+            "o_custkey": [1] * len(prices),
+            "o_orderstatus": ["F"] * len(prices),
+            "o_totalprice": prices,
+            "o_orderdate": pd.to_datetime(
+                ["2024-01-01"] * len(prices)).astype("datetime64[us]"),
+            "o_orderpriority": ["1-URGENT"] * len(prices),
+        })
+        sf = _write(tmp_path, orders, "orders")
+        got = q_hdr_quantiles(sf).to_pandas()
+        byp = {int(r["pct"]): r for _, r in got.iterrows()}
+        # sorted buckets: [1, 7, 8, 14, 17]; ranks ceil(p*5/100):
+        # p50 -> rank 3 -> bucket 8 (the 2^7 edge), p90 -> rank 5 ->
+        # bucket 17, p99 -> rank 5 -> bucket 17
+        assert int(byp[50]["bucket"]) == 8
+        assert int(byp[50]["lo_cents"]) == 128
+        assert int(byp[50]["hi_cents"]) == 255
+        assert int(byp[90]["bucket"]) == 17
+        ora = _oracle(tmp_path, SQL_HDR_QUANTILES, ["orders"])
+        pd.testing.assert_frame_equal(
+            got.sort_values("pct").reset_index(drop=True),
+            ora.sort_values("pct").reset_index(drop=True),
+            check_dtype=False)
+
+
+class TestCmsEdges:
+    def test_estimate_dominates_exact_under_collisions(
+            self, ray_session, tmp_path):
+        from crawlray.queries import SQL_CMS_ESTIMATES, q_cms_estimates
+
+        # 40 distinct types into 16 buckets forces collisions in every
+        # row of the sketch; CMS must still never under-estimate
+        rows, eid = [], 0
+        for i in range(40):
+            for _ in range(i % 5 + 1):
+                eid += 1
+                rows.append((eid, 1, f"type_{i:02d}", eid, 1.0))
+        sf = _write(tmp_path, _events(rows), "events")
+        got = q_cms_estimates(sf).to_pandas()
+        assert len(got) == 40
+        assert (got["cms_n"] >= got["exact_n"]).all()
+        assert (got["overestimate"] >= 0).all()
+        # the tiny width must actually show a collision somewhere
+        assert got["overestimate"].sum() > 0
+        ora = _oracle(tmp_path, SQL_CMS_ESTIMATES, ["events"])
+        key = ["event_type"]
+        pd.testing.assert_frame_equal(
+            got.sort_values(key).reset_index(drop=True),
+            ora.sort_values(key).reset_index(drop=True),
+            check_dtype=False)
