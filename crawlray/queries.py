@@ -15681,6 +15681,199 @@ FROM t JOIN est USING (event_type)
 """
 
 
+BPE_MERGE_K = 20
+
+
+def q_bpe_first_merges(sf_dir: str):
+    """The FIRST BPE MERGE step, for real: adjacent character-pair
+    frequencies inside whitespace words, weighted by word occurrence —
+    what a byte-pair-encoding tokenizer trainer computes before its
+    first merge. Pure map-side: each batch folds its tokens to a
+    bounded unique-word vocab (np.unique), walks pairs over the VOCAB
+    (not the token stream) and re-weights by counts, so a word seen
+    10^6 times costs one pass; only O(blocks x charset^2) pair partials
+    cross, and the driver fold + top-K is bounded by the pair domain.
+    Ties break by pair text ascending."""
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        toks = (df["text"].fillna("").str.split().explode().dropna())
+        words, counts = np.unique(toks.to_numpy(), return_counts=True)
+        agg: dict[str, int] = {}
+        for w, n in zip(words, counts):
+            for i in range(len(w) - 1):
+                p = w[i:i + 2]
+                agg[p] = agg.get(p, 0) + int(n)
+        return pa.table({
+            "pair": pa.array(list(agg.keys()), pa.string()),
+            "n": pa.array(list(agg.values()), pa.int64()),
+        })
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (parts.groupby("pair", as_index=False)["n"].sum()
+           .sort_values(["n", "pair"], ascending=[False, True],
+                        kind="stable").head(BPE_MERGE_K))
+    return pa.table({
+        "pair": pa.array(out["pair"], pa.string()),
+        "n": pa.array(out["n"].astype("int64"), pa.int64()),
+    })
+
+
+SQL_BPE_FIRST_MERGES = rf"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents WHERE trim(text) <> ''
+), w AS (
+  SELECT unnest(ws) AS w FROM t
+), p AS (
+  SELECT substring(w, i::INT, 2) AS pair
+  FROM w, unnest(range(1, length(w)::BIGINT)) u(i)
+  WHERE length(w) >= 2
+)
+SELECT pair, count(*)::BIGINT AS n FROM p GROUP BY 1
+ORDER BY n DESC, pair LIMIT {BPE_MERGE_K}
+"""
+
+
+STOPGRAM_K = 20
+
+
+def q_stopgram_coverage(sf_dir: str):
+    """STOP-GRAM coverage per language — what fraction of a corpus's
+    tokens the global top-K unigrams absorb (the stopword-list sizing /
+    compressibility question). The BROADCAST-BACK two-pass shape: pass
+    1 derives the top-K words from bounded per-batch count partials
+    (driver merge over the corpus's bounded pair domain, ties by word
+    asc); the K-word set then rides back into pass 2 as a closure
+    constant (ray.put-equivalent for a 20-string set), where each batch
+    folds straight to (lang, total, covered) partials — O(langs) rows
+    out, the full text never moves."""
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        toks = (t.to_pandas()["text"].fillna("").str.split()
+                .explode().dropna())
+        words, counts = np.unique(toks.to_numpy(), return_counts=True)
+        return pa.table({"w": pa.array(words, pa.string()),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    wc = (docs.map_batches(count_partial, batch_format="pyarrow")
+          .to_pandas().groupby("w", as_index=False)["n"].sum()
+          .sort_values(["n", "w"], ascending=[False, True],
+                       kind="stable").head(STOPGRAM_K))
+    top = frozenset(wc["w"])
+
+    def cover_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ex = (df.assign(w=df["text"].fillna("").str.split())
+              .explode("w"))
+        ex["tok"] = ex["w"].notna().astype("int64")
+        ex["cov"] = ex["w"].isin(top).astype("int64")
+        g = (ex.groupby("lang", as_index=False)
+             .agg(n_docs=("w", "size"), total_tokens=("tok", "sum"),
+                  covered_tokens=("cov", "sum")))
+        # n_docs: explode inflates doc rows; recount distinct docs
+        nd = df.groupby("lang", as_index=False).size()
+        g = g.drop(columns=["n_docs"]).merge(
+            nd.rename(columns={"size": "n_docs"}), on="lang")
+        return pa.table({
+            "lang": pa.array(g["lang"], pa.string()),
+            "n_docs": pa.array(g["n_docs"].astype("int64"), pa.int64()),
+            "total_tokens": pa.array(g["total_tokens"].astype("int64"),
+                                     pa.int64()),
+            "covered_tokens": pa.array(
+                g["covered_tokens"].astype("int64"), pa.int64()),
+        })
+
+    parts = (docs.map_batches(cover_partial, batch_format="pyarrow")
+             .to_pandas())
+    out = (parts.groupby("lang", as_index=False)
+           [["n_docs", "total_tokens", "covered_tokens"]].sum()
+           .sort_values("lang"))
+    return pa.table({
+        "lang": pa.array(out["lang"], pa.string()),
+        "n_docs": pa.array(out["n_docs"].astype("int64"), pa.int64()),
+        "total_tokens": pa.array(out["total_tokens"].astype("int64"),
+                                 pa.int64()),
+        "covered_tokens": pa.array(
+            out["covered_tokens"].astype("int64"), pa.int64()),
+    })
+
+
+SQL_STOPGRAM_COVERAGE = rf"""
+WITH w AS (
+  SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS w
+  FROM documents
+), wn AS (
+  SELECT lang, w FROM w WHERE w <> ''
+), top AS (
+  SELECT w FROM (
+    SELECT w, count(*) AS n FROM wn GROUP BY 1
+    ORDER BY n DESC, w LIMIT {STOPGRAM_K})
+), agg AS (
+  SELECT lang, count(*)::BIGINT AS total_tokens,
+         sum(CASE WHEN w IN (SELECT w FROM top) THEN 1 ELSE 0
+             END)::BIGINT AS covered_tokens
+  FROM wn GROUP BY 1
+), d AS (
+  SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1
+)
+SELECT d.lang, d.n_docs,
+       coalesce(agg.total_tokens, 0)::BIGINT AS total_tokens,
+       coalesce(agg.covered_tokens, 0)::BIGINT AS covered_tokens
+FROM d LEFT JOIN agg ON agg.lang = d.lang
+"""
+
+
+def q_behavior_signatures(sf_dir: str):
+    """SET-VALUED GROUP KEY: users grouped by the exact SET of event
+    types they ever emitted (the behavioral-segment signature), counted
+    per signature. The set itself becomes the key — canonicalized as
+    the sorted comma-join, SQL's string_agg(DISTINCT ... ORDER BY) —
+    so the plan is ONE exchange by user (every user's history lands in
+    one bucket), a per-bucket vectorized distinct + sorted join, and a
+    driver fold over the tiny signature domain (<= 2^|types|)."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"signature": pa.nulls(0, pa.string()),
+                          "n_users": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        df = (t.to_pandas().drop_duplicates()
+              .sort_values(["user_id", "event_type"], kind="stable"))
+        sig = (df.groupby("user_id")["event_type"]
+               .agg(",".join).value_counts().sort_index())
+        return pa.table({
+            "signature": pa.array(sig.index, pa.string()),
+            "n_users": pa.array(sig.to_numpy(dtype=np.int64)),
+        })
+
+    parts = bucketed_reduce(ev, "user_id", bucket_fn,
+                            n_buckets=16).to_pandas()
+    out = (parts.groupby("signature", as_index=False)["n_users"].sum()
+           .sort_values("signature"))
+    return pa.table({
+        "signature": pa.array(out["signature"], pa.string()),
+        "n_users": pa.array(out["n_users"].astype("int64"), pa.int64()),
+    })
+
+
+SQL_BEHAVIOR_SIGNATURES = """
+WITH s AS (
+  SELECT user_id,
+         string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+           AS signature
+  FROM events GROUP BY 1
+)
+SELECT signature, count(*)::BIGINT AS n_users
+FROM s GROUP BY 1
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -15967,4 +16160,9 @@ def catalog():
         "cusum_drift": (q_cusum_drift, SQL_CUSUM_DRIFT),
         "hdr_quantiles": (q_hdr_quantiles, SQL_HDR_QUANTILES),
         "cms_estimates": (q_cms_estimates, SQL_CMS_ESTIMATES),
+        "bpe_first_merges": (q_bpe_first_merges, SQL_BPE_FIRST_MERGES),
+        "stopgram_coverage": (q_stopgram_coverage,
+                              SQL_STOPGRAM_COVERAGE),
+        "behavior_signatures": (q_behavior_signatures,
+                                SQL_BEHAVIOR_SIGNATURES),
     }

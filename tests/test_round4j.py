@@ -161,3 +161,82 @@ class TestCmsEdges:
             got.sort_values(key).reset_index(drop=True),
             ora.sort_values(key).reset_index(drop=True),
             check_dtype=False)
+
+
+def _docs(texts, langs=None) -> pd.DataFrame:
+    langs = langs or ["en"] * len(texts)
+    return pd.DataFrame({
+        "doc_id": range(1, len(texts) + 1),
+        "text": texts,
+        "lang": langs,
+        "source": ["src0"] * len(texts),
+        "n_chars": [len(t) for t in texts],
+    })
+
+
+class TestBpeFirstMergesEdges:
+    def test_weighting_whitespace_and_single_chars(
+            self, ray_session, tmp_path):
+        from crawlray.queries import SQL_BPE_FIRST_MERGES, q_bpe_first_merges
+
+        # 'ab' occurs 3x (pair ab x3), 'aab' 1x (aa, ab), 'x' has no
+        # pair, leading/multi whitespace must not create empty tokens
+        texts = ["ab ab  aab", "  ab x ", ""]
+        sf = _write(tmp_path, _docs(texts), "documents")
+        got = q_bpe_first_merges(sf).to_pandas()
+        byp = dict(zip(got["pair"], got["n"]))
+        assert byp["ab"] == 4
+        assert byp["aa"] == 1
+        assert "x" not in byp and " a" not in byp
+        ora = _oracle(tmp_path, SQL_BPE_FIRST_MERGES, ["documents"])
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), ora.reset_index(drop=True),
+            check_dtype=False)
+
+
+class TestStopgramCoverageEdges:
+    def test_empty_docs_and_uncovered_lang(self, ray_session, tmp_path):
+        from crawlray.queries import (SQL_STOPGRAM_COVERAGE,
+                                      q_stopgram_coverage)
+
+        # 25 distinct words: top-20 excludes the 5 rarest; 'zz' lang has
+        # only excluded words; the empty doc counts as a doc, 0 tokens
+        common = [f"w{i:02d}" for i in range(20)]
+        rare = [f"r{i}" for i in range(5)]
+        texts = [" ".join(common) + " " + " ".join(common),
+                 " ".join(rare), ""]
+        langs = ["en", "zz", "zz"]
+        sf = _write(tmp_path, _docs(texts, langs), "documents")
+        got = q_stopgram_coverage(sf).to_pandas().set_index("lang")
+        assert got.loc["en", "covered_tokens"] == 40
+        assert got.loc["en", "total_tokens"] == 40
+        assert got.loc["zz", "n_docs"] == 2
+        assert got.loc["zz", "total_tokens"] == 5
+        assert got.loc["zz", "covered_tokens"] == 0
+        ora = _oracle(tmp_path, SQL_STOPGRAM_COVERAGE, ["documents"])
+        pd.testing.assert_frame_equal(
+            got.reset_index().sort_values("lang").reset_index(drop=True),
+            ora.sort_values("lang").reset_index(drop=True),
+            check_dtype=False)
+
+
+class TestBehaviorSignaturesEdges:
+    def test_signature_sets_cross_batch(self, ray_session, tmp_path):
+        from crawlray.queries import (SQL_BEHAVIOR_SIGNATURES,
+                                      q_behavior_signatures)
+
+        # user 1: {a,b} seen out of order and duplicated; user 2: {a};
+        # user 3: {a,b,c}; user 4: {b} — sets, not sequences
+        rows = [(1, 1, "b", 1, 0.0), (2, 1, "a", 2, 0.0),
+                (3, 1, "b", 3, 0.0), (4, 2, "a", 4, 0.0),
+                (5, 3, "c", 5, 0.0), (6, 3, "a", 6, 0.0),
+                (7, 3, "b", 7, 0.0), (8, 4, "b", 8, 0.0)]
+        sf = _write(tmp_path, _events(rows), "events")
+        got = q_behavior_signatures(sf).to_pandas()
+        bys = dict(zip(got["signature"], got["n_users"]))
+        assert bys == {"a,b": 1, "a": 1, "a,b,c": 1, "b": 1}
+        ora = _oracle(tmp_path, SQL_BEHAVIOR_SIGNATURES, ["events"])
+        pd.testing.assert_frame_equal(
+            got.sort_values("signature").reset_index(drop=True),
+            ora.sort_values("signature").reset_index(drop=True),
+            check_dtype=False)
