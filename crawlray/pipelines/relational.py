@@ -916,6 +916,7 @@ def bucketed_reduce(
     key: str,
     bucket_fn,
     n_buckets: int = 32,
+    schema: pa.Schema | None = None,
 ) -> rd.Dataset:
     """Generic partition-by-key-then-reduce: exchange ``ds`` by
     ``hash(key) % B`` and run ``bucket_fn(pa.Table) -> pa.Table`` ONCE
@@ -925,10 +926,13 @@ def bucketed_reduce(
     or a join): every row with a given key is in exactly one bucket, so
     any per-key computation inside ``bucket_fn`` is globally correct.
     ``bucket_fn`` must accept an empty (schema-typed) table. Executes
-    its input (an exchange, not a lazy stage)."""
+    its input (an exchange, not a lazy stage). Pass ``schema`` (the
+    INPUT ds schema) when statically known: ``ds.schema()`` probes by
+    executing one block, which spins any upstream actor pool a second
+    time just to learn column types."""
     import ray
 
-    sch = ds.schema()
+    sch = schema if schema is not None else ds.schema()
     types = {n: pa_type_of(t) for n, t in zip(sch.names, sch.types)}
     empty = pa.table({c: pa.nulls(0, types[c]) for c in sch.names})
     b = n_buckets
@@ -960,6 +964,7 @@ def salted_distinct_count(
     value_key: str,
     n_buckets: int = 32,
     count_name: str = "distinct_count",
+    schema: pa.Schema | None = None,
 ) -> rd.Dataset:
     """Exact ``COUNT(DISTINCT value) GROUP BY group_key`` built for
     LOW-cardinality group keys where EVERY group is a hot key (five
@@ -985,7 +990,7 @@ def salted_distinct_count(
     """
     import ray
 
-    sch = ds.schema()
+    sch = schema if schema is not None else ds.schema()
     types = {n: pa_type_of(t) for n, t in zip(sch.names, sch.types)}
     pair_empty = pa.table({group_key: pa.nulls(0, types[group_key]),
                            value_key: pa.nulls(0, types[value_key])})

@@ -10570,58 +10570,67 @@ def q_supplier_variety(sf_dir: str):
     suppliers have shipped them (lineitem supplies the part-supplier
     pairs; this schema has no partsupp), excluding negative-balance
     suppliers (the NOT IN complaint list). Plan: the filtered part
-    dimension broadcasts as partkey -> 'brand|type|size' ONCE via
-    ray.put; the exclusion set rides the same broadcast; the
-    COUNT(DISTINCT supplier) GROUP BY profile then runs on the salted
-    distinct-count exchange (`relational.salted_distinct_count`) —
-    per-block pair dedup, value-salted buckets so the 6 x 25 x 8 hot
-    profile groups spread over all reducers, exact cross-bucket sum."""
-    import ray
-
+    dimension ships as a dense partkey -> profile-id LUT inside a
+    task closure (tiny, so no actor pool); the exclusion set rides
+    the same closure; the COUNT(DISTINCT supplier) GROUP BY profile
+    runs on the salted distinct-count exchange over INT pairs
+    (`relational.salted_distinct_count`) — per-block pair dedup,
+    value-salted buckets so the 6 x 25 x 8 hot profile groups spread
+    over all reducers, exact cross-bucket sum; profile strings decode
+    on the 900-row result only."""
     from .pipelines.relational import salted_distinct_count
 
     sizes = {1, 4, 9, 14, 19, 24, 29, 34}
     part = _read(sf_dir, "part",
                  ["p_partkey", "p_brand", "p_type", "p_size"]).to_pandas()
+    maxk = int(part["p_partkey"].max())
     keep = (~(part["p_brand"] == "Brand#2")
             & ~(part["p_type"] == "ECONOMY")
             & part["p_size"].isin(sizes))
     part = part[keep]
-    p2key = dict(zip(
-        part["p_partkey"],
+    # dense partkey -> profile-id LUT (one vectorized gather per batch;
+    # a dict .map here was a per-row Python lookup over all of lineitem)
+    codes, profiles = pd.factorize(
         part["p_brand"] + "|" + part["p_type"] + "|"
-        + part["p_size"].astype(str)))
+        + part["p_size"].astype(str))
+    lut = np.full(maxk + 2, -1, np.int32)
+    lut[part["p_partkey"].to_numpy()] = codes.astype(np.int32)
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).to_pandas()
-    bad = set(supp.loc[supp["s_acctbal"] < 0, "s_suppkey"].astype(int))
-    ref = ray.put((p2key, bad))
+    bad = np.sort(supp.loc[supp["s_acctbal"] < 0,
+                           "s_suppkey"].to_numpy(dtype=np.int64))
 
-    class PairPrep:
-        def __init__(self):
-            self.p2key, self.bad = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            df = t.to_pandas()
-            key = df["l_partkey"].map(self.p2key)
-            keep = key.notna().to_numpy() & ~df["l_suppkey"].isin(self.bad)
-            df = df[keep]
-            return pa.table({
-                "profile": pa.array(key[keep], pa.string()),
-                "l_suppkey": pa.array(df["l_suppkey"].astype("int64"),
-                                      pa.int64()),
-            })
+    # the LUT is tiny (~80 KB), so a plain task-pool closure beats an
+    # actor pool: no pool spin-up, and no second spin for schema probes
+    def pair_prep(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        pid = lut[np.minimum(pk, len(lut) - 1)]
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        m = (pid >= 0) & ~np.isin(sk, bad)
+        return pa.table({
+            "profile": pa.array(pid[m].astype(np.int64)),
+            "l_suppkey": pa.array(sk[m], pa.int64()),
+        })
 
     pairs = (_read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
-             .map_batches(PairPrep, batch_format="pyarrow", concurrency=2))
-    counts = salted_distinct_count(pairs, "profile", "l_suppkey",
-                                   n_buckets=16, count_name="supplier_cnt")
+             .map_batches(pair_prep, batch_format="pyarrow"))
+    # the exchange dedups (profile-id, suppkey) int pairs; the profile
+    # STRINGS never shuffle — they decode from the 900-row driver map
+    counts = salted_distinct_count(
+        pairs, "profile", "l_suppkey", n_buckets=16,
+        count_name="supplier_cnt",
+        schema=pa.schema([("profile", pa.int64()),
+                          ("l_suppkey", pa.int64())]))
+    prof = np.asarray(profiles, object)
 
     def decode(t: pa.Table) -> pa.Table:
-        parts = pc.split_pattern(t["profile"], "|")
-        brand = pc.list_element(parts, 0)
-        typ = pc.list_element(parts, 1)
-        size = pc.list_element(parts, 2).cast(pa.int64())
-        return pa.table({"p_brand": brand, "p_type": typ, "p_size": size,
-                         "supplier_cnt": t["supplier_cnt"]})
+        names = prof[t["profile"].to_numpy(zero_copy_only=False)]
+        split = [s.split("|") for s in names]
+        return pa.table({
+            "p_brand": pa.array([s[0] for s in split], pa.string()),
+            "p_type": pa.array([s[1] for s in split], pa.string()),
+            "p_size": pa.array([int(s[2]) for s in split], pa.int64()),
+            "supplier_cnt": t["supplier_cnt"],
+        })
 
     return counts.map_batches(decode, batch_format="pyarrow")
 
@@ -13895,32 +13904,35 @@ def q_brand_topk_others(sf_dir: str):
     """TOP-K PLUS OTHERS rollup — the dashboard staple: per
     returnflag, the top-3 brands by revenue plus ONE aggregated
     'OTHER' row so the panel always sums to the total. Revenue folds
-    to per-batch (flag, brand) partials in cents (brand via the
-    broadcast part map), ONE exchange by flag finishes the sums, and
-    the per-flag sort + split happens inside the bucket — the OTHER
-    row is born aggregated, never a row per part."""
-    import ray
-
+    to per-batch (flag, brand-id) partials in cents (brand via a
+    dense partkey LUT in the task closure), ONE exchange by flag
+    finishes the sums, and the per-flag sort + split happens inside
+    the bucket — the OTHER row is born aggregated, never a row per
+    part."""
     from .pipelines.relational import bucketed_reduce
 
     li = _read(sf_dir, "lineitem",
                ["l_partkey", "l_returnflag", "l_extendedprice"])
     part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
-    brand_ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
+    # dense partkey -> brand-id LUT + tiny brand vocab (a dict lookup
+    # per row was the hot spot; the gather + int groupby is all C)
+    codes, brands = pd.factorize(part["p_brand"])
+    lut = np.full(int(part["p_partkey"].max()) + 2, -1, np.int32)
+    lut[part["p_partkey"].to_numpy()] = codes.astype(np.int32)
+    brand_vocab = np.asarray(brands, object)
 
-    class Partial:
-        def __init__(self):
-            self.brand = ray.get(brand_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            pk = t["l_partkey"].to_numpy(zero_copy_only=False)
-            b = np.array([self.brand[int(k)] for k in pk], object)
-            g = (pa.table({"flag": t["l_returnflag"],
-                           "brand": pa.array(list(b), pa.string()),
-                           "c": _cents(t["l_extendedprice"])})
-                 .group_by(["flag", "brand"]).aggregate([("c", "sum")]))
-            return pa.table({"flag": g["flag"], "brand": g["brand"],
-                             "c": g["c_sum"]})
+    # tiny LUT -> plain task-pool closure (no actor pool to spin twice)
+    def brand_partial(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        bid = lut[np.minimum(pk, len(lut) - 1)]
+        g = (pa.table({"flag": t["l_returnflag"],
+                       "bid": pa.array(bid.astype(np.int64)),
+                       "c": _cents(t["l_extendedprice"])})
+             .group_by(["flag", "bid"]).aggregate([("c", "sum")]))
+        names = brand_vocab[g["bid"].to_numpy(zero_copy_only=False)]
+        return pa.table({"flag": g["flag"],
+                         "brand": pa.array(list(names), pa.string()),
+                         "c": g["c_sum"]})
 
     def bucket_fn(t: pa.Table) -> pa.Table:
         empty = pa.table({"l_returnflag": pa.nulls(0, pa.string()),
@@ -13948,8 +13960,10 @@ def q_brand_topk_others(sf_dir: str):
         })
 
     return bucketed_reduce(
-        li.map_batches(Partial, batch_format="pyarrow", concurrency=2),
-        "flag", bucket_fn, n_buckets=4)
+        li.map_batches(brand_partial, batch_format="pyarrow"),
+        "flag", bucket_fn, n_buckets=4,
+        schema=pa.schema([("flag", pa.string()), ("brand", pa.string()),
+                          ("c", pa.int64())]))
 
 
 SQL_BRAND_TOPK_OTHERS = f"""
