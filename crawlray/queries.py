@@ -12385,6 +12385,37 @@ def _edit1(a: str, b: str) -> bool:
     return a[i:] == b[i + 1:]
 
 
+def _ld1_mask(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized exact LD == 1 over object-dtype string arrays.
+
+    Equal-length pairs reduce to byte-hamming == 1, computed as one
+    (n, width) uint8 matrix comparison; unequal-length (diff 1) pairs
+    fall back to the scalar ``_edit1`` (none occur for fixed-width
+    vocabularies like customer names). Non-ascii batches fall back
+    entirely — a multi-byte substitution is 1 char edit but >1 byte
+    diff, so the byte path would be wrong there."""
+    try:
+        A = a.astype("S")
+        B = b.astype("S")
+    except UnicodeEncodeError:
+        return np.fromiter((_edit1(x, y) for x, y in zip(a, b)),
+                           bool, len(a))
+    w = max(A.dtype.itemsize, B.dtype.itemsize)
+    Au = A.astype(f"S{w}").view("u1").reshape(len(A), w)
+    Bu = B.astype(f"S{w}").view("u1").reshape(len(B), w)
+    # NUL-padded, so equal-length rows only differ on content bytes
+    diff = (Au != Bu).sum(axis=1)
+    la = np.char.str_len(A)
+    lb = np.char.str_len(B)
+    out = np.zeros(len(A), bool)
+    eq = la == lb
+    out[eq] = diff[eq] == 1
+    ne = np.flatnonzero(~eq & (np.abs(la - lb) == 1))
+    for i in ne:
+        out[i] = _edit1(a[i], b[i])
+    return out
+
+
 def q_name_edit_pairs(sf_dir: str):
     """Edit-distance-1 string pairs via the FastSS
     DELETION-NEIGHBORHOOD join — the typo/variant detector that scales
@@ -12392,12 +12423,14 @@ def q_name_edit_pairs(sf_dir: str):
     itself plus its 1-deletion variants, two strings at LD <= 1 MUST
     share a variant key, so ONE exchange by variant co-locates every
     candidate; sharing a key is not sufficient (transpositions slip
-    in), so a per-batch exact LD == 1 verify finishes. Pairs dedup
-    through the sort + keep-first pass every graph edge build here
-    uses. Runs over customer names (19.5k true pairs at the gate sf —
-    the document vocab has none)."""
+    in), so a vectorized exact LD == 1 verify finishes (byte-matrix
+    hamming for the equal-length/ascii fast path, per-pair fallback
+    otherwise). Cross-key duplicate candidates dedup inside a second
+    hash exchange keyed on word_a — a pair always lands in one bucket,
+    so no global sort is needed. Runs over customer names (19.5k true
+    pairs at the gate sf — the document vocab has none)."""
     from .pipelines.relational import bucketed_reduce
-    from .util import drop_empty_blocks, keep_first_sorted
+    from .util import drop_empty_blocks
 
     cust = _read(sf_dir, "customer", ["c_name"])
 
@@ -12409,9 +12442,10 @@ def q_name_edit_pairs(sf_dir: str):
             return pa.table({"w": pa.nulls(0, pa.string())})
         return pa.table({"w": pc.unique(t["w"])})
 
+    str_schema = pa.schema([("w", pa.string())])
     vocab = drop_empty_blocks(bucketed_reduce(
         cust.map_batches(vocab_partial, batch_format="pyarrow"),
-        "w", distinct_words, n_buckets=16))
+        "w", distinct_words, n_buckets=16, schema=str_schema))
 
     def variants(t: pa.Table) -> pa.Table:
         ws = t["w"].to_pylist()
@@ -12430,32 +12464,45 @@ def q_name_edit_pairs(sf_dir: str):
                           "word_b": pa.nulls(0, pa.string())})
         if t.num_rows == 0:
             return empty
-        import pandas as pd
+        df = (t.to_pandas().drop_duplicates()
+              .sort_values(["key", "w"], kind="stable"))
+        k = df["key"].to_numpy()
+        w = df["w"].to_numpy()
+        # all i<j index pairs inside each key segment, fully vectorized
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        cnt = np.diff(np.r_[starts, len(k)])
+        csz = np.repeat(cnt, cnt)
+        local = np.arange(len(k)) - np.repeat(starts, cnt)
+        na = csz - 1 - local               # pairs where elt is the 'a'
+        a_idx = np.repeat(np.arange(len(k)), na)
+        cum = np.cumsum(na) - na
+        off = np.arange(int(na.sum())) - np.repeat(cum, na)
+        b_idx = a_idx + 1 + off
+        return pa.table({"word_a": pa.array(w[a_idx], pa.string()),
+                         "word_b": pa.array(w[b_idx], pa.string())})
+
+    cands = drop_empty_blocks(bucketed_reduce(
+        vocab.map_batches(variants, batch_format="pyarrow"),
+        "key", cand_pairs, n_buckets=16,
+        schema=pa.schema([("key", pa.string()), ("w", pa.string())])))
+
+    def dedup_verify(t: pa.Table) -> pa.Table:
+        empty = pa.table({"word_a": pa.nulls(0, pa.string()),
+                          "word_b": pa.nulls(0, pa.string())})
+        if t.num_rows == 0:
+            return empty
         df = t.to_pandas().drop_duplicates()
-        aa, bb = [], []
-        for _, g in df.groupby("key"):
-            ws = sorted(set(g["w"]))
-            for i in range(len(ws)):
-                for j in range(i + 1, len(ws)):
-                    aa.append(ws[i])
-                    bb.append(ws[j])
-        return pa.table({"word_a": pa.array(aa, pa.string()),
-                         "word_b": pa.array(bb, pa.string())})
+        a = df["word_a"].to_numpy()
+        b = df["word_b"].to_numpy()
+        keep = _ld1_mask(a, b)
+        return pa.table({"word_a": pa.array(a[keep], pa.string()),
+                         "word_b": pa.array(b[keep], pa.string())})
 
-    cands = keep_first_sorted(
-        drop_empty_blocks(bucketed_reduce(
-            vocab.map_batches(variants, batch_format="pyarrow"),
-            "key", cand_pairs, n_buckets=16)
-        ).sort(["word_a", "word_b"]),
-        ["word_a", "word_b"])
-
-    def verify(t: pa.Table) -> pa.Table:
-        a = t["word_a"].to_pylist()
-        b = t["word_b"].to_pylist()
-        keep = [_edit1(x, y) for x, y in zip(a, b)]
-        return t.filter(pa.array(keep, pa.bool_()))
-
-    return cands.map_batches(verify, batch_format="pyarrow")
+    pair_schema = pa.schema([("word_a", pa.string()),
+                             ("word_b", pa.string())])
+    return drop_empty_blocks(bucketed_reduce(
+        cands, "word_a", dedup_verify, n_buckets=16,
+        schema=pair_schema))
 
 
 SQL_NAME_EDIT_PAIRS = """

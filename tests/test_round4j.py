@@ -240,3 +240,20 @@ class TestBehaviorSignaturesEdges:
             got.sort_values("signature").reset_index(drop=True),
             ora.sort_values("signature").reset_index(drop=True),
             check_dtype=False)
+
+
+class TestLd1MaskEdges:
+    def test_fast_path_and_fallbacks(self):
+        from crawlray.queries import _edit1, _ld1_mask
+
+        a = np.array(["abc", "abc", "abc", "ab", "café",
+                      "ab", "abcd"], object)
+        b = np.array(["abd", "abc", "adc", "abc", "cafe",
+                      "ba", "ab"], object)
+        got = _ld1_mask(a, b)
+        exp = np.array([_edit1(x, y) for x, y in zip(a, b)])
+        assert (got == exp).all()
+        # transposition is LD 2, must be rejected by the byte path
+        assert not got[5]
+        # length diff 2 is never LD 1
+        assert not got[6]
