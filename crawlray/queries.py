@@ -15935,6 +15935,185 @@ FROM s GROUP BY 1
 """
 
 
+def q_theilsen_trend(sf_dir: str):
+    """THEIL-SEN robust trend over the daily event-count series — the
+    median of all pairwise slopes, the estimator that shrugs off the
+    outlier days OLS (`price_regression`) is dragged by. Slopes are
+    RATIONALS, so the median publishes as the gcd-reduced (dy, dx)
+    fraction — exact, no float division crosses an engine boundary
+    (double ordering is safe here: distinct small-int rationals differ
+    by >= 1/dx1*dx2, far above double epsilon). Daily counts resolve
+    from O(blocks x 31) partials; the <= C(31,2) pair enumeration and
+    median selection are a driver fold over the bounded day grid."""
+    from fractions import Fraction
+    import math
+
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"day": pc.day(t["ts"]).cast(pa.int64())})
+             .group_by("day").aggregate([("day", "count")]))
+        return pa.table({"day": g["day"],
+                         "n": g["day_count"].cast(pa.int64())})
+
+    daily = (ev.map_batches(partial, batch_format="pyarrow")
+             .to_pandas().groupby("day")["n"].sum().sort_index())
+    d = daily.index.to_numpy(dtype=np.int64)
+    n = daily.to_numpy(dtype=np.int64)
+    slopes = []
+    for i in range(len(d)):
+        for j in range(i + 1, len(d)):
+            slopes.append((int(n[j] - n[i]), int(d[j] - d[i])))
+    slopes.sort(key=lambda s: Fraction(s[0], s[1]))
+    np_pairs = len(slopes)
+    dy, dx = slopes[(np_pairs + 1) // 2 - 1] if np_pairs else (0, 1)
+    g = math.gcd(abs(dy), dx) or 1
+    return pa.table({
+        "n_pairs": pa.array([np_pairs], pa.int64()),
+        "med_dy": pa.array([dy // g], pa.int64()),
+        "med_dx": pa.array([dx // g], pa.int64()),
+    })
+
+
+SQL_THEILSEN_TREND = """
+WITH x AS (
+  SELECT day(ts)::BIGINT AS d, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+), p AS (
+  SELECT b.n - a.n AS dy, b.d - a.d AS dx
+  FROM x a JOIN x b ON b.d > a.d
+), r AS (
+  SELECT dy, dx, row_number() OVER (ORDER BY dy::DOUBLE / dx) AS rn,
+         count(*) OVER () AS np FROM p
+)
+SELECT max(np)::BIGINT AS n_pairs,
+       max(CASE WHEN rn = (np + 1) // 2
+           THEN dy // greatest(gcd(abs(dy), dx), 1) END)::BIGINT
+         AS med_dy,
+       max(CASE WHEN rn = (np + 1) // 2
+           THEN dx // greatest(gcd(abs(dy), dx), 1) END)::BIGINT
+         AS med_dx
+FROM r
+"""
+
+
+COMPACTION_TARGET_BYTES = 20_000
+
+
+def q_compaction_plan(sf_dir: str):
+    """COMPACTION PLANNER — the table-maintenance pass every big
+    parquet corpus runs: pack variable-size segments (here (lang,
+    doc_id//100) manifest entries with their byte totals) into
+    target-size output bins by a deterministic cumulative-sum rule
+    (bin = bytes-before // target over the (lang, seg) order), then
+    report each bin's segment count and size. Segment sizes fold from
+    per-batch partials; the plan itself is a prefix scan over the
+    MANIFEST (bounded, O(segments)) on the driver — exactly where a
+    real compactor computes it."""
+    docs = _read(sf_dir, "documents", ["lang", "doc_id", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"lang": t["lang"],
+                       "seg": pc.divide(t["doc_id"],
+                                        100).cast(pa.int64()),
+                       "b": t["n_chars"].cast(pa.int64())})
+             .group_by(["lang", "seg"]).aggregate([("b", "sum")]))
+        return pa.table({"lang": g["lang"], "seg": g["seg"],
+                         "b": g["b_sum"]})
+
+    seg = (docs.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby(["lang", "seg"], as_index=False)["b"]
+           .sum().sort_values(["lang", "seg"], kind="stable"))
+    b = seg["b"].to_numpy(dtype=np.int64)
+    before = np.cumsum(b) - b
+    bins = before // COMPACTION_TARGET_BYTES
+    out = (pd.DataFrame({"bin": bins, "b": b}).groupby("bin")
+           .agg(n_segments=("b", "size"), total_bytes=("b", "sum")))
+    return pa.table({
+        "bin": pa.array(out.index.to_numpy(dtype=np.int64)),
+        "n_segments": pa.array(out["n_segments"].astype("int64"),
+                               pa.int64()),
+        "total_bytes": pa.array(out["total_bytes"].astype("int64"),
+                                pa.int64()),
+    })
+
+
+SQL_COMPACTION_PLAN = f"""
+WITH s AS (
+  SELECT lang, doc_id // 100 AS seg, sum(n_chars)::BIGINT AS bytes
+  FROM documents GROUP BY 1, 2
+), c AS (
+  SELECT bytes,
+         coalesce(sum(bytes) OVER (
+           ORDER BY lang, seg
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS before
+  FROM s
+)
+SELECT (before // {COMPACTION_TARGET_BYTES})::BIGINT AS bin,
+       count(*)::BIGINT AS n_segments,
+       sum(bytes)::BIGINT AS total_bytes
+FROM c GROUP BY 1
+"""
+
+
+def q_delta_encoding_estimate(sf_dir: str):
+    """DELTA-ENCODING size estimate — would per-user event-id streams
+    compress? Sum of bit lengths of the raw ids vs of the per-user
+    deltas (first id raw, then sorted gaps) — the exact integer
+    ingredients of the encoder's size decision, the int twin of
+    `prefix_compress_estimate`. ONE exchange by user; inside a bucket
+    a single lexsort + segmented diff computes every user's gap
+    stream vectorized, and bit lengths come from the same
+    frexp-exponent identity `hdr_quantiles` pins (exact below 2^53).
+    Three integers out."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id"])
+
+    def bits(v: np.ndarray) -> np.ndarray:
+        # bit_length via frexp, pinned to >= 1 so bin(0) = '0' matches
+        return np.maximum(
+            np.frexp(v.astype(np.float64))[1].astype(np.int64), 1)
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({k: pa.nulls(0, pa.int64()) for k in
+                          ("raw_bits", "delta_bits", "n_ids")})
+        if t.num_rows == 0:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        e = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, u))
+        u, e = u[order], e[order]
+        first = np.r_[True, u[1:] != u[:-1]]
+        delta = np.where(first, e, e - np.r_[np.int64(0), e[:-1]])
+        return pa.table({
+            "raw_bits": pa.array([int(bits(e).sum())], pa.int64()),
+            "delta_bits": pa.array([int(bits(delta).sum())],
+                                   pa.int64()),
+            "n_ids": pa.array([len(e)], pa.int64()),
+        })
+
+    parts = bucketed_reduce(ev, "user_id", bucket_fn,
+                            n_buckets=16).to_pandas()
+    return pa.table({c: pa.array([int(parts[c].sum())], pa.int64())
+                     for c in ("raw_bits", "delta_bits", "n_ids")})
+
+
+SQL_DELTA_ENCODING_ESTIMATE = """
+WITH g AS (
+  SELECT event_id,
+         event_id - lag(event_id) OVER (
+           PARTITION BY user_id ORDER BY event_id) AS gap
+  FROM events
+)
+SELECT sum(length(bin(event_id)))::BIGINT AS raw_bits,
+       sum(length(bin(coalesce(gap, event_id))))::BIGINT AS delta_bits,
+       count(*)::BIGINT AS n_ids
+FROM g
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -16226,4 +16405,8 @@ def catalog():
                               SQL_STOPGRAM_COVERAGE),
         "behavior_signatures": (q_behavior_signatures,
                                 SQL_BEHAVIOR_SIGNATURES),
+        "theilsen_trend": (q_theilsen_trend, SQL_THEILSEN_TREND),
+        "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),
+        "delta_encoding_estimate": (q_delta_encoding_estimate,
+                                    SQL_DELTA_ENCODING_ESTIMATE),
     }

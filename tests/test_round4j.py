@@ -257,3 +257,75 @@ class TestLd1MaskEdges:
         assert not got[5]
         # length diff 2 is never LD 1
         assert not got[6]
+
+
+class TestTheilSenEdges:
+    def test_negative_slope_reduction_and_even_pairs(
+            self, ray_session, tmp_path):
+        from crawlray.queries import SQL_THEILSEN_TREND, q_theilsen_trend
+
+        # days 1..4 with counts 9, 7, 4, 1: slopes {-2,-5/2,-8/3,-3,
+        # -3,-3}; sorted asc the lower median (rank 3 of 6) is -3;
+        # gcd reduction must keep dx positive and sign on dy
+        counts = {1: 9, 2: 7, 3: 4, 4: 1}
+        rows, eid = [], 0
+        for day, n in counts.items():
+            for _ in range(n):
+                eid += 1
+                rows.append((eid, 1, "view", (day - 1) * DAY, 1.0))
+        sf = _write(tmp_path, _events(rows), "events")
+        got = q_theilsen_trend(sf).to_pandas().iloc[0]
+        assert int(got["n_pairs"]) == 6
+        assert (int(got["med_dy"]), int(got["med_dx"])) == (-3, 1)
+        ora = _oracle(tmp_path, SQL_THEILSEN_TREND, ["events"]).iloc[0]
+        for c in ("n_pairs", "med_dy", "med_dx"):
+            assert got[c] == ora[c], c
+
+
+class TestDeltaEncodingEdges:
+    def test_gap_bits_and_first_id(self, ray_session, tmp_path):
+        from crawlray.queries import (SQL_DELTA_ENCODING_ESTIMATE,
+                                      q_delta_encoding_estimate)
+
+        # user 1 ids {8, 9, 12}: raw bits 4+4+4=12, delta bits
+        # bin(8)+bin(1)+bin(3) = 4+1+2 = 7; user 2 id {1}: raw 1,
+        # delta 1 (first id raw)
+        rows = [(8, 1, "v", 1, 0.0), (9, 1, "v", 2, 0.0),
+                (12, 1, "v", 3, 0.0), (1, 2, "v", 4, 0.0)]
+        sf = _write(tmp_path, _events(rows), "events")
+        got = q_delta_encoding_estimate(sf).to_pandas().iloc[0]
+        assert int(got["raw_bits"]) == 13
+        assert int(got["delta_bits"]) == 8
+        assert int(got["n_ids"]) == 4
+        ora = _oracle(tmp_path, SQL_DELTA_ENCODING_ESTIMATE,
+                      ["events"]).iloc[0]
+        for c in ("raw_bits", "delta_bits", "n_ids"):
+            assert got[c] == ora[c], c
+
+
+class TestCompactionPlanEdges:
+    def test_oversized_segment_gets_own_bin(self, ray_session, tmp_path):
+        from crawlray.queries import (COMPACTION_TARGET_BYTES,
+                                      SQL_COMPACTION_PLAN,
+                                      q_compaction_plan)
+
+        # one segment bigger than the target must not split; the next
+        # segment starts a later bin (cum-before rule)
+        big = "x" * (COMPACTION_TARGET_BYTES + 5)
+        small = "y" * 10
+        df = pd.DataFrame({
+            "doc_id": [1, 101, 201],
+            "text": [big, small, small],
+            "lang": ["en", "en", "en"],
+            "source": ["s"] * 3,
+            "n_chars": [len(big), len(small), len(small)],
+        })
+        sf = _write(tmp_path, df, "documents")
+        got = q_compaction_plan(sf).to_pandas()
+        assert int(got.loc[got["bin"] == 0, "n_segments"].iloc[0]) == 1
+        assert int(got.loc[got["bin"] == 1, "n_segments"].iloc[0]) == 2
+        ora = _oracle(tmp_path, SQL_COMPACTION_PLAN, ["documents"])
+        pd.testing.assert_frame_equal(
+            got.sort_values("bin").reset_index(drop=True),
+            ora.sort_values("bin").reset_index(drop=True),
+            check_dtype=False)
