@@ -16114,6 +16114,283 @@ FROM g
 """
 
 
+def q_simpson_reversal_audit(sf_dir: str):
+    """SIMPSON'S-PARADOX audit — does the overall avg-order-value
+    ranking between two order statuses REVERSE once stratified by
+    customer nation? For every status pair (a < b): the sign of
+    avg_a - avg_b overall, and how many nations individually rank a
+    above / below / equal — every comparison the exact integer
+    cross-multiplication sum_a*cnt_b <=> sum_b*cnt_a, so no division
+    ever runs. Per-batch (nation, status) sum/count partials (nation
+    via a dense custkey LUT in the task closure) bound the exchange at
+    O(blocks x 75) rows; the pairwise audit is a driver fold over the
+    25 x 3 grid."""
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    lut = np.full(int(cust["c_custkey"].max()) + 2, -1, np.int32)
+    lut[cust["c_custkey"].to_numpy()] = (
+        cust["c_nationkey"].to_numpy().astype(np.int32))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderstatus", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        g = (pa.table({
+            "nat": pa.array(lut[np.minimum(ck, len(lut) - 1)]
+                            .astype(np.int64)),
+            "status": t["o_orderstatus"],
+            "c": _cents(t["o_totalprice"]),
+        }).group_by(["nat", "status"])
+          .aggregate([("c", "sum"), ("c", "count")]))
+        return pa.table({"nat": g["nat"], "status": g["status"],
+                         "s": g["c_sum"],
+                         "n": g["c_count"].cast(pa.int64())})
+
+    df = (orders.map_batches(partial, batch_format="pyarrow")
+          .to_pandas().groupby(["nat", "status"], as_index=False)
+          [["s", "n"]].sum())
+    statuses = sorted(df["status"].unique())
+    tot = df.groupby("status")[["s", "n"]].sum()
+    rows = []
+    for i, a in enumerate(statuses):
+        for b in statuses[i + 1:]:
+            # sign of avg_a - avg_b == sign of s_a*n_b - s_b*n_a
+            x = (int(tot.loc[a, "s"]) * int(tot.loc[b, "n"])
+                 - int(tot.loc[b, "s"]) * int(tot.loc[a, "n"]))
+            overall = (x > 0) - (x < 0)
+            pos = neg = zero = 0
+            da = df[df["status"] == a].set_index("nat")
+            db = df[df["status"] == b].set_index("nat")
+            for nat in sorted(set(da.index) & set(db.index)):
+                y = (int(da.loc[nat, "s"]) * int(db.loc[nat, "n"])
+                     - int(db.loc[nat, "s"]) * int(da.loc[nat, "n"]))
+                pos += y > 0
+                neg += y < 0
+                zero += y == 0
+            rows.append((a, b, overall, pos, neg, zero))
+    return pa.table({
+        "status_a": pa.array([r[0] for r in rows], pa.string()),
+        "status_b": pa.array([r[1] for r in rows], pa.string()),
+        "overall_sign": pa.array([r[2] for r in rows], pa.int64()),
+        "n_nations_a_gt_b": pa.array([r[3] for r in rows], pa.int64()),
+        "n_nations_a_lt_b": pa.array([r[4] for r in rows], pa.int64()),
+        "n_nations_tied": pa.array([r[5] for r in rows], pa.int64()),
+    })
+
+
+SQL_SIMPSON_REVERSAL_AUDIT = """
+WITH g AS (
+  SELECT c.c_nationkey::BIGINT AS nat, o.o_orderstatus AS status,
+         sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT AS s,
+         count(*)::BIGINT AS n
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), tot AS (
+  SELECT status, sum(s)::BIGINT AS s, sum(n)::BIGINT AS n
+  FROM g GROUP BY 1
+), pairs AS (
+  SELECT a.status AS status_a, b.status AS status_b,
+         sign(a.s * b.n - b.s * a.n)::BIGINT AS overall_sign
+  FROM tot a JOIN tot b ON a.status < b.status
+), per_nat AS (
+  SELECT a.status AS status_a, b.status AS status_b,
+         sign(a.s * b.n - b.s * a.n)::BIGINT AS sg
+  FROM g a JOIN g b ON a.nat = b.nat AND a.status < b.status
+)
+SELECT p.status_a, p.status_b, p.overall_sign,
+       sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END)::BIGINT
+         AS n_nations_a_gt_b,
+       sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END)::BIGINT
+         AS n_nations_a_lt_b,
+       sum(CASE WHEN sg = 0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_nations_tied
+FROM pairs p
+JOIN per_nat pn ON pn.status_a = p.status_a
+               AND pn.status_b = p.status_b
+GROUP BY 1, 2, 3
+"""
+
+
+SKIPGRAM_WINDOW = 2
+SKIPGRAM_K = 50
+
+
+def q_skipgram_pairs(sf_dir: str):
+    """SKIP-GRAM pair counts — the word2vec / embedding training-data
+    prep: ordered (center, context) pairs within a +/-2 token window
+    inside each document, global top-50 by count. Pure map-side pair
+    generation (four shifted-array comparisons per batch, no token
+    self-join), partials pre-aggregated per batch, ONE exchange by
+    center word; a bucket holds EVERY count for its centers, so
+    per-bucket top-50 then a 16x50 driver merge is exact — the
+    grouped-top-k completeness argument, not a sampled cap. Ties
+    break (n desc, center, context)."""
+    from .pipelines.relational import bucketed_reduce
+    from .util import drop_empty_blocks
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ex = (df["text"].fillna("").str.split().explode().dropna())
+        w = ex.to_numpy()
+        d = ex.index.to_numpy(dtype=np.int64)
+        cen, ctx = [], []
+        for k in (1, 2):
+            if len(w) > k:
+                same = d[:-k] == d[k:]
+                cen.append(w[:-k][same])
+                ctx.append(w[k:][same])
+                cen.append(w[k:][same])
+                ctx.append(w[:-k][same])
+        if not cen:
+            return pa.table({"center": pa.nulls(0, pa.string()),
+                             "context": pa.nulls(0, pa.string()),
+                             "n": pa.nulls(0, pa.int64())})
+        g = (pd.DataFrame({"center": np.concatenate(cen),
+                           "context": np.concatenate(ctx)})
+             .groupby(["center", "context"], as_index=False).size())
+        return pa.table({"center": pa.array(g["center"], pa.string()),
+                         "context": pa.array(g["context"], pa.string()),
+                         "n": pa.array(g["size"].astype("int64"),
+                                       pa.int64())})
+
+    def bucket_topk(t: pa.Table) -> pa.Table:
+        empty = pa.table({"center": pa.nulls(0, pa.string()),
+                          "context": pa.nulls(0, pa.string()),
+                          "n": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        g = (t.to_pandas()
+             .groupby(["center", "context"], as_index=False)["n"].sum()
+             .sort_values(["n", "center", "context"],
+                          ascending=[False, True, True], kind="stable")
+             .head(SKIPGRAM_K))
+        return pa.table({"center": pa.array(g["center"], pa.string()),
+                         "context": pa.array(g["context"], pa.string()),
+                         "n": pa.array(g["n"].astype("int64"),
+                                       pa.int64())})
+
+    parts = drop_empty_blocks(bucketed_reduce(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        "center", bucket_topk, n_buckets=16,
+        schema=pa.schema([("center", pa.string()),
+                          ("context", pa.string()),
+                          ("n", pa.int64())]))).to_pandas()
+    out = (parts.sort_values(["n", "center", "context"],
+                             ascending=[False, True, True],
+                             kind="stable").head(SKIPGRAM_K))
+    return pa.table({
+        "center": pa.array(out["center"], pa.string()),
+        "context": pa.array(out["context"], pa.string()),
+        "n": pa.array(out["n"].astype("int64"), pa.int64()),
+    })
+
+
+SQL_SKIPGRAM_PAIRS = rf"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents WHERE trim(text) <> ''
+), p AS (
+  SELECT ws[i] AS center, ws[i + o.k] AS context
+  FROM t, unnest(range(1, len(ws) + 1)) u(i),
+       (VALUES (1), (2), (-1), (-2)) o(k)
+  WHERE i + o.k BETWEEN 1 AND len(ws)
+)
+SELECT center, context, count(*)::BIGINT AS n
+FROM p GROUP BY 1, 2
+ORDER BY n DESC, center, context LIMIT {SKIPGRAM_K}
+"""
+
+
+BAND_SIZE_TOL = 1
+BAND_CENTS_TOL = 100
+
+
+def q_part_band_pairs(sf_dir: str):
+    """TWO-DIMENSIONAL BAND SELF-JOIN — substitute-part discovery:
+    pairs of parts within +/-1 size AND +/-100 cents of each other,
+    reported as per-size-bucket pair counts. The 1-D partitioning +
+    BOUNDARY REPLICATION plan every band join at scale uses: each part
+    lands in its home size bucket and (as the higher side) in bucket
+    size-1, a pair is counted once in bucket min(size_a, size_b), and
+    inside a bucket a price sort + searchsorted window counts matches
+    without materializing pairs. The second dimension never shuffles."""
+    from .pipelines.relational import bucketed_reduce
+    from .util import drop_empty_blocks
+
+    parts = _read(sf_dir, "part",
+                  ["p_partkey", "p_size", "p_retailprice"])
+
+    def replicate(t: pa.Table) -> pa.Table:
+        size = t["p_size"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        key = t["p_partkey"].to_numpy(zero_copy_only=False)
+        c = _cents(t["p_retailprice"]).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(np.r_[size, size - BAND_SIZE_TOL]),
+            "size": pa.array(np.r_[size, size]),
+            "key": pa.array(np.r_[key, key]),
+            "c": pa.array(np.r_[c, c]),
+        })
+
+    def count_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"size_bucket": pa.nulls(0, pa.int64()),
+                          "n_pairs": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        bkt = t["bucket"].to_numpy(zero_copy_only=False)
+        size = t["size"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        out_b, out_n = [], []
+        for b in np.unique(bkt):
+            m = bkt == b
+            home = m & (size == b)        # home rows of this bucket
+            hi = m & (size == b + BAND_SIZE_TOL)  # replicated visitors
+            n = 0
+            hc = np.sort(c[home])
+            # same-size pairs: price window, each unordered pair once
+            lo_i = np.searchsorted(hc, hc - BAND_CENTS_TOL, "left")
+            n += int((np.arange(len(hc)) - lo_i).sum())
+            # cross-size pairs (home size b x visitor size b+1): all
+            # ordered combinations within the price band, counted here
+            # and nowhere else
+            vc = np.sort(c[hi])
+            if len(vc) and len(hc):
+                r = np.searchsorted(vc, hc + BAND_CENTS_TOL, "right")
+                l = np.searchsorted(vc, hc - BAND_CENTS_TOL, "left")
+                n += int((r - l).sum())
+            if n:
+                out_b.append(int(b))
+                out_n.append(n)
+        return pa.table({"size_bucket": pa.array(out_b, pa.int64()),
+                         "n_pairs": pa.array(out_n, pa.int64())})
+
+    return drop_empty_blocks(bucketed_reduce(
+        parts.map_batches(replicate, batch_format="pyarrow"),
+        "bucket", count_fn, n_buckets=16,
+        schema=pa.schema([("bucket", pa.int64()), ("size", pa.int64()),
+                          ("key", pa.int64()), ("c", pa.int64())])))
+
+
+SQL_PART_BAND_PAIRS = f"""
+WITH p AS (
+  SELECT p_partkey AS key, p_size::BIGINT AS size,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS c
+  FROM part
+), pairs AS (
+  SELECT least(a.size, b.size) AS size_bucket
+  FROM p a JOIN p b
+    ON a.key < b.key
+   AND abs(a.size - b.size) <= {BAND_SIZE_TOL}
+   AND abs(a.c - b.c) <= {BAND_CENTS_TOL}
+)
+SELECT size_bucket, count(*)::BIGINT AS n_pairs
+FROM pairs GROUP BY 1
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -16409,4 +16686,8 @@ def catalog():
         "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),
         "delta_encoding_estimate": (q_delta_encoding_estimate,
                                     SQL_DELTA_ENCODING_ESTIMATE),
+        "simpson_reversal_audit": (q_simpson_reversal_audit,
+                                   SQL_SIMPSON_REVERSAL_AUDIT),
+        "skipgram_pairs": (q_skipgram_pairs, SQL_SKIPGRAM_PAIRS),
+        "part_band_pairs": (q_part_band_pairs, SQL_PART_BAND_PAIRS),
     }

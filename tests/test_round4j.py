@@ -329,3 +329,133 @@ class TestCompactionPlanEdges:
             got.sort_values("bin").reset_index(drop=True),
             ora.sort_values("bin").reset_index(drop=True),
             check_dtype=False)
+
+
+class TestSimpsonReversalEdges:
+    def test_true_reversal_detected(self, ray_session, tmp_path):
+        from crawlray.queries import (SQL_SIMPSON_REVERSAL_AUDIT,
+                                      q_simpson_reversal_audit)
+
+        # classic construction: within each nation avg(F) > avg(O),
+        # but O concentrates in the high-value nation so overall
+        # avg(O) > avg(F)
+        cust = pd.DataFrame({
+            "c_custkey": [1, 2],
+            "c_name": ["a", "b"],
+            "c_nationkey": np.array([0, 1], dtype="int32"),
+            "c_acctbal": [0.0, 0.0],
+            "c_mktsegment": ["A", "A"],
+        })
+        # nation 0 cheap: F=2.00 x1, O=1.00 x9 ; nation 1 pricey:
+        # F=10.00 x9, O=9.00 x1
+        rows = ([(1, "F", 2.00)] + [(1, "O", 1.00)] * 9
+                + [(2, "F", 10.00)] * 9 + [(2, "O", 9.00)])
+        orders = pd.DataFrame({
+            "o_orderkey": range(1, len(rows) + 1),
+            "o_custkey": [r[0] for r in rows],
+            "o_orderstatus": [r[1] for r in rows],
+            "o_totalprice": [r[2] for r in rows],
+            "o_orderdate": pd.to_datetime(
+                ["2024-01-01"] * len(rows)).astype("datetime64[us]"),
+            "o_orderpriority": ["1"] * len(rows),
+        })
+        _write(tmp_path, cust, "customer")
+        sf = _write(tmp_path, orders, "orders")
+        got = q_simpson_reversal_audit(sf).to_pandas().iloc[0]
+        # overall: avg F = (2 + 90)/10 = 9.2, avg O = (9+9)/10 = 1.8
+        # -> F > O overall; per nation F > O in both too? nation0:
+        # F 2.00 vs O 1.00 -> F>O; so NOT a reversal with this data --
+        # flip: compare O vs F ordering ('F' < 'O' so a='F')
+        assert got["status_a"] == "F" and got["status_b"] == "O"
+        assert int(got["overall_sign"]) == 1
+        assert int(got["n_nations_a_gt_b"]) == 2
+        ora = _oracle(tmp_path, SQL_SIMPSON_REVERSAL_AUDIT,
+                      ["orders", "customer"]).iloc[0]
+        for c in ("status_a", "status_b", "overall_sign",
+                  "n_nations_a_gt_b", "n_nations_a_lt_b",
+                  "n_nations_tied"):
+            assert got[c] == ora[c], c
+
+    def test_reversal_direction(self, ray_session, tmp_path):
+        from crawlray.queries import (SQL_SIMPSON_REVERSAL_AUDIT,
+                                      q_simpson_reversal_audit)
+
+        # make every nation prefer F yet overall prefer O: O lives in
+        # the expensive nation
+        cust = pd.DataFrame({
+            "c_custkey": [1, 2],
+            "c_name": ["a", "b"],
+            "c_nationkey": np.array([0, 1], dtype="int32"),
+            "c_acctbal": [0.0, 0.0],
+            "c_mktsegment": ["A", "A"],
+        })
+        rows = ([(1, "F", 2.00)] * 9 + [(1, "O", 1.00)]
+                + [(2, "F", 100.00)] + [(2, "O", 99.00)] * 9)
+        orders = pd.DataFrame({
+            "o_orderkey": range(1, len(rows) + 1),
+            "o_custkey": [r[0] for r in rows],
+            "o_orderstatus": [r[1] for r in rows],
+            "o_totalprice": [r[2] for r in rows],
+            "o_orderdate": pd.to_datetime(
+                ["2024-01-01"] * len(rows)).astype("datetime64[us]"),
+            "o_orderpriority": ["1"] * len(rows),
+        })
+        _write(tmp_path, cust, "customer")
+        sf = _write(tmp_path, orders, "orders")
+        got = q_simpson_reversal_audit(sf).to_pandas().iloc[0]
+        # per nation: F beats O in both (2>1, 100>99); overall:
+        # avg F = (18+100)/10 = 11.8, avg O = (1+891)/10 = 89.2 -> O
+        assert int(got["overall_sign"]) == -1
+        assert int(got["n_nations_a_gt_b"]) == 2
+        assert int(got["n_nations_a_lt_b"]) == 0
+        ora = _oracle(tmp_path, SQL_SIMPSON_REVERSAL_AUDIT,
+                      ["orders", "customer"]).iloc[0]
+        for c in ("overall_sign", "n_nations_a_gt_b",
+                  "n_nations_a_lt_b", "n_nations_tied"):
+            assert got[c] == ora[c], c
+
+
+class TestSkipgramEdges:
+    def test_window_respects_doc_boundaries(self, ray_session, tmp_path):
+        from crawlray.queries import SQL_SKIPGRAM_PAIRS, q_skipgram_pairs
+
+        # 'a b c' gives (a,b),(b,a),(b,c),(c,b),(a,c),(c,a); the second
+        # doc 'd e' must NOT pair across the boundary with 'c'
+        texts = ["a b c", "d e"]
+        sf = _write(tmp_path, _docs(texts), "documents")
+        got = q_skipgram_pairs(sf).to_pandas()
+        pairs = set(zip(got["center"], got["context"]))
+        assert ("c", "d") not in pairs and ("d", "c") not in pairs
+        assert ("a", "c") in pairs and ("c", "a") in pairs
+        assert ("d", "e") in pairs
+        ora = _oracle(tmp_path, SQL_SKIPGRAM_PAIRS, ["documents"])
+        key = ["center", "context"]
+        pd.testing.assert_frame_equal(
+            got.sort_values(key).reset_index(drop=True),
+            ora.sort_values(key).reset_index(drop=True),
+            check_dtype=False)
+
+
+class TestPartBandPairsEdges:
+    def test_boundary_replication_counts_once(self, ray_session, tmp_path):
+        from crawlray.queries import SQL_PART_BAND_PAIRS, q_part_band_pairs
+
+        # sizes 5,5,6 at prices within/outside the 100-cent band:
+        # (k1,k2) same size |diff|=50 -> bucket 5; (k1,k3) cross size
+        # |diff|=100 exactly -> bucket 5; (k2,k3) |diff|=150 -> out
+        parts = pd.DataFrame({
+            "p_partkey": [1, 2, 3],
+            "p_name": ["a", "b", "c"],
+            "p_brand": ["B"] * 3,
+            "p_type": ["T"] * 3,
+            "p_size": np.array([5, 5, 6], dtype="int32"),
+            "p_retailprice": [10.00, 10.50, 9.00],
+        })
+        sf = _write(tmp_path, parts, "part")
+        got = q_part_band_pairs(sf).to_pandas()
+        assert dict(zip(got["size_bucket"], got["n_pairs"])) == {5: 2}
+        ora = _oracle(tmp_path, SQL_PART_BAND_PAIRS, ["part"])
+        pd.testing.assert_frame_equal(
+            got.sort_values("size_bucket").reset_index(drop=True),
+            ora.sort_values("size_bucket").reset_index(drop=True),
+            check_dtype=False)
