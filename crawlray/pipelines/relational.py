@@ -593,13 +593,21 @@ def keep_first_k_sorted(sorted_ds: rd.Dataset, keys: list[str], k: int) -> rd.Da
 
 
 def grouped_topk(
-    ds: rd.Dataset, group_keys: list[str], value: str, tiebreak: str, k: int
+    ds: rd.Dataset,
+    group_keys: list[str],
+    value: str,
+    tiebreak: str,
+    k: int,
+    n_buckets: int = 16,
 ) -> rd.Dataset:
     """Per-group top-k rows by ``value`` desc (ties -> smallest
     ``tiebreak``) — the ``row_number() OVER (PARTITION BY ...) <= k``
     window analog. Per-batch partial head(k) (at most k candidate rows
-    per (batch, group) enter the shuffle) + global sort + the
-    sort-based ranked filter (``keep_first_k_sorted``)."""
+    per (batch, group) enter the exchange), then ONE hash exchange on
+    ``group_keys[0]`` — a SUPERSET partitioning of the composite group,
+    so every group's candidates co-locate — and a per-bucket sort +
+    head(k). Replaces a global range sort (sample pass + full shuffle)
+    with a plain hash exchange; output row order is arbitrary."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -609,32 +617,33 @@ def grouped_topk(
         )
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    ordered = partials.sort(
-        [*group_keys, value, tiebreak],
-        descending=[False] * len(group_keys) + [True, False],
-    )
-    return keep_first_k_sorted(ordered, list(group_keys), k)
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        df = (
+            t.to_pandas()
+            .sort_values(
+                [*group_keys, value, tiebreak],
+                ascending=[True] * len(group_keys) + [False, True],
+                kind="stable",
+            )
+            .groupby(group_keys, sort=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False).select(
+            t.column_names
+        )
+
+    return bucketed_reduce(partials, group_keys[0], bucket_fn, n_buckets)
 
 
 def grouped_argmax(
     ds: rd.Dataset, group_keys: list[str], value: str, tiebreak: str
 ) -> rd.Dataset:
     """One row per group: the row maximizing ``value`` (ties -> smallest
-    ``tiebreak``)."""
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return (
-            df.sort_values([value, tiebreak], ascending=[False, True], kind="stable")
-            .groupby(group_keys, sort=False)
-            .head(1)
-        )
-
-    partials = ds.map_batches(partial, batch_format="pandas")
-    ordered = partials.sort(
-        [*group_keys, value, tiebreak],
-        descending=[False] * len(group_keys) + [True, False],
-    )
-    return keep_first_sorted(ordered, list(group_keys))
+    ``tiebreak``). Same plan as ``grouped_topk`` with k=1."""
+    return grouped_topk(ds, group_keys, value, tiebreak, 1)
 
 def bucketed_semi_join(
     left: rd.Dataset,

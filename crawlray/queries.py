@@ -2399,17 +2399,25 @@ def q_top_terms_per_lang(sf_dir: str):
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             pred = super().__call__(batch)
             lang = dict(zip(pred["doc_id"], pred["lang_pred"]))
-            ex = pd.DataFrame({
-                "doc_id": batch["doc_id"].to_numpy(),
-                "term": batch["text"].str.split().to_numpy(),
-            }).explode("term").dropna(subset=["term"])
-            if ex.empty:
+            # token explode in Arrow C (split_whitespace + flatten +
+            # parent-index take), per-doc lang lookup stays O(docs)
+            doc_lang = pa.array(batch["doc_id"].map(lang), pa.string())
+            lists = pc.utf8_split_whitespace(
+                pa.array(batch["text"].fillna(""), pa.string()))
+            flat = pc.list_flatten(lists)
+            langs = doc_lang.take(pc.list_parent_indices(lists))
+            if len(flat) == 0:
                 return pd.DataFrame({"lang": pd.array([], dtype="string"),
                                      "term": pd.array([], dtype="string"),
                                      "n": pd.array([], dtype="int64")})
-            ex["lang"] = ex["doc_id"].map(lang)
-            return (ex.groupby(["lang", "term"], sort=False).size()
-                    .rename("n").reset_index()[["lang", "term", "n"]])
+            g = (pa.table({"lang": langs, "term": flat})
+                 .group_by(["lang", "term"])
+                 .aggregate([("term", "count")]))
+            return pd.DataFrame({
+                "lang": g["lang"].to_pandas(),
+                "term": g["term"].to_pandas(),
+                "n": g["term_count"].to_pandas().astype("int64"),
+            })
 
     def bucket_fn(t: pa.Table) -> pa.Table:
         g = t.group_by(["lang", "term"]).aggregate([("n", "sum")])
@@ -2418,8 +2426,11 @@ def q_top_terms_per_lang(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     partials = docs.map_batches(TermsByLang, batch_format="pandas",
-                                concurrency=2)
-    counts = bucketed_reduce(partials, "term", bucket_fn, n_buckets=8)
+                                concurrency=(2, 8))
+    counts = bucketed_reduce(
+        partials, "term", bucket_fn, n_buckets=8,
+        schema=pa.schema([("lang", pa.string()), ("term", pa.string()),
+                          ("n", pa.int64())]))
     return grouped_topk(counts, ["lang"], "n", "term", k=TERMS_PER_LANG_K)
 
 
