@@ -16402,6 +16402,241 @@ FROM pairs GROUP BY 1
 """
 
 
+def q_kendall_ingredients(sf_dir: str):
+    """KENDALL-TAU INGREDIENTS between arrival order and value per
+    user — 'do later events run hotter?' as exact integers: over every
+    same-user event pair ordered by event_id, the concordant (later
+    value higher), discordant, and tied counts, summed corpus-wide.
+    ONE exchange by user; inside a bucket each user's pair triangle is
+    an O(n_u^2) broadcast compare over their BOUNDED event window (the
+    per-key-window regime of the rolling kernels) — cross-user pairs
+    never exist, so nothing quadratic in the corpus ever runs."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "eid": t["event_id"],
+                         "v": _cents(t["value"])})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({k: pa.nulls(0, pa.int64()) for k in
+                          ("n_pairs", "n_concordant", "n_discordant",
+                           "n_ties")})
+        if t.num_rows == 0:
+            return empty
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        e = t["eid"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, u))
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        bounds = np.r_[starts, len(u)]
+        npairs = conc = disc = ties = 0
+        for s, t_ in zip(bounds[:-1], bounds[1:]):
+            vv = v[s:t_]
+            n = len(vv)
+            if n < 2:
+                continue
+            d = np.sign(vv[None, :] - vv[:, None])
+            iu = np.triu_indices(n, 1)
+            sg = d[iu]
+            npairs += len(sg)
+            conc += int((sg == 1).sum())
+            disc += int((sg == -1).sum())
+            ties += int((sg == 0).sum())
+        return pa.table({
+            "n_pairs": pa.array([npairs], pa.int64()),
+            "n_concordant": pa.array([conc], pa.int64()),
+            "n_discordant": pa.array([disc], pa.int64()),
+            "n_ties": pa.array([ties], pa.int64()),
+        })
+
+    parts = bucketed_reduce(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "user_id", bucket_fn, n_buckets=16,
+        schema=pa.schema([("user_id", pa.int64()), ("eid", pa.int64()),
+                          ("v", pa.int64())])).to_pandas()
+    return pa.table({c: pa.array([int(parts[c].sum())], pa.int64())
+                     for c in ("n_pairs", "n_concordant",
+                               "n_discordant", "n_ties")})
+
+
+SQL_KENDALL_INGREDIENTS = """
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+), p AS (
+  SELECT sign(b.v - a.v) AS s
+  FROM e a JOIN e b
+    ON a.user_id = b.user_id AND b.event_id > a.event_id
+)
+SELECT count(*)::BIGINT AS n_pairs,
+       sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)::BIGINT AS n_concordant,
+       sum(CASE WHEN s = -1 THEN 1 ELSE 0 END)::BIGINT AS n_discordant,
+       sum(CASE WHEN s = 0 THEN 1 ELSE 0 END)::BIGINT AS n_ties
+FROM p
+"""
+
+
+MERKLE_BUCKETS = 64
+MERKLE_LOSS_MOD = 101
+MERKLE_HASH_MOD = 2_147_483_647
+
+
+def q_merkle_diff(sf_dir: str):
+    """MERKLE-STYLE REPLICA RECONCILIATION — the anti-entropy pass two
+    stores run to find what diverged without shipping rows: replica A
+    is the event stream, replica B deterministically lost every
+    event_id % 101 == 0 row; both sides summarize each of 64 user-hash
+    buckets as (row count, md5-content-sum mod p), and only buckets
+    whose digests DISAGREE are reported (with the row delta). One
+    map-side pass computes both replicas' partials together —
+    O(blocks x 64) rows cross, rows themselves never move."""
+    from .util import md5_id_bucket
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        e = t["event_id"].to_numpy(zero_copy_only=False)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        bkt = u % MERKLE_BUCKETS
+        h = md5_id_bucket("merkle-v1", e, MERKLE_HASH_MOD)
+        in_b = (e % MERKLE_LOSS_MOD) != 0
+        rows = []
+        for b in np.unique(bkt):
+            m = bkt == b
+            mb = m & in_b
+            rows.append((int(b), int(m.sum()), int(h[m].sum()),
+                         int(mb.sum()), int(h[mb].sum())))
+        return pa.table({
+            "bucket": pa.array([r[0] for r in rows], pa.int64()),
+            "n_a": pa.array([r[1] for r in rows], pa.int64()),
+            "h_a": pa.array([r[2] for r in rows], pa.int64()),
+            "n_b": pa.array([r[3] for r in rows], pa.int64()),
+            "h_b": pa.array([r[4] for r in rows], pa.int64()),
+        })
+
+    df = (ev.map_batches(partial, batch_format="pyarrow")
+          .to_pandas().groupby("bucket", as_index=False)
+          [["n_a", "h_a", "n_b", "h_b"]].sum())
+    bad = df[(df["n_a"] != df["n_b"]) | (df["h_a"] != df["h_b"])]
+    return pa.table({
+        "bucket": pa.array(bad["bucket"].astype("int64"), pa.int64()),
+        "n_a": pa.array(bad["n_a"].astype("int64"), pa.int64()),
+        "n_b": pa.array(bad["n_b"].astype("int64"), pa.int64()),
+        "missing_rows": pa.array(
+            (bad["n_a"] - bad["n_b"]).astype("int64"), pa.int64()),
+    })
+
+
+SQL_MERKLE_DIFF = f"""
+WITH e AS (
+  SELECT event_id, (user_id % {MERKLE_BUCKETS})::BIGINT AS bucket,
+         (md5_number_upper('merkle-v1:' || event_id::VARCHAR)::HUGEINT
+          % {MERKLE_HASH_MOD})::BIGINT AS h,
+         (event_id % {MERKLE_LOSS_MOD} <> 0) AS in_b
+  FROM events
+), d AS (
+  SELECT bucket, count(*)::BIGINT AS n_a, sum(h)::BIGINT AS h_a,
+         sum(CASE WHEN in_b THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         sum(CASE WHEN in_b THEN h ELSE 0 END)::BIGINT AS h_b
+  FROM e GROUP BY 1
+)
+SELECT bucket, n_a, n_b, (n_a - n_b)::BIGINT AS missing_rows
+FROM d WHERE n_a <> n_b OR h_a <> h_b
+"""
+
+
+def q_maxmin_fair_alloc(sf_dir: str):
+    """MAX-MIN FAIR (water-filling) ALLOCATION — the crawl-budget /
+    rate-limit scheduler math: given per-user demand (event counts)
+    and capacity = half the total, how many users get their full
+    demand, and the exact water level T for the rest, published as the
+    reduced fraction (cap - sum_full) / n_capped so no division
+    crosses an engine. Rank rn is full iff prefix_sum(rn) +
+    (n - rn) * d_rn <= cap — a prefix-scan threshold over the SORTED
+    demand distribution, the same bounded driver fold as the quantile
+    kernels (demands resolve in ONE exchange by user)."""
+    import math
+
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate([("user_id", "count")])
+        return pa.table({"user_id": g["user_id"],
+                         "d": g["user_id_count"].cast(pa.int64())})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"d": pa.nulls(0, pa.int64())})
+        g = t.group_by("user_id").aggregate([("d", "sum")])
+        return pa.table({"d": g["d_sum"]})
+
+    dem = np.sort(bucketed_reduce(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        "user_id", bucket_fn, n_buckets=16,
+        schema=pa.schema([("user_id", pa.int64()), ("d", pa.int64())]))
+        .to_pandas()["d"].to_numpy(dtype=np.int64))
+    n = len(dem)
+    total = int(dem.sum())
+    cap = total // 2
+    ps = np.cumsum(dem)
+    rn = np.arange(1, n + 1)
+    # f(rn) = ps + (n-rn)*dem is nondecreasing in rn for sorted
+    # demands, so fullness is prefix-closed and k = count of fulls
+    k = int((ps + (n - rn) * dem <= cap).sum())
+    if total <= cap:
+        k, num, den = n, -1, 1
+    else:
+        sk = int(ps[k - 1]) if k else 0
+        num, den = cap - sk, n - k
+        g = math.gcd(num, den) or 1
+        num, den = num // g, den // g
+    return pa.table({
+        "n_users": pa.array([n], pa.int64()),
+        "capacity": pa.array([cap], pa.int64()),
+        "n_full": pa.array([k], pa.int64()),
+        "level_num": pa.array([num], pa.int64()),
+        "level_den": pa.array([den], pa.int64()),
+    })
+
+
+SQL_MAXMIN_FAIR_ALLOC = """
+WITH d AS (
+  SELECT user_id, count(*)::BIGINT AS dem FROM events GROUP BY 1
+), c AS (
+  SELECT (sum(dem) // 2)::BIGINT AS cap, count(*)::BIGINT AS n,
+         sum(dem)::BIGINT AS total
+  FROM d
+), r AS (
+  SELECT dem, row_number() OVER (ORDER BY dem, user_id) AS rn,
+         sum(dem) OVER (ORDER BY dem, user_id)::BIGINT AS ps
+  FROM d
+), k AS (
+  SELECT coalesce(max(rn), 0)::BIGINT AS k,
+         coalesce(max(ps), 0)::BIGINT AS sk
+  FROM r, c WHERE ps + (n - rn) * dem <= cap
+)
+SELECT c.n AS n_users, c.cap AS capacity,
+       (CASE WHEN c.total <= c.cap THEN c.n ELSE k.k END)::BIGINT
+         AS n_full,
+       (CASE WHEN c.total <= c.cap THEN -1
+             ELSE (c.cap - k.sk)
+                  // greatest(gcd(c.cap - k.sk, c.n - k.k), 1)
+        END)::BIGINT AS level_num,
+       (CASE WHEN c.total <= c.cap THEN 1
+             ELSE (c.n - k.k)
+                  // greatest(gcd(c.cap - k.sk, c.n - k.k), 1)
+        END)::BIGINT AS level_den
+FROM c, k
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -16701,4 +16936,9 @@ def catalog():
                                    SQL_SIMPSON_REVERSAL_AUDIT),
         "skipgram_pairs": (q_skipgram_pairs, SQL_SKIPGRAM_PAIRS),
         "part_band_pairs": (q_part_band_pairs, SQL_PART_BAND_PAIRS),
+        "kendall_ingredients": (q_kendall_ingredients,
+                                SQL_KENDALL_INGREDIENTS),
+        "merkle_diff": (q_merkle_diff, SQL_MERKLE_DIFF),
+        "maxmin_fair_alloc": (q_maxmin_fair_alloc,
+                              SQL_MAXMIN_FAIR_ALLOC),
     }

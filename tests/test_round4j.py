@@ -459,3 +459,95 @@ class TestPartBandPairsEdges:
             got.sort_values("size_bucket").reset_index(drop=True),
             ora.sort_values("size_bucket").reset_index(drop=True),
             check_dtype=False)
+
+
+class TestKendallEdges:
+    def test_tie_and_direction_counts(self, ray_session, tmp_path):
+        from crawlray.queries import (SQL_KENDALL_INGREDIENTS,
+                                      q_kendall_ingredients)
+
+        # user 1 values by event_id order: 1, 3, 3, 2 ->
+        # pairs: (1,3)+ (1,3)+ (1,2)+ (3,3)0 (3,2)- (3,2)-
+        rows = [(1, 1, "v", 1, 0.01), (2, 1, "v", 2, 0.03),
+                (3, 1, "v", 3, 0.03), (4, 1, "v", 4, 0.02),
+                (5, 2, "v", 5, 9.99)]
+        sf = _write(tmp_path, _events(rows), "events")
+        got = q_kendall_ingredients(sf).to_pandas().iloc[0]
+        assert int(got["n_pairs"]) == 6
+        assert int(got["n_concordant"]) == 3
+        assert int(got["n_discordant"]) == 2
+        assert int(got["n_ties"]) == 1
+        ora = _oracle(tmp_path, SQL_KENDALL_INGREDIENTS,
+                      ["events"]).iloc[0]
+        for c in ("n_pairs", "n_concordant", "n_discordant", "n_ties"):
+            assert got[c] == ora[c], c
+
+
+class TestMerkleDiffEdges:
+    def test_only_lossy_buckets_reported(self, ray_session, tmp_path):
+        from crawlray.queries import (MERKLE_LOSS_MOD, SQL_MERKLE_DIFF,
+                                      q_merkle_diff)
+
+        # user 0's bucket loses event_id 101 and 202; user 1's bucket
+        # is clean and must NOT appear
+        rows = [(MERKLE_LOSS_MOD, 0, "v", 1, 0.0),
+                (2 * MERKLE_LOSS_MOD, 0, "v", 2, 0.0),
+                (5, 0, "v", 3, 0.0),
+                (7, 1, "v", 4, 0.0), (8, 1, "v", 5, 0.0)]
+        sf = _write(tmp_path, _events(rows), "events")
+        got = q_merkle_diff(sf).to_pandas()
+        assert list(got["bucket"]) == [0]
+        assert int(got["missing_rows"].iloc[0]) == 2
+        assert int(got["n_a"].iloc[0]) == 3
+        assert int(got["n_b"].iloc[0]) == 1
+        ora = _oracle(tmp_path, SQL_MERKLE_DIFF, ["events"])
+        pd.testing.assert_frame_equal(
+            got.sort_values("bucket").reset_index(drop=True),
+            ora.sort_values("bucket").reset_index(drop=True),
+            check_dtype=False)
+
+
+class TestMaxminFairEdges:
+    def test_water_level_fraction(self, ray_session, tmp_path):
+        from crawlray.queries import (SQL_MAXMIN_FAIR_ALLOC,
+                                      q_maxmin_fair_alloc)
+
+        # demands 1, 2, 7: total 10, cap 5; rank1: 1 + 2*1 = 3 <= 5
+        # full; rank2: 3 + 1*2 = 5 <= 5 full; rank3: 10 > 5 capped.
+        # level = (5 - 3) / 1 = 2/1
+        rows, eid = [], 0
+        for uid, n in [(1, 1), (2, 2), (3, 7)]:
+            for _ in range(n):
+                eid += 1
+                rows.append((eid, uid, "v", eid, 0.0))
+        sf = _write(tmp_path, _events(rows), "events")
+        got = q_maxmin_fair_alloc(sf).to_pandas().iloc[0]
+        assert int(got["n_users"]) == 3
+        assert int(got["capacity"]) == 5
+        assert int(got["n_full"]) == 2
+        assert (int(got["level_num"]), int(got["level_den"])) == (2, 1)
+        ora = _oracle(tmp_path, SQL_MAXMIN_FAIR_ALLOC,
+                      ["events"]).iloc[0]
+        for c in ("n_users", "capacity", "n_full", "level_num",
+                  "level_den"):
+            assert got[c] == ora[c], c
+
+    def test_fraction_reduces(self, ray_session, tmp_path):
+        from crawlray.queries import (SQL_MAXMIN_FAIR_ALLOC,
+                                      q_maxmin_fair_alloc)
+
+        # demands 2,2,8,8: total 20, cap 10; rank1: 2+3*2=8<=10 full;
+        # rank2: 4+2*2=8<=10 full; rank3: 12+8=20>10 capped ->
+        # level = (10-4)/2 = 6/2 -> reduced 3/1
+        rows, eid = [], 0
+        for uid, n in [(1, 2), (2, 2), (3, 8), (4, 8)]:
+            for _ in range(n):
+                eid += 1
+                rows.append((eid, uid, "v", eid, 0.0))
+        sf = _write(tmp_path, _events(rows), "events")
+        got = q_maxmin_fair_alloc(sf).to_pandas().iloc[0]
+        assert (int(got["level_num"]), int(got["level_den"])) == (3, 1)
+        ora = _oracle(tmp_path, SQL_MAXMIN_FAIR_ALLOC,
+                      ["events"]).iloc[0]
+        for c in ("n_full", "level_num", "level_den"):
+            assert got[c] == ora[c], c
