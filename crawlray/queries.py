@@ -16637,6 +16637,255 @@ FROM c, k
 """
 
 
+CSK_DEPTH = 5
+CSK_WIDTH = 16
+
+
+def q_countsketch_estimates(sf_dir: str):
+    """COUNT-SKETCH estimate-vs-exact audit — the SIGNED companion of
+    `cms_estimates`: each of 5 md5-salted rows adds sign(t) * count
+    into 16 buckets, the estimate is the MEDIAN over rows of
+    sign(t) * bucket (odd depth, so the integer median is exact), and
+    unlike count-min the collisions cancel in expectation, so the
+    error column can be NEGATIVE. Same linear-sketch plan: per-batch
+    (salt, bucket) signed partials, merge by addition, O(blocks x 80)
+    rows cross. Sign = md5 bit 0 of a second salt namespace."""
+    import hashlib
+
+    ev = _read(sf_dir, "events", ["event_type"])
+
+    def hb(salt: int, t: str) -> int:
+        return int.from_bytes(
+            hashlib.md5(f"csk-{salt}:{t}".encode()).digest()[:8],
+            "little") % CSK_WIDTH
+
+    def sg(salt: int, t: str) -> int:
+        v = int.from_bytes(
+            hashlib.md5(f"csg-{salt}:{t}".encode()).digest()[:8],
+            "little")
+        return 1 if v % 2 == 1 else -1
+
+    def partial(t: pa.Table) -> pa.Table:
+        types, n = np.unique(
+            t["event_type"].to_numpy(zero_copy_only=False),
+            return_counts=True)
+        n = n.astype(np.int64)
+        salts, bks, vals = [], [], []
+        for s in range(CSK_DEPTH):
+            acc: dict[int, int] = {}
+            for ty, cnt in zip(types, n):
+                b = hb(s, ty)
+                acc[b] = acc.get(b, 0) + sg(s, ty) * int(cnt)
+            for b, v in acc.items():
+                salts.append(s)
+                bks.append(b)
+                vals.append(v)
+        return pa.table({
+            "salt": pa.array(salts + [-1] * len(types), pa.int64()),
+            "bucket": pa.array(bks + [0] * len(types), pa.int64()),
+            "key": pa.array([""] * len(salts) + list(types)),
+            "n": pa.array(vals + list(n), pa.int64()),
+        })
+
+    df = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    sk = df[df["salt"] >= 0].groupby(["salt", "bucket"])["n"].sum()
+    exact = df[df["salt"] < 0].groupby("key")["n"].sum().sort_index()
+    types = list(exact.index)
+    est = []
+    for ty in types:
+        vals = sorted(sg(s, ty) * int(sk.get((s, hb(s, ty)), 0))
+                      for s in range(CSK_DEPTH))
+        est.append(vals[CSK_DEPTH // 2])
+    ex = exact.to_numpy(dtype=np.int64)
+    est = np.array(est, np.int64)
+    return pa.table({
+        "event_type": pa.array(types),
+        "exact_n": pa.array(ex, pa.int64()),
+        "csk_n": pa.array(est),
+        "err": pa.array(est - ex),
+    })
+
+
+SQL_COUNTSKETCH_ESTIMATES = f"""
+WITH t AS (
+  SELECT event_type, count(*)::BIGINT AS n FROM events GROUP BY 1
+), b AS (
+  SELECT s.salt, event_type, n,
+         (md5_number_upper('csk-' || s.salt || ':' || event_type)
+            ::HUGEINT % {CSK_WIDTH})::BIGINT AS bucket,
+         (CASE WHEN md5_number_upper(
+                 'csg-' || s.salt || ':' || event_type)::HUGEINT % 2
+               = 1 THEN 1 ELSE -1 END)::BIGINT AS sg
+  FROM t, (VALUES (0), (1), (2), (3), (4)) s(salt)
+), sk AS (
+  SELECT salt, bucket, sum(sg * n)::BIGINT AS bn FROM b GROUP BY 1, 2
+), est AS (
+  SELECT b.event_type,
+         median(b.sg * coalesce(sk.bn, 0))::BIGINT AS csk_n
+  FROM b LEFT JOIN sk ON b.salt = sk.salt AND b.bucket = sk.bucket
+  GROUP BY 1
+)
+SELECT t.event_type, t.n AS exact_n, est.csk_n,
+       (est.csk_n - t.n)::BIGINT AS err
+FROM t JOIN est USING (event_type)
+"""
+
+
+IDRUN_BUCKET = 4096
+
+
+def q_id_range_runs(sf_dir: str):
+    """ID-SPACE RUN COMPRESSION with cross-partition stitching — the
+    gaps-and-islands problem on a GLOBAL sorted id space (compacting
+    an id allocation bitmap, auditing key-gap health): distinct
+    orderkeys compress to [start, end] runs. Partitioning is by
+    CONTIGUOUS id range (orderkey // 4096), so runs are local to a
+    bucket EXCEPT at bucket boundaries — each bucket reports its run
+    count, min/max id, id count, and its max INTERNAL gap, and the
+    driver stitches the O(buckets) boundary pairs (a run crossing the
+    boundary merges two runs into one; a gap spanning it may beat both
+    sides' internal max). The segmented-scan carry pattern, folded
+    over summaries, never over ids."""
+    from .pipelines.relational import bucketed_reduce
+    from .util import drop_empty_blocks
+
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"bkt": pa.array(k // IDRUN_BUCKET),
+                         "k": pa.array(k, pa.int64())})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({c: pa.nulls(0, pa.int64()) for c in
+                          ("bkt", "n_runs", "n_ids", "kmin", "kmax",
+                           "max_gap")})
+        if t.num_rows == 0:
+            return empty
+        bk = t["bkt"].to_numpy(zero_copy_only=False)
+        kk = t["k"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((kk, bk))
+        bk, kk = bk[order], kk[order]
+        rows = []
+        for b in np.unique(bk):
+            m = bk == b
+            ks = np.unique(kk[m])
+            gaps = np.diff(ks)
+            rows.append((int(b), int((gaps > 1).sum()) + 1, len(ks),
+                         int(ks[0]), int(ks[-1]),
+                         int(gaps.max() - 1) if len(gaps) else 0))
+        return pa.table({c: pa.array([r[i] for r in rows], pa.int64())
+                         for i, c in enumerate(
+                             ("bkt", "n_runs", "n_ids", "kmin", "kmax",
+                              "max_gap"))})
+
+    parts = (drop_empty_blocks(bucketed_reduce(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        "bkt", bucket_fn, n_buckets=16,
+        schema=pa.schema([("bkt", pa.int64()), ("k", pa.int64())])))
+        .to_pandas().sort_values("bkt"))
+    runs = int(parts["n_runs"].sum())
+    max_gap = int(parts["max_gap"].max()) if len(parts) else 0
+    prev_max = parts["kmax"].to_numpy()[:-1]
+    next_min = parts["kmin"].to_numpy()[1:]
+    bgap = next_min - prev_max
+    runs -= int((bgap == 1).sum())           # run continues -> merge
+    if len(bgap):
+        max_gap = max(max_gap, int(bgap.max() - 1))
+    return pa.table({
+        "n_runs": pa.array([runs], pa.int64()),
+        "n_ids": pa.array([int(parts["n_ids"].sum())], pa.int64()),
+        "max_gap": pa.array([max_gap], pa.int64()),
+    })
+
+
+SQL_ID_RANGE_RUNS = """
+WITH k AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders
+), g AS (
+  SELECT k, k - lag(k) OVER (ORDER BY k) AS gap FROM k
+)
+SELECT (1 + sum(CASE WHEN gap > 1 THEN 1 ELSE 0 END))::BIGINT
+         AS n_runs,
+       count(*)::BIGINT AS n_ids,
+       coalesce(max(gap - 1), 0)::BIGINT AS max_gap
+FROM g
+"""
+
+
+def q_weighted_jaccard_sources(sf_dir: str):
+    """WEIGHTED (multiset) JACCARD between two sources' word streams —
+    sum(min(count_a, count_b)) / sum(max(...)), the exact quantity
+    MinHash-style sketches approximate, published as the two integer
+    sums. Per-batch (word, source) count partials, ONE exchange by
+    word (`bucketed_reduce`: both sources' counts for a word meet in
+    one bucket, hot sources spread because the WORD is the key), each
+    bucket folds to a single (sum_min, sum_max) pair — O(buckets)
+    rows to the driver, the vocabulary never leaves the cluster."""
+    from .pipelines.relational import bucketed_reduce
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    src_a, src_b = KMVJ_SRC_A, KMVJ_SRC_B
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["source"].isin([src_a, src_b])]
+        ex = (df.assign(w=df["text"].fillna("").str.split())
+              .explode("w").dropna(subset=["w"]))
+        g = (ex.groupby(["w", "source"], sort=False).size()
+             .rename("n").reset_index())
+        return pa.table({"w": pa.array(g["w"], pa.string()),
+                         "source": pa.array(g["source"], pa.string()),
+                         "n": pa.array(g["n"].astype("int64"),
+                                       pa.int64())})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"sum_min": pa.nulls(0, pa.int64()),
+                          "sum_max": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        df = (t.to_pandas().groupby(["w", "source"])["n"].sum()
+              .unstack(fill_value=0))
+        a = (df[src_a] if src_a in df else pd.Series(0, df.index)
+             ).to_numpy(dtype=np.int64)
+        b = (df[src_b] if src_b in df else pd.Series(0, df.index)
+             ).to_numpy(dtype=np.int64)
+        return pa.table({
+            "sum_min": pa.array([int(np.minimum(a, b).sum())],
+                                pa.int64()),
+            "sum_max": pa.array([int(np.maximum(a, b).sum())],
+                                pa.int64()),
+        })
+
+    parts = bucketed_reduce(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        "w", bucket_fn, n_buckets=16,
+        schema=pa.schema([("w", pa.string()), ("source", pa.string()),
+                          ("n", pa.int64())])).to_pandas()
+    return pa.table({
+        "sum_min": pa.array([int(parts["sum_min"].sum())], pa.int64()),
+        "sum_max": pa.array([int(parts["sum_max"].sum())], pa.int64()),
+    })
+
+
+SQL_WEIGHTED_JACCARD_SOURCES = rf"""
+WITH w AS (
+  SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS w
+  FROM documents WHERE source IN ('{KMVJ_SRC_A}', '{KMVJ_SRC_B}')
+), c AS (
+  SELECT w,
+         sum(CASE WHEN source = '{KMVJ_SRC_A}' THEN 1 ELSE 0
+             END)::BIGINT AS na,
+         sum(CASE WHEN source = '{KMVJ_SRC_B}' THEN 1 ELSE 0
+             END)::BIGINT AS nb
+  FROM w WHERE w <> '' GROUP BY 1
+)
+SELECT sum(least(na, nb))::BIGINT AS sum_min,
+       sum(greatest(na, nb))::BIGINT AS sum_max
+FROM c
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -16941,4 +17190,9 @@ def catalog():
         "merkle_diff": (q_merkle_diff, SQL_MERKLE_DIFF),
         "maxmin_fair_alloc": (q_maxmin_fair_alloc,
                               SQL_MAXMIN_FAIR_ALLOC),
+        "countsketch_estimates": (q_countsketch_estimates,
+                                  SQL_COUNTSKETCH_ESTIMATES),
+        "id_range_runs": (q_id_range_runs, SQL_ID_RANGE_RUNS),
+        "weighted_jaccard_sources": (q_weighted_jaccard_sources,
+                                     SQL_WEIGHTED_JACCARD_SOURCES),
     }

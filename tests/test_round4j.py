@@ -551,3 +551,81 @@ class TestMaxminFairEdges:
                       ["events"]).iloc[0]
         for c in ("n_full", "level_num", "level_den"):
             assert got[c] == ora[c], c
+
+
+class TestCountSketchEdges:
+    def test_signed_cancellation_and_median(self, ray_session, tmp_path):
+        from crawlray.queries import (SQL_COUNTSKETCH_ESTIMATES,
+                                      q_countsketch_estimates)
+
+        rows, eid = [], 0
+        for i in range(30):
+            for _ in range(i % 4 + 1):
+                eid += 1
+                rows.append((eid, 1, f"t{i:02d}", eid, 1.0))
+        sf = _write(tmp_path, _events(rows), "events")
+        got = q_countsketch_estimates(sf).to_pandas()
+        assert len(got) == 30
+        # signed sketch: errors may be negative, exact rows exist
+        assert (got["csk_n"] - got["exact_n"] == got["err"]).all()
+        ora = _oracle(tmp_path, SQL_COUNTSKETCH_ESTIMATES, ["events"])
+        key = ["event_type"]
+        pd.testing.assert_frame_equal(
+            got.sort_values(key).reset_index(drop=True),
+            ora.sort_values(key).reset_index(drop=True),
+            check_dtype=False)
+
+
+class TestIdRangeRunsEdges:
+    def test_runs_merge_across_bucket_boundary(self, ray_session, tmp_path):
+        from crawlray.queries import (IDRUN_BUCKET, SQL_ID_RANGE_RUNS,
+                                      q_id_range_runs)
+
+        B = IDRUN_BUCKET
+        # run crossing the bucket boundary (B-1, B) must merge; the
+        # duplicate key must not double count; gap inside bucket 0
+        keys = [1, 2, 3, 10, B - 1, B, B + 1, B + 1, 3 * B]
+        orders = pd.DataFrame({
+            "o_orderkey": keys,
+            "o_custkey": [1] * len(keys),
+            "o_orderstatus": ["F"] * len(keys),
+            "o_totalprice": [1.0] * len(keys),
+            "o_orderdate": pd.to_datetime(
+                ["2024-01-01"] * len(keys)).astype("datetime64[us]"),
+            "o_orderpriority": ["1"] * len(keys),
+        })
+        sf = _write(tmp_path, orders, "orders")
+        got = q_id_range_runs(sf).to_pandas().iloc[0]
+        # runs: [1-3], [10], [B-1 .. B+1], [3B] -> 4; ids distinct 8;
+        # max gap: between B+1 and 3B -> 3B - (B+1) - 1 = 2B - 2
+        assert int(got["n_runs"]) == 4
+        assert int(got["n_ids"]) == 8
+        assert int(got["max_gap"]) == 2 * B - 2
+        ora = _oracle(tmp_path, SQL_ID_RANGE_RUNS, ["orders"]).iloc[0]
+        for c in ("n_runs", "n_ids", "max_gap"):
+            assert got[c] == ora[c], c
+
+
+class TestWeightedJaccardEdges:
+    def test_multiset_min_max(self, ray_session, tmp_path):
+        from crawlray.queries import (SQL_WEIGHTED_JACCARD_SOURCES,
+                                      q_weighted_jaccard_sources)
+
+        # src0: a a a b ; src1: a b b c ; other source ignored
+        # min: a1->... min(3,1)=1? no: min(3,1)+min(1,2)+min(0,1)=1+1+0=2... wait a: min(3,1)=1, b: min(1,2)=1, c: 0 -> 2
+        # max: a 3, b 2, c 1 -> 6
+        df = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["a a a b", "a b b c", "zzz zzz"],
+            "lang": ["en"] * 3,
+            "source": ["src0", "src1", "src9"],
+            "n_chars": [7, 7, 7],
+        })
+        sf = _write(tmp_path, df, "documents")
+        got = q_weighted_jaccard_sources(sf).to_pandas().iloc[0]
+        assert int(got["sum_min"]) == 2
+        assert int(got["sum_max"]) == 6
+        ora = _oracle(tmp_path, SQL_WEIGHTED_JACCARD_SOURCES,
+                      ["documents"]).iloc[0]
+        assert got["sum_min"] == ora["sum_min"]
+        assert got["sum_max"] == ora["sum_max"]
