@@ -16886,6 +16886,231 @@ FROM c
 """
 
 
+TIES_TOPK = 2
+
+
+def q_top_with_ties(sf_dir: str):
+    """TOP-K **WITH TIES** — the rank()-semantics leaderboard (SQL's
+    FETCH FIRST k WITH TIES / QUALIFY rank() <= k), versus the
+    row_number semantics of `grouped_topk`: per returnflag the top-2
+    brands by revenue, KEEPING every brand tied with the 2nd — the
+    output size is data-dependent, so the plan filters by THRESHOLD
+    (the k-th distinct revenue inside the flag's bucket), not by row
+    count. Per-batch (flag, brand-id) cent partials via the dense part
+    LUT, ONE exchange by flag, per-bucket vectorized rank filter."""
+    from .pipelines.relational import bucketed_reduce
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_returnflag", "l_extendedprice"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    codes, brands = pd.factorize(part["p_brand"])
+    lut = np.full(int(part["p_partkey"].max()) + 2, -1, np.int32)
+    lut[part["p_partkey"].to_numpy()] = codes.astype(np.int32)
+    vocab = np.asarray(brands, object)
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        bid = lut[np.minimum(pk, len(lut) - 1)]
+        g = (pa.table({"flag": t["l_returnflag"],
+                       "bid": pa.array(bid.astype(np.int64)),
+                       "c": _cents(t["l_extendedprice"])})
+             .group_by(["flag", "bid"]).aggregate([("c", "sum")]))
+        return pa.table({"flag": g["flag"], "bid": g["bid"],
+                         "c": g["c_sum"]})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"l_returnflag": pa.nulls(0, pa.string()),
+                          "brand": pa.nulls(0, pa.string()),
+                          "revenue_cents": pa.nulls(0, pa.int64()),
+                          "rnk": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        df = (t.to_pandas().groupby(["flag", "bid"], as_index=False)
+              ["c"].sum())
+        out = []
+        for flag, g in df.groupby("flag"):
+            c = g["c"].to_numpy()
+            # rank() = 1 + count of strictly greater revenues
+            rnk = 1 + (c[None, :] > c[:, None]).sum(axis=1)
+            keep = rnk <= TIES_TOPK
+            for bid, cc, r in zip(g["bid"].to_numpy()[keep],
+                                  c[keep], rnk[keep]):
+                out.append((flag, vocab[bid], int(cc), int(r)))
+        return pa.table({
+            "l_returnflag": pa.array([o[0] for o in out], pa.string()),
+            "brand": pa.array([o[1] for o in out], pa.string()),
+            "revenue_cents": pa.array([o[2] for o in out], pa.int64()),
+            "rnk": pa.array([o[3] for o in out], pa.int64()),
+        })
+
+    return bucketed_reduce(
+        li.map_batches(partial, batch_format="pyarrow"),
+        "flag", bucket_fn, n_buckets=4,
+        schema=pa.schema([("flag", pa.string()), ("bid", pa.int64()),
+                          ("c", pa.int64())]))
+
+
+SQL_TOP_WITH_TIES = f"""
+SELECT l.l_returnflag, p.p_brand AS brand,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))::BIGINT
+         AS revenue_cents,
+       rank() OVER (PARTITION BY l.l_returnflag
+                    ORDER BY sum(CAST(round(l.l_extendedprice * 100)
+                                      AS BIGINT)) DESC)::BIGINT AS rnk
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY 1, 2
+QUALIFY rnk <= {TIES_TOPK}
+"""
+
+
+def q_rank_displacement(sf_dir: str):
+    """RANK DISPLACEMENT (Spearman footrule) between two nation
+    rankings — 'does revenue rank track customer-count rank?': nations
+    ranked by order revenue and by customer count (ties broken by
+    nationkey, so both ranks are total orders), reporting the summed
+    and max |rank difference|. Two independent bounded partial scans
+    (per-batch (nation, cents) via the custkey LUT; per-batch nation
+    counts), a 25-row driver fold, integer output."""
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    lut = np.full(int(cust["c_custkey"].max()) + 2, -1, np.int32)
+    lut[cust["c_custkey"].to_numpy()] = (
+        cust["c_nationkey"].to_numpy().astype(np.int32))
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        g = (pa.table({"nat": pa.array(
+                lut[np.minimum(ck, len(lut) - 1)].astype(np.int64)),
+                       "c": _cents(t["o_totalprice"])})
+             .group_by("nat").aggregate([("c", "sum")]))
+        return pa.table({"nat": g["nat"], "v": g["c_sum"]})
+
+    rev = (orders.map_batches(rev_partial, batch_format="pyarrow")
+           .to_pandas().groupby("nat")["v"].sum())
+    ncust = cust.groupby("c_nationkey")["c_custkey"].count()
+
+    nats = sorted(set(rev.index) | set(ncust.index))
+    r = pd.Series([int(rev.get(n, 0)) for n in nats], index=nats)
+    c = pd.Series([int(ncust.get(n, 0)) for n in nats], index=nats)
+
+    def ranks(s: pd.Series) -> pd.Series:
+        order = sorted(s.index, key=lambda n: (-s[n], n))
+        return pd.Series({n: i + 1 for i, n in enumerate(order)})
+
+    d = (ranks(r) - ranks(c)).abs()
+    return pa.table({
+        "n_nations": pa.array([len(nats)], pa.int64()),
+        "total_displacement": pa.array([int(d.sum())], pa.int64()),
+        "max_displacement": pa.array([int(d.max()) if len(d) else 0],
+                                     pa.int64()),
+    })
+
+
+SQL_RANK_DISPLACEMENT = """
+WITH rev AS (
+  SELECT c.c_nationkey::BIGINT AS nat,
+         sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT AS v
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+), nc AS (
+  SELECT c_nationkey::BIGINT AS nat, count(*)::BIGINT AS v
+  FROM customer GROUP BY 1
+), nats AS (
+  SELECT nat FROM rev UNION SELECT nat FROM nc
+), ranked AS (
+  SELECT n.nat,
+         row_number() OVER (ORDER BY coalesce(rev.v, 0) DESC, n.nat)
+           AS r_rev,
+         row_number() OVER (ORDER BY coalesce(nc.v, 0) DESC, n.nat)
+           AS r_cnt
+  FROM nats n
+  LEFT JOIN rev ON rev.nat = n.nat
+  LEFT JOIN nc ON nc.nat = n.nat
+)
+SELECT count(*)::BIGINT AS n_nations,
+       sum(abs(r_rev - r_cnt))::BIGINT AS total_displacement,
+       max(abs(r_rev - r_cnt))::BIGINT AS max_displacement
+FROM ranked
+"""
+
+
+def q_schema_evolution_union(sf_dir: str):
+    """SCHEMA-EVOLUTION UNION (union-by-name) — ingesting two vintages
+    of the same feed whose schemas drifted: v1 rows (even event_id)
+    carry `value` but predate `event_type`; v2 rows (odd) carry
+    `event_type` but dropped `value`. Each side reads ONLY its own
+    columns (pruned at the parquet read), missing columns materialize
+    as typed nulls per batch, and the union is Ray's zero-copy block
+    concat — no shuffle. Output audits the merged frame: row count,
+    per-column non-null counts, distinct users (exact, via per-batch
+    partial dedup + a small fold)."""
+    v1 = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    v2 = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+
+    def as_v1(t: pa.Table) -> pa.Table:
+        e = t["event_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(e % 2 == 0))
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "value": t["value"],
+            "event_type": pa.nulls(t.num_rows, pa.string()),
+        })
+
+    def as_v2(t: pa.Table) -> pa.Table:
+        e = t["event_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(e % 2 == 1))
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "value": pa.nulls(t.num_rows, pa.float64()),
+            "event_type": t["event_type"],
+        })
+
+    merged = (v1.map_batches(as_v1, batch_format="pyarrow")
+              .union(v2.map_batches(as_v2, batch_format="pyarrow")))
+
+    def audit(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_rows": pa.array([t.num_rows], pa.int64()),
+            "n_value": pa.array(
+                [t.num_rows - t["value"].null_count], pa.int64()),
+            "n_type": pa.array(
+                [t.num_rows - t["event_type"].null_count], pa.int64()),
+        })
+
+    parts = merged.map_batches(audit, batch_format="pyarrow").to_pandas()
+    users = _read(sf_dir, "events", ["user_id"])
+
+    def upartial(t: pa.Table) -> pa.Table:
+        return pa.table({"u": pc.unique(t["user_id"])})
+
+    nu = int(users.map_batches(upartial, batch_format="pyarrow")
+             .to_pandas()["u"].nunique())
+    return pa.table({
+        "n_rows": pa.array([int(parts["n_rows"].sum())], pa.int64()),
+        "n_value": pa.array([int(parts["n_value"].sum())], pa.int64()),
+        "n_type": pa.array([int(parts["n_type"].sum())], pa.int64()),
+        "n_users": pa.array([nu], pa.int64()),
+    })
+
+
+SQL_SCHEMA_EVOLUTION_UNION = """
+WITH m AS (
+  (SELECT event_id, user_id, value
+   FROM events WHERE event_id % 2 = 0)
+  UNION ALL BY NAME
+  (SELECT event_id, user_id, event_type
+   FROM events WHERE event_id % 2 = 1)
+)
+SELECT count(*)::BIGINT AS n_rows,
+       count(value)::BIGINT AS n_value,
+       count(event_type)::BIGINT AS n_type,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM m
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -17195,4 +17420,9 @@ def catalog():
         "id_range_runs": (q_id_range_runs, SQL_ID_RANGE_RUNS),
         "weighted_jaccard_sources": (q_weighted_jaccard_sources,
                                      SQL_WEIGHTED_JACCARD_SOURCES),
+        "top_with_ties": (q_top_with_ties, SQL_TOP_WITH_TIES),
+        "rank_displacement": (q_rank_displacement,
+                              SQL_RANK_DISPLACEMENT),
+        "schema_evolution_union": (q_schema_evolution_union,
+                                   SQL_SCHEMA_EVOLUTION_UNION),
     }

@@ -629,3 +629,64 @@ class TestWeightedJaccardEdges:
                       ["documents"]).iloc[0]
         assert got["sum_min"] == ora["sum_min"]
         assert got["sum_max"] == ora["sum_max"]
+
+
+class TestTopWithTiesEdges:
+    def test_ties_extend_output(self, ray_session, tmp_path):
+        from crawlray.queries import SQL_TOP_WITH_TIES, q_top_with_ties
+
+        # brands B1 B2 B3 with revenues 10, 10, 10 -> all rank 1;
+        # brand B4 at 5 -> rank 4, excluded even though k=2
+        part = pd.DataFrame({
+            "p_partkey": [1, 2, 3, 4],
+            "p_name": ["a", "b", "c", "d"],
+            "p_brand": ["B1", "B2", "B3", "B4"],
+            "p_type": ["T"] * 4,
+            "p_size": np.array([1] * 4, dtype="int32"),
+            "p_retailprice": [1.0] * 4,
+        })
+        li = pd.DataFrame({
+            "l_orderkey": [1, 1, 1, 1],
+            "l_partkey": [1, 2, 3, 4],
+            "l_suppkey": [1] * 4,
+            "l_linenumber": np.array([1, 2, 3, 4], dtype="int32"),
+            "l_quantity": [1.0] * 4,
+            "l_extendedprice": [10.0, 10.0, 10.0, 5.0],
+            "l_discount": [0.0] * 4,
+            "l_tax": [0.0] * 4,
+            "l_returnflag": ["N"] * 4,
+            "l_linestatus": ["O"] * 4,
+            "l_shipdate": pd.to_datetime(
+                ["2024-01-01"] * 4).astype("datetime64[us]"),
+        })
+        _write(tmp_path, part, "part")
+        sf = _write(tmp_path, li, "lineitem")
+        got = q_top_with_ties(sf).to_pandas()
+        assert set(got["brand"]) == {"B1", "B2", "B3"}
+        assert (got["rnk"] == 1).all()
+        ora = _oracle(tmp_path, SQL_TOP_WITH_TIES, ["lineitem", "part"])
+        key = ["brand"]
+        pd.testing.assert_frame_equal(
+            got.sort_values(key).reset_index(drop=True),
+            ora.sort_values(key).reset_index(drop=True),
+            check_dtype=False)
+
+
+class TestSchemaEvolutionUnionEdges:
+    def test_null_columns_and_counts(self, ray_session, tmp_path):
+        from crawlray.queries import (SQL_SCHEMA_EVOLUTION_UNION,
+                                      q_schema_evolution_union)
+
+        rows = [(1, 1, "a", 1, 1.0), (2, 1, "b", 2, 2.0),
+                (3, 2, "c", 3, 3.0), (4, 2, "d", 4, 4.0)]
+        sf = _write(tmp_path, _events(rows), "events")
+        got = q_schema_evolution_union(sf).to_pandas().iloc[0]
+        # evens (2,4) keep value; odds (1,3) keep type
+        assert int(got["n_rows"]) == 4
+        assert int(got["n_value"]) == 2
+        assert int(got["n_type"]) == 2
+        assert int(got["n_users"]) == 2
+        ora = _oracle(tmp_path, SQL_SCHEMA_EVOLUTION_UNION,
+                      ["events"]).iloc[0]
+        for c in ("n_rows", "n_value", "n_type", "n_users"):
+            assert got[c] == ora[c], c
