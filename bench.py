@@ -260,6 +260,29 @@ BENCH_QUERIES = [
     "k_anonymity_audit",
     "prefix_compress_estimate",
     "daily_cross_metrics",
+    "cusum_drift",
+    "hdr_quantiles",
+    "cms_estimates",
+    "bpe_first_merges",
+    "stopgram_coverage",
+    "behavior_signatures",
+    "theilsen_trend",
+    "compaction_plan",
+    "delta_encoding_estimate",
+    "simpson_reversal_audit",
+    "skipgram_pairs",
+    "part_band_pairs",
+    "kendall_ingredients",
+    "merkle_diff",
+    "maxmin_fair_alloc",
+    "countsketch_estimates",
+    "id_range_runs",
+    "weighted_jaccard_sources",
+    "top_with_ties",
+    "rank_displacement",
+    "schema_evolution_union",
+    "crawl_politeness_audit",
+    "next_word_top",
 ]
 
 

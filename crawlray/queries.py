@@ -17111,6 +17111,226 @@ FROM m
 """
 
 
+def _polite_cfg():
+    """Fixed small world for the politeness audit — config-shape only
+    (independent of sf so the audit never re-runs the flagship-scale
+    crawl inside the bench)."""
+    from .engine import EngineConfig
+    from .synth import WorldConfig
+
+    return EngineConfig(world=WorldConfig(n_urls=2500, n_hosts=20),
+                        n_seeds=20, max_rounds=3)
+
+
+def q_crawl_politeness_audit(sf_dir: str):
+    """POLITENESS COMPLIANCE AUDIT over a real engine run — the
+    contract the crawl data plane must never break: per round, how
+    many hosts were touched, the max fetches any single host absorbed,
+    and the count of hosts over the per-host round budget (which must
+    be zero, and the oracle proves the number, not the assertion). The
+    audit aggregates the engine's own corpus output (host, round) —
+    O(hosts x rounds) rows; oracle = the sequential no-Ray crawl
+    simulator's fetch log, rendered as a VALUES literal (the crawl
+    family's `_crawl_sql` precedent)."""
+    import shutil
+    import tempfile
+
+    from .engine import CrawlEngine
+
+    out = tempfile.mkdtemp(prefix="crawlpol_")
+    eng = None
+    try:
+        cfg = _polite_cfg()
+        eng = CrawlEngine(cfg, out)
+        eng.run()
+        from .storage import read_corpus
+
+        docs = read_corpus(out, columns=["host", "round"])
+        df = (docs.to_pandas().groupby(["round", "host"])
+              .size().rename("n").reset_index())
+        budget = cfg.round_budget
+        g = df.groupby("round")["n"]
+        agg = pd.DataFrame({
+            "n_hosts": g.size(), "max_per_host": g.max(),
+            "n_over_budget": g.apply(lambda s: int((s > budget).sum())),
+        }).reset_index()
+        return pa.table({
+            "round": pa.array(agg["round"].astype("int64"), pa.int64()),
+            "n_hosts": pa.array(agg["n_hosts"].astype("int64"),
+                                pa.int64()),
+            "max_per_host": pa.array(agg["max_per_host"].astype("int64"),
+                                     pa.int64()),
+            "n_over_budget": pa.array(
+                agg["n_over_budget"].astype("int64"), pa.int64()),
+            "budget": pa.array([int(budget)] * len(agg), pa.int64()),
+        })
+    finally:
+        if eng is not None:
+            eng.shutdown()
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@functools.lru_cache(maxsize=1)
+def _politeness_expected_table() -> pa.Table:
+    """Sequential restatement: the same audit over the pure-Python
+    crawl simulator's fetch log on the same fixed world."""
+    from .canon import host_of
+    from .oracle import simulate_crawl
+    from .synth import World
+
+    cfg = _polite_cfg()
+    res = simulate_crawl(World(cfg.world), cfg.n_seeds, cfg.max_rounds)
+    budget = cfg.round_budget
+    counts: dict[tuple[int, str], int] = {}
+    for rnd, _pri, _seq, url, _status in res.fetch_log:
+        k = (rnd, host_of(url))
+        counts[k] = counts.get(k, 0) + 1
+    rounds = sorted({r for r, _ in counts})
+    rows = []
+    for r in rounds:
+        ns = [n for (rr, _h), n in counts.items() if rr == r]
+        rows.append((r, len(ns), max(ns),
+                     sum(1 for n in ns if n > budget), budget))
+    return pa.table({
+        "round": pa.array([x[0] for x in rows], pa.int64()),
+        "n_hosts": pa.array([x[1] for x in rows], pa.int64()),
+        "max_per_host": pa.array([x[2] for x in rows], pa.int64()),
+        "n_over_budget": pa.array([x[3] for x in rows], pa.int64()),
+        "budget": pa.array([x[4] for x in rows], pa.int64()),
+    })
+
+
+def _politeness_sql() -> str:
+    return _values_sql(
+        _politeness_expected_table(),
+        casts={"round": "BIGINT", "n_hosts": "BIGINT",
+               "max_per_host": "BIGINT", "n_over_budget": "BIGINT",
+               "budget": "BIGINT"},
+    )
+
+
+NEXT_WORD_K = 20
+
+
+def q_next_word_top(sf_dir: str):
+    """BIGRAM CONDITIONAL ARGMAX — the count-based language model's
+    next-token table: for the top-20 words by frequency, the most
+    likely FOLLOWING word (ties: higher pair count, then next word
+    asc) with both count ingredients. ONE exchange by the FIRST word:
+    unigram partials and bigram partials share the key, so a bucket
+    holds everything needed to finish its words' totals AND argmaxes —
+    the global top-20 then folds from complete per-bucket candidates
+    (the grouped-completeness argument again). Words never followed by
+    anything keep next_word = ''."""
+    from .pipelines.relational import bucketed_reduce
+    from .util import drop_empty_blocks
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ex = (t.to_pandas()["text"].fillna("").str.split()
+              .explode().dropna())
+        w = ex.to_numpy()
+        d = ex.index.to_numpy(dtype=np.int64)
+        empty = pa.table({"w": pa.nulls(0, pa.string()),
+                          "nxt": pa.nulls(0, pa.string()),
+                          "n": pa.nulls(0, pa.int64())})
+        if len(w) == 0:
+            return empty
+        uni = pd.DataFrame({"w": w}).groupby("w", sort=False).size()
+        frames = [pd.DataFrame({"w": uni.index, "nxt": "",
+                                "n": uni.to_numpy(dtype=np.int64)})]
+        if len(w) > 1:
+            same = d[:-1] == d[1:]
+            if same.any():
+                big = (pd.DataFrame({"w": w[:-1][same],
+                                     "nxt": w[1:][same]})
+                       .groupby(["w", "nxt"], sort=False).size()
+                       .rename("n").reset_index())
+                frames.append(big)
+        g = pd.concat(frames, ignore_index=True)
+        return pa.table({"w": pa.array(g["w"], pa.string()),
+                         "nxt": pa.array(g["nxt"], pa.string()),
+                         "n": pa.array(g["n"].astype("int64"),
+                                       pa.int64())})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"word": pa.nulls(0, pa.string()),
+                          "n_word": pa.nulls(0, pa.int64()),
+                          "next_word": pa.nulls(0, pa.string()),
+                          "n_pair": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        df = (t.to_pandas().groupby(["w", "nxt"], as_index=False)
+              ["n"].sum())
+        uni = df[df["nxt"] == ""].set_index("w")["n"]
+        big = df[df["nxt"] != ""]
+        best = (big.sort_values(["n", "nxt"], ascending=[False, True],
+                                kind="stable")
+                .groupby("w", sort=False).head(1).set_index("w"))
+        # local candidates under the SAME comparator as the global
+        # fold (n desc, word asc), so the global top-k is a subset
+        words = (uni.reset_index()
+                 .sort_values(["n", "w"], ascending=[False, True],
+                              kind="stable")
+                 .head(NEXT_WORD_K)["w"])
+        rows = []
+        for wd in words:
+            if wd in best.index:
+                rows.append((wd, int(uni[wd]), best.loc[wd, "nxt"],
+                             int(best.loc[wd, "n"])))
+            else:
+                rows.append((wd, int(uni[wd]), "", 0))
+        return pa.table({
+            "word": pa.array([r[0] for r in rows], pa.string()),
+            "n_word": pa.array([r[1] for r in rows], pa.int64()),
+            "next_word": pa.array([r[2] for r in rows], pa.string()),
+            "n_pair": pa.array([r[3] for r in rows], pa.int64()),
+        })
+
+    parts = drop_empty_blocks(bucketed_reduce(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        "w", bucket_fn, n_buckets=16,
+        schema=pa.schema([("w", pa.string()), ("nxt", pa.string()),
+                          ("n", pa.int64())]))).to_pandas()
+    out = (parts.sort_values(["n_word", "word"],
+                             ascending=[False, True], kind="stable")
+           .head(NEXT_WORD_K))
+    return pa.table({
+        "word": pa.array(out["word"], pa.string()),
+        "n_word": pa.array(out["n_word"].astype("int64"), pa.int64()),
+        "next_word": pa.array(out["next_word"], pa.string()),
+        "n_pair": pa.array(out["n_pair"].astype("int64"), pa.int64()),
+    })
+
+
+SQL_NEXT_WORD_TOP = rf"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents WHERE trim(text) <> ''
+), tok AS (
+  SELECT ws[i] AS w,
+         CASE WHEN i < len(ws) THEN ws[i + 1] END AS nxt
+  FROM t, unnest(range(1, len(ws) + 1)) u(i)
+), uni AS (
+  SELECT w, count(*)::BIGINT AS n FROM tok GROUP BY 1
+), big AS (
+  SELECT w, nxt, count(*)::BIGINT AS np FROM tok
+  WHERE nxt IS NOT NULL GROUP BY 1, 2
+), best AS (
+  SELECT w, nxt, np,
+         row_number() OVER (PARTITION BY w ORDER BY np DESC, nxt) AS rn
+  FROM big
+), top AS (
+  SELECT w, n FROM uni ORDER BY n DESC, w LIMIT {NEXT_WORD_K}
+)
+SELECT top.w AS word, top.n AS n_word,
+       coalesce(best.nxt, '') AS next_word,
+       coalesce(best.np, 0)::BIGINT AS n_pair
+FROM top LEFT JOIN best ON best.w = top.w AND best.rn = 1
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -17425,4 +17645,7 @@ def catalog():
                               SQL_RANK_DISPLACEMENT),
         "schema_evolution_union": (q_schema_evolution_union,
                                    SQL_SCHEMA_EVOLUTION_UNION),
+        "crawl_politeness_audit": (q_crawl_politeness_audit,
+                                   _politeness_sql()),
+        "next_word_top": (q_next_word_top, SQL_NEXT_WORD_TOP),
     }

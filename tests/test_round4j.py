@@ -690,3 +690,39 @@ class TestSchemaEvolutionUnionEdges:
                       ["events"]).iloc[0]
         for c in ("n_rows", "n_value", "n_type", "n_users"):
             assert got[c] == ora[c], c
+
+
+class TestNextWordTopEdges:
+    def test_argmax_ties_and_unfollowed_words(self, ray_session, tmp_path):
+        from crawlray.queries import SQL_NEXT_WORD_TOP, q_next_word_top
+
+        # 'a' followed by c, b, b -> argmax b (count 2); second doc's
+        # trailing 'z' is never followed (next_word ''); 'a c' vs
+        # 'a b': tie among singles broken by next-word asc
+        texts = ["a c a b a b", "z"]
+        sf = _write(tmp_path, _docs(texts), "documents")
+        got = q_next_word_top(sf).to_pandas().set_index("word")
+        assert got.loc["a", "next_word"] == "b"
+        assert int(got.loc["a", "n_pair"]) == 2
+        assert int(got.loc["a", "n_word"]) == 3
+        assert got.loc["z", "next_word"] == ""
+        assert int(got.loc["z", "n_pair"]) == 0
+        ora = _oracle(tmp_path, SQL_NEXT_WORD_TOP, ["documents"])
+        pd.testing.assert_frame_equal(
+            got.reset_index().sort_values("word").reset_index(drop=True),
+            ora.sort_values("word").reset_index(drop=True),
+            check_dtype=False)
+
+    def test_next_word_tie_breaks_ascending(self, ray_session, tmp_path):
+        from crawlray.queries import SQL_NEXT_WORD_TOP, q_next_word_top
+
+        # 'a' followed once by 'c' and once by 'b': tie -> 'b'
+        texts = ["a c", "a b"]
+        sf = _write(tmp_path, _docs(texts), "documents")
+        got = q_next_word_top(sf).to_pandas().set_index("word")
+        assert got.loc["a", "next_word"] == "b"
+        ora = _oracle(tmp_path, SQL_NEXT_WORD_TOP, ["documents"])
+        pd.testing.assert_frame_equal(
+            got.reset_index().sort_values("word").reset_index(drop=True),
+            ora.sort_values("word").reset_index(drop=True),
+            check_dtype=False)
