@@ -17331,6 +17331,233 @@ FROM top LEFT JOIN best ON best.w = top.w AND best.rn = 1
 """
 
 
+VOCAB_COVER_PCTS = (50, 90, 99)
+
+
+def q_vocab_coverage(sf_dir: str):
+    """VOCABULARY COVERAGE CURVE — the tokenizer-sizing question 'how
+    many word types cover 50 / 90 / 99 % of tokens?', answered WITHOUT
+    ever materializing the ranked vocabulary: the curve is a pure
+    function of the COUNT-OF-COUNTS histogram (every word with the
+    same count contributes identically), so word counts fold to
+    (count, n_words) classes per bucket — O(distinct counts) rows to
+    the driver no matter how large the vocab — and each percentile
+    resolves by walking classes in count-desc order with exact ceil
+    arithmetic for the partial class."""
+    from .pipelines.relational import bucketed_reduce
+    from .util import drop_empty_blocks
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = (t.to_pandas()["text"].fillna("").str.split()
+                .explode().dropna())
+        words, counts = np.unique(toks.to_numpy(), return_counts=True)
+        return pa.table({"w": pa.array(words, pa.string()),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cnt": pa.nulls(0, pa.int64()),
+                          "n_words": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        g = t.group_by("w").aggregate([("n", "sum")])
+        cnt, nw = np.unique(
+            g["n_sum"].to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"cnt": pa.array(cnt, pa.int64()),
+                         "n_words": pa.array(nw.astype(np.int64))})
+
+    hist = (drop_empty_blocks(bucketed_reduce(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        "w", bucket_fn, n_buckets=16,
+        schema=pa.schema([("w", pa.string()), ("n", pa.int64())])))
+        .to_pandas().groupby("cnt")["n_words"].sum()
+        .sort_index(ascending=False))
+    cnt = hist.index.to_numpy(dtype=np.int64)
+    nw = hist.to_numpy(dtype=np.int64)
+    toks = cnt * nw
+    w0 = np.cumsum(nw) - nw
+    t0 = np.cumsum(toks) - toks
+    tot = int(toks.sum())
+    rows = []
+    for pct in VOCAB_COVER_PCTS:
+        need = (pct * tot + 99) // 100
+        i = int(np.searchsorted(t0 + toks, need))
+        k = -(-(need - int(t0[i])) // int(cnt[i]))
+        rows.append((pct, int(w0[i]) + k,
+                     int(t0[i]) + k * int(cnt[i])))
+    return pa.table({
+        "pct": pa.array([r[0] for r in rows], pa.int64()),
+        "vocab_size": pa.array([r[1] for r in rows], pa.int64()),
+        "covered_tokens": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+SQL_VOCAB_COVERAGE = r"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(text, '\s+')) AS w
+  FROM documents
+), c AS (
+  SELECT w, count(*)::BIGINT AS n FROM w WHERE w <> '' GROUP BY 1
+), h AS (
+  SELECT n AS cnt, count(*)::BIGINT AS n_words FROM c GROUP BY 1
+), cum AS (
+  SELECT cnt, n_words,
+         coalesce(sum(n_words) OVER (
+           ORDER BY cnt DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS w0,
+         coalesce(sum(cnt * n_words) OVER (
+           ORDER BY cnt DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS t0,
+         (SELECT sum(cnt * n_words)::BIGINT FROM h) AS tot
+  FROM h
+)
+SELECT p.pct::BIGINT AS pct,
+       (cum.w0 + ((p.pct * cum.tot + 99) // 100 - cum.t0 + cum.cnt - 1)
+                 // cum.cnt)::BIGINT AS vocab_size,
+       (cum.t0 + (((p.pct * cum.tot + 99) // 100 - cum.t0 + cum.cnt - 1)
+                  // cum.cnt) * cum.cnt)::BIGINT AS covered_tokens
+FROM (VALUES (50), (90), (99)) p(pct)
+JOIN cum ON cum.t0 < (p.pct * cum.tot + 99) // 100
+        AND cum.t0 + cum.cnt * cum.n_words
+            >= (p.pct * cum.tot + 99) // 100
+"""
+
+
+def q_joint_decile_grid(sf_dir: str):
+    """JOINT DECILE GRID — the 2-D dependence heatmap between quantity
+    and price: every lineitem lands in (qty-decile, price-decile) with
+    decile(v) = (rank(v) - 1) * 10 // n (rank() semantics: ties share
+    a cell), and the grid counts expose correlation structure a single
+    1-D quantile never shows. The `rank_normalize` two-pass plan twice
+    over: per-batch VALUE-histogram partials (bounded by distinct
+    values, not rows) fold to two broadcast rank maps, pass 2 assigns
+    both deciles per batch and folds straight to the <= 100-cell grid
+    — no sort, no row shuffle."""
+    li = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        q = pc.round(t["l_quantity"]).cast(pa.int64())
+        c = _cents(t["l_extendedprice"])
+        gq = pa.table({"v": q}).group_by("v").aggregate([("v", "count")])
+        gc = pa.table({"v": c}).group_by("v").aggregate([("v", "count")])
+        return pa.table({
+            "dim": pa.array(["q"] * gq.num_rows + ["c"] * gc.num_rows),
+            "v": pa.concat_arrays([gq["v"].combine_chunks(),
+                                   gc["v"].combine_chunks()]),
+            "n": pa.concat_arrays([
+                gq["v_count"].cast(pa.int64()).combine_chunks(),
+                gc["v_count"].cast(pa.int64()).combine_chunks()]),
+        })
+
+    hist = (li.map_batches(hist_partial, batch_format="pyarrow")
+            .to_pandas().groupby(["dim", "v"], as_index=False)["n"]
+            .sum())
+
+    def rank_map(dim: str):
+        h = hist[hist["dim"] == dim].sort_values("v")
+        v = h["v"].to_numpy(dtype=np.int64)
+        n = h["n"].to_numpy(dtype=np.int64)
+        total = int(n.sum())
+        below = np.cumsum(n) - n
+        return v, (below * 10) // total
+
+    qv, qd = rank_map("q")
+    cv, cd = rank_map("c")
+
+    def assign(t: pa.Table) -> pa.Table:
+        q = pc.round(t["l_quantity"]).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        c = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        dq = qd[np.searchsorted(qv, q)]
+        dp = cd[np.searchsorted(cv, c)]
+        g = (pa.table({"dq": pa.array(dq), "dp": pa.array(dp)})
+             .group_by(["dq", "dp"]).aggregate([("dq", "count")]))
+        return pa.table({"dq": g["dq"], "dp": g["dp"],
+                         "n": g["dq_count"].cast(pa.int64())})
+
+    out = (li.map_batches(assign, batch_format="pyarrow")
+           .to_pandas().groupby(["dq", "dp"], as_index=False)["n"]
+           .sum().sort_values(["dq", "dp"]))
+    return pa.table({
+        "dq": pa.array(out["dq"].astype("int64"), pa.int64()),
+        "dp": pa.array(out["dp"].astype("int64"), pa.int64()),
+        "n_rows": pa.array(out["n"].astype("int64"), pa.int64()),
+    })
+
+
+SQL_JOINT_DECILE_GRID = """
+WITH l AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem
+), n AS (SELECT count(*)::BIGINT AS n FROM l),
+r AS (
+  SELECT ((rank() OVER (ORDER BY q) - 1) * 10) // n.n AS dq,
+         ((rank() OVER (ORDER BY c) - 1) * 10) // n.n AS dp
+  FROM l, n
+)
+SELECT dq::BIGINT AS dq, dp::BIGINT AS dp, count(*)::BIGINT AS n_rows
+FROM r GROUP BY 1, 2
+"""
+
+
+PERIOD_CANDIDATES = (2, 3, 4, 5, 6, 7)
+
+
+def q_periodicity_profile(sf_dir: str):
+    """PERIODICITY PROFILE — the exact integer ingredients of 'which
+    cycle length fits the daily series best': for each candidate
+    period p in 2..7 and each residue day%p, the (n_days, sum, sum of
+    squares) of the daily event counts. The within-residue variance —
+    what a seasonality detector minimizes over p — is a pure function
+    of these rows, and everything is integer so the oracle is exact.
+    Daily counts fold from O(blocks x 31) partials; the p x residue
+    grid (<= 27 rows) is a driver fold."""
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"day": pc.day(t["ts"]).cast(pa.int64())})
+             .group_by("day").aggregate([("day", "count")]))
+        return pa.table({"day": g["day"],
+                         "n": g["day_count"].cast(pa.int64())})
+
+    daily = (ev.map_batches(partial, batch_format="pyarrow")
+             .to_pandas().groupby("day")["n"].sum().sort_index())
+    d = daily.index.to_numpy(dtype=np.int64)
+    c = daily.to_numpy(dtype=np.int64)
+    rows = []
+    for p in PERIOD_CANDIDATES:
+        res = d % p
+        for r in np.unique(res):
+            m = res == r
+            rows.append((p, int(r), int(m.sum()), int(c[m].sum()),
+                         int((c[m] * c[m]).sum())))
+    return pa.table({
+        "period": pa.array([r[0] for r in rows], pa.int64()),
+        "residue": pa.array([r[1] for r in rows], pa.int64()),
+        "n_days": pa.array([r[2] for r in rows], pa.int64()),
+        "sum_c": pa.array([r[3] for r in rows], pa.int64()),
+        "sum_c2": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+SQL_PERIODICITY_PROFILE = """
+WITH x AS (
+  SELECT day(ts)::BIGINT AS d, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+)
+SELECT p.p::BIGINT AS period, (x.d % p.p)::BIGINT AS residue,
+       count(*)::BIGINT AS n_days, sum(x.n)::BIGINT AS sum_c,
+       sum(x.n * x.n)::BIGINT AS sum_c2
+FROM x, (VALUES (2), (3), (4), (5), (6), (7)) p(p)
+GROUP BY 1, 2
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -17648,4 +17875,9 @@ def catalog():
         "crawl_politeness_audit": (q_crawl_politeness_audit,
                                    _politeness_sql()),
         "next_word_top": (q_next_word_top, SQL_NEXT_WORD_TOP),
+        "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
+        "joint_decile_grid": (q_joint_decile_grid,
+                              SQL_JOINT_DECILE_GRID),
+        "periodicity_profile": (q_periodicity_profile,
+                                SQL_PERIODICITY_PROFILE),
     }

@@ -726,3 +726,63 @@ class TestNextWordTopEdges:
             got.reset_index().sort_values("word").reset_index(drop=True),
             ora.sort_values("word").reset_index(drop=True),
             check_dtype=False)
+
+
+class TestVocabCoverageEdges:
+    def test_partial_class_ceil(self, ray_session, tmp_path):
+        from crawlray.queries import SQL_VOCAB_COVERAGE, q_vocab_coverage
+
+        # counts: x:4, y:2, z:2, w:1, v:1 -> tot 10
+        # p50: need 5 -> x(4) + 1 word of count-2 class -> vocab 2,
+        #   covered 6
+        # p90: need 9 -> x + y + z (8) + 1 word of count-1 -> vocab 4,
+        #   covered 9
+        # p99: need 10 -> all 5 words
+        texts = ["x x x x y y", "z z w v"]
+        sf = _write(tmp_path, _docs(texts), "documents")
+        got = q_vocab_coverage(sf).to_pandas().set_index("pct")
+        assert (int(got.loc[50, "vocab_size"]),
+                int(got.loc[50, "covered_tokens"])) == (2, 6)
+        assert (int(got.loc[90, "vocab_size"]),
+                int(got.loc[90, "covered_tokens"])) == (4, 9)
+        assert (int(got.loc[99, "vocab_size"]),
+                int(got.loc[99, "covered_tokens"])) == (5, 10)
+        ora = _oracle(tmp_path, SQL_VOCAB_COVERAGE, ["documents"])
+        pd.testing.assert_frame_equal(
+            got.reset_index().sort_values("pct").reset_index(drop=True),
+            ora.sort_values("pct").reset_index(drop=True),
+            check_dtype=False)
+
+
+class TestJointDecileGridEdges:
+    def test_rank_ties_share_cells(self, ray_session, tmp_path):
+        from crawlray.queries import (SQL_JOINT_DECILE_GRID,
+                                      q_joint_decile_grid)
+
+        # 5 rows; qty all equal -> every row rank 1 -> dq 0 for all;
+        # prices distinct -> dp = (rank-1)*10//5 = 0,2,4,6,8
+        li = pd.DataFrame({
+            "l_orderkey": range(1, 6),
+            "l_partkey": [1] * 5,
+            "l_suppkey": [1] * 5,
+            "l_linenumber": np.array([1] * 5, dtype="int32"),
+            "l_quantity": [7.0] * 5,
+            "l_extendedprice": [1.0, 2.0, 3.0, 4.0, 5.0],
+            "l_discount": [0.0] * 5,
+            "l_tax": [0.0] * 5,
+            "l_returnflag": ["N"] * 5,
+            "l_linestatus": ["O"] * 5,
+            "l_shipdate": pd.to_datetime(
+                ["2024-01-01"] * 5).astype("datetime64[us]"),
+        })
+        sf = _write(tmp_path, li, "lineitem")
+        got = q_joint_decile_grid(sf).to_pandas()
+        assert (got["dq"] == 0).all()
+        assert sorted(got["dp"]) == [0, 2, 4, 6, 8]
+        assert (got["n_rows"] == 1).all()
+        ora = _oracle(tmp_path, SQL_JOINT_DECILE_GRID, ["lineitem"])
+        key = ["dq", "dp"]
+        pd.testing.assert_frame_equal(
+            got.sort_values(key).reset_index(drop=True),
+            ora.sort_values(key).reset_index(drop=True),
+            check_dtype=False)
