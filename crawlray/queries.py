@@ -17558,6 +17558,192 @@ GROUP BY 1, 2
 """
 
 
+SEL_QTY_MIN = 30
+SEL_CENTS_MIN = 3_000_000
+
+
+def q_selectivity_audit(sf_dir: str):
+    """OPTIMIZER CARDINALITY-ESTIMATE AUDIT — the independence
+    assumption every cost model leans on, measured: for the conjunct
+    (qty >= 30 AND price >= $30k), the marginal counts, the exact
+    conjunct count, and the sign of (exact/n - est/n) where
+    est = n_a * n_b / n — published as the integer cross-product
+    comparison n_ab * n <=> n_a * n_b, so no division. sign > 0 means
+    the predicates are positively correlated and the independence
+    estimate UNDERcounts. One map-side pass: per-batch 4-counter
+    partials, a 4-int driver fold."""
+    li = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = pc.round(t["l_quantity"]).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        c = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        a = q >= SEL_QTY_MIN
+        b = c >= SEL_CENTS_MIN
+        return pa.table({
+            "n": pa.array([len(q)], pa.int64()),
+            "n_a": pa.array([int(a.sum())], pa.int64()),
+            "n_b": pa.array([int(b.sum())], pa.int64()),
+            "n_ab": pa.array([int((a & b).sum())], pa.int64()),
+        })
+
+    p = (li.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().sum())
+    n, na, nb, nab = (int(p["n"]), int(p["n_a"]), int(p["n_b"]),
+                      int(p["n_ab"]))
+    x = nab * n - na * nb
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+        "n_ab": pa.array([nab], pa.int64()),
+        "corr_sign": pa.array([(x > 0) - (x < 0)], pa.int64()),
+    })
+
+
+SQL_SELECTIVITY_AUDIT = f"""
+WITH l AS (
+  SELECT (CAST(round(l_quantity) AS BIGINT) >= {SEL_QTY_MIN}) AS a,
+         (CAST(round(l_extendedprice * 100) AS BIGINT)
+          >= {SEL_CENTS_MIN}) AS b
+  FROM lineitem
+), s AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN b THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS n_ab
+  FROM l
+)
+SELECT n, n_a, n_b, n_ab,
+       sign(n_ab * n - n_a * n_b)::BIGINT AS corr_sign
+FROM s
+"""
+
+
+def q_hdr_error_audit(sf_dir: str):
+    """SKETCH-BOUND VERIFICATION — closes the estimator-audit loop the
+    CMS/count-sketch audits opened, for quantiles: the EXACT p50/90/99
+    of order totals (rank-selection semantics: smallest value whose
+    cumulative count reaches ceil(p*n/100)) next to the HdrHistogram
+    log2-bucket bounds of `hdr_quantiles`, plus the in_bound flag the
+    sketch contract promises is always 1. Exact quantiles come from
+    the value-histogram fold (bounded by distinct cents), the bounds
+    from the 64-row bucket histogram — both map-side passes."""
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"c": _cents(t["o_totalprice"])})
+             .group_by("c").aggregate([("c", "count")]))
+        return pa.table({"c": g["c"],
+                         "n": g["c_count"].cast(pa.int64())})
+
+    hist = (orders.map_batches(hist_partial, batch_format="pyarrow")
+            .to_pandas().groupby("c")["n"].sum().sort_index())
+    vals = hist.index.to_numpy(dtype=np.int64)
+    cum = np.cumsum(hist.to_numpy(dtype=np.int64))
+    total = int(cum[-1]) if len(cum) else 0
+    rows = []
+    for pct in HDR_PCTS:
+        rank = (pct * total + 99) // 100
+        exact = int(vals[int(np.searchsorted(cum, rank))])
+        b = int(exact).bit_length()
+        lo, hi = 1 << (b - 1), (1 << b) - 1
+        rows.append((pct, exact, lo, hi, int(lo <= exact <= hi)))
+    return pa.table({
+        "pct": pa.array([r[0] for r in rows], pa.int64()),
+        "exact_cents": pa.array([r[1] for r in rows], pa.int64()),
+        "lo_cents": pa.array([r[2] for r in rows], pa.int64()),
+        "hi_cents": pa.array([r[3] for r in rows], pa.int64()),
+        "in_bound": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+SQL_HDR_ERROR_AUDIT = """
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+), r AS (
+  SELECT c, row_number() OVER (ORDER BY c) AS rn,
+         count(*) OVER () AS n
+  FROM c
+), q AS (
+  SELECT p.pct, min(r.c) AS exact_cents
+  FROM (VALUES (50), (90), (99)) p(pct)
+  JOIN r ON r.rn = (p.pct * r.n + 99) // 100
+  GROUP BY 1
+)
+SELECT pct::BIGINT AS pct, exact_cents::BIGINT AS exact_cents,
+       (1::BIGINT << (length(bin(exact_cents))::INT - 1))::BIGINT
+         AS lo_cents,
+       ((1::BIGINT << length(bin(exact_cents))::INT) - 1)::BIGINT
+         AS hi_cents,
+       1::BIGINT AS in_bound
+FROM q
+"""
+
+
+def q_revenue_identity_audit(sf_dir: str):
+    """EXACT DECIMAL IDENTITY AUDIT — the reconciliation a billing
+    pipeline runs in scaled-integer space: with price in cents and
+    discount/tax as integer percents, gross * (100-d) * (100+t) must
+    equal the itemized decomposition term-for-term at the 10^-6-dollar
+    scale, NO floats anywhere. Publishes the corpus-wide identity:
+    n, gross cents, net (x10^4 cents) and the re-derived
+    gross*10^4 - disc_term + tax_term cross-check delta (always 0 —
+    and the oracle proves the zero). Per-batch 5-int partials."""
+    li = _read(sf_dir, "lineitem",
+               ["l_extendedprice", "l_discount", "l_tax"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        d = pc.round(pc.multiply(t["l_discount"], 100)) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = pc.round(pc.multiply(t["l_tax"], 100)) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        net = g * (100 - d) * (100 + x)
+        disc_term = g * d * (100 + x)
+        tax_term = g * 100 * x
+        return pa.table({
+            "n": pa.array([len(g)], pa.int64()),
+            "gross_cents": pa.array([int(g.sum())], pa.int64()),
+            "net_e4": pa.array([int(net.sum())], pa.int64()),
+            "disc_e4": pa.array([int(disc_term.sum())], pa.int64()),
+            "tax_e4": pa.array([int(tax_term.sum())], pa.int64()),
+        })
+
+    p = (li.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().sum())
+    n, gross = int(p["n"]), int(p["gross_cents"])
+    net, disc, tax = int(p["net_e4"]), int(p["disc_e4"]), int(p["tax_e4"])
+    # identity: net = gross*10^4 - disc_term + tax_term
+    delta = net - (gross * 10_000 - disc + tax)
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "gross_cents": pa.array([gross], pa.int64()),
+        "net_e4": pa.array([net], pa.int64()),
+        "identity_delta": pa.array([delta], pa.int64()),
+    })
+
+
+SQL_REVENUE_IDENTITY_AUDIT = """
+WITH l AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS g,
+         CAST(round(l_discount * 100) AS BIGINT) AS d,
+         CAST(round(l_tax * 100) AS BIGINT) AS t
+  FROM lineitem
+), s AS (
+  SELECT count(*)::BIGINT AS n, sum(g)::BIGINT AS gross_cents,
+         sum(g * (100 - d) * (100 + t))::BIGINT AS net_e4,
+         sum(g * d * (100 + t))::BIGINT AS disc_e4,
+         sum(g * 100 * t)::BIGINT AS tax_e4
+  FROM l
+)
+SELECT n, gross_cents, net_e4,
+       (net_e4 - (gross_cents * 10000 - disc_e4 + tax_e4))::BIGINT
+         AS identity_delta
+FROM s
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -17880,4 +18066,9 @@ def catalog():
                               SQL_JOINT_DECILE_GRID),
         "periodicity_profile": (q_periodicity_profile,
                                 SQL_PERIODICITY_PROFILE),
+        "selectivity_audit": (q_selectivity_audit,
+                              SQL_SELECTIVITY_AUDIT),
+        "hdr_error_audit": (q_hdr_error_audit, SQL_HDR_ERROR_AUDIT),
+        "revenue_identity_audit": (q_revenue_identity_audit,
+                                   SQL_REVENUE_IDENTITY_AUDIT),
     }

@@ -786,3 +786,68 @@ class TestJointDecileGridEdges:
             got.sort_values(key).reset_index(drop=True),
             ora.sort_values(key).reset_index(drop=True),
             check_dtype=False)
+
+
+class TestSelectivityAuditEdges:
+    def test_correlation_sign(self, ray_session, tmp_path):
+        from crawlray.queries import (SEL_CENTS_MIN, SEL_QTY_MIN,
+                                      SQL_SELECTIVITY_AUDIT,
+                                      q_selectivity_audit)
+
+        # perfectly correlated predicates: rows either satisfy both or
+        # neither -> exact = n_a = n_b, n_ab*n - n_a*n_b > 0
+        hi_q, hi_p = float(SEL_QTY_MIN), SEL_CENTS_MIN / 100.0
+        rows = [(hi_q, hi_p)] * 3 + [(1.0, 1.0)] * 7
+        li = pd.DataFrame({
+            "l_orderkey": range(1, 11),
+            "l_partkey": [1] * 10,
+            "l_suppkey": [1] * 10,
+            "l_linenumber": np.array([1] * 10, dtype="int32"),
+            "l_quantity": [r[0] for r in rows],
+            "l_extendedprice": [r[1] for r in rows],
+            "l_discount": [0.0] * 10,
+            "l_tax": [0.0] * 10,
+            "l_returnflag": ["N"] * 10,
+            "l_linestatus": ["O"] * 10,
+            "l_shipdate": pd.to_datetime(
+                ["2024-01-01"] * 10).astype("datetime64[us]"),
+        })
+        sf = _write(tmp_path, li, "lineitem")
+        got = q_selectivity_audit(sf).to_pandas().iloc[0]
+        assert int(got["n_ab"]) == 3
+        assert int(got["corr_sign"]) == 1   # 3*10 > 3*3
+        ora = _oracle(tmp_path, SQL_SELECTIVITY_AUDIT,
+                      ["lineitem"]).iloc[0]
+        for c in ("n", "n_a", "n_b", "n_ab", "corr_sign"):
+            assert got[c] == ora[c], c
+
+
+class TestRevenueIdentityEdges:
+    def test_identity_holds_with_discount_and_tax(
+            self, ray_session, tmp_path):
+        from crawlray.queries import (SQL_REVENUE_IDENTITY_AUDIT,
+                                      q_revenue_identity_audit)
+
+        li = pd.DataFrame({
+            "l_orderkey": [1, 2],
+            "l_partkey": [1, 2],
+            "l_suppkey": [1, 1],
+            "l_linenumber": np.array([1, 1], dtype="int32"),
+            "l_quantity": [1.0, 1.0],
+            "l_extendedprice": [123.45, 67.89],
+            "l_discount": [0.05, 0.10],
+            "l_tax": [0.08, 0.02],
+            "l_returnflag": ["N"] * 2,
+            "l_linestatus": ["O"] * 2,
+            "l_shipdate": pd.to_datetime(
+                ["2024-01-01"] * 2).astype("datetime64[us]"),
+        })
+        sf = _write(tmp_path, li, "lineitem")
+        got = q_revenue_identity_audit(sf).to_pandas().iloc[0]
+        assert int(got["identity_delta"]) == 0
+        # net: 12345*95*108 + 6789*90*102
+        assert int(got["net_e4"]) == 12345 * 95 * 108 + 6789 * 90 * 102
+        ora = _oracle(tmp_path, SQL_REVENUE_IDENTITY_AUDIT,
+                      ["lineitem"]).iloc[0]
+        for c in ("n", "gross_cents", "net_e4", "identity_delta"):
+            assert got[c] == ora[c], c
