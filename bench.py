@@ -283,6 +283,13 @@ BENCH_QUERIES = [
     "schema_evolution_union",
     "crawl_politeness_audit",
     "next_word_top",
+    "vocab_coverage",
+    "joint_decile_grid",
+    "periodicity_profile",
+    "selectivity_audit",
+    "hdr_error_audit",
+    "revenue_identity_audit",
+    "widest_path",
 ]
 
 

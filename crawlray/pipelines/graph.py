@@ -182,6 +182,28 @@ def pagerank(
     return out
 
 
+WIDEST_SEED_W = 1_000_000_000
+
+
+def widest_paths(
+    edges: rd.Dataset,
+    seeds: list[str],
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    n_shards: int = 8,
+    max_hops: int = 6,
+) -> rd.Dataset:
+    """WIDEST (max-min bottleneck) path within ``max_hops`` edges —
+    :func:`cheapest_paths` on the max-min semiring: a path's value is
+    its smallest edge weight, each node keeps the best such value over
+    all <= max_hops-edge paths from the seed set (seeds themselves at
+    ``WIDEST_SEED_W``, the +infinity stand-in both engines state)."""
+    return cheapest_paths(edges, seeds, src=src, dst=dst, weight=weight,
+                          n_shards=n_shards, max_hops=max_hops,
+                          maximize=True, seed_value=WIDEST_SEED_W)
+
+
 def hits(
     edges: rd.Dataset,
     src: str = "src",
@@ -653,6 +675,8 @@ def cheapest_paths(
     weight: str = "w",
     n_shards: int = 8,
     max_hops: int = 6,
+    maximize: bool = False,
+    seed_value: int = 0,
 ) -> rd.Dataset:
     """Min-COST path within ``max_hops`` edges from ``seeds`` over a
     WEIGHTED (src, dst, w) edge dataset — hop-bounded Bellman-Ford on
@@ -666,8 +690,16 @@ def cheapest_paths(
     recursive oracle's hop cap. Early-exits when a round improves
     nothing (the <= max_hops semantics are unaffected: no improvement
     means a fixpoint on every shorter hop count too). Seeds absent
-    from the edge set are ignored (the bfs_depths contract)."""
+    from the edge set are ignored (the bfs_depths contract).
+
+    ``maximize=True`` switches the semiring from min-plus (shortest
+    weighted path) to MAX-MIN (widest / bottleneck path): a path's
+    value is the minimum edge weight along it, combined by max per
+    node; seeds start at ``seed_value`` (pass a large constant to act
+    as +infinity). Same shard layout, same improvements-only exchange
+    — only the two combine directions flip."""
     k = n_shards
+    sgn = -1 if maximize else 1            # lexsort picks FIRST per key
 
     @ray.remote(num_returns=2 * k if k > 1 else 2)
     def split(t: pa.Table):
@@ -719,9 +751,9 @@ def cheapest_paths(
             ok = pos < len(self.nodes)
             ok[ok] &= self.nodes[pos[ok]] == seed_h[ok]
             hit = np.unique(pos[ok])
-            self.cost[hit] = 0
+            self.cost[hit] = seed_value
             self.frontier = self.nodes[hit]
-            self.fcost = np.zeros(len(hit), np.int64)
+            self.fcost = np.full(len(hit), seed_value, np.int64)
             return len(hit)
 
         def relax(self):
@@ -739,8 +771,10 @@ def cheapest_paths(
                 if not m.any():
                     return tuple(empties) if k > 1 else empties[0]
                 cand_h = self.dst_h[m]
-                cand_c = fc[np.searchsorted(f, self.src_h[m])] + self.w[m]
-                order = np.lexsort((cand_c, cand_h))
+                fcm = fc[np.searchsorted(f, self.src_h[m])]
+                cand_c = (np.minimum(fcm, self.w[m]) if maximize
+                          else fcm + self.w[m])
+                order = np.lexsort((sgn * cand_c, cand_h))
                 cand_h, cand_c = cand_h[order], cand_c[order]
                 starts = np.flatnonzero(
                     np.r_[True, cand_h[1:] != cand_h[:-1]])
@@ -758,7 +792,7 @@ def cheapest_paths(
                 return 0
             h = np.concatenate([p["h"] for p in live])
             c = np.concatenate([p["c"] for p in live])
-            order = np.lexsort((c, h))
+            order = np.lexsort((sgn * c, h))
             h, c = h[order], c[order]
             starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
             h, c = h[starts], c[starts]
@@ -766,7 +800,9 @@ def cheapest_paths(
             ok = pos < len(self.nodes)
             ok[ok] &= self.nodes[pos[ok]] == h[ok]
             pos, c = pos[ok], c[ok]
-            better = (self.cost[pos] < 0) | (c < self.cost[pos])
+            better = (self.cost[pos] < 0) | (
+                (c > self.cost[pos]) if maximize
+                else (c < self.cost[pos]))
             pos, c = pos[better], c[better]
             self.cost[pos] = c
             self.frontier = self.nodes[pos]

@@ -17744,6 +17744,84 @@ FROM s
 """
 
 
+def q_widest_path(sf_dir: str):
+    """WIDEST (bottleneck) path — `cheapest_path`'s max-min semiring
+    twin on the same mini-web: a path is as good as its NARROWEST edge
+    (capacity planning / trust propagation), each node reports the
+    best bottleneck over <= cap-hop paths from the BFS seed set
+    (`graph.widest_paths`: identical shard layout and
+    improvements-only exchange, only the two combine directions flip —
+    the semiring is a parameter, not a new kernel). Seeds publish the
+    WIDEST_SEED_W +infinity stand-in, which the oracle states
+    verbatim."""
+    from .htmlx import parse_document
+    from .pipelines.graph import widest_paths
+    from .synth import World
+
+    cfg = _crawl_cfg(sf_dir)
+    world = World(cfg.world)
+    urls = [world.url(i % cfg.world.n_hosts, i // cfg.world.n_hosts)
+            for i in range(min(PAGERANK_N_URLS, cfg.world.n_urls))]
+    seeds = rd.from_items([{"url": u} for u in urls], override_num_blocks=8)
+
+    def edges_of(t: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for u in t["url"].to_pylist():
+            for link in parse_document(world.gen_page(u), u).links:
+                src.append(u)
+                dst.append(link.url)
+        w = [1 + (len(s) + len(d)) % 5 for s, d in zip(src, dst)]
+        return pa.table({"src": pa.array(src, pa.string()),
+                         "dst": pa.array(dst, pa.string()),
+                         "w": pa.array(w, pa.int64())})
+
+    edges = seeds.map_batches(edges_of, batch_format="pyarrow")
+    out = widest_paths(edges, urls[:BFS_N_SEEDS], n_shards=8,
+                       max_hops=CHEAPEST_MAX_HOPS)
+    return out.map_batches(
+        lambda t: pa.table({"url": t["url"], "width": t["cost"]}),
+        batch_format="pyarrow")
+
+
+@functools.lru_cache(maxsize=1)
+def _widest_path_sql() -> str:
+    """The same bounded max-min walk as a recursive CTE over the
+    VALUES edge list; max(width) per node over every <= cap-hop
+    path, seeds at the WIDEST_SEED_W infinity stand-in."""
+    from .pipelines.graph import WIDEST_SEED_W
+    from .synth import World
+
+    src, dst = _pagerank_edge_lists(_ORACLE_SF_DIR)
+    rows = ",\n".join(
+        f"({_sql_str(s)}, {_sql_str(t)})" for s, t in zip(src, dst)
+    )
+    cfg = _crawl_cfg(_ORACLE_SF_DIR)
+    world = World(cfg.world)
+    seed_urls = [world.url(i % cfg.world.n_hosts, i // cfg.world.n_hosts)
+                 for i in range(BFS_N_SEEDS)]
+    seed_rows = ", ".join(f"({_sql_str(u)})" for u in seed_urls)
+    return f"""
+WITH RECURSIVE e0(src, dst) AS (VALUES
+{rows}
+),
+edges(src, dst, w) AS (
+  SELECT src, dst, 1 + (length(src) + length(dst)) % 5 FROM e0
+),
+seeds(u) AS (
+  SELECT u FROM (VALUES {seed_rows}) s(u)
+  WHERE u IN (SELECT src FROM edges UNION SELECT dst FROM edges)
+),
+walk(u, wd, h) AS (
+  SELECT u, {WIDEST_SEED_W}, 0 FROM seeds
+  UNION
+  SELECT e.dst, least(w.wd, e.w), w.h + 1
+  FROM walk w JOIN edges e ON e.src = w.u
+  WHERE w.h < {CHEAPEST_MAX_HOPS}
+)
+SELECT u AS url, max(wd)::BIGINT AS width FROM walk GROUP BY u
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -18071,4 +18149,5 @@ def catalog():
         "hdr_error_audit": (q_hdr_error_audit, SQL_HDR_ERROR_AUDIT),
         "revenue_identity_audit": (q_revenue_identity_audit,
                                    SQL_REVENUE_IDENTITY_AUDIT),
+        "widest_path": (q_widest_path, _widest_path_sql()),
     }

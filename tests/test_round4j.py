@@ -851,3 +851,32 @@ class TestRevenueIdentityEdges:
                       ["lineitem"]).iloc[0]
         for c in ("n", "gross_cents", "net_e4", "identity_delta"):
             assert got[c] == ora[c], c
+
+
+class TestWidestPathEdges:
+    def test_bottleneck_beats_shortest(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from crawlray.pipelines.graph import (WIDEST_SEED_W,
+                                              cheapest_paths,
+                                              widest_paths)
+
+        # s -> a (w 1) -> t (w 9)  vs  s -> b (w 5) -> t (w 5):
+        # shortest-cost path to t is via a (1+9=10 for min-plus), but
+        # the WIDEST path is via b (min(5,5)=5 > min(1,9)=1)
+        edges = rd.from_arrow(pa.table({
+            "src": ["s", "a", "s", "b"],
+            "dst": ["a", "t", "b", "t"],
+            "w": pa.array([1, 9, 5, 5], pa.int64()),
+        }))
+        wide = dict(widest_paths(edges, ["s"], n_shards=2, max_hops=4)
+                    .to_pandas().itertuples(index=False, name=None))
+        assert wide["s"] == WIDEST_SEED_W
+        assert wide["a"] == 1
+        assert wide["b"] == 5
+        assert wide["t"] == 5
+        cheap = dict(cheapest_paths(edges, ["s"], n_shards=2,
+                                    max_hops=4)
+                     .to_pandas().itertuples(index=False, name=None))
+        assert cheap["t"] == 10   # min-plus semantics untouched
