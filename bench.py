@@ -290,6 +290,8 @@ BENCH_QUERIES = [
     "hdr_error_audit",
     "revenue_identity_audit",
     "widest_path",
+    "graph_voronoi",
+    "margin_of_victory",
 ]
 
 

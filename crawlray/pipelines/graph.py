@@ -677,6 +677,7 @@ def cheapest_paths(
     max_hops: int = 6,
     maximize: bool = False,
     seed_value: int = 0,
+    seed_values: list[int] | None = None,
 ) -> rd.Dataset:
     """Min-COST path within ``max_hops`` edges from ``seeds`` over a
     WEIGHTED (src, dst, w) edge dataset — hop-bounded Bellman-Ford on
@@ -697,7 +698,13 @@ def cheapest_paths(
     value is the minimum edge weight along it, combined by max per
     node; seeds start at ``seed_value`` (pass a large constant to act
     as +infinity). Same shard layout, same improvements-only exchange
-    — only the two combine directions flip."""
+    — only the two combine directions flip.
+
+    ``seed_values`` (aligned with ``seeds``) gives each seed its OWN
+    starting value instead of the shared ``seed_value`` — the hook the
+    packed-lexicographic tricks use (e.g. graph voronoi: value =
+    seed rank, edge weights pre-scaled by the pack base, so min-plus
+    carries (distance, nearest-seed) as one integer)."""
     k = n_shards
     sgn = -1 if maximize else 1            # lexsort picks FIRST per key
 
@@ -746,15 +753,24 @@ def cheapest_paths(
             self.frontier = np.empty(0, np.uint64)
             self.fcost = np.empty(0, np.int64)
 
-        def seed(self, seed_h: np.ndarray) -> int:
-            pos = np.searchsorted(self.nodes, seed_h)
+        def seed(self, seed_h: np.ndarray, seed_c=None) -> int:
+            if len(seed_h) == 0:
+                return 0
+            if seed_c is None:
+                seed_c = np.full(len(seed_h), seed_value, np.int64)
+            # best (per combine direction) value per distinct seed hash
+            order = np.lexsort((sgn * seed_c, seed_h))
+            h, c = seed_h[order], seed_c[order]
+            first = np.r_[True, h[1:] != h[:-1]]
+            h, c = h[first], c[first]
+            pos = np.searchsorted(self.nodes, h)
             ok = pos < len(self.nodes)
-            ok[ok] &= self.nodes[pos[ok]] == seed_h[ok]
-            hit = np.unique(pos[ok])
-            self.cost[hit] = seed_value
-            self.frontier = self.nodes[hit]
-            self.fcost = np.full(len(hit), seed_value, np.int64)
-            return len(hit)
+            ok[ok] &= self.nodes[pos[ok]] == h[ok]
+            pos, c = pos[ok], c[ok]
+            self.cost[pos] = c
+            self.frontier = self.nodes[pos]
+            self.fcost = c
+            return len(pos)
 
         def relax(self):
             """Candidate (dst, frontier_cost + w) pairs, min-combined
@@ -827,9 +843,13 @@ def cheapest_paths(
         for i in range(k)
     ]
     seed_h = hash64(pa.array(np.asarray(seeds, object), pa.string()))
+    seed_c = (np.asarray(seed_values, np.int64)
+              if seed_values is not None
+              else np.full(len(seed_h), seed_value, np.int64))
     ss = _shard_of(seed_h, k)
     n_seeded = sum(ray.get([
-        shards[i].seed.remote(np.sort(seed_h[ss == i])) for i in range(k)
+        shards[i].seed.remote(seed_h[ss == i], seed_c[ss == i])
+        for i in range(k)
     ]))
     if n_seeded:
         for _hop in range(max_hops):

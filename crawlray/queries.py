@@ -17822,6 +17822,215 @@ SELECT u AS url, max(wd)::BIGINT AS width FROM walk GROUP BY u
 """
 
 
+VORONOI_PACK = 1024
+
+
+def q_graph_voronoi(sf_dir: str):
+    """GRAPH VORONOI — multi-source nearest-seed assignment (which
+    mirror serves this page?): each node gets (distance to, rank of)
+    its cheapest seed, ties to the LOWEST seed rank. No new kernel:
+    the lexicographic (cost, seed) combine PACKS into the min-plus
+    integers — edge weights pre-scaled by 1024, each seed starting at
+    its own rank (`cheapest_paths(seed_values=...)`), so
+    (c1*1024 + s) + w*1024 carries the label through every relax and
+    the per-node min is exactly the lexicographic argmin. Unpack with
+    divmod at the end; the oracle states the identical packing."""
+    from .htmlx import parse_document
+    from .pipelines.graph import cheapest_paths
+    from .synth import World
+
+    cfg = _crawl_cfg(sf_dir)
+    world = World(cfg.world)
+    urls = [world.url(i % cfg.world.n_hosts, i // cfg.world.n_hosts)
+            for i in range(min(PAGERANK_N_URLS, cfg.world.n_urls))]
+    seeds = rd.from_items([{"url": u} for u in urls], override_num_blocks=8)
+
+    def edges_of(t: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for u in t["url"].to_pylist():
+            for link in parse_document(world.gen_page(u), u).links:
+                src.append(u)
+                dst.append(link.url)
+        w = [(1 + (len(s) + len(d)) % 5) * VORONOI_PACK
+             for s, d in zip(src, dst)]
+        return pa.table({"src": pa.array(src, pa.string()),
+                         "dst": pa.array(dst, pa.string()),
+                         "w": pa.array(w, pa.int64())})
+
+    edges = seeds.map_batches(edges_of, batch_format="pyarrow")
+    seed_urls = urls[:BFS_N_SEEDS]
+    out = cheapest_paths(edges, seed_urls, n_shards=8,
+                         max_hops=CHEAPEST_MAX_HOPS,
+                         seed_values=list(range(len(seed_urls))))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        c = t["cost"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "url": t["url"],
+            "dist": pa.array(c // VORONOI_PACK),
+            "seed_rank": pa.array(c % VORONOI_PACK),
+        })
+
+    return out.map_batches(unpack, batch_format="pyarrow")
+
+
+@functools.lru_cache(maxsize=1)
+def _graph_voronoi_sql() -> str:
+    """The identical packed walk as a recursive CTE: seeds start at
+    their rank, scaled weights add, min() per node IS the
+    lexicographic (dist, seed) argmin; divmod unpacks."""
+    from .synth import World
+
+    src, dst = _pagerank_edge_lists(_ORACLE_SF_DIR)
+    rows = ",\n".join(
+        f"({_sql_str(s)}, {_sql_str(t)})" for s, t in zip(src, dst)
+    )
+    cfg = _crawl_cfg(_ORACLE_SF_DIR)
+    world = World(cfg.world)
+    seed_urls = [world.url(i % cfg.world.n_hosts, i // cfg.world.n_hosts)
+                 for i in range(BFS_N_SEEDS)]
+    seed_rows = ", ".join(
+        f"({_sql_str(u)}, {i})" for i, u in enumerate(seed_urls))
+    return f"""
+WITH RECURSIVE e0(src, dst) AS (VALUES
+{rows}
+),
+edges(src, dst, w) AS (
+  SELECT src, dst,
+         (1 + (length(src) + length(dst)) % 5) * {VORONOI_PACK}
+  FROM e0
+),
+seeds(u, r) AS (
+  SELECT u, r FROM (VALUES {seed_rows}) s(u, r)
+  WHERE u IN (SELECT src FROM edges UNION SELECT dst FROM edges)
+),
+walk(u, c, h) AS (
+  SELECT u, r, 0 FROM seeds
+  UNION
+  SELECT e.dst, w.c + e.w, w.h + 1
+  FROM walk w JOIN edges e ON e.src = w.u
+  WHERE w.h < {CHEAPEST_MAX_HOPS}
+)
+SELECT u AS url, (min(c) // {VORONOI_PACK})::BIGINT AS dist,
+       (min(c) % {VORONOI_PACK})::BIGINT AS seed_rank
+FROM walk GROUP BY u
+"""
+
+
+def q_margin_of_victory(sf_dir: str):
+    """MARGIN OF VICTORY — how contested is each nation's top brand?
+    Per customer nation, the revenue gap between the #1 and #2 brand
+    (ties by brand asc; single-brand nations report the full #1
+    revenue as the margin). The Q9/Q10 regime: customer and part are
+    DIM broadcasts (dense LUTs), but orders is a fact table, so
+    lineitem partials meet the (orderkey -> nation) side through the
+    bucketed hash exchange on orderkey; a second tiny exchange by
+    nation finishes the per-bucket sort + head(2) + diff."""
+    from .pipelines.relational import bucketed_hash_join, bucketed_reduce
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    nlut = np.full(int(cust["c_custkey"].max()) + 2, -1, np.int32)
+    nlut[cust["c_custkey"].to_numpy()] = (
+        cust["c_nationkey"].to_numpy().astype(np.int32))
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    codes, brands = pd.factorize(part["p_brand"])
+    blut = np.full(int(part["p_partkey"].max()) + 2, -1, np.int32)
+    blut[part["p_partkey"].to_numpy()] = codes.astype(np.int32)
+    vocab = np.asarray(brands, object)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def order_nat(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "okey": t["o_orderkey"],
+            "nat": pa.array(nlut[np.minimum(ck, len(nlut) - 1)]
+                            .astype(np.int64)),
+        })
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_extendedprice"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        bid = blut[np.minimum(pk, len(blut) - 1)]
+        g = (pa.table({"okey": t["l_orderkey"],
+                       "bid": pa.array(bid.astype(np.int64)),
+                       "c": _cents(t["l_extendedprice"])})
+             .group_by(["okey", "bid"]).aggregate([("c", "sum")]))
+        return pa.table({"okey": g["okey"], "bid": g["bid"],
+                         "c": g["c_sum"]})
+
+    joined = bucketed_hash_join(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        orders.map_batches(order_nat, batch_format="pyarrow"),
+        "okey", n_buckets=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["nat", "bid", "c"])
+             .group_by(["nat", "bid"]).aggregate([("c", "sum")]))
+        return pa.table({"nat": g["nat"], "bid": g["bid"],
+                         "c": g["c_sum"]})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"c_nationkey": pa.nulls(0, pa.int64()),
+                          "top_brand": pa.nulls(0, pa.string()),
+                          "top_revenue_cents": pa.nulls(0, pa.int64()),
+                          "margin_cents": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        df = (t.to_pandas().groupby(["nat", "bid"], as_index=False)
+              ["c"].sum())
+        df["brand"] = vocab[df["bid"].to_numpy()]
+        rows = []
+        for nat, g in df.groupby("nat"):
+            g = g.sort_values(["c", "brand"],
+                              ascending=[False, True], kind="stable")
+            top = g.iloc[0]
+            runner = int(g.iloc[1]["c"]) if len(g) > 1 else 0
+            rows.append((int(nat), top["brand"], int(top["c"]),
+                         int(top["c"]) - runner))
+        return pa.table({
+            "c_nationkey": pa.array([r[0] for r in rows], pa.int64()),
+            "top_brand": pa.array([r[1] for r in rows], pa.string()),
+            "top_revenue_cents": pa.array([r[2] for r in rows],
+                                          pa.int64()),
+            "margin_cents": pa.array([r[3] for r in rows], pa.int64()),
+        })
+
+    return bucketed_reduce(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        "nat", bucket_fn, n_buckets=8,
+        schema=pa.schema([("nat", pa.int64()), ("bid", pa.int64()),
+                          ("c", pa.int64())]))
+
+
+SQL_MARGIN_OF_VICTORY = """
+WITH rev AS (
+  SELECT c.c_nationkey::BIGINT AS c_nationkey, p.p_brand AS brand,
+         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))::BIGINT
+           AS c
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+), r AS (
+  SELECT c_nationkey, brand, c,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c DESC, brand) AS rn
+  FROM rev
+)
+SELECT a.c_nationkey, a.brand AS top_brand,
+       a.c AS top_revenue_cents,
+       (a.c - coalesce(b.c, 0))::BIGINT AS margin_cents
+FROM r a LEFT JOIN r b
+  ON b.c_nationkey = a.c_nationkey AND b.rn = 2
+WHERE a.rn = 1
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -18150,4 +18359,7 @@ def catalog():
         "revenue_identity_audit": (q_revenue_identity_audit,
                                    SQL_REVENUE_IDENTITY_AUDIT),
         "widest_path": (q_widest_path, _widest_path_sql()),
+        "graph_voronoi": (q_graph_voronoi, _graph_voronoi_sql()),
+        "margin_of_victory": (q_margin_of_victory,
+                              SQL_MARGIN_OF_VICTORY),
     }

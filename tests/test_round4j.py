@@ -880,3 +880,27 @@ class TestWidestPathEdges:
                                     max_hops=4)
                      .to_pandas().itertuples(index=False, name=None))
         assert cheap["t"] == 10   # min-plus semantics untouched
+
+
+class TestGraphVoronoiEdges:
+    def test_lexicographic_tie_goes_to_lowest_seed(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from crawlray.pipelines.graph import cheapest_paths
+
+        PACK = 1024
+        # t is 1 hop (w 2) from BOTH seeds s0 and s1: equal distance,
+        # label must be the LOWER seed rank; u is closer to s1 only
+        edges = rd.from_arrow(pa.table({
+            "src": ["s0", "s1", "s1"],
+            "dst": ["t", "t", "u"],
+            "w": pa.array([2 * PACK, 2 * PACK, 1 * PACK], pa.int64()),
+        }))
+        out = cheapest_paths(edges, ["s0", "s1"], n_shards=2,
+                             max_hops=4, seed_values=[0, 1])
+        got = {u: (c // PACK, c % PACK) for u, c in
+               out.to_pandas().itertuples(index=False, name=None)}
+        assert got["t"] == (2, 0)     # tie -> seed 0
+        assert got["u"] == (1, 1)     # strictly closer to seed 1
+        assert got["s0"] == (0, 0) and got["s1"] == (0, 1)
