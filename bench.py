@@ -292,6 +292,9 @@ BENCH_QUERIES = [
     "widest_path",
     "graph_voronoi",
     "margin_of_victory",
+    "fd_audit",
+    "rolling_xcov",
+    "zero_activity_cells",
 ]
 
 

@@ -18031,6 +18031,212 @@ WHERE a.rn = 1
 """
 
 
+FD_CANDIDATES = (
+    ("o_orderkey", "o_custkey"),
+    ("o_custkey", "o_orderpriority"),
+    ("o_orderpriority", "o_orderstatus"),
+)
+
+
+def q_fd_audit(sf_dir: str):
+    """FUNCTIONAL-DEPENDENCY DISCOVERY — the schema-profiling pass
+    that finds hidden keys: candidate lhs -> rhs holds iff
+    |distinct lhs| == |distinct (lhs, rhs)|. Each candidate dedups
+    (lhs, rhs) pairs per batch, exchanges ONCE by lhs (every lhs value
+    completes in one bucket, so both distinct counts are per-bucket
+    sums — no global distinct structure), and reports the two counts
+    plus the verdict. Audits a real key, a false dependency, and a
+    low-cardinality coincidence candidate."""
+    from .pipelines.relational import bucketed_reduce
+
+    rows = []
+    for lhs, rhs in FD_CANDIDATES:
+        orders = _read(sf_dir, "orders", [lhs, rhs])
+
+        def dedup(t: pa.Table) -> pa.Table:
+            return t.group_by([lhs, rhs]).aggregate([])
+
+        def bucket_fn(t: pa.Table) -> pa.Table:
+            empty = pa.table({"n_lhs": pa.nulls(0, pa.int64()),
+                              "n_pairs": pa.nulls(0, pa.int64())})
+            if t.num_rows == 0:
+                return empty
+            pairs = t.group_by([lhs, rhs]).aggregate([])
+            nl = len(pc.unique(pairs[lhs]))
+            return pa.table({
+                "n_lhs": pa.array([nl], pa.int64()),
+                "n_pairs": pa.array([pairs.num_rows], pa.int64()),
+            })
+
+        p = bucketed_reduce(
+            orders.map_batches(dedup, batch_format="pyarrow"),
+            lhs, bucket_fn, n_buckets=8).to_pandas()
+        nl, npair = int(p["n_lhs"].sum()), int(p["n_pairs"].sum())
+        rows.append((lhs, rhs, nl, npair, int(nl == npair)))
+    return pa.table({
+        "lhs": pa.array([r[0] for r in rows], pa.string()),
+        "rhs": pa.array([r[1] for r in rows], pa.string()),
+        "n_lhs": pa.array([r[2] for r in rows], pa.int64()),
+        "n_pairs": pa.array([r[3] for r in rows], pa.int64()),
+        "holds": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+SQL_FD_AUDIT = """
+SELECT * FROM (
+  SELECT 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
+         count(DISTINCT o_orderkey)::BIGINT AS n_lhs,
+         count(DISTINCT (o_orderkey, o_custkey))::BIGINT AS n_pairs,
+         (count(DISTINCT o_orderkey)
+          = count(DISTINCT (o_orderkey, o_custkey)))::BIGINT AS holds
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey', 'o_orderpriority',
+         count(DISTINCT o_custkey)::BIGINT,
+         count(DISTINCT (o_custkey, o_orderpriority))::BIGINT,
+         (count(DISTINCT o_custkey)
+          = count(DISTINCT (o_custkey, o_orderpriority)))::BIGINT
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', 'o_orderstatus',
+         count(DISTINCT o_orderpriority)::BIGINT,
+         count(DISTINCT (o_orderpriority, o_orderstatus))::BIGINT,
+         (count(DISTINCT o_orderpriority)
+          = count(DISTINCT (o_orderpriority, o_orderstatus)))::BIGINT
+  FROM orders
+)
+"""
+
+
+XCOV_WINDOW = 7
+
+
+def q_rolling_xcov(sf_dir: str):
+    """ROLLING CROSS-COVARIANCE ingredients between two DAILY series —
+    'do event spikes co-move with order spikes this week?': for every
+    7-day window start over the day-of-month grid, the exact integer
+    sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) of (daily event
+    count, daily order count) pairs, zeros filled for silent days.
+    Two independent O(blocks x 31) partial scans align on the driver's
+    bounded calendar — the two fact tables never join row-level."""
+    ev = _read(sf_dir, "events", ["ts"])
+    orders = _read(sf_dir, "orders", ["o_orderdate"])
+
+    def day_counts(col):
+        def f(t: pa.Table) -> pa.Table:
+            g = (pa.table({"day": pc.day(t[col]).cast(pa.int64())})
+                 .group_by("day").aggregate([("day", "count")]))
+            return pa.table({"day": g["day"],
+                             "n": g["day_count"].cast(pa.int64())})
+        return f
+
+    e = (ev.map_batches(day_counts("ts"), batch_format="pyarrow")
+         .to_pandas().groupby("day")["n"].sum())
+    o = (orders.map_batches(day_counts("o_orderdate"),
+                            batch_format="pyarrow")
+         .to_pandas().groupby("day")["n"].sum())
+    days = np.arange(1, 32, dtype=np.int64)
+    x = np.array([int(e.get(d, 0)) for d in days], np.int64)
+    y = np.array([int(o.get(d, 0)) for d in days], np.int64)
+    rows = []
+    for s in range(0, 31 - XCOV_WINDOW + 1):
+        xs, ys = x[s:s + XCOV_WINDOW], y[s:s + XCOV_WINDOW]
+        rows.append((int(days[s]), XCOV_WINDOW, int(xs.sum()),
+                     int(ys.sum()), int((xs * ys).sum()),
+                     int((xs * xs).sum()), int((ys * ys).sum())))
+    return pa.table({
+        "start_day": pa.array([r[0] for r in rows], pa.int64()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "sx": pa.array([r[2] for r in rows], pa.int64()),
+        "sy": pa.array([r[3] for r in rows], pa.int64()),
+        "sxy": pa.array([r[4] for r in rows], pa.int64()),
+        "sxx": pa.array([r[5] for r in rows], pa.int64()),
+        "syy": pa.array([r[6] for r in rows], pa.int64()),
+    })
+
+
+SQL_ROLLING_XCOV = f"""
+WITH days AS (
+  SELECT unnest(generate_series(1, 31))::BIGINT AS day
+), e AS (
+  SELECT day(ts)::BIGINT AS day, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+), o AS (
+  SELECT day(o_orderdate)::BIGINT AS day, count(*)::BIGINT AS n
+  FROM orders GROUP BY 1
+), g AS (
+  SELECT d.day, coalesce(e.n, 0)::BIGINT AS x,
+         coalesce(o.n, 0)::BIGINT AS y
+  FROM days d LEFT JOIN e ON e.day = d.day
+  LEFT JOIN o ON o.day = d.day
+), w AS (
+  SELECT s.day AS start_day, g.x, g.y
+  FROM g s JOIN g
+    ON g.day BETWEEN s.day AND s.day + {XCOV_WINDOW} - 1
+  WHERE s.day <= 31 - {XCOV_WINDOW} + 1
+)
+SELECT start_day, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+       sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+       sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+FROM w GROUP BY 1
+"""
+
+
+def q_zero_activity_cells(sf_dir: str):
+    """DENSE-GRID ANTI-JOIN — the monitoring gap detector: which
+    (event_type, day) cells of the full type x 31-day calendar saw
+    ZERO events? The grid is the small side (types x days, built from
+    the distinct-type partials), the observed cells fold from
+    O(blocks x types x 31) partials, and the report is grid MINUS
+    observed — per type: missing-day count and the first silent day
+    (-1 when fully covered)."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"et": t["event_type"],
+                       "day": pc.day(t["ts"]).cast(pa.int64())})
+             .group_by(["et", "day"]).aggregate([]))
+        return g
+
+    obs = (ev.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().drop_duplicates())
+    types = sorted(obs["et"].unique())
+    have = set(zip(obs["et"], obs["day"]))
+    rows = []
+    for et in types:
+        missing = [d for d in range(1, 32) if (et, d) not in have]
+        rows.append((et, len(missing),
+                     missing[0] if missing else -1))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "n_missing_days": pa.array([r[1] for r in rows], pa.int64()),
+        "first_missing_day": pa.array([r[2] for r in rows],
+                                      pa.int64()),
+    })
+
+
+SQL_ZERO_ACTIVITY_CELLS = """
+WITH t AS (
+  SELECT DISTINCT event_type FROM events
+), grid AS (
+  SELECT t.event_type, d.day
+  FROM t, (SELECT unnest(generate_series(1, 31))::BIGINT AS day) d
+), obs AS (
+  SELECT DISTINCT event_type, day(ts)::BIGINT AS day FROM events
+), miss AS (
+  SELECT g.event_type, g.day
+  FROM grid g LEFT JOIN obs o
+    ON o.event_type = g.event_type AND o.day = g.day
+  WHERE o.day IS NULL
+)
+SELECT t.event_type,
+       count(miss.day)::BIGINT AS n_missing_days,
+       coalesce(min(miss.day), -1)::BIGINT AS first_missing_day
+FROM t LEFT JOIN miss ON miss.event_type = t.event_type
+GROUP BY 1
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -18362,4 +18568,8 @@ def catalog():
         "graph_voronoi": (q_graph_voronoi, _graph_voronoi_sql()),
         "margin_of_victory": (q_margin_of_victory,
                               SQL_MARGIN_OF_VICTORY),
+        "fd_audit": (q_fd_audit, SQL_FD_AUDIT),
+        "rolling_xcov": (q_rolling_xcov, SQL_ROLLING_XCOV),
+        "zero_activity_cells": (q_zero_activity_cells,
+                                SQL_ZERO_ACTIVITY_CELLS),
     }

@@ -904,3 +904,64 @@ class TestGraphVoronoiEdges:
         assert got["t"] == (2, 0)     # tie -> seed 0
         assert got["u"] == (1, 1)     # strictly closer to seed 1
         assert got["s0"] == (0, 0) and got["s1"] == (0, 1)
+
+
+class TestFdAuditEdges:
+    def test_fd_holds_and_fails(self, ray_session, tmp_path):
+        from crawlray.queries import SQL_FD_AUDIT, q_fd_audit
+
+        # orderkey->custkey holds (key); custkey->priority fails
+        # (cust 1 uses two priorities); priority->status fails
+        # (priority '1' maps to F and O)
+        orders = pd.DataFrame({
+            "o_orderkey": [1, 2, 3, 4],
+            "o_custkey": [1, 1, 2, 2],
+            "o_orderstatus": ["F", "O", "F", "F"],
+            "o_totalprice": [1.0] * 4,
+            "o_orderdate": pd.to_datetime(
+                ["2024-01-01"] * 4).astype("datetime64[us]"),
+            "o_orderpriority": ["1", "1", "2", "2"],
+        })
+        sf = _write(tmp_path, orders, "orders")
+        got = (q_fd_audit(sf).to_pandas()
+               .set_index(["lhs", "rhs"]))
+        assert int(got.loc[("o_orderkey", "o_custkey"), "holds"]) == 1
+        assert int(got.loc[("o_custkey", "o_orderpriority"),
+                           "holds"]) == 1   # here custkey determines pri
+        assert int(got.loc[("o_orderpriority", "o_orderstatus"),
+                           "holds"]) == 0   # pri 1 -> {F, O}
+        ora = _oracle(tmp_path, SQL_FD_AUDIT, ["orders"])
+        key = ["lhs", "rhs"]
+        pd.testing.assert_frame_equal(
+            got.reset_index().sort_values(key).reset_index(drop=True),
+            ora.sort_values(key).reset_index(drop=True),
+            check_dtype=False)
+
+
+class TestZeroActivityEdges:
+    def test_missing_days_and_full_coverage(self, ray_session, tmp_path):
+        from crawlray.queries import (SQL_ZERO_ACTIVITY_CELLS,
+                                      q_zero_activity_cells)
+
+        # type 'a' active on days 1 and 3 only (missing 2, 4..31 ->
+        # 29 missing, first 2); type 'b' active every day
+        rows, eid = [], 0
+        for d in (1, 3):
+            eid += 1
+            rows.append((eid, 1, "a", (d - 1) * DAY, 0.0))
+        for d in range(1, 32):
+            eid += 1
+            rows.append((eid, 1, "b", (d - 1) * DAY, 0.0))
+        sf = _write(tmp_path, _events(rows), "events")
+        got = (q_zero_activity_cells(sf).to_pandas()
+               .set_index("event_type"))
+        assert int(got.loc["a", "n_missing_days"]) == 29
+        assert int(got.loc["a", "first_missing_day"]) == 2
+        assert int(got.loc["b", "n_missing_days"]) == 0
+        assert int(got.loc["b", "first_missing_day"]) == -1
+        ora = _oracle(tmp_path, SQL_ZERO_ACTIVITY_CELLS, ["events"])
+        pd.testing.assert_frame_equal(
+            got.reset_index().sort_values("event_type")
+            .reset_index(drop=True),
+            ora.sort_values("event_type").reset_index(drop=True),
+            check_dtype=False)
