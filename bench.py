@@ -295,6 +295,7 @@ BENCH_QUERIES = [
     "fd_audit",
     "rolling_xcov",
     "zero_activity_cells",
+    "dominance_counts",
 ]
 
 

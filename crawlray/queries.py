@@ -18237,6 +18237,78 @@ GROUP BY 1
 """
 
 
+def q_dominance_counts(sf_dir: str):
+    """2-D DOMINANCE COUNTING — the full-population companion of the
+    skyline: for every part, how many OTHER parts it dominates-or-ties
+    on (size <=, price <=) — i.e. the joint empirical CDF evaluated at
+    every point, minus self. The size domain is tiny (~50), so the
+    joint distribution folds to per-(size, price) histogram partials
+    (bounded by distinct pairs, a dim-table scale), the driver builds
+    one sorted price array + prefix counts PER SIZE, and pass 2 maps
+    every part through 50 vectorized searchsorteds — the classic
+    sweep turned into a broadcast-CDF lookup, no quadratic join
+    anywhere. The oracle IS the quadratic self-join, at gate scale."""
+    import ray
+
+    parts = _read(sf_dir, "part",
+                  ["p_partkey", "p_size", "p_retailprice"])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"s": t["p_size"].cast(pa.int64()),
+                       "c": _cents(t["p_retailprice"])})
+             .group_by(["s", "c"]).aggregate([("c", "count")]))
+        return pa.table({"s": g["s"], "c": g["c"],
+                         "n": g["c_count"].cast(pa.int64())})
+
+    hist = (parts.map_batches(hist_partial, batch_format="pyarrow")
+            .to_pandas().groupby(["s", "c"], as_index=False)["n"]
+            .sum())
+    by_size = {}
+    for s, g in hist.groupby("s"):
+        g = g.sort_values("c")
+        by_size[int(s)] = (g["c"].to_numpy(dtype=np.int64),
+                           np.cumsum(g["n"].to_numpy(dtype=np.int64)))
+    ref = ray.put(by_size)
+
+    class Dominance:
+        def __init__(self):
+            self.by_size = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            size = t["p_size"].cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            c = _cents(t["p_retailprice"]) \
+                .to_numpy(zero_copy_only=False)
+            dom = np.zeros(len(c), np.int64)
+            for s, (vals, cum) in self.by_size.items():
+                m = size >= s
+                if not m.any():
+                    continue
+                pos = np.searchsorted(vals, c[m], "right")
+                add = np.where(pos > 0, cum[np.maximum(pos - 1, 0)], 0)
+                dom[m] += add
+            return pa.table({
+                "p_partkey": t["p_partkey"],
+                "n_dominated": pa.array(dom - 1),   # minus self
+            })
+
+    return parts.map_batches(Dominance, batch_format="pyarrow",
+                             concurrency=(1, 4))
+
+
+SQL_DOMINANCE_COUNTS = """
+WITH p AS (
+  SELECT p_partkey, p_size::BIGINT AS s,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS c
+  FROM part
+)
+SELECT a.p_partkey,
+       (count(b.p_partkey) - 1)::BIGINT AS n_dominated
+FROM p a JOIN p b ON b.s <= a.s AND b.c <= a.c
+GROUP BY 1
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -18572,4 +18644,5 @@ def catalog():
         "rolling_xcov": (q_rolling_xcov, SQL_ROLLING_XCOV),
         "zero_activity_cells": (q_zero_activity_cells,
                                 SQL_ZERO_ACTIVITY_CELLS),
+        "dominance_counts": (q_dominance_counts, SQL_DOMINANCE_COUNTS),
     }

@@ -965,3 +965,35 @@ class TestZeroActivityEdges:
             .reset_index(drop=True),
             ora.sort_values("event_type").reset_index(drop=True),
             check_dtype=False)
+
+
+class TestDominanceCountsEdges:
+    def test_ties_count_and_self_excluded(self, ray_session, tmp_path):
+        from crawlray.queries import (SQL_DOMINANCE_COUNTS,
+                                      q_dominance_counts)
+
+        # part 1 (size 1, $1) dominates nothing; part 2 (size 2, $2)
+        # dominates 1; part 3 ties part 2 exactly -> each dominates
+        # the other (<=) plus part 1 -> 2; part 4 (size 3, $1.50)
+        # dominates only part 1 (price < parts 2/3)
+        parts = pd.DataFrame({
+            "p_partkey": [1, 2, 3, 4],
+            "p_name": list("abcd"),
+            "p_brand": ["B"] * 4,
+            "p_type": ["T"] * 4,
+            "p_size": np.array([1, 2, 2, 3], dtype="int32"),
+            "p_retailprice": [1.00, 2.00, 2.00, 1.50],
+        })
+        sf = _write(tmp_path, parts, "part")
+        got = (q_dominance_counts(sf).to_pandas()
+               .set_index("p_partkey"))
+        assert int(got.loc[1, "n_dominated"]) == 0
+        assert int(got.loc[2, "n_dominated"]) == 2
+        assert int(got.loc[3, "n_dominated"]) == 2
+        assert int(got.loc[4, "n_dominated"]) == 1
+        ora = _oracle(tmp_path, SQL_DOMINANCE_COUNTS, ["part"])
+        pd.testing.assert_frame_equal(
+            got.reset_index().sort_values("p_partkey")
+            .reset_index(drop=True),
+            ora.sort_values("p_partkey").reset_index(drop=True),
+            check_dtype=False)
