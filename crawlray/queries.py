@@ -18309,6 +18309,337 @@ GROUP BY 1
 """
 
 
+# The 13 Allen interval relations, in the FIXED classification order both
+# engines evaluate (np.select / SQL CASE pick the first true branch; the
+# conditions are mutually exclusive for proper intervals, so order only
+# matters for the shared exhaustiveness contract).
+_ALLEN_RELATIONS = (
+    "before", "meets", "overlaps", "finished_by", "contains",
+    "starts", "equals", "started_by", "during", "finishes",
+    "overlapped_by", "met_by", "after",
+)
+
+
+def _allen_classify(s1, e1, s2, e2) -> np.ndarray:
+    """Vectorized Allen classification of intervals [s, e). For PROPER
+    intervals (s < e) the 13 relations are a true partition; the
+    first-match ordering (shared with the SQL CASE) additionally makes
+    the classification total over arbitrary endpoint quadruples
+    (brute-force-verified in tests), so the -1 guard is a defensive
+    invariant, not a reachable branch."""
+    conds = [
+        e1 < s2,                            # before
+        e1 == s2,                           # meets
+        (s1 < s2) & (s2 < e1) & (e1 < e2),  # overlaps
+        (s1 < s2) & (e1 == e2),             # finished_by
+        (s1 < s2) & (e1 > e2),              # contains
+        (s1 == s2) & (e1 < e2),             # starts
+        (s1 == s2) & (e1 == e2),            # equals
+        (s1 == s2) & (e1 > e2),             # started_by
+        (s1 > s2) & (e1 < e2),              # during
+        (s1 > s2) & (e1 == e2),             # finishes
+        (s2 < s1) & (s1 < e2) & (e2 < e1),  # overlapped_by
+        s1 == e2,                           # met_by
+        s1 > e2,                            # after
+    ]
+    code = np.select(conds, np.arange(13), default=-1)
+    if (code < 0).any():
+        raise AssertionError("Allen classification not exhaustive — "
+                             "improper interval reached the kernel")
+    return code
+
+
+def q_allen_relations(sf_dir: str):
+    """ALLEN INTERVAL-ALGEBRA histogram — classify every pair of
+    CONSECUTIVE order ship-windows per customer (interval =
+    [min shipdate, max shipdate + 1 day) in epoch days, orders
+    sequenced by (orderdate, orderkey)) into exactly one of Allen's 13
+    interval relations (before/meets/overlaps/.../after) and count
+    each. The temporal-join vocabulary made first-class: the same
+    endpoint tests behind every interval join, pinned as a total,
+    deterministic taxonomy. Plan: per-batch min/max shipdate partials
+    (O(blocks x orders-per-block) rows, never raw lineitem) -> one
+    exchange by orderkey to finish the per-order window and join the
+    order header -> one exchange by custkey where consecutive pairs
+    classify vectorized (np.select over the 13 conditions, an
+    asserted partition) -> <= 13 partial rows per bucket, folded on
+    the driver. Nothing wider than O(orders) ever shuffles."""
+    from .pipelines.relational import bucketed_hash_join, bucketed_reduce
+    from .util import drop_empty_blocks
+
+    US_DAY = 86_400_000_000
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["l_shipdate"].cast(pa.int64()),
+                        US_DAY).cast(pa.int64())
+        g = (pa.table({"o_orderkey": t["l_orderkey"], "d": day})
+             .group_by(["o_orderkey"])
+             .aggregate([("d", "min"), ("d", "max")]))
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         "s": g["d_min"].cast(pa.int64()),
+                         "e_raw": g["d_max"].cast(pa.int64())})
+
+    def li_finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"o_orderkey": pa.nulls(0, pa.int64()),
+                             "s": pa.nulls(0, pa.int64()),
+                             "e": pa.nulls(0, pa.int64())})
+        g = (t.group_by(["o_orderkey"])
+             .aggregate([("s", "min"), ("e_raw", "max")]))
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         "s": g["s_min"],
+                         # +1 day: half-open [s, e) is proper even for
+                         # single-day windows, the classifier's contract
+                         "e": pc.add(g["e_raw_max"], 1)})
+
+    windows = bucketed_reduce(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        "o_orderkey", li_finish, n_buckets=32)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "d": t["o_orderdate"].cast(pa.int64())})
+
+    joined = bucketed_hash_join(
+        orders.map_batches(o_prep, batch_format="pyarrow"),
+        windows, "o_orderkey", n_buckets=32)
+
+    def pair_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"relation": pa.nulls(0, pa.string()),
+                          "n": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t["o_custkey"].to_numpy(zero_copy_only=False)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        e = t["e"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, d, u))
+        u, s, e = u[order], s[order], e[order]
+        nxt = u[:-1] == u[1:]               # consecutive same-customer
+        if not nxt.any():
+            return empty
+        i = np.flatnonzero(nxt)
+        code = _allen_classify(s[i], e[i], s[i + 1], e[i + 1])
+        cnt = np.bincount(code, minlength=13)
+        keep = np.flatnonzero(cnt)
+        return pa.table({
+            "relation": pa.array([_ALLEN_RELATIONS[k] for k in keep]),
+            "n": pa.array(cnt[keep], pa.int64()),
+        })
+
+    parts = bucketed_reduce(drop_empty_blocks(joined), "o_custkey",
+                            pair_fn, n_buckets=32,
+                            schema=pa.schema([
+                                ("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64()),
+                                ("d", pa.int64()),
+                                ("s", pa.int64()),
+                                ("e", pa.int64()),
+                            ]))
+    out = parts.to_pandas()                  # <= 13 x 32 partial rows
+    return (out.groupby("relation", as_index=False)["n"].sum()
+            .astype({"n": "int64"}))
+
+
+SQL_ALLEN_RELATIONS = """
+WITH li AS (
+  SELECT l_orderkey,
+         min(CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT)) AS s,
+         max(CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT)) + 1 AS e
+  FROM lineitem GROUP BY 1
+), iv AS (
+  SELECT o.o_custkey AS c, o.o_orderdate AS d, o.o_orderkey AS k,
+         li.s, li.e
+  FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+), pr AS (
+  SELECT c, s AS s1, e AS e1,
+         lead(s) OVER w AS s2, lead(e) OVER w AS e2
+  FROM iv WINDOW w AS (PARTITION BY c ORDER BY d, k)
+), cl AS (
+  SELECT CASE
+    WHEN e1 < s2 THEN 'before'
+    WHEN e1 = s2 THEN 'meets'
+    WHEN s1 < s2 AND s2 < e1 AND e1 < e2 THEN 'overlaps'
+    WHEN s1 < s2 AND e1 = e2 THEN 'finished_by'
+    WHEN s1 < s2 AND e1 > e2 THEN 'contains'
+    WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+    WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+    WHEN s1 = s2 AND e1 > e2 THEN 'started_by'
+    WHEN s1 > s2 AND e1 < e2 THEN 'during'
+    WHEN s1 > s2 AND e1 = e2 THEN 'finishes'
+    WHEN s2 < s1 AND s1 < e2 AND e2 < e1 THEN 'overlapped_by'
+    WHEN s1 = e2 THEN 'met_by'
+    WHEN s1 > e2 THEN 'after'
+  END AS relation
+  FROM pr WHERE s2 IS NOT NULL
+)
+SELECT relation, count(*)::BIGINT AS n FROM cl GROUP BY 1
+"""
+
+
+def q_isotonic_trend(sf_dir: str):
+    """ISOTONIC (monotone non-decreasing) REGRESSION of the daily
+    event count, published as EXACT reduced rationals — the
+    order-constrained fit behind trend monotonicity tests, via the
+    minimax closed form g(i) = max_{j<=i} min_{k>=i} mean(y[j..k])
+    instead of the sequential pool-adjacent-violators recursion (same
+    move as the CUSUM closed form: a textbook recursion becomes
+    order-free algebra both engines can state). Plan: O(blocks x days)
+    count partials (the calendar-bounded domain) fold to one
+    O(days) array on the driver; the minimax runs over exact
+    `fractions.Fraction`s (days^3/6 window means — trivial for a
+    bounded calendar; production would run O(days) PAVA on the same
+    partials). The oracle enumerates the same windows and orders
+    rationals as doubles — safe because distinct window means with
+    den <= days differ by >= 1/days^2, ~9 orders above double eps at
+    these magnitudes; value-equal rationals reduce to the identical
+    (num, den) pair, so arg ties cannot diverge."""
+    from fractions import Fraction
+
+    US_DAY = 86_400_000_000
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["ts"].cast(pa.int64()), US_DAY).cast(pa.int64())
+        g = (pa.table({"day": day}).group_by(["day"])
+             .aggregate([("day", "count")]))
+        return pa.table({"day": g["day"],
+                         "y": g["day_count"].cast(pa.int64())})
+
+    parts = ev.map_batches(day_partial, batch_format="pyarrow").to_pandas()
+    daily = parts.groupby("day")["y"].sum().sort_index()
+    days = daily.index.to_numpy(dtype=np.int64)
+    y = daily.to_numpy(dtype=np.int64)
+    n = len(y)
+    pre = np.concatenate([[0], np.cumsum(y)])
+
+    def mean(j, k):                          # mean of y[j..k], 0-based incl.
+        return Fraction(int(pre[k + 1] - pre[j]), k - j + 1)
+
+    fit_num = np.empty(n, np.int64)
+    fit_den = np.empty(n, np.int64)
+    for i in range(n):
+        best = None
+        for j in range(i + 1):
+            inner = min(mean(j, k) for k in range(i, n))
+            if best is None or inner > best:
+                best = inner
+        fit_num[i] = best.numerator
+        fit_den[i] = best.denominator
+
+    return pd.DataFrame({"day": days, "fit_num": fit_num,
+                         "fit_den": fit_den})
+
+
+SQL_ISOTONIC_TREND = """
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*)::BIGINT AS y
+  FROM events GROUP BY 1
+), d AS (
+  SELECT day, y, row_number() OVER (ORDER BY day) AS i FROM daily
+), p AS (
+  SELECT i, day, y, sum(y) OVER (ORDER BY i) AS pre FROM d
+), p0 AS (
+  SELECT i, day, pre, pre - y AS pre0 FROM p
+), w AS (
+  SELECT i.i AS i, j.i AS j, k.i AS k,
+         (k.pre - j.pre0)::BIGINT AS num, (k.i - j.i + 1)::BIGINT AS den
+  FROM p0 i JOIN p0 j ON j.i <= i.i JOIN p0 k ON k.i >= i.i
+), inner_min AS (
+  SELECT i, j, num, den,
+         row_number() OVER (PARTITION BY i, j
+                            ORDER BY num * 1.0 / den, k) AS rn
+  FROM w
+), outer_max AS (
+  SELECT i, num, den,
+         row_number() OVER (PARTITION BY i
+                            ORDER BY num * 1.0 / den DESC, j) AS rn
+  FROM inner_min WHERE rn = 1
+)
+SELECT p0.day,
+       (o.num / gcd(o.num, o.den))::BIGINT AS fit_num,
+       (o.den / gcd(o.num, o.den))::BIGINT AS fit_den
+FROM outer_max o JOIN p0 ON p0.i = o.i
+WHERE o.rn = 1
+"""
+
+
+_RDV_NODES = tuple(f"node{i:02d}" for i in range(16))
+
+
+def q_rendezvous_shards(sf_dir: str):
+    """RENDEZVOUS (highest-random-weight) SHARD ASSIGNMENT — every
+    document goes to argmax over 16 named nodes of
+    md5('<doc_id>:<node>'), the consistent-placement scheme where
+    removing a node relocates ONLY that node's keys (the layout
+    planner for the seen-shard state; contrast mod-N, which reshuffles
+    everything). Output: per-node document count and total char load.
+    Plan: the node list is a static constant (nothing broadcast);
+    each batch hashes rows x 16 nodes (the md5 contract is inherently
+    per-string, the house per-batch kernel) and keeps a running
+    lexicographic argmax over hex digests — numpy string compares,
+    no per-row Python argmax; O(16 x blocks) partial rows fold on
+    the driver. DuckDB's md5() restates the digest bit-for-bit."""
+    import hashlib
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        chars = t["n_chars"].to_numpy(zero_copy_only=False)
+        best = np.zeros(len(ids), np.int64)
+        best_h = None
+        for ni, node in enumerate(_RDV_NODES):
+            suffix = (":" + node).encode()
+            h = np.array([hashlib.md5(str(i).encode() + suffix).hexdigest()
+                          for i in ids], dtype="<U32")
+            if best_h is None:
+                best_h = h
+            else:
+                m = h > best_h
+                best[m] = ni
+                best_h = np.where(m, h, best_h)
+        cnt = np.bincount(best, minlength=16)
+        load = np.bincount(best, weights=chars, minlength=16)
+        keep = np.flatnonzero(cnt)
+        return pa.table({
+            "node": pa.array([_RDV_NODES[k] for k in keep]),
+            "n_docs": pa.array(cnt[keep], pa.int64()),
+            "total_chars": pa.array(load[keep].astype(np.int64)),
+        })
+
+    out = (docs.map_batches(assign, batch_format="pyarrow")
+           .to_pandas())                     # O(16 x blocks) partials
+    return (out.groupby("node", as_index=False)
+            .agg(n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum"))
+            .astype({"n_docs": "int64", "total_chars": "int64"}))
+
+
+SQL_RENDEZVOUS_SHARDS = """
+WITH nodes AS (
+  SELECT 'node' || lpad(CAST(r AS VARCHAR), 2, '0') AS node
+  FROM range(16) t(r)
+), sc AS (
+  SELECT d.doc_id, n.node, d.n_chars,
+         md5(CAST(d.doc_id AS VARCHAR) || ':' || n.node) AS h
+  FROM documents d CROSS JOIN nodes n
+), a AS (
+  SELECT doc_id, arg_max(node, h) AS node, any_value(n_chars) AS n_chars
+  FROM sc GROUP BY doc_id
+)
+SELECT node, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM a GROUP BY 1
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -18645,4 +18976,8 @@ def catalog():
         "zero_activity_cells": (q_zero_activity_cells,
                                 SQL_ZERO_ACTIVITY_CELLS),
         "dominance_counts": (q_dominance_counts, SQL_DOMINANCE_COUNTS),
+        "allen_relations": (q_allen_relations, SQL_ALLEN_RELATIONS),
+        "isotonic_trend": (q_isotonic_trend, SQL_ISOTONIC_TREND),
+        "rendezvous_shards": (q_rendezvous_shards,
+                              SQL_RENDEZVOUS_SHARDS),
     }

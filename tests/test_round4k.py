@@ -1,0 +1,166 @@
+"""Round-4k units: adversarial edges for the session-10 kernels.
+
+The queries are covered by the parameterized oracle gate at sf0.01; this
+file pins the edges the corpus may not exercise — the Allen classifier's
+exhaustive 13-way partition (one crafted pair per relation, plus the
+improper-interval guard), the isotonic minimax closed form against the
+literal pool-adjacent-violators recursion, and the rendezvous-hashing
+monotonicity contract (removing a node relocates ONLY that node's keys).
+"""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from crawlray.queries import _ALLEN_RELATIONS, _allen_classify, _RDV_NODES
+
+
+class TestAllenClassifier:
+    # one (s1, e1, s2, e2) witness per relation, in _ALLEN_RELATIONS order
+    WITNESSES = [
+        (0, 2, 5, 8),    # before: e1 < s2
+        (0, 5, 5, 8),    # meets: e1 == s2
+        (0, 6, 5, 8),    # overlaps
+        (0, 8, 5, 8),    # finished_by
+        (0, 9, 5, 8),    # contains
+        (5, 6, 5, 8),    # starts
+        (5, 8, 5, 8),    # equals
+        (5, 9, 5, 8),    # started_by
+        (6, 7, 5, 8),    # during
+        (6, 8, 5, 8),    # finishes
+        (6, 9, 5, 8),    # overlapped_by
+        (8, 9, 5, 8),    # met_by
+        (9, 11, 5, 8),   # after
+    ]
+
+    def test_each_relation_hit_exactly(self):
+        a = np.array(self.WITNESSES, dtype=np.int64)
+        code = _allen_classify(a[:, 0], a[:, 1], a[:, 2], a[:, 3])
+        assert code.tolist() == list(range(13))
+
+    def test_inverse_symmetry(self):
+        """Swapping the operands of relation r yields its inverse."""
+        inverse = {
+            "before": "after", "meets": "met_by", "overlaps": "overlapped_by",
+            "finished_by": "finishes", "contains": "during",
+            "starts": "started_by", "equals": "equals",
+        }
+        inverse.update({v: k for k, v in inverse.items()})
+        a = np.array(self.WITNESSES, dtype=np.int64)
+        fwd = _allen_classify(a[:, 0], a[:, 1], a[:, 2], a[:, 3])
+        rev = _allen_classify(a[:, 2], a[:, 3], a[:, 0], a[:, 1])
+        for f, r in zip(fwd, rev):
+            assert inverse[_ALLEN_RELATIONS[f]] == _ALLEN_RELATIONS[r]
+
+    def test_exhaustive_over_small_grid(self):
+        """Every proper-interval pair on a 6-point grid classifies;
+        each lands in exactly one relation (np.select found a branch)."""
+        pairs = [(s1, e1, s2, e2)
+                 for s1 in range(6) for e1 in range(s1 + 1, 6)
+                 for s2 in range(6) for e2 in range(s2 + 1, 6)]
+        a = np.array(pairs, dtype=np.int64)
+        code = _allen_classify(a[:, 0], a[:, 1], a[:, 2], a[:, 3])
+        assert (code >= 0).all()
+        # all 13 relations occur somewhere on the grid
+        assert sorted(set(code.tolist())) == list(range(13))
+
+    def test_total_over_all_quadruples(self):
+        """First-match ordering makes the classifier TOTAL even over
+        improper endpoint quadruples (the same ordering the SQL CASE
+        evaluates) — brute force over a 5-point grid, no escapes."""
+        import itertools
+        a = np.array(list(itertools.product(range(5), repeat=4)),
+                     dtype=np.int64)
+        code = _allen_classify(a[:, 0], a[:, 1], a[:, 2], a[:, 3])
+        assert (code >= 0).all()
+
+
+def _pava(y):
+    """Literal pool-adjacent-violators (non-decreasing), exact rationals:
+    blocks of (sum, count), merge while the last mean < previous mean."""
+    from fractions import Fraction
+    blocks = []  # (sum, count)
+    for v in y:
+        blocks.append((int(v), 1))
+        while len(blocks) > 1 and (
+                Fraction(*blocks[-1]) < Fraction(*blocks[-2])):
+            s2, c2 = blocks.pop()
+            s1, c1 = blocks.pop()
+            blocks.append((s1 + s2, c1 + c2))
+        # note Fraction(s, c) here is mean*... Fraction(sum, count) IS the mean
+    out = []
+    for s, c in blocks:
+        out.extend([Fraction(s, c)] * c)
+    return out
+
+
+def _minimax(y):
+    """The closed form the query uses: g(i) = max_{j<=i} min_{k>=i} mean."""
+    from fractions import Fraction
+    n = len(y)
+    pre = [0]
+    for v in y:
+        pre.append(pre[-1] + int(v))
+    out = []
+    for i in range(n):
+        best = None
+        for j in range(i + 1):
+            inner = min(Fraction(pre[k + 1] - pre[j], k - j + 1)
+                        for k in range(i, n))
+            if best is None or inner > best:
+                best = inner
+        out.append(best)
+    return out
+
+
+class TestIsotonicClosedForm:
+    CASES = [
+        [5, 3, 8, 2, 9, 1],          # interleaved violators
+        [9, 7, 5, 3, 1],             # strictly decreasing -> one pooled mean
+        [1, 2, 3, 4],                # already isotonic -> identity
+        [4, 4, 4],                   # constant
+        [2, 1, 1, 2, 1, 3, 0, 4],    # repeated merges across old blocks
+        [7],                         # singleton
+    ]
+
+    @pytest.mark.parametrize("y", CASES)
+    def test_minimax_equals_pava(self, y):
+        assert _minimax(y) == _pava(y)
+
+    @pytest.mark.parametrize("y", CASES)
+    def test_fit_is_isotonic_and_mean_preserving(self, y):
+        g = _minimax(y)
+        assert all(a <= b for a, b in zip(g, g[1:]))
+        assert sum(g) == sum(y)
+
+
+class TestRendezvousMonotonicity:
+    @staticmethod
+    def _assign(keys, nodes):
+        return {
+            k: max(nodes,
+                   key=lambda nd: hashlib.md5(
+                       f"{k}:{nd}".encode()).hexdigest())
+            for k in keys
+        }
+
+    def test_removing_a_node_relocates_only_its_keys(self):
+        keys = list(range(500))
+        full = self._assign(keys, list(_RDV_NODES))
+        victim = "node07"
+        reduced = self._assign(keys, [n for n in _RDV_NODES if n != victim])
+        for k in keys:
+            if full[k] != victim:
+                assert reduced[k] == full[k]
+            else:
+                assert reduced[k] != victim
+
+    def test_spread_is_reasonable(self):
+        """No node is empty and no node takes more than 4x the fair share
+        on 500 keys — the balance property that makes HRW a layout."""
+        counts = {}
+        for nd in self._assign(range(500), list(_RDV_NODES)).values():
+            counts[nd] = counts.get(nd, 0) + 1
+        assert len(counts) == 16
+        assert max(counts.values()) <= 4 * (500 // 16)
