@@ -18640,6 +18640,307 @@ FROM a GROUP BY 1
 """
 
 
+def _hilbert_d(x: np.ndarray, y: np.ndarray, order: int = 16) -> np.ndarray:
+    """Vectorized Hilbert xy->d on a 2^order grid: the classic loop over
+    LEVELS (quadrant test, distance accumulate, rotate), each step a
+    whole-array numpy op. Bijective on the grid; consecutive d are
+    always 4-neighbors (tested)."""
+    x = x.astype(np.int64)
+    y = y.astype(np.int64)
+    d = np.zeros(len(x), np.int64)
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = ((x & s) > 0)
+        ry = ((y & s) > 0)
+        # quadrant value (3*rx) XOR ry: 00->0 01->1 11->2 10->3
+        q = np.where(rx, np.where(ry, 2, 3), np.where(ry, 1, 0))
+        d += s * s * q
+        # rotate: ry==0 -> (flip if rx) then swap x/y
+        flip = ~ry & rx
+        nx = np.where(ry, x, np.where(flip, s - 1 - y, y))
+        ny = np.where(ry, y, np.where(flip, s - 1 - x, x))
+        x, y = nx, ny
+        s >>= 1
+    return d
+
+
+def q_hilbert_layout(sf_dir: str):
+    """HILBERT-CURVE layout indexing over (partkey, suppkey) — the
+    locality-tighter sibling of ``zorder_layout``: the Hilbert curve
+    never makes the Morton curve's long diagonal jumps, so file-level
+    min/max zones cover smaller key rectangles (why Delta chose it for
+    liquid clustering). Same two-pass plan as zorder: min/max partials
+    fold to 4 driver ints; pass 2 scales both keys to a 16-bit grid
+    (identical exact floor form) and runs the classic xy->d loop —
+    16 level iterations, each a vectorized quadrant test + rotation
+    over the whole batch, a Python loop over LEVELS never rows. The
+    oracle restates the identical 16 iterations as chained CTEs, one
+    per level, carrying (x, y, d) through the same CASE rotations."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"])
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "pmin": pa.array([pc.min(t["l_partkey"]).as_py()], pa.int64()),
+            "pmax": pa.array([pc.max(t["l_partkey"]).as_py()], pa.int64()),
+            "smin": pa.array([pc.min(t["l_suppkey"]).as_py()], pa.int64()),
+            "smax": pa.array([pc.max(t["l_suppkey"]).as_py()], pa.int64()),
+        })
+
+    pmin = smin = None
+    pmax = smax = None
+    for r in ds.map_batches(mm_partial, batch_format="pyarrow").take_all():
+        pmin = r["pmin"] if pmin is None else min(pmin, r["pmin"])
+        pmax = r["pmax"] if pmax is None else max(pmax, r["pmax"])
+        smin = r["smin"] if smin is None else min(smin, r["smin"])
+        smax = r["smax"] if smax is None else max(smax, r["smax"])
+    pspan = max(pmax - pmin, 1)
+    sspan = max(smax - smin, 1)
+
+    def hmap(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = (pk - pmin) * 65535 // pspan
+        y = (sk - smin) * 65535 // sspan
+        d = _hilbert_d(x, y)
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "hcode": pa.array(d, pa.int64()),
+            "hpart": pa.array(d >> 26, pa.int64()),
+        })
+
+    return ds.map_batches(hmap, batch_format="pyarrow")
+
+
+def _hilbert_sql() -> str:
+    ctes = []
+    prev = "g"
+    for lvl, s in enumerate(1 << np.arange(15, -1, -1)):
+        s = int(s)
+        q = (f"CASE WHEN (x & {s}) > 0 THEN "
+             f"(CASE WHEN (y & {s}) > 0 THEN 2 ELSE 3 END) "
+             f"ELSE (CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END) END")
+        nx = (f"CASE WHEN (y & {s}) > 0 THEN x "
+              f"WHEN (x & {s}) > 0 THEN {s} - 1 - y ELSE y END")
+        ny = (f"CASE WHEN (y & {s}) > 0 THEN y "
+              f"WHEN (x & {s}) > 0 THEN {s} - 1 - x ELSE x END")
+        ctes.append(f"""
+h{lvl} AS (
+  SELECT l_orderkey, l_linenumber,
+         d + {s * s}::BIGINT * ({q}) AS d, {nx} AS x, {ny} AS y
+  FROM {prev}
+)""")
+        prev = f"h{lvl}"
+    return f"""
+WITH mm AS (
+  SELECT min(l_partkey) AS pmin,
+         greatest(max(l_partkey) - min(l_partkey), 1) AS pspan,
+         min(l_suppkey) AS smin,
+         greatest(max(l_suppkey) - min(l_suppkey), 1) AS sspan
+  FROM lineitem
+), g AS (
+  SELECT l_orderkey, l_linenumber, 0::BIGINT AS d,
+         (l_partkey - mm.pmin) * 65535 // mm.pspan AS x,
+         (l_suppkey - mm.smin) * 65535 // mm.sspan AS y
+  FROM lineitem, mm
+),
+{','.join(ctes)}
+SELECT l_orderkey, l_linenumber, d::BIGINT AS hcode,
+       (d >> 26)::BIGINT AS hpart
+FROM {prev}
+"""
+
+
+MARKOV_ITERS = 20
+
+
+def q_markov_stationary(sf_dir: str):
+    """MARKOV STATIONARY DISTRIBUTION of the event-type chain — power
+    iteration v <- vP over the per-user transition matrix (the
+    behavioral steady state 'where do users spend their time'), the
+    pagerank float contract reused on a DENSE chain: 20 synchronous
+    iterations from the uniform vector over double64, published at
+    round(p, 6) (both engines sum <= |types| products per entry; the
+    summation-order slack is ~1e-16, nine orders under the rounding
+    grain). Transition counts come from one exchange by user (the
+    consecutive-pair kernel); the state space is O(event types), so
+    the matrix and the iteration live on the driver — O(types^2)
+    partials, never rows. States with no outgoing transitions keep
+    their column mass unrenormalized (the documented pagerank dangling
+    contract)."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"u": t["user_id"],
+                         "ts": t["ts"].cast(pa.int64()),
+                         "eid": t["event_id"],
+                         "et": t["event_type"]})
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        empty = pa.table({"src": pa.nulls(0, pa.string()),
+                          "dst": pa.nulls(0, pa.string()),
+                          "n": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t["u"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        eid = t["eid"].to_numpy(zero_copy_only=False)
+        et = np.asarray(t["et"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, u))
+        u, et = u[order], et[order]
+        same = u[:-1] == u[1:]
+        if not same.any():
+            return empty
+        i = np.flatnonzero(same)
+        df = pd.DataFrame({"src": et[i], "dst": et[i + 1]})
+        g = df.groupby(["src", "dst"], as_index=False).size()
+        return pa.table({"src": pa.array(g["src"], pa.string()),
+                         "dst": pa.array(g["dst"], pa.string()),
+                         "n": pa.array(g["size"], pa.int64())})
+
+    parts = bucketed_reduce(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "u", pair_counts, n_buckets=32).to_pandas()
+    counts = (parts.groupby(["src", "dst"], as_index=False)["n"].sum())
+
+    states = sorted(set(counts["src"]) | set(counts["dst"]))
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    mat = np.zeros((k, k), np.float64)
+    for src, dst, n in counts.itertuples(index=False):
+        mat[idx[src], idx[dst]] = n
+    out = mat.sum(axis=1)
+    np.divide(mat, out[:, None], out=mat, where=out[:, None] > 0)
+
+    v = np.full(k, 1.0 / k)
+    for _ in range(MARKOV_ITERS):
+        v = v @ mat
+    return pd.DataFrame({"event_type": states,
+                         "p": np.round(v, 6)})
+
+
+def _markov_sql() -> str:
+    iter_ctes = []
+    prev = "v0"
+    for i in range(1, MARKOV_ITERS + 1):
+        iter_ctes.append(f"""
+v{i} AS (
+  SELECT s.et AS et,
+         coalesce(sum(p.p * tr.n / dg.g), 0) AS p
+  FROM states s
+  LEFT JOIN tr ON tr.dst = s.et
+  LEFT JOIN {prev} p ON p.et = tr.src
+  LEFT JOIN dg ON dg.src = tr.src
+  GROUP BY s.et
+)""")
+        prev = f"v{i}"
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+), tr AS (
+  SELECT event_type AS src, nxt AS dst, count(*)::DOUBLE AS n
+  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+), states AS (
+  SELECT src AS et FROM tr UNION SELECT dst FROM tr
+), dg AS (
+  SELECT src, sum(n) AS g FROM tr GROUP BY 1
+), v0 AS (
+  SELECT et, 1.0 / (SELECT count(*) FROM states) AS p FROM states
+),
+{','.join(iter_ctes)}
+SELECT et AS event_type, round(p, 6) AS p FROM {prev}
+"""
+
+
+HAAR_N = 32
+
+
+def q_haar_wavelet(sf_dir: str):
+    """UNNORMALIZED HAAR WAVELET transform of the daily event-count
+    series — the multi-resolution decomposition behind wavelet
+    synopses (Matias/Vitter/Wang SIGMOD'98): level-l detail
+    coefficients are pairwise differences of level-(l-1) sums, all
+    INTEGER-exact because the unnormalized transform never divides.
+    The 30-day calendar zero-pads to 32 slots; 5 levels of details
+    (16+8+4+2+1) plus the level-6 root approximation (= the grand
+    total) give the 32-coefficient orthogonal basis. Plan: the same
+    O(blocks x days) count partials as isotonic_trend fold to one
+    32-slot driver array (bounded calendar domain); the butterfly is
+    5 vectorized halvings. The oracle restates each level as one
+    chained CTE: sum/difference by idx // 2 parity."""
+    US_DAY = 86_400_000_000
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["ts"].cast(pa.int64()), US_DAY).cast(pa.int64())
+        g = (pa.table({"day": day}).group_by(["day"])
+             .aggregate([("day", "count")]))
+        return pa.table({"day": g["day"],
+                         "y": g["day_count"].cast(pa.int64())})
+
+    parts = ev.map_batches(day_partial, batch_format="pyarrow").to_pandas()
+    daily = parts.groupby("day")["y"].sum().sort_index()
+    base = int(daily.index.min())
+    y = np.zeros(HAAR_N, np.int64)
+    y[daily.index.to_numpy(dtype=np.int64) - base] = daily.to_numpy()
+
+    levels, idxs, coeffs = [], [], []
+    cur = y
+    for lvl in range(1, 6):                  # 5 = log2(HAAR_N)
+        sums = cur[0::2] + cur[1::2]
+        diffs = cur[0::2] - cur[1::2]
+        levels.extend([lvl] * len(diffs))
+        idxs.extend(range(len(diffs)))
+        coeffs.extend(diffs.tolist())
+        cur = sums
+    levels.append(6)                         # root approximation
+    idxs.append(0)
+    coeffs.append(int(cur[0]))
+    return pd.DataFrame({"level": np.array(levels, np.int64),
+                         "idx": np.array(idxs, np.int64),
+                         "coeff": np.array(coeffs, np.int64)})
+
+
+def _haar_sql() -> str:
+    ctes = []
+    prev = "s0"
+    details = []
+    for lvl in range(1, 6):
+        ctes.append(f"""
+s{lvl} AS (
+  SELECT idx // 2 AS idx,
+         sum(v)::BIGINT AS v,
+         sum(CASE WHEN idx % 2 = 0 THEN v ELSE -v END)::BIGINT AS d
+  FROM {prev} GROUP BY idx // 2
+)""")
+        details.append(f"SELECT {lvl}::BIGINT AS level, idx::BIGINT AS idx,"
+                       f" d::BIGINT AS coeff FROM s{lvl}")
+        prev = f"s{lvl}"
+    details.append(f"SELECT 6::BIGINT, 0::BIGINT, v::BIGINT FROM {prev}")
+    return f"""
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*)::BIGINT AS y
+  FROM events GROUP BY 1
+), grid AS (
+  SELECT r AS idx FROM range({HAAR_N}) t(r)
+), s0 AS (
+  SELECT grid.idx, coalesce(d.y, 0)::BIGINT AS v
+  FROM grid LEFT JOIN daily d
+    ON d.day = grid.idx + (SELECT min(day) FROM daily)
+),
+{','.join(ctes)}
+{' UNION ALL '.join(details)}
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -18980,4 +19281,7 @@ def catalog():
         "isotonic_trend": (q_isotonic_trend, SQL_ISOTONIC_TREND),
         "rendezvous_shards": (q_rendezvous_shards,
                               SQL_RENDEZVOUS_SHARDS),
+        "hilbert_layout": (q_hilbert_layout, _hilbert_sql()),
+        "markov_stationary": (q_markov_stationary, _markov_sql()),
+        "haar_wavelet": (q_haar_wavelet, _haar_sql()),
     }

@@ -164,3 +164,61 @@ class TestRendezvousMonotonicity:
             counts[nd] = counts.get(nd, 0) + 1
         assert len(counts) == 16
         assert max(counts.values()) <= 4 * (500 // 16)
+
+
+class TestHilbertCurve:
+    def test_bijection_on_small_grid(self):
+        from crawlray.queries import _hilbert_d
+        n = 32  # order 5
+        xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        d = _hilbert_d(xs.ravel(), ys.ravel(), order=5)
+        assert sorted(d.tolist()) == list(range(n * n))
+
+    def test_consecutive_d_are_grid_neighbors(self):
+        """The defining Hilbert property (and what Morton lacks): walking
+        d = 0..n^2-1 moves exactly one grid step each time."""
+        from crawlray.queries import _hilbert_d
+        n = 32
+        xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        xs, ys = xs.ravel(), ys.ravel()
+        d = _hilbert_d(xs, ys, order=5)
+        order = np.argsort(d)
+        step = (np.abs(np.diff(xs[order].astype(int)))
+                + np.abs(np.diff(ys[order].astype(int))))
+        assert (step == 1).all()
+
+    def test_known_first_quadrant_values(self):
+        """Hand-checked d for the order-1 (2x2) curve embedded at
+        order=1: (0,0)->0 (0,1)->1 (1,1)->2 (1,0)->3."""
+        from crawlray.queries import _hilbert_d
+        x = np.array([0, 0, 1, 1])
+        y = np.array([0, 1, 1, 0])
+        assert _hilbert_d(x, y, order=1).tolist() == [0, 1, 2, 3]
+
+
+class TestHaarReconstruction:
+    def test_inverse_reproduces_series(self):
+        """Unnormalized Haar: y[2i] = (s+d)/2, y[2i+1] = (s-d)/2 — the
+        detail+approx set published by the query determines the padded
+        series exactly (integer-exact, no division in the forward
+        pass)."""
+        rng = np.random.default_rng(7)
+        y = rng.integers(0, 1000, size=32).astype(np.int64)
+        # forward (the query's kernel shape)
+        levels = {}
+        cur = y.copy()
+        for lvl in range(1, 6):
+            levels[lvl] = cur[0::2] - cur[1::2]
+            cur = cur[0::2] + cur[1::2]
+        approx = cur  # length 1
+        # inverse
+        rec = approx
+        for lvl in range(5, 0, -1):
+            d = levels[lvl]
+            s = rec
+            out = np.empty(2 * len(s), np.int64)
+            out[0::2] = (s + d) // 2
+            out[1::2] = (s - d) // 2
+            assert ((s + d) % 2 == 0).all()
+            rec = out
+        assert (rec == y).all()
