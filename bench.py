@@ -296,6 +296,15 @@ BENCH_QUERIES = [
     "rolling_xcov",
     "zero_activity_cells",
     "dominance_counts",
+    "allen_relations",
+    "isotonic_trend",
+    "rendezvous_shards",
+    "hilbert_layout",
+    "markov_stationary",
+    "haar_wavelet",
+    "changepoint_day",
+    "ewma_halving",
+    "allpairs_jaccard",
 ]
 
 

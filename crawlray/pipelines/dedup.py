@@ -1243,3 +1243,187 @@ def sorted_window_pairs(ordered: rd.Dataset, id_col: str,
 
     return rd.from_arrow_refs(
         [pairs_of.remote(r, p) for r, p in zip(refs, prev)])
+
+
+# -- exact all-pairs Jaccard via prefix filtering (AllPairs / PPJoin) --------
+
+def prefix_filter_pairs(
+    docs: rd.Dataset,
+    jaccard_threshold: float = 0.5,
+    shingle_n: int = 3,
+    n_buckets: int = 16,
+) -> rd.Dataset:
+    """EXACT tau-Jaccard all-pairs self-join via PREFIX FILTERING
+    (Bayardo et al. AllPairs / PPJoin, WWW'07) — the deterministic
+    complement of ``minhash_lsh_pairs``: no bands, no probability of a
+    missed pair. Correctness lemma: order every doc's shingle set by a
+    GLOBAL total order and keep only the first
+    p = |d| - ceil(tau * |d|) + 1 tokens (the prefix); if
+    J(A, B) >= tau then |A&B| >= ceil(tau * max(|A|, |B|)), so the
+    smallest-in-order shared token provably sits inside BOTH prefixes
+    — docs that share no prefix token cannot pass the threshold. The
+    global order is DOCUMENT FREQUENCY ascending (rarest first, the
+    classic choice: rare tokens head the prefixes, so hot tokens never
+    fan out quadratically), tie-broken by token hash.
+
+    Every stage is an exchange, nothing row-shaped on the driver:
+
+    1. shingle packs (``ShinglePacker``: sorted unique SipHash u64) —
+       materialized once, reused by prefix build AND verify;
+    2. flat (tok, doc, size) rows -> df counts (exchange by tok);
+    3. df joins back (exchange by tok), per-doc (df, tok) sort keeps
+       the prefix (exchange by doc);
+    4. candidate pairs inside each tok group (exchange by tok; doc ids
+       sorted so a < b; the LAG-DISTANCE pair loop bounded by the
+       hottest PREFIX token, which df-ordering keeps cold), size
+       pre-filter 100*min >= tau_cents*max (J <= min/max);
+    5. global pair dedup: sort + keep-first (pairs sharing several
+       prefix tokens collapse);
+    6. exact verify == ``minhash_lsh_pairs``' huge regime: two
+       ``bucketed_hash_join``s resolve packs, ``_jaccard_rows`` emits
+       the IEEE quotient the oracle restates bit-for-bit.
+
+    The oracle is the brute-force all-pairs SQL — the gate therefore
+    PROVES candidate completeness on the corpus, not just precision
+    (the verify step makes any candidate superset exact).
+    """
+    from ..util import drop_empty_blocks, keep_first_sorted
+    from .relational import bucketed_hash_join, bucketed_reduce
+
+    tau_c = int(round(jaccard_threshold * 100))
+
+    packs = docs.map_batches(
+        ShinglePacker,
+        fn_constructor_args=(None, shingle_n),
+        batch_format="pyarrow",
+        concurrency=(2, 8),
+        num_cpus=1,
+    ).materialize()
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        empty = pa.table({"tok": pa.nulls(0, pa.int64()),
+                          "doc": pa.nulls(0, pa.int64()),
+                          "size": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        toks, dids, sizes = [], [], []
+        for i, buf in enumerate(t["sh"].to_pylist()):
+            arr = np.frombuffer(buf, dtype=np.uint64)
+            if arr.size == 0:
+                continue
+            toks.append(arr.view(np.int64))
+            dids.append(np.full(arr.size, ids[i], np.int64))
+            sizes.append(np.full(arr.size, arr.size, np.int64))
+        if not toks:
+            return empty
+        return pa.table({"tok": pa.array(np.concatenate(toks)),
+                         "doc": pa.array(np.concatenate(dids)),
+                         "size": pa.array(np.concatenate(sizes))})
+
+    toks = packs.map_batches(tok_rows, batch_format="pyarrow")
+    TOKS_SCHEMA = pa.schema([("tok", pa.int64()), ("doc", pa.int64()),
+                             ("size", pa.int64())])
+
+    def df_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"tok": pa.nulls(0, pa.int64()),
+                             "df": pa.nulls(0, pa.int64())})
+        g = t.group_by(["tok"]).aggregate([("doc", "count")])
+        return pa.table({"tok": g["tok"],
+                         "df": g["doc_count"].cast(pa.int64())})
+
+    df = bucketed_reduce(toks, "tok", df_fn, n_buckets=n_buckets,
+                         schema=TOKS_SCHEMA)
+    ranked = drop_empty_blocks(
+        bucketed_hash_join(toks, df, "tok", n_buckets=n_buckets))
+
+    def prefix_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"tok": pa.nulls(0, pa.int64()),
+                          "doc": pa.nulls(0, pa.int64()),
+                          "size": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        doc = t["doc"].to_numpy(zero_copy_only=False)
+        tok = t["tok"].to_numpy(zero_copy_only=False)
+        size = t["size"].to_numpy(zero_copy_only=False)
+        dfv = t["df"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok, dfv, doc))     # per doc: df asc, tok asc
+        doc, tok, size, dfv = doc[order], tok[order], size[order], dfv[order]
+        n = len(doc)
+        starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+        cnt = np.diff(np.r_[starts, n])
+        pos = np.arange(n) - np.repeat(starts, cnt)
+        p_len = size - (tau_c * size + 99) // 100 + 1
+        keep = pos < p_len
+        return pa.table({"tok": pa.array(tok[keep]),
+                         "doc": pa.array(doc[keep]),
+                         "size": pa.array(size[keep])})
+
+    RANKED_SCHEMA = pa.schema([("tok", pa.int64()), ("doc", pa.int64()),
+                               ("size", pa.int64()), ("df", pa.int64())])
+    prefix = bucketed_reduce(ranked, "doc", prefix_fn, n_buckets=n_buckets,
+                             schema=RANKED_SCHEMA)
+
+    def pair_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.nulls(0, pa.int64()),
+                          "b": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        tok = t["tok"].to_numpy(zero_copy_only=False)
+        doc = t["doc"].to_numpy(zero_copy_only=False)
+        size = t["size"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, tok))
+        tok, doc, size = tok[order], doc[order], size[order]
+        n = len(tok)
+        starts = np.flatnonzero(np.r_[True, tok[1:] != tok[:-1]])
+        cnt = np.diff(np.r_[starts, n])
+        pos = np.arange(n) - np.repeat(starts, cnt)
+        out_a, out_b = [], []
+        for dist in range(1, int(cnt.max()) if n else 0):
+            j = np.flatnonzero(pos >= dist)
+            if j.size == 0:
+                break
+            i = j - dist
+            lo = np.minimum(size[i], size[j])
+            hi = np.maximum(size[i], size[j])
+            hit = 100 * lo >= tau_c * hi        # J <= min/max size bound
+            out_a.append(doc[i[hit]])
+            out_b.append(doc[j[hit]])
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        # in-bucket dedup (a pair may share several prefix tokens routed
+        # to the same bucket)
+        o = np.lexsort((b, a))
+        a, b = a[o], b[o]
+        first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        return pa.table({"a": pa.array(a[first]), "b": pa.array(b[first])})
+
+    cand = bucketed_reduce(prefix, "tok", pair_fn, n_buckets=n_buckets,
+                           schema=TOKS_SCHEMA)
+    cand = keep_first_sorted(cand.sort(["a", "b"]), ["a", "b"])
+
+    empty = pa.table(
+        {"a": pa.nulls(0, pa.int64()), "b": pa.nulls(0, pa.int64()),
+         "jaccard": pa.nulls(0, pa.float64())}
+    )
+    sh_a = packs.map_batches(
+        lambda t: t.rename_columns(["a", "sh_a"]), batch_format="pyarrow")
+    sh_b = packs.map_batches(
+        lambda t: t.rename_columns(["b", "sh_b"]), batch_format="pyarrow")
+    joined = drop_empty_blocks(bucketed_hash_join(
+        bucketed_hash_join(cand, sh_a, "a", n_buckets=8), sh_b, "b",
+        n_buckets=8))
+
+    def verify(t: pa.Table) -> pa.Table:
+        return _jaccard_rows(
+            t["a"].to_numpy(zero_copy_only=False),
+            t["b"].to_numpy(zero_copy_only=False),
+            t["sh_a"].to_pylist(), t["sh_b"].to_pylist(), jaccard_threshold,
+        )
+
+    return rd.from_arrow(empty).union(
+        joined.map_batches(verify, batch_format="pyarrow")
+    )

@@ -18941,6 +18941,193 @@ WITH daily AS (
 """
 
 
+def q_changepoint_day(sf_dir: str):
+    """BINARY-SEGMENTATION CHANGEPOINT on the daily event count — the
+    split k maximizing the between-segment sum of squares
+    BSS(k) = S_L^2/n_L + S_R^2/n_R - S^2/n, the first step of every
+    binary-segmentation / CUSUM-style detector, decided in EXACT
+    integer arithmetic: BSS(k) is a rational with denominator
+    n_L*n_R*n, and the argmax compares fractions by CROSS-MULTIPLYING
+    int64s (numerators ~1e13 x denominators <= 2.7e4 stay far inside
+    int64), never by float — so knife-edge near-ties cannot flip the
+    winner on either engine. Ties break to the smallest k on both
+    sides. Plan: the isotonic/haar O(blocks x days) count partials
+    fold to one O(days) driver array; the scan is O(days) exact
+    Fractions. The oracle decides the same argmax with a NOT EXISTS
+    cross-multiplication anti-join. Output: the last day of the left
+    segment plus BSS as a reduced rational."""
+    from fractions import Fraction
+
+    US_DAY = 86_400_000_000
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["ts"].cast(pa.int64()), US_DAY).cast(pa.int64())
+        g = (pa.table({"day": day}).group_by(["day"])
+             .aggregate([("day", "count")]))
+        return pa.table({"day": g["day"],
+                         "y": g["day_count"].cast(pa.int64())})
+
+    parts = ev.map_batches(day_partial, batch_format="pyarrow").to_pandas()
+    daily = parts.groupby("day")["y"].sum().sort_index()
+    days = daily.index.to_numpy(dtype=np.int64)
+    y = daily.to_numpy(dtype=np.int64)
+    n = len(y)
+    pre = np.concatenate([[0], np.cumsum(y)])
+    total = int(pre[-1])
+
+    best_k, best = None, None
+    for k in range(1, n):                   # left = 1..k
+        sl, nl = int(pre[k]), k
+        sr, nr = total - sl, n - k
+        bss = (Fraction(sl * sl, nl) + Fraction(sr * sr, nr)
+               - Fraction(total * total, n))
+        if best is None or bss > best:
+            best_k, best = k, bss
+    # Fraction is auto-reduced — num/den publish in lowest terms
+    return pd.DataFrame({
+        "split_day": np.array([days[best_k - 1]], np.int64),
+        "bss_num": np.array([best.numerator], np.int64),
+        "bss_den": np.array([best.denominator], np.int64),
+    })
+
+
+SQL_CHANGEPOINT_DAY = """
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*)::BIGINT AS y
+  FROM events GROUP BY 1
+), d AS (
+  SELECT day, y, row_number() OVER (ORDER BY day) AS i FROM daily
+), tot AS (
+  SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS s FROM d
+), sc AS (
+  -- BSS(k) as an UNREDUCED rational num/den, den = n_l*n_r*n
+  SELECT d.i AS k, d.day,
+         (pl.sl * pl.sl * (tot.n - d.i) * tot.n
+          + (tot.s - pl.sl) * (tot.s - pl.sl) * d.i * tot.n
+          - tot.s * tot.s * d.i * (tot.n - d.i))::BIGINT AS num,
+         (d.i * (tot.n - d.i) * tot.n)::BIGINT AS den
+  FROM d, tot,
+       LATERAL (SELECT sum(y)::BIGINT AS sl FROM d d2 WHERE d2.i <= d.i) pl
+  WHERE d.i < tot.n
+), win AS (
+  SELECT * FROM sc a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sc b
+    WHERE b.num * a.den > a.num * b.den
+       OR (b.num * a.den = a.num * b.den AND b.k < a.k))
+)
+SELECT day AS split_day,
+       (num / gcd(num, den))::BIGINT AS bss_num,
+       (den / gcd(num, den))::BIGINT AS bss_den
+FROM win
+"""
+
+
+def q_ewma_halving(sf_dir: str):
+    """EXPONENTIAL SMOOTHING (alpha = 1/2) of the daily event count as
+    EXACT DYADIC RATIONALS — the one smoothing constant whose whole
+    trajectory is integer algebra: S_i = sum_{j<=i} y_j 2^{j-i-1}
+    = N_i / 2^i with N_i the prefix sum of y_j * 2^(j-1), so the
+    sequential recursion S_i = (S_{i-1} + y_i)/2 becomes one weighted
+    prefix sum (the CUSUM closed-form move again). int64 holds N_i for
+    a month of days at any tested scale (y * 2^30 ~ 1e13). Published
+    reduced: den = 2^i / gcd — i.e. trailing zeros of N_i cancel."""
+    from math import gcd
+
+    US_DAY = 86_400_000_000
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["ts"].cast(pa.int64()), US_DAY).cast(pa.int64())
+        g = (pa.table({"day": day}).group_by(["day"])
+             .aggregate([("day", "count")]))
+        return pa.table({"day": g["day"],
+                         "y": g["day_count"].cast(pa.int64())})
+
+    parts = ev.map_batches(day_partial, batch_format="pyarrow").to_pandas()
+    daily = parts.groupby("day")["y"].sum().sort_index()
+    days = daily.index.to_numpy(dtype=np.int64)
+    y = daily.to_numpy(dtype=np.int64)
+    n = len(y)
+    w = 1 << np.arange(n, dtype=np.int64)       # 2^0 .. 2^(n-1) == 2^(j-1)
+    num = np.cumsum(y * w)
+    out_num = np.empty(n, np.int64)
+    out_den = np.empty(n, np.int64)
+    for i in range(n):
+        g = gcd(int(num[i]), 1 << (i + 1))
+        out_num[i] = num[i] // g
+        out_den[i] = (1 << (i + 1)) // g
+    return pd.DataFrame({"day": days, "ewma_num": out_num,
+                         "ewma_den": out_den})
+
+
+SQL_EWMA_HALVING = """
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*)::BIGINT AS y
+  FROM events GROUP BY 1
+), d AS (
+  SELECT day, y, row_number() OVER (ORDER BY day) AS i FROM daily
+), p AS (
+  SELECT day, i,
+         sum(y * (1::BIGINT << (i - 1)::INT))
+             OVER (ORDER BY i)::BIGINT AS num,
+         (1::BIGINT << i::INT)::BIGINT AS den
+  FROM d
+)
+SELECT day,
+       (num / gcd(num, den))::BIGINT AS ewma_num,
+       (den / gcd(num, den))::BIGINT AS ewma_den
+FROM p
+"""
+
+
+ALLPAIRS_TAU = 0.5
+
+
+def q_allpairs_jaccard(sf_dir: str):
+    """EXACT all-pairs Jaccard >= tau over the FULL documents table via
+    prefix filtering (``dedup.prefix_filter_pairs`` — AllPairs/PPJoin):
+    the deterministic, no-missed-pair complement of ``minhash_dedup``,
+    and its scale path is candidate PRUNING (df-ordered prefixes + size
+    filter), not sampling. The oracle is the quadratic brute force, so
+    the gate proves candidate COMPLETENESS on the corpus (the exact
+    verify already guarantees precision for any candidate superset)."""
+    from .pipelines.dedup import prefix_filter_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return prefix_filter_pairs(docs, jaccard_threshold=ALLPAIRS_TAU)
+
+
+SQL_ALLPAIRS_JACCARD = f"""
+WITH w_arr AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents
+), shl AS (
+  SELECT doc_id,
+         list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                        for i in range(1, len(words) - 1)]) AS sh
+  FROM w_arr
+), s AS (
+  SELECT doc_id, unnest(sh) AS tok FROM shl
+), sz AS (
+  SELECT doc_id, count(*)::BIGINT AS n FROM s GROUP BY 1
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS ni
+  FROM s x JOIN s y ON y.tok = x.tok AND y.doc_id > x.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b,
+       (i.ni::DOUBLE / (sa.n + sb.n - i.ni)) AS jaccard
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.a
+JOIN sz sb ON sb.doc_id = i.b
+WHERE i.ni::DOUBLE / (sa.n + sb.n - i.ni) >= {ALLPAIRS_TAU}
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -19284,4 +19471,7 @@ def catalog():
         "hilbert_layout": (q_hilbert_layout, _hilbert_sql()),
         "markov_stationary": (q_markov_stationary, _markov_sql()),
         "haar_wavelet": (q_haar_wavelet, _haar_sql()),
+        "changepoint_day": (q_changepoint_day, SQL_CHANGEPOINT_DAY),
+        "ewma_halving": (q_ewma_halving, SQL_EWMA_HALVING),
+        "allpairs_jaccard": (q_allpairs_jaccard, SQL_ALLPAIRS_JACCARD),
     }

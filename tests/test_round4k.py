@@ -196,6 +196,73 @@ class TestHilbertCurve:
         assert _hilbert_d(x, y, order=1).tolist() == [0, 1, 2, 3]
 
 
+class TestPrefixFilterPairs:
+    """prefix_filter_pairs (AllPairs/PPJoin) parity vs literal brute
+    force on a crafted corpus: exact dups, a pair just over tau, a pair
+    just under, shingle-less short docs, and a hot shared token."""
+
+    @staticmethod
+    def _corpus():
+        base = "the quick brown fox jumps over the lazy dog tonight"
+        rows = [
+            (0, base),                                  # exact dup of 1
+            (1, base),
+            (2, base + " again and again and again"),   # near-dup of 0/1
+            (3, "completely different words entirely here now"),
+            (4, "quick brown fox"),                     # one shingle only
+            (5, "two words"),                           # shingle-less
+            (6, "also short"),                          # shingle-less
+            (7, "the quick brown cat naps under the lazy dog tonight"),
+        ]
+        return rows
+
+    @staticmethod
+    def _brute(rows, tau):
+        from crawlray.pipelines.dedup import word_shingles
+        sets = {i: set(word_shingles(t, 3)) for i, t in rows}
+        out = []
+        ids = sorted(sets)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                sa, sb = sets[a], sets[b]
+                ni = len(sa & sb)
+                un = len(sa | sb)
+                if un == 0 or ni == 0:
+                    continue          # shingle-less pairs: excluded contract
+                j = ni / un
+                if j >= tau:
+                    out.append((a, b, j))
+        return sorted(out)
+
+    @pytest.mark.parametrize("tau", [0.5, 0.3, 0.9])
+    def test_parity_with_brute_force(self, ray_session, tmp_path, tau):
+        import pyarrow as pa
+        import ray.data as rd
+        from crawlray.pipelines.dedup import prefix_filter_pairs
+
+        rows = self._corpus()
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }))
+        got = prefix_filter_pairs(docs, jaccard_threshold=tau,
+                                  n_buckets=4).to_pandas()
+        got = sorted(zip(got["a"], got["b"], got["jaccard"]))
+        assert [(a, b) for a, b, _ in got] == \
+            [(a, b) for a, b, _ in self._brute(rows, tau)]
+        for (_, _, jg), (_, _, je) in zip(got, self._brute(rows, tau)):
+            assert jg == je    # IEEE-exact quotient
+
+    def test_prefix_formula_keeps_singletons(self):
+        """p = size - ceil(tau*size) + 1 >= 1 for every size >= 1 — a
+        one-shingle doc always exposes its only token."""
+        for tau_c in (30, 50, 90, 100):
+            for size in range(1, 40):
+                p = size - (tau_c * size + 99) // 100 + 1
+                assert 1 <= p <= size
+
+
 class TestHaarReconstruction:
     def test_inverse_reproduces_series(self):
         """Unnormalized Haar: y[2i] = (s+d)/2, y[2i+1] = (s-d)/2 — the
