@@ -305,6 +305,9 @@ BENCH_QUERIES = [
     "changepoint_day",
     "ewma_halving",
     "allpairs_jaccard",
+    "interval_scheduling",
+    "l_diversity_audit",
+    "lis_length",
 ]
 
 

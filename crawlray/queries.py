@@ -18349,25 +18349,23 @@ def _allen_classify(s1, e1, s2, e2) -> np.ndarray:
     return code
 
 
-def q_allen_relations(sf_dir: str):
-    """ALLEN INTERVAL-ALGEBRA histogram — classify every pair of
-    CONSECUTIVE order ship-windows per customer (interval =
-    [min shipdate, max shipdate + 1 day) in epoch days, orders
-    sequenced by (orderdate, orderkey)) into exactly one of Allen's 13
-    interval relations (before/meets/overlaps/.../after) and count
-    each. The temporal-join vocabulary made first-class: the same
-    endpoint tests behind every interval join, pinned as a total,
-    deterministic taxonomy. Plan: per-batch min/max shipdate partials
-    (O(blocks x orders-per-block) rows, never raw lineitem) -> one
-    exchange by orderkey to finish the per-order window and join the
-    order header -> one exchange by custkey where consecutive pairs
-    classify vectorized (np.select over the 13 conditions, an
-    asserted partition) -> <= 13 partial rows per bucket, folded on
-    the driver. Nothing wider than O(orders) ever shuffles."""
-    from .pipelines.relational import bucketed_hash_join, bucketed_reduce
-    from .util import drop_empty_blocks
+def _order_ship_windows(sf_dir: str) -> "rd.Dataset":
+    """(o_orderkey, o_custkey, d, s, e): each order's ship WINDOW as a
+    proper half-open interval [min shipdate, max shipdate + 1 day) in
+    epoch days, plus the orderdate sequencing key. Built with ONE
+    exchange: per-batch min/max shipdate partials (O(blocks x
+    orders-per-block) rows, never raw lineitem) UNION the tagged order
+    headers -> one exchange by orderkey whose bucket_fn both finishes
+    the per-order window AND joins the header (the tagged-union
+    fused-exchange idiom: two logical ops, one shuffle). Shared by
+    ``allen_relations`` and ``interval_scheduling``."""
+    from .pipelines.relational import bucketed_reduce
 
     US_DAY = 86_400_000_000
+    UNION_SCHEMA = pa.schema([
+        ("o_orderkey", pa.int64()), ("s", pa.int64()), ("e_raw", pa.int64()),
+        ("o_custkey", pa.int64()), ("d", pa.int64()),
+    ])
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
 
@@ -18377,38 +18375,91 @@ def q_allen_relations(sf_dir: str):
         g = (pa.table({"o_orderkey": t["l_orderkey"], "d": day})
              .group_by(["o_orderkey"])
              .aggregate([("d", "min"), ("d", "max")]))
+        n = g.num_rows
         return pa.table({"o_orderkey": g["o_orderkey"],
                          "s": g["d_min"].cast(pa.int64()),
-                         "e_raw": g["d_max"].cast(pa.int64())})
-
-    def li_finish(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"o_orderkey": pa.nulls(0, pa.int64()),
-                             "s": pa.nulls(0, pa.int64()),
-                             "e": pa.nulls(0, pa.int64())})
-        g = (t.group_by(["o_orderkey"])
-             .aggregate([("s", "min"), ("e_raw", "max")]))
-        return pa.table({"o_orderkey": g["o_orderkey"],
-                         "s": g["s_min"],
-                         # +1 day: half-open [s, e) is proper even for
-                         # single-day windows, the classifier's contract
-                         "e": pc.add(g["e_raw_max"], 1)})
-
-    windows = bucketed_reduce(
-        li.map_batches(li_partial, batch_format="pyarrow"),
-        "o_orderkey", li_finish, n_buckets=32)
+                         "e_raw": g["d_max"].cast(pa.int64()),
+                         "o_custkey": pa.nulls(n, pa.int64()),
+                         "d": pa.nulls(n, pa.int64())})
 
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate"])
 
     def o_prep(t: pa.Table) -> pa.Table:
+        n = t.num_rows
         return pa.table({"o_orderkey": t["o_orderkey"],
+                         "s": pa.nulls(n, pa.int64()),
+                         "e_raw": pa.nulls(n, pa.int64()),
                          "o_custkey": t["o_custkey"],
                          "d": t["o_orderdate"].cast(pa.int64())})
 
-    joined = bucketed_hash_join(
-        orders.map_batches(o_prep, batch_format="pyarrow"),
-        windows, "o_orderkey", n_buckets=32)
+    tagged = (li.map_batches(li_partial, batch_format="pyarrow")
+              .union(orders.map_batches(o_prep, batch_format="pyarrow")))
+
+    def finish_join(t: pa.Table) -> pa.Table:
+        empty = pa.table({"o_orderkey": pa.nulls(0, pa.int64()),
+                          "o_custkey": pa.nulls(0, pa.int64()),
+                          "d": pa.nulls(0, pa.int64()),
+                          "s": pa.nulls(0, pa.int64()),
+                          "e": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        is_li = t["s"].is_valid().to_numpy(zero_copy_only=False)
+        li_t = t.filter(pa.array(is_li))
+        o_t = t.filter(pa.array(~is_li))
+        if li_t.num_rows == 0 or o_t.num_rows == 0:
+            return empty
+        g = (li_t.select(["o_orderkey", "s", "e_raw"])
+             .group_by(["o_orderkey"])
+             .aggregate([("s", "min"), ("e_raw", "max")]))
+        ok = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        smin = g["s_min"].to_numpy(zero_copy_only=False)
+        # +1 day: half-open [s, e) is proper even for single-day
+        # windows, the classifier's contract
+        emax = g["e_raw_max"].to_numpy(zero_copy_only=False) + 1
+        order = np.argsort(ok)
+        ok, smin, emax = ok[order], smin[order], emax[order]
+        keys = o_t["o_orderkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ok, keys)
+        pos_c = np.minimum(pos, len(ok) - 1)
+        hit = ok[pos_c] == keys                 # inner-join semantics
+        pos = pos_c[hit]
+        return pa.table({
+            "o_orderkey": pa.array(keys[hit], pa.int64()),
+            "o_custkey": o_t["o_custkey"].filter(pa.array(hit)),
+            "d": o_t["d"].filter(pa.array(hit)),
+            "s": pa.array(smin[pos], pa.int64()),
+            "e": pa.array(emax[pos], pa.int64()),
+        })
+
+    return bucketed_reduce(tagged, "o_orderkey", finish_join,
+                           n_buckets=32, schema=UNION_SCHEMA)
+
+
+_WINDOWS_SCHEMA = pa.schema([
+    ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+    ("d", pa.int64()), ("s", pa.int64()), ("e", pa.int64()),
+])
+
+
+def q_allen_relations(sf_dir: str):
+    """ALLEN INTERVAL-ALGEBRA histogram — classify every pair of
+    CONSECUTIVE order ship-windows per customer (interval =
+    [min shipdate, max shipdate + 1 day) in epoch days, orders
+    sequenced by (orderdate, orderkey)) into exactly one of Allen's 13
+    interval relations (before/meets/overlaps/.../after) and count
+    each. The temporal-join vocabulary made first-class: the same
+    endpoint tests behind every interval join, pinned as a total,
+    deterministic taxonomy. Plan: the shared one-exchange
+    ``_order_ship_windows`` -> one exchange by custkey where
+    consecutive pairs classify vectorized (np.select over the 13
+    conditions, an asserted partition) -> <= 13 partial rows per
+    bucket, folded on the driver. Nothing wider than O(orders) ever
+    shuffles."""
+    from .pipelines.relational import bucketed_reduce
+    from .util import drop_empty_blocks
+
+    joined = _order_ship_windows(sf_dir)
 
     def pair_fn(t: pa.Table) -> pa.Table:
         empty = pa.table({"relation": pa.nulls(0, pa.string()),
@@ -18436,13 +18487,7 @@ def q_allen_relations(sf_dir: str):
 
     parts = bucketed_reduce(drop_empty_blocks(joined), "o_custkey",
                             pair_fn, n_buckets=32,
-                            schema=pa.schema([
-                                ("o_orderkey", pa.int64()),
-                                ("o_custkey", pa.int64()),
-                                ("d", pa.int64()),
-                                ("s", pa.int64()),
-                                ("e", pa.int64()),
-                            ]))
+                            schema=_WINDOWS_SCHEMA)
     out = parts.to_pandas()                  # <= 13 x 32 partial rows
     return (out.groupby("relation", as_index=False)["n"].sum()
             .astype({"n": "int64"}))
@@ -19128,6 +19173,237 @@ WHERE i.ni::DOUBLE / (sa.n + sb.n - i.ni) >= {ALLPAIRS_TAU}
 """
 
 
+def q_interval_scheduling(sf_dir: str):
+    """GREEDY INTERVAL SCHEDULING per customer — the maximum number of
+    NON-overlapping order ship-windows (half-open [s, e); touching is
+    compatible), via the classic earliest-end greedy, which is provably
+    OPTIMAL for this objective — so the published count is a
+    well-defined function of the interval set, not a heuristic. Plan:
+    the shared one-exchange ``_order_ship_windows`` -> one exchange by
+    custkey; inside a bucket the greedy chain is inherently sequential
+    PER CUSTOMER (pick min end, jump to first start >= end, repeat) —
+    a Python loop bounded by orders-per-customer (bounded by
+    construction at any scale, the order_upgrades partitioning
+    assumption), with customers parallelized across buckets. The
+    oracle runs the same greedy as a recursive CTE (min-end seed, then
+    repeatedly the min end among starts >= last end)."""
+    from .pipelines.relational import bucketed_reduce
+    from .util import drop_empty_blocks
+
+    joined = _order_ship_windows(sf_dir)
+
+    def sched_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"o_custkey": pa.nulls(0, pa.int64()),
+                          "n_scheduled": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t["o_custkey"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        e = t["e"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, e, u))       # per customer: end asc
+        u, s, e = u[order], s[order], e[order]
+        n = len(u)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], n]
+        out_u = u[starts]
+        out_n = np.empty(len(starts), np.int64)
+        for gi in range(len(starts)):
+            lo, hi = starts[gi], ends[gi]
+            cnt, last_e = 0, None
+            for j in range(lo, hi):         # end-sorted greedy chain
+                if last_e is None or s[j] >= last_e:
+                    cnt += 1
+                    last_e = e[j]
+            out_n[gi] = cnt
+        return pa.table({"o_custkey": pa.array(out_u, pa.int64()),
+                         "n_scheduled": pa.array(out_n, pa.int64())})
+
+    return bucketed_reduce(drop_empty_blocks(joined), "o_custkey",
+                           sched_fn, n_buckets=32,
+                           schema=_WINDOWS_SCHEMA)
+
+
+SQL_INTERVAL_SCHEDULING = """
+WITH RECURSIVE li AS (
+  SELECT l_orderkey,
+         min(CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT)) AS s,
+         max(CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT)) + 1 AS e
+  FROM lineitem GROUP BY 1
+), iv AS (
+  SELECT o.o_custkey AS c, li.s, li.e
+  FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+), seed AS (
+  SELECT c, e AS last_e, 1 AS cnt FROM (
+    SELECT c, e, row_number() OVER (PARTITION BY c ORDER BY e, s) AS rn
+    FROM iv) t WHERE rn = 1
+), rec(c, last_e, cnt) AS (
+  SELECT c, last_e, cnt FROM seed
+  UNION ALL
+  SELECT r.c,
+         (SELECT min(e) FROM iv WHERE iv.c = r.c AND iv.s >= r.last_e),
+         r.cnt + 1
+  FROM rec r
+  WHERE EXISTS (SELECT 1 FROM iv WHERE iv.c = r.c AND iv.s >= r.last_e)
+)
+SELECT c AS o_custkey, max(cnt)::BIGINT AS n_scheduled
+FROM rec GROUP BY c
+"""
+
+
+L_DIVERSITY_THRESHOLD = 3
+
+
+def q_l_diversity_audit(sf_dir: str):
+    """L-DIVERSITY audit — the standard companion of ``k_anonymity``:
+    a class of the (nation, segment) quasi-identifier is safe only if
+    its SENSITIVE attribute (account-balance bracket, $1000 bins)
+    takes >= l distinct values, else every member is inferable.
+    Per-batch distinct (nat, seg, bracket) partials (bounded by the
+    QI x bracket domain), one tiny exchange by nation, O(1) audit
+    rows: class count, classes below l, customers exposed, and the
+    minimum diversity."""
+    from .pipelines.relational import bucketed_reduce
+
+    cust = _read(sf_dir, "customer",
+                 ["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t["c_acctbal"])
+        br = pc.divide(cents, 100_000).cast(pa.int64())  # $1000 bins
+        g = (pa.table({"nat": t["c_nationkey"].cast(pa.int64()),
+                       "seg": t["c_mktsegment"], "br": br})
+             .group_by(["nat", "seg", "br"])
+             .aggregate([("br", "count")]))
+        return pa.table({"nat": g["nat"], "seg": g["seg"], "br": g["br"],
+                         "n": g["br_count"].cast(pa.int64())})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"n_classes": pa.nulls(0, pa.int64()),
+                          "n_low_diversity": pa.nulls(0, pa.int64()),
+                          "n_exposed": pa.nulls(0, pa.int64()),
+                          "min_diversity": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        g = (t.group_by(["nat", "seg", "br"]).aggregate([("n", "sum")])
+             .group_by(["nat", "seg"])
+             .aggregate([("br", "count"), ("n_sum", "sum")]))
+        div = g["br_count"].to_numpy(zero_copy_only=False)
+        size = g["n_sum_sum"].to_numpy(zero_copy_only=False)
+        low = div < L_DIVERSITY_THRESHOLD
+        return pa.table({
+            "n_classes": pa.array([np.int64(len(div))], pa.int64()),
+            "n_low_diversity": pa.array([np.int64(low.sum())], pa.int64()),
+            "n_exposed": pa.array([np.int64(size[low].sum())], pa.int64()),
+            "min_diversity": pa.array([np.int64(div.min())], pa.int64()),
+        })
+
+    parts = bucketed_reduce(
+        cust.map_batches(partial, batch_format="pyarrow"),
+        "nat", bucket_fn, n_buckets=8).to_pandas()
+    return pa.table({
+        "n_classes": pa.array([int(parts["n_classes"].sum())], pa.int64()),
+        "n_low_diversity": pa.array([int(parts["n_low_diversity"].sum())],
+                                    pa.int64()),
+        "n_exposed": pa.array([int(parts["n_exposed"].sum())], pa.int64()),
+        "min_diversity": pa.array([int(parts["min_diversity"].min())],
+                                  pa.int64()),
+    })
+
+
+SQL_L_DIVERSITY_AUDIT = f"""
+WITH cls AS (
+  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+         count(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT)
+               // 100000) AS div,
+         count(*)::BIGINT AS size
+  FROM customer GROUP BY 1, 2
+)
+SELECT count(*)::BIGINT AS n_classes,
+       sum(CASE WHEN div < {L_DIVERSITY_THRESHOLD} THEN 1
+                ELSE 0 END)::BIGINT AS n_low_diversity,
+       coalesce(sum(CASE WHEN div < {L_DIVERSITY_THRESHOLD} THEN size
+                         ELSE 0 END), 0)::BIGINT AS n_exposed,
+       min(div)::BIGINT AS min_diversity
+FROM cls
+"""
+
+
+def q_lis_length(sf_dir: str):
+    """LONGEST STRICTLY-INCREASING SUBSEQUENCE length of each user's
+    event-value stream (values in cents, events ordered by (ts,
+    event_id)) — the canonical order-statistics DP, run as the
+    PATIENCE algorithm (O(n log n) tails array) inside one exchange by
+    user: sequential per user, bounded by events-per-user (the
+    documented partitioning assumption), users parallel across
+    buckets. The oracle computes the same quantity as a recursive-CTE
+    chain extension (chains grow one element per recursion level, so
+    the fixpoint depth IS the answer) — two unrelated algorithms, one
+    exact integer, the strongest kind of cross-check."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"u": t["user_id"],
+                         "ts": t["ts"].cast(pa.int64()),
+                         "eid": t["event_id"],
+                         "v": _cents(t["value"])})
+
+    PREP_SCHEMA = pa.schema([("u", pa.int64()), ("ts", pa.int64()),
+                             ("eid", pa.int64()), ("v", pa.int64())])
+
+    def lis_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.nulls(0, pa.int64()),
+                          "lis_len": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t["u"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        eid = t["eid"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, v = u[order], v[order]
+        n = len(u)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], n]
+        import bisect
+        out_u = u[starts]
+        out_l = np.empty(len(starts), np.int64)
+        for gi in range(len(starts)):
+            tails: list[int] = []
+            for j in range(starts[gi], ends[gi]):
+                p = bisect.bisect_left(tails, v[j])
+                if p == len(tails):
+                    tails.append(int(v[j]))
+                else:
+                    tails[p] = int(v[j])
+            out_l[gi] = len(tails)
+        return pa.table({"user_id": pa.array(out_u, pa.int64()),
+                         "lis_len": pa.array(out_l, pa.int64())})
+
+    return bucketed_reduce(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "u", lis_fn, n_buckets=32, schema=PREP_SCHEMA)
+
+
+SQL_LIS_LENGTH = """
+WITH RECURSIVE seq AS (
+  SELECT user_id AS u,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS i,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+), chain(u, i, v, len) AS (
+  SELECT u, i, v, 1 FROM seq
+  UNION
+  SELECT s.u, s.i, s.v, c.len + 1
+  FROM chain c JOIN seq s ON s.u = c.u AND s.i > c.i AND s.v > c.v
+)
+SELECT u AS user_id, max(len)::BIGINT AS lis_len
+FROM chain GROUP BY u
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -19474,4 +19750,8 @@ def catalog():
         "changepoint_day": (q_changepoint_day, SQL_CHANGEPOINT_DAY),
         "ewma_halving": (q_ewma_halving, SQL_EWMA_HALVING),
         "allpairs_jaccard": (q_allpairs_jaccard, SQL_ALLPAIRS_JACCARD),
+        "interval_scheduling": (q_interval_scheduling,
+                                SQL_INTERVAL_SCHEDULING),
+        "l_diversity_audit": (q_l_diversity_audit, SQL_L_DIVERSITY_AUDIT),
+        "lis_length": (q_lis_length, SQL_LIS_LENGTH),
     }

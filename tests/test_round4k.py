@@ -263,6 +263,84 @@ class TestPrefixFilterPairs:
                 assert 1 <= p <= size
 
 
+class TestGreedySchedulingOptimality:
+    @staticmethod
+    def _greedy(iv):
+        cnt, last_e = 0, None
+        for s, e in sorted(iv, key=lambda p: (p[1], p[0])):
+            if last_e is None or s >= last_e:
+                cnt += 1
+                last_e = e
+        return cnt
+
+    @staticmethod
+    def _brute_max(iv):
+        """Exhaustive max non-overlapping subset (half-open compat)."""
+        import itertools
+        best = 0
+        for r in range(len(iv), 0, -1):
+            for sub in itertools.combinations(sorted(iv), r):
+                ok = all(sub[i][1] <= sub[i + 1][0]
+                         for i in range(len(sub) - 1))
+                if ok:
+                    return r
+        return best
+
+    def test_greedy_equals_brute_force(self):
+        rng = np.random.default_rng(3)
+        for _ in range(60):
+            n = rng.integers(1, 8)
+            iv = []
+            for _ in range(n):
+                s = int(rng.integers(0, 20))
+                e = s + int(rng.integers(1, 6))
+                iv.append((s, e))
+            assert self._greedy(iv) == self._brute_max(iv)
+
+    def test_touching_intervals_compatible(self):
+        # half-open [s, e): e == next s is compatible
+        assert self._greedy([(0, 3), (3, 5), (5, 9)]) == 3
+
+
+class TestPatienceLis:
+    @staticmethod
+    def _patience(v):
+        import bisect
+        tails = []
+        for x in v:
+            p = bisect.bisect_left(tails, x)
+            if p == len(tails):
+                tails.append(x)
+            else:
+                tails[p] = x
+        return len(tails)
+
+    @staticmethod
+    def _dp(v):
+        n = len(v)
+        dp = [1] * n
+        for j in range(n):
+            for i in range(j):
+                if v[i] < v[j]:
+                    dp[j] = max(dp[j], dp[i] + 1)
+        return max(dp) if dp else 0
+
+    def test_patience_equals_quadratic_dp(self):
+        rng = np.random.default_rng(11)
+        for _ in range(80):
+            n = int(rng.integers(1, 25))
+            # small value domain forces many DUPLICATES — the strictness
+            # edge (bisect_left replaces on ties, never extends)
+            v = rng.integers(0, 6, size=n).tolist()
+            assert self._patience(v) == self._dp(v)
+
+    def test_all_equal_is_length_one(self):
+        assert self._patience([7, 7, 7, 7]) == 1
+
+    def test_strictly_decreasing_is_length_one(self):
+        assert self._patience([9, 5, 3, 1]) == 1
+
+
 class TestHaarReconstruction:
     def test_inverse_reproduces_series(self):
         """Unnormalized Haar: y[2i] = (s+d)/2, y[2i+1] = (s-d)/2 — the
