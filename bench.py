@@ -308,6 +308,8 @@ BENCH_QUERIES = [
     "interval_scheduling",
     "l_diversity_audit",
     "lis_length",
+    "wavelet_synopsis_audit",
+    "markov_hitting_truncated",
 ]
 
 

@@ -18797,23 +18797,14 @@ FROM {prev}
 """
 
 
-MARKOV_ITERS = 20
-
-
-def q_markov_stationary(sf_dir: str):
-    """MARKOV STATIONARY DISTRIBUTION of the event-type chain — power
-    iteration v <- vP over the per-user transition matrix (the
-    behavioral steady state 'where do users spend their time'), the
-    pagerank float contract reused on a DENSE chain: 20 synchronous
-    iterations from the uniform vector over double64, published at
-    round(p, 6) (both engines sum <= |types| products per entry; the
-    summation-order slack is ~1e-16, nine orders under the rounding
-    grain). Transition counts come from one exchange by user (the
-    consecutive-pair kernel); the state space is O(event types), so
-    the matrix and the iteration live on the driver — O(types^2)
-    partials, never rows. States with no outgoing transitions keep
-    their column mass unrenormalized (the documented pagerank dangling
-    contract)."""
+def _event_transition_matrix(sf_dir: str):
+    """(states, row-stochastic P) of the per-user event-type chain:
+    transition counts from ONE exchange by user (the consecutive-pair
+    kernel, O(types^2) partials out of each bucket), matrix built on
+    the driver (the state space is O(event types)). Rows with no
+    outgoing transitions stay all-zero (the pagerank dangling
+    contract). Shared by ``markov_stationary`` and
+    ``markov_hitting_truncated``."""
     from .pipelines.relational import bucketed_reduce
 
     ev = _read(sf_dir, "events", ["user_id", "ts", "event_id",
@@ -18860,7 +18851,28 @@ def q_markov_stationary(sf_dir: str):
         mat[idx[src], idx[dst]] = n
     out = mat.sum(axis=1)
     np.divide(mat, out[:, None], out=mat, where=out[:, None] > 0)
+    return states, mat
 
+
+MARKOV_ITERS = 20
+
+
+def q_markov_stationary(sf_dir: str):
+    """MARKOV STATIONARY DISTRIBUTION of the event-type chain — power
+    iteration v <- vP over the per-user transition matrix (the
+    behavioral steady state 'where do users spend their time'), the
+    pagerank float contract reused on a DENSE chain: 20 synchronous
+    iterations from the uniform vector over double64, published at
+    round(p, 6) (both engines sum <= |types| products per entry; the
+    summation-order slack is ~1e-16, nine orders under the rounding
+    grain). Transition counts come from one exchange by user (the
+    consecutive-pair kernel); the state space is O(event types), so
+    the matrix and the iteration live on the driver — O(types^2)
+    partials, never rows. States with no outgoing transitions keep
+    their column mass unrenormalized (the documented pagerank dangling
+    contract)."""
+    states, mat = _event_transition_matrix(sf_dir)
+    k = len(states)
     v = np.full(k, 1.0 / k)
     for _ in range(MARKOV_ITERS):
         v = v @ mat
@@ -19404,6 +19416,181 @@ FROM chain GROUP BY u
 """
 
 
+WAVELET_TOP_B = 8
+
+
+def q_wavelet_synopsis_audit(sf_dir: str):
+    """WAVELET SYNOPSIS error audit (Matias/Vitter/Wang SIGMOD'98) —
+    keep only the TOP-B Haar coefficients by |value| (B=8, ties to
+    (level, idx)), reconstruct the 32-slot daily series, and publish
+    the per-slot reconstruction error EXACTLY: unnormalized Haar
+    reconstruction divides by 2 once per level, so working in 1/32nds
+    makes everything integer — slot value x32 = approx + sum over
+    levels of (+/-) d_l[i >> l] * 2^(5-l), sign = bit (i >> (l-1)) & 1.
+    Output: (idx, err32 = 32*y - rec32), the scaled residual the
+    synopsis would pay on a point query. Same bounded driver fold as
+    ``haar_wavelet``; the oracle ranks coefficients and evaluates the
+    same closed-form reconstruction in SQL."""
+    US_DAY = 86_400_000_000
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["ts"].cast(pa.int64()), US_DAY).cast(pa.int64())
+        g = (pa.table({"day": day}).group_by(["day"])
+             .aggregate([("day", "count")]))
+        return pa.table({"day": g["day"],
+                         "y": g["day_count"].cast(pa.int64())})
+
+    parts = ev.map_batches(day_partial, batch_format="pyarrow").to_pandas()
+    daily = parts.groupby("day")["y"].sum().sort_index()
+    base = int(daily.index.min())
+    y = np.zeros(HAAR_N, np.int64)
+    y[daily.index.to_numpy(dtype=np.int64) - base] = daily.to_numpy()
+
+    # forward transform (the haar_wavelet kernel)
+    details = {}
+    cur = y.copy()
+    for lvl in range(1, 6):
+        details[lvl] = cur[0::2] - cur[1::2]
+        cur = cur[0::2] + cur[1::2]
+    approx = int(cur[0])
+
+    # rank detail coefficients by (|coeff| desc, level, idx); keep B
+    rows = [(lvl, i, int(c)) for lvl, d in details.items()
+            for i, c in enumerate(d)]
+    rows.sort(key=lambda r: (-abs(r[2]), r[0], r[1]))
+    kept = {(lvl, i): c for lvl, i, c in rows[:WAVELET_TOP_B]}
+
+    idx = np.arange(HAAR_N)
+    rec32 = np.full(HAAR_N, approx, np.int64)
+    for lvl in range(1, 6):
+        d = np.array([kept.get((lvl, int(i)), 0) for i in idx >> lvl],
+                     np.int64)
+        sign = 1 - 2 * ((idx >> (lvl - 1)) & 1)
+        rec32 += sign * d * (1 << (5 - lvl))
+    return pd.DataFrame({"idx": idx.astype(np.int64),
+                         "err32": 32 * y - rec32})
+
+
+def _wavelet_synopsis_sql() -> str:
+    sign = " + ".join(
+        f"(CASE WHEN (g.idx >> {lvl - 1}) & 1 = 0 THEN 1 ELSE -1 END)"
+        f" * coalesce(k{lvl}.d, 0) * {1 << (5 - lvl)}"
+        for lvl in range(1, 6))
+    joins = "\n".join(
+        f"LEFT JOIN kept k{lvl} ON k{lvl}.level = {lvl}"
+        f" AND k{lvl}.idx = g.idx >> {lvl}"
+        for lvl in range(1, 6))
+    return f"""
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*)::BIGINT AS y
+  FROM events GROUP BY 1
+), grid AS (
+  SELECT r AS idx FROM range({HAAR_N}) t(r)
+), s0 AS (
+  SELECT grid.idx, coalesce(d.y, 0)::BIGINT AS v
+  FROM grid LEFT JOIN daily d
+    ON d.day = grid.idx + (SELECT min(day) FROM daily)
+), s1 AS (SELECT idx // 2 AS idx, sum(v)::BIGINT AS v,
+                 sum(CASE WHEN idx % 2 = 0 THEN v ELSE -v END)::BIGINT AS d
+          FROM s0 GROUP BY idx // 2),
+s2 AS (SELECT idx // 2 AS idx, sum(v)::BIGINT AS v,
+              sum(CASE WHEN idx % 2 = 0 THEN v ELSE -v END)::BIGINT AS d
+       FROM s1 GROUP BY idx // 2),
+s3 AS (SELECT idx // 2 AS idx, sum(v)::BIGINT AS v,
+              sum(CASE WHEN idx % 2 = 0 THEN v ELSE -v END)::BIGINT AS d
+       FROM s2 GROUP BY idx // 2),
+s4 AS (SELECT idx // 2 AS idx, sum(v)::BIGINT AS v,
+              sum(CASE WHEN idx % 2 = 0 THEN v ELSE -v END)::BIGINT AS d
+       FROM s3 GROUP BY idx // 2),
+s5 AS (SELECT idx // 2 AS idx, sum(v)::BIGINT AS v,
+              sum(CASE WHEN idx % 2 = 0 THEN v ELSE -v END)::BIGINT AS d
+       FROM s4 GROUP BY idx // 2),
+coeffs AS (
+  SELECT 1 AS level, idx, d FROM s1 UNION ALL
+  SELECT 2, idx, d FROM s2 UNION ALL
+  SELECT 3, idx, d FROM s3 UNION ALL
+  SELECT 4, idx, d FROM s4 UNION ALL
+  SELECT 5, idx, d FROM s5
+), kept AS (
+  SELECT level, idx, d FROM (
+    SELECT level, idx, d,
+           row_number() OVER (ORDER BY abs(d) DESC, level, idx) AS rn
+    FROM coeffs) t
+  WHERE rn <= {WAVELET_TOP_B}
+), approx AS (SELECT v FROM s5)
+SELECT g.idx::BIGINT AS idx,
+       (32 * s0.v - ((SELECT v FROM approx) + {sign}))::BIGINT AS err32
+FROM grid g
+JOIN s0 ON s0.idx = g.idx
+{joins}
+"""
+
+
+MARKOV_TARGET = "purchase"
+
+
+def q_markov_hitting_truncated(sf_dir: str):
+    """TRUNCATED HITTING PROBABILITY of the event-type chain — for each
+    state, P(reach 'purchase' within K=20 steps), the absorbing-chain
+    companion of ``markov_stationary`` (conversion probability under
+    the behavioral model): p_0(s) = [s = target];
+    p_(k+1)(s) = 1 if s = target else sum_t P(s, t) p_k(t) — the
+    target absorbs, dangling states contribute 0 (pagerank contract).
+    Same one-exchange transition counts, same O(types) driver
+    iteration, same round-6dp float contract; the oracle unrolls the
+    20 steps as chained CTEs in identical op order."""
+    states, mat = _event_transition_matrix(sf_dir)
+    k = len(states)
+    tgt = states.index(MARKOV_TARGET)
+    p = np.zeros(k, np.float64)
+    p[tgt] = 1.0
+    for _ in range(MARKOV_ITERS):
+        nxt = mat @ p
+        nxt[tgt] = 1.0
+        p = nxt
+    return pd.DataFrame({"event_type": states, "p_hit": np.round(p, 6)})
+
+
+def _markov_hitting_sql() -> str:
+    iter_ctes = []
+    prev = "p0"
+    for i in range(1, MARKOV_ITERS + 1):
+        iter_ctes.append(f"""
+p{i} AS (
+  SELECT s.et AS et,
+         CASE WHEN s.et = '{MARKOV_TARGET}' THEN 1.0
+              ELSE coalesce(sum(tr.n / dg.g * p.p), 0) END AS p
+  FROM states s
+  LEFT JOIN tr ON tr.src = s.et
+  LEFT JOIN {prev} p ON p.et = tr.dst
+  LEFT JOIN dg ON dg.src = s.et
+  GROUP BY s.et
+)""")
+        prev = f"p{i}"
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+), tr AS (
+  SELECT event_type AS src, nxt AS dst, count(*)::DOUBLE AS n
+  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+), states AS (
+  SELECT src AS et FROM tr UNION SELECT dst FROM tr
+), dg AS (
+  SELECT src, sum(n) AS g FROM tr GROUP BY 1
+), p0 AS (
+  SELECT et, CASE WHEN et = '{MARKOV_TARGET}' THEN 1.0 ELSE 0.0 END AS p
+  FROM states
+),
+{','.join(iter_ctes)}
+SELECT et AS event_type, round(p, 6) AS p_hit FROM {prev}
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -19754,4 +19941,8 @@ def catalog():
                                 SQL_INTERVAL_SCHEDULING),
         "l_diversity_audit": (q_l_diversity_audit, SQL_L_DIVERSITY_AUDIT),
         "lis_length": (q_lis_length, SQL_LIS_LENGTH),
+        "wavelet_synopsis_audit": (q_wavelet_synopsis_audit,
+                                   _wavelet_synopsis_sql()),
+        "markov_hitting_truncated": (q_markov_hitting_truncated,
+                                     _markov_hitting_sql()),
     }

@@ -341,6 +341,31 @@ class TestPatienceLis:
         assert self._patience([9, 5, 3, 1]) == 1
 
 
+class TestWaveletClosedFormReconstruction:
+    def test_full_coefficient_set_reconstructs_exactly(self):
+        """The closed form the synopsis audit evaluates — slot x32 =
+        approx + sum_l sign_l(i) * d_l[i >> l] * 2^(5-l) — must be the
+        TRUE Haar inverse: with ALL coefficients kept the error is
+        identically zero (parity with the oracle alone cannot prove
+        this, since both sides share the formula)."""
+        rng = np.random.default_rng(23)
+        for _ in range(20):
+            y = rng.integers(0, 500, size=32).astype(np.int64)
+            details = {}
+            cur = y.copy()
+            for lvl in range(1, 6):
+                details[lvl] = cur[0::2] - cur[1::2]
+                cur = cur[0::2] + cur[1::2]
+            approx = int(cur[0])
+            idx = np.arange(32)
+            rec32 = np.full(32, approx, np.int64)
+            for lvl in range(1, 6):
+                d = details[lvl][idx >> lvl]
+                sign = 1 - 2 * ((idx >> (lvl - 1)) & 1)
+                rec32 += sign * d * (1 << (5 - lvl))
+            assert (rec32 == 32 * y).all()
+
+
 class TestHaarReconstruction:
     def test_inverse_reproduces_series(self):
         """Unnormalized Haar: y[2i] = (s+d)/2, y[2i+1] = (s-d)/2 — the
