@@ -310,6 +310,9 @@ BENCH_QUERIES = [
     "lis_length",
     "wavelet_synopsis_audit",
     "markov_hitting_truncated",
+    "skyline_3d",
+    "lru_cache_audit",
+    "belady_cache_audit",
 ]
 
 

@@ -19591,6 +19591,268 @@ SELECT et AS event_type, round(p, 6) AS p_hit FROM {prev}
 """
 
 
+def q_skyline_3d(sf_dir: str):
+    """3-D SKYLINE over parts — minimize price, maximize size, maximize
+    name length (a synthetic third objective, documented as such):
+    where the 2-D family's joint-CDF trick dies, the
+    local-skyline-union identity still holds in ANY dimension
+    (dominated-in-batch => dominated-globally, and a global skyline
+    point survives its own batch), so each batch emits its local
+    frontier via a vectorized O(batch^2) dominance matrix and the
+    driver re-runs the identical kernel on the bounded candidate
+    union. Duplicates on the frontier both survive (dominance needs
+    one strict inequality), matching NOT EXISTS. The 3-D funnel bound
+    is weaker than 2-D's (frontier <= distinct (size, namelen) pairs
+    x batches) — the documented trade of dimensionality."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice",
+                                "p_name"])
+
+    def _skyline(key, c, s, nl):
+        # dominated[j] = exists i: better-or-equal on all, strict on one
+        le = c[:, None] <= c[None, :]
+        ge_s = s[:, None] >= s[None, :]
+        ge_l = nl[:, None] >= nl[None, :]
+        strict = ((c[:, None] < c[None, :]) | (s[:, None] > s[None, :])
+                  | (nl[:, None] > nl[None, :]))
+        dom = (le & ge_s & ge_l & strict).any(axis=0)
+        keep = ~dom
+        return key[keep], c[keep], s[keep], nl[keep]
+
+    def local(t: pa.Table) -> pa.Table:
+        key = t["p_partkey"].to_numpy(zero_copy_only=False)
+        c = _cents(t["p_retailprice"]).to_numpy(zero_copy_only=False)
+        s = t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nl = np.array([len(x) for x in t["p_name"].to_pylist()], np.int64)
+        key, c, s, nl = _skyline(key, c, s, nl)
+        return pa.table({"p_partkey": pa.array(key, pa.int64()),
+                         "price_cents": pa.array(c, pa.int64()),
+                         "size": pa.array(s, pa.int64()),
+                         "name_len": pa.array(nl, pa.int64())})
+
+    # batch_size caps the O(batch^2) dominance matrix (~4 MB of bools)
+    cand = ds.map_batches(local, batch_format="pyarrow",
+                          batch_size=2048).to_pandas()
+    key, c, s, nl = _skyline(cand["p_partkey"].to_numpy(),
+                             cand["price_cents"].to_numpy(),
+                             cand["size"].to_numpy(),
+                             cand["name_len"].to_numpy())
+    return pd.DataFrame({"p_partkey": key, "price_cents": c,
+                         "size": s, "name_len": nl})
+
+
+SQL_SKYLINE_3D = """
+WITH p AS (
+  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS c,
+         p_size::BIGINT AS s, length(p_name)::BIGINT AS nl
+  FROM part
+)
+SELECT a.p_partkey, a.c AS price_cents, a.s AS size, a.nl AS name_len
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.c <= a.c AND b.s >= a.s AND b.nl >= a.nl
+    AND (b.c < a.c OR b.s > a.s OR b.nl > a.nl))
+"""
+
+
+CACHE_INF = 1_000_000_000
+
+
+def _cache_sim_prep(sf_dir: str):
+    """Shared prep for the capacity-2 cache-replacement audits: events
+    as (u, i, et, nu) with i the per-user position (ts, event_id) and
+    nu the position of the NEXT occurrence of the same type (CACHE_INF
+    if none) — the self-next-use a Belady simulation can carry in its
+    state (a cached type's next use stays valid until its next hit,
+    when it refreshes; so no lookahead table is ever consulted
+    mid-stream)."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"u": t["user_id"],
+                         "ts": t["ts"].cast(pa.int64()),
+                         "eid": t["event_id"],
+                         "et": t["event_type"]})
+
+    return ev.map_batches(prep, batch_format="pyarrow"), bucketed_reduce
+
+
+def _cache_bucket_tables(t: pa.Table):
+    """Sorted per-user (et codes, next-use) arrays + group bounds."""
+    u = t["u"].to_numpy(zero_copy_only=False)
+    ts = t["ts"].to_numpy(zero_copy_only=False)
+    eid = t["eid"].to_numpy(zero_copy_only=False)
+    et = np.asarray(t["et"].to_pylist(), dtype=object)
+    order = np.lexsort((eid, ts, u))
+    u, et = u[order], et[order]
+    n = len(u)
+    starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    ends = np.r_[starts[1:], n]
+    # next occurrence of the same (user, type): reversed last-seen scan
+    nu = np.full(n, CACHE_INF, np.int64)
+    last: dict = {}
+    for j in range(n - 1, -1, -1):
+        k = (u[j], et[j])
+        if k in last:
+            nu[j] = last[k] - 0            # absolute position
+        last[k] = j
+    return u, et, nu, starts, ends
+
+
+_CACHE_PREP_SCHEMA = pa.schema([("u", pa.int64()), ("ts", pa.int64()),
+                                ("eid", pa.int64()), ("et", pa.string())])
+
+
+def q_lru_cache_audit(sf_dir: str):
+    """LRU CACHE SIMULATION (capacity 2) over each user's event-type
+    stream — per-user hit counts of the classic online policy, the
+    baseline half of the LRU-vs-Belady pair. One exchange by user;
+    the simulation is inherently sequential per user (bounded by
+    events-per-user, the documented partitioning assumption), users
+    parallel across buckets. The oracle replays the identical
+    automaton as a position-joined recursive CTE (state = the MRU
+    ordered pair)."""
+    ev, bucketed_reduce = _cache_sim_prep(sf_dir)
+
+    def lru_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.nulls(0, pa.int64()),
+                          "hits": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u, et, _nu, starts, ends = _cache_bucket_tables(t)
+        out_u = u[starts]
+        out_h = np.empty(len(starts), np.int64)
+        for gi in range(len(starts)):
+            a = b = None
+            hits = 0
+            for j in range(starts[gi], ends[gi]):
+                x = et[j]
+                if x == a:
+                    hits += 1
+                elif x == b:
+                    hits += 1
+                    a, b = x, a
+                else:
+                    a, b = x, a            # evict LRU (old b)
+            out_h[gi] = hits
+        return pa.table({"user_id": pa.array(out_u, pa.int64()),
+                         "hits": pa.array(out_h, pa.int64())})
+
+    return bucketed_reduce(ev, "u", lru_fn, n_buckets=32,
+                           schema=_CACHE_PREP_SCHEMA)
+
+
+SQL_LRU_CACHE_AUDIT = """
+WITH RECURSIVE seq AS (
+  SELECT user_id AS u, event_type AS et,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS i
+  FROM events
+), rec(u, i, a, b, hits) AS (
+  SELECT u, i, et, '', 0 FROM seq WHERE i = 1
+  UNION ALL
+  SELECT s.u, s.i, s.et,
+         CASE WHEN s.et = r.a THEN r.b
+              WHEN s.et = r.b THEN r.a
+              ELSE r.a END,
+         r.hits + CASE WHEN s.et IN (r.a, r.b) THEN 1 ELSE 0 END
+  FROM rec r JOIN seq s ON s.u = r.u AND s.i = r.i + 1
+), last AS (
+  SELECT u, hits, row_number() OVER (PARTITION BY u ORDER BY i DESC) AS rn
+  FROM rec
+)
+SELECT u AS user_id, hits::BIGINT AS hits FROM last WHERE rn = 1
+"""
+
+
+def q_belady_cache_audit(sf_dir: str):
+    """BELADY (offline-optimal MIN) CACHE SIMULATION, capacity 2 — the
+    clairvoyant upper bound on any cache policy's hit count, per user:
+    on a miss with a full cache, evict the resident whose NEXT USE is
+    furthest away (ties — both never used again — evict the non-MRU
+    slot, stated identically in both engines). The next-use values
+    ride IN THE STATE (each type's self-next-use is precomputed once
+    per position by a reversed scan / a lead() window; a cached
+    type's carried value stays correct until its next hit refreshes
+    it — so neither engine consults a lookahead table mid-stream).
+    Same exchange, same bounded sequential-per-user contract as the
+    LRU baseline; hits(Belady) >= hits(LRU) per user by optimality,
+    asserted in tests."""
+    ev, bucketed_reduce = _cache_sim_prep(sf_dir)
+
+    def belady_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.nulls(0, pa.int64()),
+                          "hits": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u, et, nu, starts, ends = _cache_bucket_tables(t)
+        out_u = u[starts]
+        out_h = np.empty(len(starts), np.int64)
+        for gi in range(len(starts)):
+            a = b = None
+            na = nb = 0
+            hits = 0
+            for j in range(starts[gi], ends[gi]):
+                x, nx = et[j], int(nu[j])
+                if x == a:
+                    hits += 1
+                    na = nx
+                elif x == b:
+                    hits += 1
+                    a, b, na, nb = x, a, nx, na
+                elif b is None:
+                    a, b, na, nb = x, a, nx, na
+                elif na > nb:
+                    a, na = x, nx          # evict a (further next use)
+                else:
+                    a, b, na, nb = x, a, nx, na   # evict b (ties too)
+            out_h[gi] = hits
+        return pa.table({"user_id": pa.array(out_u, pa.int64()),
+                         "hits": pa.array(out_h, pa.int64())})
+
+    return bucketed_reduce(ev, "u", belady_fn, n_buckets=32,
+                           schema=_CACHE_PREP_SCHEMA)
+
+
+SQL_BELADY_CACHE_AUDIT = f"""
+WITH RECURSIVE seq0 AS (
+  SELECT user_id AS u, event_type AS et,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS i
+  FROM events
+), seq AS (
+  SELECT u, et, i,
+         coalesce(lead(i) OVER (PARTITION BY u, et ORDER BY i),
+                  {CACHE_INF}) AS nu
+  FROM seq0
+), rec(u, i, a, na, b, nb, hits) AS (
+  SELECT u, i, et, nu, '', 0::BIGINT, 0 FROM seq WHERE i = 1
+  UNION ALL
+  SELECT s.u, s.i,
+         s.et, s.nu,
+         CASE WHEN s.et = r.a THEN r.b
+              WHEN s.et = r.b THEN r.a
+              WHEN r.b = '' THEN r.a
+              WHEN r.na > r.nb THEN r.b
+              ELSE r.a END,
+         CASE WHEN s.et = r.a THEN r.nb
+              WHEN s.et = r.b THEN r.na
+              WHEN r.b = '' THEN r.na
+              WHEN r.na > r.nb THEN r.nb
+              ELSE r.na END,
+         r.hits + CASE WHEN s.et IN (r.a, r.b) THEN 1 ELSE 0 END
+  FROM rec r JOIN seq s ON s.u = r.u AND s.i = r.i + 1
+), last AS (
+  SELECT u, hits, row_number() OVER (PARTITION BY u ORDER BY i DESC) AS rn
+  FROM rec
+)
+SELECT u AS user_id, hits::BIGINT AS hits FROM last WHERE rn = 1
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -19945,4 +20207,8 @@ def catalog():
                                    _wavelet_synopsis_sql()),
         "markov_hitting_truncated": (q_markov_hitting_truncated,
                                      _markov_hitting_sql()),
+        "skyline_3d": (q_skyline_3d, SQL_SKYLINE_3D),
+        "lru_cache_audit": (q_lru_cache_audit, SQL_LRU_CACHE_AUDIT),
+        "belady_cache_audit": (q_belady_cache_audit,
+                               SQL_BELADY_CACHE_AUDIT),
     }

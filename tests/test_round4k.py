@@ -366,6 +366,119 @@ class TestWaveletClosedFormReconstruction:
             assert (rec32 == 32 * y).all()
 
 
+class TestCachePolicies:
+    """LRU and Belady capacity-2 automata against literal references,
+    plus the optimality ordering Belady >= LRU on random streams."""
+
+    @staticmethod
+    def _lru(seq):
+        cache, hits = [], 0          # cache[0] = MRU
+        for x in seq:
+            if x in cache:
+                hits += 1
+                cache.remove(x)
+            cache.insert(0, x)
+            del cache[2:]
+        return hits
+
+    @staticmethod
+    def _belady(seq):
+        n = len(seq)
+        nxt = [10**9] * n
+        last = {}
+        for j in range(n - 1, -1, -1):
+            if seq[j] in last:
+                nxt[j] = last[seq[j]]
+            last[seq[j]] = j
+        # the query kernel's exact automaton
+        a = b = None
+        na = nb = 0
+        hits = 0
+        for j, x in enumerate(seq):
+            nx = nxt[j]
+            if x == a:
+                hits += 1
+                na = nx
+            elif x == b:
+                hits += 1
+                a, b, na, nb = x, a, nx, na
+            elif b is None:
+                a, b, na, nb = x, a, nx, na
+            elif na > nb:
+                a, na = x, nx
+            else:
+                a, b, na, nb = x, a, nx, na
+        return hits
+
+    @staticmethod
+    def _optimal_brute(seq):
+        """True offline optimum by exhaustive eviction search."""
+        from functools import lru_cache
+
+        @lru_cache(maxsize=None)
+        def go(i, cache):
+            if i == len(seq):
+                return 0
+            x = seq[i]
+            cs = set(cache)
+            if x in cs:
+                return 1 + go(i + 1, cache)
+            if len(cs) < 2:
+                return go(i + 1, tuple(sorted(cs | {x})))
+            best = 0
+            for evict in cs:
+                nc = tuple(sorted((cs - {evict}) | {x}))
+                best = max(best, go(i + 1, nc))
+            return best
+        return go(0, ())
+
+    def test_belady_equals_true_optimum(self):
+        rng = np.random.default_rng(5)
+        for _ in range(40):
+            seq = [chr(97 + c) for c in
+                   rng.integers(0, 4, size=int(rng.integers(1, 14)))]
+            assert self._belady(seq) == self._optimal_brute(tuple(seq))
+
+    def test_belady_dominates_lru(self):
+        rng = np.random.default_rng(9)
+        for _ in range(60):
+            seq = [chr(97 + c) for c in
+                   rng.integers(0, 5, size=int(rng.integers(1, 40)))]
+            assert self._belady(seq) >= self._lru(seq)
+
+    def test_lru_classic_thrash(self):
+        # the canonical LRU-pathological loop a,b,c,a,b,c,... cap 2
+        assert self._lru(list("abcabcabc")) == 0
+        assert self._belady(list("abcabcabc")) >= 3
+
+
+class TestSkyline3d:
+    def test_local_union_identity(self):
+        """Global 3-D skyline == skyline of the union of block-local
+        skylines, for random splits — the partitioning identity the
+        query relies on."""
+        rng = np.random.default_rng(13)
+
+        def brute(rows):
+            out = []
+            for i, (c, s, l_) in enumerate(rows):
+                dom = any((c2 <= c and s2 >= s and l2 >= l_)
+                          and (c2 < c or s2 > s or l2 > l_)
+                          for j, (c2, s2, l2) in enumerate(rows) if j != i)
+                # a duplicate row never dominates its twin (no strict)
+                if not dom:
+                    out.append((c, s, l_))
+            return sorted(out)
+
+        for _ in range(20):
+            n = int(rng.integers(4, 40))
+            rows = [tuple(int(v) for v in rng.integers(0, 6, size=3))
+                    for _ in range(n)]
+            cut = n // 2
+            local = brute(rows[:cut]) + brute(rows[cut:])
+            assert brute(local) == brute(rows)
+
+
 class TestHaarReconstruction:
     def test_inverse_reproduces_series(self):
         """Unnormalized Haar: y[2i] = (s+d)/2, y[2i+1] = (s-d)/2 — the
