@@ -313,6 +313,8 @@ BENCH_QUERIES = [
     "skyline_3d",
     "lru_cache_audit",
     "belady_cache_audit",
+    "t_closeness_audit",
+    "sax_symbols",
 ]
 
 

@@ -19853,6 +19853,173 @@ SELECT u AS user_id, hits::BIGINT AS hits FROM last WHERE rn = 1
 """
 
 
+def q_t_closeness_audit(sf_dir: str):
+    """T-CLOSENESS audit — the third leg of the privacy trio
+    (k-anonymity: class size; l-diversity: distinct sensitive values;
+    t-closeness: the class's sensitive DISTRIBUTION must stay close to
+    the global one). Distance = the 1-D Earth Mover's Distance over
+    the ordered $1000 acctbal brackets, which collapses to
+    sum_b |CDF_class(b) - CDF_global(b)| — published as an EXACT
+    reduced rational per (nation, segment) class: both CDFs are
+    integer counts over denominators (n_class, n_total), so each term
+    cross-multiplies inside int64 and the sum has denominator
+    n_class * n_total. Plan: one bounded exchange of (class, bracket)
+    count partials (the QI x bracket domain); the global distribution
+    is the class-sum (computed from the SAME partials, no second
+    scan); per-class EMD is a vectorized scan over O(brackets)."""
+    from fractions import Fraction
+
+    from .pipelines.relational import bucketed_reduce
+
+    cust = _read(sf_dir, "customer",
+                 ["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t["c_acctbal"])
+        br = pc.divide(cents, 100_000).cast(pa.int64())
+        g = (pa.table({"nat": t["c_nationkey"].cast(pa.int64()),
+                       "seg": t["c_mktsegment"], "br": br})
+             .group_by(["nat", "seg", "br"])
+             .aggregate([("br", "count")]))
+        return pa.table({"nat": g["nat"], "seg": g["seg"], "br": g["br"],
+                         "n": g["br_count"].cast(pa.int64())})
+
+    parts = (cust.map_batches(partial, batch_format="pyarrow")
+             .to_pandas()                    # O(blocks x QI x brackets)
+             .groupby(["nat", "seg", "br"], as_index=False)["n"].sum())
+    total = int(parts["n"].sum())
+    brackets = np.sort(parts["br"].unique())
+    glob = (parts.groupby("br")["n"].sum()
+            .reindex(brackets, fill_value=0).to_numpy(dtype=np.int64))
+    glob_cdf = np.cumsum(glob)
+
+    rows = []
+    for (nat, seg), g in parts.groupby(["nat", "seg"]):
+        cls = (g.set_index("br")["n"]
+               .reindex(brackets, fill_value=0).to_numpy(dtype=np.int64))
+        n_cls = int(cls.sum())
+        cls_cdf = np.cumsum(cls)
+        # sum_b |cls_cdf/n_cls - glob_cdf/total|: exact over common
+        # denominator n_cls * total
+        num = int(np.abs(cls_cdf * total - glob_cdf * n_cls).sum())
+        f = Fraction(num, n_cls * total)
+        rows.append((int(nat), seg, f.numerator, f.denominator))
+    out = pd.DataFrame(rows, columns=["nat", "seg", "emd_num", "emd_den"])
+    return out.astype({"nat": "int64", "emd_num": "int64",
+                       "emd_den": "int64"})
+
+
+SQL_T_CLOSENESS_AUDIT = """
+WITH c AS (
+  SELECT c_nationkey::BIGINT AS nat, c_mktsegment AS seg,
+         CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS br
+  FROM customer
+), cls AS (
+  SELECT nat, seg, br, count(*)::BIGINT AS n FROM c GROUP BY 1, 2, 3
+), brackets AS (SELECT DISTINCT br FROM c),
+classes AS (
+  SELECT nat, seg, sum(n)::BIGINT AS n_cls FROM cls GROUP BY 1, 2
+), grid AS (
+  SELECT cl.nat, cl.seg, cl.n_cls, b.br, coalesce(x.n, 0)::BIGINT AS n
+  FROM classes cl CROSS JOIN brackets b
+  LEFT JOIN cls x ON x.nat = cl.nat AND x.seg = cl.seg AND x.br = b.br
+), gl AS (
+  SELECT br, sum(n)::BIGINT AS gn FROM cls GROUP BY 1
+), cdf AS (
+  SELECT g.nat, g.seg, g.n_cls, g.br,
+         sum(g.n) OVER (PARTITION BY g.nat, g.seg
+                        ORDER BY g.br)::BIGINT AS ccdf,
+         (SELECT sum(gn) FROM gl g2 WHERE g2.br <= g.br)::BIGINT AS gcdf,
+         (SELECT sum(gn) FROM gl)::BIGINT AS total
+  FROM grid g
+), emd AS (
+  SELECT nat, seg,
+         sum(abs(ccdf * total - gcdf * n_cls))::BIGINT AS num,
+         (any_value(n_cls) * any_value(total))::BIGINT AS den
+  FROM cdf GROUP BY 1, 2
+)
+SELECT nat, seg,
+       (num / gcd(num, den))::BIGINT AS emd_num,
+       (den / gcd(num, den))::BIGINT AS emd_den
+FROM emd
+"""
+
+
+SAX_SEGMENTS = 8
+
+
+def q_sax_symbols(sf_dir: str):
+    """SAX SYMBOLIZATION of the daily event-count series (Lin/Keogh
+    2003 — the discretization behind time-series indexing): PAA first
+    (32 zero-padded days -> 8 segments of 4, each an exact rational
+    mean num/4), then each segment discretizes against the series' own
+    QUARTILE breakpoints (order statistics of the 32 daily counts —
+    exact integers, unlike the classic Gaussian breakpoints, which
+    are irrational and would break the hash gate). Symbol = # of
+    breakpoints strictly below the segment mean, compared by
+    cross-multiplication (num vs 4 * Q), so knife-edge means cannot
+    misround. Same bounded calendar fold as the wavelet family."""
+    US_DAY = 86_400_000_000
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["ts"].cast(pa.int64()), US_DAY).cast(pa.int64())
+        g = (pa.table({"day": day}).group_by(["day"])
+             .aggregate([("day", "count")]))
+        return pa.table({"day": g["day"],
+                         "y": g["day_count"].cast(pa.int64())})
+
+    parts = ev.map_batches(day_partial, batch_format="pyarrow").to_pandas()
+    daily = parts.groupby("day")["y"].sum().sort_index()
+    base = int(daily.index.min())
+    y = np.zeros(HAAR_N, np.int64)
+    y[daily.index.to_numpy(dtype=np.int64) - base] = daily.to_numpy()
+
+    ys = np.sort(y)
+    # lower-quartile order statistics: ranks 8, 16, 24 of 32 (1-based)
+    qs = ys[[HAAR_N // 4 - 1, HAAR_N // 2 - 1, 3 * HAAR_N // 4 - 1]]
+    seg_len = HAAR_N // SAX_SEGMENTS
+    num = y.reshape(SAX_SEGMENTS, seg_len).sum(axis=1)  # mean = num/4
+    sym = (num[:, None] > seg_len * qs[None, :]).sum(axis=1)
+    return pd.DataFrame({"segment": np.arange(SAX_SEGMENTS, dtype=np.int64),
+                         "paa_num": num.astype(np.int64),
+                         "symbol": sym.astype(np.int64)})
+
+
+def _sax_sql() -> str:
+    n, k = HAAR_N, SAX_SEGMENTS
+    seg_len = n // k
+    return f"""
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*)::BIGINT AS y
+  FROM events GROUP BY 1
+), grid AS (
+  SELECT r AS idx FROM range({n}) t(r)
+), s0 AS (
+  SELECT grid.idx, coalesce(d.y, 0)::BIGINT AS v
+  FROM grid LEFT JOIN daily d
+    ON d.day = grid.idx + (SELECT min(day) FROM daily)
+), ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v) AS rk FROM s0
+), qs AS (
+  SELECT max(CASE WHEN rk = {n // 4} THEN v END) AS q1,
+         max(CASE WHEN rk = {n // 2} THEN v END) AS q2,
+         max(CASE WHEN rk = {3 * n // 4} THEN v END) AS q3
+  FROM ranked
+), seg AS (
+  SELECT idx // {seg_len} AS segment, sum(v)::BIGINT AS paa_num
+  FROM s0 GROUP BY idx // {seg_len}
+)
+SELECT s.segment::BIGINT AS segment, s.paa_num,
+       ((CASE WHEN s.paa_num > {seg_len} * q.q1 THEN 1 ELSE 0 END)
+        + (CASE WHEN s.paa_num > {seg_len} * q.q2 THEN 1 ELSE 0 END)
+        + (CASE WHEN s.paa_num > {seg_len} * q.q3 THEN 1 ELSE 0 END)
+       )::BIGINT AS symbol
+FROM seg s, qs q
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -20211,4 +20378,6 @@ def catalog():
         "lru_cache_audit": (q_lru_cache_audit, SQL_LRU_CACHE_AUDIT),
         "belady_cache_audit": (q_belady_cache_audit,
                                SQL_BELADY_CACHE_AUDIT),
+        "t_closeness_audit": (q_t_closeness_audit, SQL_T_CLOSENESS_AUDIT),
+        "sax_symbols": (q_sax_symbols, _sax_sql()),
     }

@@ -479,6 +479,35 @@ class TestSkyline3d:
             assert brute(local) == brute(rows)
 
 
+class TestEmd1d:
+    """The |CDF diff| closed form the t-closeness audit uses IS the 1-D
+    EMD: hand-checked mass moves on tiny histograms."""
+
+    @staticmethod
+    def _emd(cls, glob):
+        from fractions import Fraction
+        n_c, n_g = sum(cls), sum(glob)
+        cc = gc = 0
+        num = 0
+        for c, g in zip(cls, glob):
+            cc += c
+            gc += g
+            num += abs(cc * n_g - gc * n_c)
+        return Fraction(num, n_c * n_g)
+
+    def test_identical_distribution_is_zero(self):
+        assert self._emd([3, 1, 4], [6, 2, 8]) == 0   # same shape, 2x mass
+
+    def test_one_bracket_shift_costs_its_mass(self):
+        # all mass one bracket apart: EMD = 1 bracket (normalized mass 1)
+        assert self._emd([1, 0], [0, 1]) == 1
+
+    def test_hand_example(self):
+        # cls = [1,1]/2 vs glob = [3,1]/4: |1/2-3/4| + |1-1| = 1/4
+        from fractions import Fraction
+        assert self._emd([1, 1], [3, 1]) == Fraction(1, 4)
+
+
 class TestHaarReconstruction:
     def test_inverse_reproduces_series(self):
         """Unnormalized Haar: y[2i] = (s+d)/2, y[2i+1] = (s-d)/2 — the
