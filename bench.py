@@ -315,6 +315,8 @@ BENCH_QUERIES = [
     "belady_cache_audit",
     "t_closeness_audit",
     "sax_symbols",
+    "cdc_chunks",
+    "cdc_dedup_ratio",
 ]
 
 

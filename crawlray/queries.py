@@ -20020,6 +20020,159 @@ FROM seg s, qs q
 """
 
 
+CDC_WINDOW = 16
+CDC_PRIME = 1099511628211            # FNV prime, odd -> full-period mod 2^64
+CDC_MASK = 64                        # boundary when h % 64 == 0 (~64-char chunks)
+_CDC_POWERS = [pow(CDC_PRIME, m, 1 << 64) for m in range(CDC_WINDOW)]
+
+
+def _cdc_cuts(text: str) -> np.ndarray:
+    """1-based cut positions (chunk ends) of content-defined chunking:
+    polynomial rolling hash over a 16-char window (code points, wrapped
+    uint64), boundary where h % 64 == 0, plus the final position. The
+    window dot-product runs as 16 shifted vector multiply-adds — a
+    Python loop over WINDOW OFFSETS, never characters."""
+    n = len(text)
+    if n == 0:
+        return np.empty(0, np.int64)
+    if n < CDC_WINDOW:
+        return np.array([n], np.int64)
+    c = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32) \
+        .astype(np.uint64)
+    m = n - CDC_WINDOW + 1               # windows; end positions 16..n
+    h = np.zeros(m, np.uint64)
+    with np.errstate(over="ignore"):
+        for k in range(CDC_WINDOW):
+            h += c[k:k + m] * np.uint64(_CDC_POWERS[CDC_WINDOW - 1 - k])
+    ends = np.flatnonzero(h % np.uint64(CDC_MASK) == 0) + CDC_WINDOW
+    if len(ends) == 0 or ends[-1] != n:
+        ends = np.r_[ends, n]
+    return ends.astype(np.int64)
+
+
+def q_cdc_chunks(sf_dir: str):
+    """CONTENT-DEFINED CHUNKING (Rabin-style rolling hash — the
+    LBFS/storage-dedup classic): split every document where a 16-char
+    polynomial rolling hash hits h % 64 == 0, so chunk boundaries
+    follow CONTENT, not offsets — an insertion early in a doc shifts
+    every fixed-size block but leaves all later CDC chunks identical
+    (the property that makes dedup storage work; asserted in tests).
+    Output per doc: chunk count and longest chunk. Fully vectorized
+    per batch (the window dot is 16 shifted multiply-adds in wrapped
+    uint64); the oracle restates the same hash as a 16-term
+    sum-of-unicode() polynomial mod 2^64 per position."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunk_stats(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_n, out_mx = [], []
+        for txt in t["text"].to_pylist():
+            cuts = _cdc_cuts(txt or "")
+            lens = np.diff(np.r_[0, cuts])
+            out_n.append(len(cuts))
+            out_mx.append(int(lens.max()) if len(lens) else 0)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_chunks": pa.array(out_n, pa.int64()),
+                         "longest_chunk": pa.array(out_mx, pa.int64())})
+
+    return docs.map_batches(chunk_stats, batch_format="pyarrow")
+
+
+def _cdc_chunks_ctes() -> str:
+    # engine pairs char (i-15+k) with P^(15-k); substituting k' = 15-k,
+    # char (i-k') pairs with P^(k')
+    terms = " + ".join(
+        f"unicode(substr(text, (i - {k})::INT, 1))::HUGEINT"
+        f" * {_CDC_POWERS[k]}::HUGEINT"
+        for k in range(CDC_WINDOW))
+    return f"""
+pos AS (
+  SELECT doc_id, text,
+         unnest(range({CDC_WINDOW}, length(text) + 1)) AS i
+  FROM documents
+), hashed AS (
+  SELECT doc_id, i,
+         ({terms}) % 18446744073709551616::HUGEINT AS h
+  FROM pos
+), bnd AS (
+  SELECT doc_id, i::BIGINT AS i FROM hashed WHERE h % {CDC_MASK} = 0
+  UNION
+  SELECT doc_id, length(text)::BIGINT FROM documents
+  WHERE length(text) > 0
+), cuts AS (
+  SELECT doc_id, i,
+         lag(i, 1, 0) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM bnd
+), chunks AS (
+  SELECT c.doc_id, c.i AS cid, (c.i - c.prev)::BIGINT AS clen,
+         substr(d.text, (c.prev + 1)::INT, (c.i - c.prev)::INT) AS chunk
+  FROM cuts c JOIN documents d USING (doc_id)
+)"""
+
+
+def _cdc_chunks_sql() -> str:
+    return f"""
+WITH {_cdc_chunks_ctes()}
+SELECT doc_id, count(*)::BIGINT AS n_chunks,
+       max(clen)::BIGINT AS longest_chunk
+FROM chunks GROUP BY doc_id
+"""
+
+
+def q_cdc_dedup_ratio(sf_dir: str):
+    """STORAGE DEDUP RATIO under content-defined chunking — total vs
+    DISTINCT chunks across the whole corpus (what a dedup store would
+    actually hold): near-duplicate docs share every chunk outside the
+    edited region, so the ratio directly measures the redundancy CDC
+    recovers. Plan: per-batch chunk rows -> one exchange by chunk
+    content (hash-bucketed), per-bucket distinct partials, O(buckets)
+    rows folded on the driver. Chunk payloads cross the exchange once;
+    nothing row-shaped lands on the driver."""
+    from .pipelines.relational import bucketed_reduce
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunk_rows(t: pa.Table) -> pa.Table:
+        out = []
+        for txt in t["text"].to_pylist():
+            txt = txt or ""
+            cuts = _cdc_cuts(txt)
+            prev = 0
+            for c in cuts:
+                out.append(txt[prev:c])
+                prev = c
+        return pa.table({"chunk": pa.array(out, pa.string())})
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n_total": pa.nulls(0, pa.int64()),
+                             "n_distinct": pa.nulls(0, pa.int64())})
+        return pa.table({
+            "n_total": pa.array([t.num_rows], pa.int64()),
+            "n_distinct": pa.array(
+                [pc.count_distinct(t["chunk"]).as_py()], pa.int64()),
+        })
+
+    chunks = docs.map_batches(chunk_rows, batch_format="pyarrow")
+    parts = bucketed_reduce(
+        chunks, "chunk", distinct_partial, n_buckets=16,
+        schema=pa.schema([("chunk", pa.string())])).to_pandas()
+    return pa.table({
+        "n_total": pa.array([int(parts["n_total"].sum())], pa.int64()),
+        "n_distinct": pa.array([int(parts["n_distinct"].sum())],
+                               pa.int64()),
+    })
+
+
+def _cdc_dedup_sql() -> str:
+    return f"""
+WITH {_cdc_chunks_ctes()}
+SELECT count(*)::BIGINT AS n_total,
+       count(DISTINCT chunk)::BIGINT AS n_distinct
+FROM chunks
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -20380,4 +20533,6 @@ def catalog():
                                SQL_BELADY_CACHE_AUDIT),
         "t_closeness_audit": (q_t_closeness_audit, SQL_T_CLOSENESS_AUDIT),
         "sax_symbols": (q_sax_symbols, _sax_sql()),
+        "cdc_chunks": (q_cdc_chunks, _cdc_chunks_sql()),
+        "cdc_dedup_ratio": (q_cdc_dedup_ratio, _cdc_dedup_sql()),
     }

@@ -508,6 +508,50 @@ class TestEmd1d:
         assert self._emd([1, 1], [3, 1]) == Fraction(1, 4)
 
 
+class TestCdcShiftInvariance:
+    def test_insertion_preserves_later_chunks(self):
+        """The property that justifies CDC over fixed-size blocks: an
+        edit near the start shifts every fixed block, but all chunks
+        after the first post-edit boundary are IDENTICAL strings."""
+        from crawlray.queries import _cdc_cuts
+        rng = np.random.default_rng(31)
+        base = "".join(chr(97 + c) for c in rng.integers(0, 26, size=4000))
+        edited = "XYZQW" + base
+
+        def chunks(txt):
+            cuts = _cdc_cuts(txt)
+            prev, out = 0, []
+            for c in cuts:
+                out.append(txt[prev:c])
+                prev = int(c)
+            return out
+
+        a, b = chunks(base), chunks(edited)
+        # every chunk of the original except possibly the first few
+        # reappears verbatim in the edited doc's chunk set
+        shared = set(a) & set(b)
+        assert len(shared) >= len(a) - 2
+        # and the TAIL chunk sequences coincide exactly
+        k = min(len(a), len(b)) - 1
+        assert k >= 2
+        assert a[-k:] == b[-k:]
+
+    def test_short_doc_single_chunk(self):
+        from crawlray.queries import _cdc_cuts
+        assert _cdc_cuts("tiny").tolist() == [4]
+        assert _cdc_cuts("").tolist() == []
+
+    def test_cuts_partition_the_text(self):
+        from crawlray.queries import _cdc_cuts
+        rng = np.random.default_rng(37)
+        for _ in range(10):
+            txt = "".join(chr(97 + c) for c in
+                          rng.integers(0, 26, size=int(rng.integers(1, 600))))
+            cuts = _cdc_cuts(txt)
+            assert cuts[-1] == len(txt)
+            assert (np.diff(cuts) > 0).all()
+
+
 class TestHaarReconstruction:
     def test_inverse_reproduces_series(self):
         """Unnormalized Haar: y[2i] = (s+d)/2, y[2i+1] = (s-d)/2 — the
