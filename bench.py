@@ -317,6 +317,8 @@ BENCH_QUERIES = [
     "sax_symbols",
     "cdc_chunks",
     "cdc_dedup_ratio",
+    "mann_whitney_u",
+    "gorilla_dod_bits",
 ]
 
 

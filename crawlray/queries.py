@@ -20173,6 +20173,151 @@ FROM chunks
 """
 
 
+def q_mann_whitney_u(sf_dir: str):
+    """MANN-WHITNEY U (Wilcoxon rank-sum) between 'purchase' and
+    'view' event values — the standard nonparametric two-sample test,
+    published EXACTLY: 2U = 2 * #(purchase > view pairs) + #(ties), an
+    integer, so no midrank floats ever exist. The pair count never
+    enumerates pairs: both samples fold to cents-domain HISTOGRAM
+    partials (O(blocks x bins), the value domain is bounded), and
+    U = sum_v p[v] * (#views below v) + ties/2 is one vectorized
+    cumsum pass over the merged support — O(bins) driver work where
+    the textbook formula is O(n^2). The oracle IS the quadratic pair
+    join, feasible at gate scale — complements ``ks_statistic`` (CDF
+    sup-norm) with the rank-sum functional."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["event_type"],
+                     value_set=pa.array(["purchase", "view"]))
+        t = t.filter(m)
+        g = (pa.table({"et": t["event_type"], "c": _cents(t["value"])})
+             .group_by(["et", "c"]).aggregate([("c", "count")]))
+        return pa.table({"et": g["et"], "c": g["c"],
+                         "n": g["c_count"].cast(pa.int64())})
+
+    parts = (ev.map_batches(hist_partial, batch_format="pyarrow")
+             .to_pandas()
+             .groupby(["et", "c"], as_index=False)["n"].sum())
+    support = np.sort(parts["c"].unique())
+    p = (parts[parts["et"] == "purchase"].set_index("c")["n"]
+         .reindex(support, fill_value=0).to_numpy(dtype=np.int64))
+    v = (parts[parts["et"] == "view"].set_index("c")["n"]
+         .reindex(support, fill_value=0).to_numpy(dtype=np.int64))
+    v_below = np.r_[0, np.cumsum(v)[:-1]]
+    two_u = int(2 * (p * v_below).sum() + (p * v).sum())
+    return pd.DataFrame({
+        "n_purchase": np.array([p.sum()], np.int64),
+        "n_view": np.array([v.sum()], np.int64),
+        "two_u": np.array([two_u], np.int64),
+    })
+
+
+SQL_MANN_WHITNEY_U = """
+WITH s AS (
+  SELECT event_type AS et, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE event_type IN ('purchase', 'view')
+), pairs AS (
+  SELECT sum(CASE WHEN p.c > v.c THEN 2
+                  WHEN p.c = v.c THEN 1 ELSE 0 END)::BIGINT AS two_u
+  FROM (SELECT c FROM s WHERE et = 'purchase') p
+  CROSS JOIN (SELECT c FROM s WHERE et = 'view') v
+)
+SELECT (SELECT count(*) FROM s WHERE et = 'purchase')::BIGINT AS n_purchase,
+       (SELECT count(*) FROM s WHERE et = 'view')::BIGINT AS n_view,
+       two_u
+FROM pairs
+"""
+
+
+def q_gorilla_dod_bits(sf_dir: str):
+    """GORILLA-STYLE timestamp compression estimate (Facebook Gorilla,
+    VLDB'15) — per user, the exact bit cost of delta-of-delta encoding
+    the event-time stream in SECONDS: dod = 0 costs 1 bit, else the
+    header+payload ladder (7-bit payload -> 9 total, 9 -> 12, 12 -> 16,
+    else 36), the first event a 64-bit anchor and the second a 32-bit
+    raw delta. The time-series-DB answer to 'why sorted-by-time
+    layout matters', published as (user, n_events, total_bits). One
+    exchange by user; the dod classification is one vectorized
+    np.select per bucket. The oracle restates the ladder with two
+    lag() windows and the same CASE bands."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        # full-us ts is the ORDER key (matching the oracle's window);
+        # the encoded value is its seconds truncation
+        return pa.table({"u": t["user_id"],
+                         "ts": t["ts"].cast(pa.int64()),
+                         "eid": t["event_id"]})
+
+    def bits_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.nulls(0, pa.int64()),
+                          "n_events": pa.nulls(0, pa.int64()),
+                          "total_bits": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t["u"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        eid = t["eid"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, sec = u[order], ts[order] // 1_000_000
+        n = len(u)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        cnt = np.diff(np.r_[starts, n])
+        pos = np.arange(n) - np.repeat(starts, cnt)
+        delta = np.where(pos >= 1, sec - np.r_[0, sec[:-1]], 0)
+        dod = np.where(pos >= 2, delta - np.r_[0, delta[:-1]], 0)
+        a = np.abs(dod)
+        bits = np.select(
+            [pos == 0, pos == 1, dod == 0, a < (1 << 6), a < (1 << 8),
+             a < (1 << 11)],
+            [64, 32, 1, 9, 12, 16], default=36).astype(np.int64)
+        total = np.add.reduceat(bits, starts)
+        return pa.table({"user_id": pa.array(u[starts], pa.int64()),
+                         "n_events": pa.array(cnt, pa.int64()),
+                         "total_bits": pa.array(total, pa.int64())})
+
+    return bucketed_reduce(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "u", bits_fn, n_buckets=32,
+        schema=pa.schema([("u", pa.int64()), ("ts", pa.int64()),
+                          ("eid", pa.int64())]))
+
+
+SQL_GORILLA_DOD_BITS = """
+WITH seq AS (
+  SELECT user_id AS u,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         row_number() OVER w AS i,
+         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS prev_sec,
+         lag(CAST(floor(epoch(ts)) AS BIGINT), 2) OVER w AS prev2_sec
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), bits AS (
+  SELECT u,
+         CASE WHEN i = 1 THEN 64
+              WHEN i = 2 THEN 32
+              ELSE (
+                CASE WHEN (sec - prev_sec) - (prev_sec - prev2_sec) = 0
+                     THEN 1
+                     WHEN abs((sec - prev_sec) - (prev_sec - prev2_sec))
+                          < 64 THEN 9
+                     WHEN abs((sec - prev_sec) - (prev_sec - prev2_sec))
+                          < 256 THEN 12
+                     WHEN abs((sec - prev_sec) - (prev_sec - prev2_sec))
+                          < 2048 THEN 16
+                     ELSE 36 END)
+         END AS b
+  FROM seq
+)
+SELECT u AS user_id, count(*)::BIGINT AS n_events,
+       sum(b)::BIGINT AS total_bits
+FROM bits GROUP BY u
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -20535,4 +20680,6 @@ def catalog():
         "sax_symbols": (q_sax_symbols, _sax_sql()),
         "cdc_chunks": (q_cdc_chunks, _cdc_chunks_sql()),
         "cdc_dedup_ratio": (q_cdc_dedup_ratio, _cdc_dedup_sql()),
+        "mann_whitney_u": (q_mann_whitney_u, SQL_MANN_WHITNEY_U),
+        "gorilla_dod_bits": (q_gorilla_dod_bits, SQL_GORILLA_DOD_BITS),
     }
