@@ -319,6 +319,7 @@ BENCH_QUERIES = [
     "cdc_dedup_ratio",
     "mann_whitney_u",
     "gorilla_dod_bits",
+    "voptimal_histogram",
 ]
 
 

@@ -20318,6 +20318,121 @@ FROM bits GROUP BY u
 """
 
 
+VOPT_BUCKETS = 4
+
+
+def q_voptimal_histogram(sf_dir: str):
+    """V-OPTIMAL HISTOGRAM (Jagadish et al., VLDB'98) of the daily
+    event counts — the B=4 bucket boundaries minimizing total
+    within-bucket SSE, the construction every optimizer's histogram
+    chapter cites. Exactness: SSE(bucket) = ssq - S^2/n is a rational
+    with denominator n_b, the total has denominator n1*n2*n3*n4, and
+    the argmin compares candidates by CROSS-MULTIPLICATION (Python
+    big ints / HUGEINT — products clear int64), ties to the
+    lexicographically smallest boundary triple on BOTH engines. The
+    driver enumerates all C(29, 3) triples over exact Fractions from
+    the same O(blocks x days) count partials (production would run
+    the O(n^2 B) DP on the identical prefix arrays; enumeration makes
+    the tie-break contract explicit); the oracle enumerates the same
+    triples and decides the argmin with a NOT EXISTS
+    cross-multiplication. Output: boundaries (last day-index of
+    buckets 1-3) + total SSE as a reduced rational."""
+    from fractions import Fraction
+
+    US_DAY = 86_400_000_000
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["ts"].cast(pa.int64()), US_DAY).cast(pa.int64())
+        g = (pa.table({"day": day}).group_by(["day"])
+             .aggregate([("day", "count")]))
+        return pa.table({"day": g["day"],
+                         "y": g["day_count"].cast(pa.int64())})
+
+    parts = ev.map_batches(day_partial, batch_format="pyarrow").to_pandas()
+    daily = parts.groupby("day")["y"].sum().sort_index()
+    y = daily.to_numpy(dtype=np.int64)
+    n = len(y)
+    pre = np.concatenate([[0], np.cumsum(y)])
+    pre2 = np.concatenate([[0], np.cumsum(y * y)])
+
+    def sse(i, j):                       # bucket = days i..j (1-based, incl)
+        s = int(pre[j] - pre[i - 1])
+        q = int(pre2[j] - pre2[i - 1])
+        return Fraction(q) - Fraction(s * s, j - i + 1)
+
+    best = None
+    best_b = None
+    for b1 in range(1, n - 2):
+        for b2 in range(b1 + 1, n - 1):
+            for b3 in range(b2 + 1, n):
+                tot = (sse(1, b1) + sse(b1 + 1, b2)
+                       + sse(b2 + 1, b3) + sse(b3 + 1, n))
+                if best is None or tot < best:
+                    best, best_b = tot, (b1, b2, b3)
+    return pd.DataFrame({
+        "b1": np.array([best_b[0]], np.int64),
+        "b2": np.array([best_b[1]], np.int64),
+        "b3": np.array([best_b[2]], np.int64),
+        "sse_num": np.array([best.numerator], np.int64),
+        "sse_den": np.array([best.denominator], np.int64),
+    })
+
+
+SQL_VOPTIMAL_HISTOGRAM = """
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*)::BIGINT AS y
+  FROM events GROUP BY 1
+), d AS (
+  SELECT y, row_number() OVER (ORDER BY day) AS i FROM daily
+), p AS (
+  SELECT i, sum(y) OVER (ORDER BY i)::BIGINT AS pre,
+         sum(y * y) OVER (ORDER BY i)::BIGINT AS pre2
+  FROM d
+), nn AS (SELECT max(i)::BIGINT AS n FROM p),
+pz AS (SELECT 0::BIGINT AS i, 0::BIGINT AS pre, 0::BIGINT AS pre2
+       UNION ALL SELECT i, pre, pre2 FROM p),
+-- SSE over common denominator: num/den with den = product of lengths
+cand AS (
+  SELECT b1.i AS b1, b2.i AS b2, b3.i AS b3,
+         (b1.i)::HUGEINT AS l1, (b2.i - b1.i)::HUGEINT AS l2,
+         (b3.i - b2.i)::HUGEINT AS l3, (nn.n - b3.i)::HUGEINT AS l4,
+         (p1.pre2 - z.pre2)::HUGEINT AS q1,
+         (p2.pre2 - p1.pre2)::HUGEINT AS q2,
+         (p3.pre2 - p2.pre2)::HUGEINT AS q3,
+         (pn.pre2 - p3.pre2)::HUGEINT AS q4,
+         (p1.pre - z.pre)::HUGEINT AS s1,
+         (p2.pre - p1.pre)::HUGEINT AS s2,
+         (p3.pre - p2.pre)::HUGEINT AS s3,
+         (pn.pre - p3.pre)::HUGEINT AS s4
+  FROM p b1 JOIN p b2 ON b2.i > b1.i JOIN p b3 ON b3.i > b2.i, nn,
+       pz z, p p1, p p2, p p3, p pn
+  WHERE b3.i < nn.n AND z.i = 0 AND p1.i = b1.i AND p2.i = b2.i
+    AND p3.i = b3.i AND pn.i = nn.n
+), scored AS (
+  SELECT b1, b2, b3,
+         ((q1 * l1 - s1 * s1) * l2 * l3 * l4
+          + (q2 * l2 - s2 * s2) * l1 * l3 * l4
+          + (q3 * l3 - s3 * s3) * l1 * l2 * l4
+          + (q4 * l4 - s4 * s4) * l1 * l2 * l3) AS num,
+         (l1 * l2 * l3 * l4) AS den
+  FROM cand
+), win AS (
+  SELECT * FROM scored a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM scored x
+    WHERE x.num * a.den < a.num * x.den
+       OR (x.num * a.den = a.num * x.den
+           AND (x.b1, x.b2, x.b3) < (a.b1, a.b2, a.b3)))
+)
+SELECT b1::BIGINT AS b1, b2::BIGINT AS b2, b3::BIGINT AS b3,
+       (num / gcd(num, den))::BIGINT AS sse_num,
+       (den / gcd(num, den))::BIGINT AS sse_den
+FROM win
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -20682,4 +20797,6 @@ def catalog():
         "cdc_dedup_ratio": (q_cdc_dedup_ratio, _cdc_dedup_sql()),
         "mann_whitney_u": (q_mann_whitney_u, SQL_MANN_WHITNEY_U),
         "gorilla_dod_bits": (q_gorilla_dod_bits, SQL_GORILLA_DOD_BITS),
+        "voptimal_histogram": (q_voptimal_histogram,
+                               SQL_VOPTIMAL_HISTOGRAM),
     }

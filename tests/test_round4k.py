@@ -552,6 +552,52 @@ class TestCdcShiftInvariance:
             assert (np.diff(cuts) > 0).all()
 
 
+class TestVoptimalEnumeration:
+    @staticmethod
+    def _best(y, n_buckets=4):
+        from fractions import Fraction
+        n = len(y)
+        pre = np.concatenate([[0], np.cumsum(y)])
+        pre2 = np.concatenate([[0], np.cumsum(np.array(y) ** 2)])
+
+        def sse(i, j):
+            s = int(pre[j] - pre[i - 1])
+            q = int(pre2[j] - pre2[i - 1])
+            return Fraction(q) - Fraction(s * s, j - i + 1)
+
+        best, best_b = None, None
+        for b1 in range(1, n - 2):
+            for b2 in range(b1 + 1, n - 1):
+                for b3 in range(b2 + 1, n):
+                    tot = (sse(1, b1) + sse(b1 + 1, b2)
+                           + sse(b2 + 1, b3) + sse(b3 + 1, n))
+                    if best is None or tot < best:
+                        best, best_b = tot, (b1, b2, b3)
+        return best, best_b
+
+    def test_step_function_has_zero_sse(self):
+        y = [5] * 3 + [9] * 4 + [2] * 2 + [7] * 3
+        best, b = self._best(y)
+        assert best == 0
+        assert b == (3, 7, 9)
+
+    def test_beats_equal_width(self):
+        from fractions import Fraction
+        rng = np.random.default_rng(41)
+        y = rng.integers(0, 100, size=16).tolist()
+        pre = np.concatenate([[0], np.cumsum(y)])
+        pre2 = np.concatenate([[0], np.cumsum(np.array(y) ** 2)])
+
+        def sse(i, j):
+            s = int(pre[j] - pre[i - 1])
+            q = int(pre2[j] - pre2[i - 1])
+            return Fraction(q) - Fraction(s * s, j - i + 1)
+
+        eq = sse(1, 4) + sse(5, 8) + sse(9, 12) + sse(13, 16)
+        best, _ = self._best(y)
+        assert best <= eq
+
+
 class TestHaarReconstruction:
     def test_inverse_reproduces_series(self):
         """Unnormalized Haar: y[2i] = (s+d)/2, y[2i+1] = (s-d)/2 — the
