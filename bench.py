@@ -320,6 +320,8 @@ BENCH_QUERIES = [
     "mann_whitney_u",
     "gorilla_dod_bits",
     "voptimal_histogram",
+    "cdc_shared_chunks",
+    "layout_prune_compare",
 ]
 
 

@@ -20433,6 +20433,274 @@ FROM win
 """
 
 
+CDC_STOP_DF = 64
+
+
+def q_cdc_shared_chunks(sf_dir: str):
+    """CDC-BASED NEAR-DUP SIGNAL — doc pairs sharing >= 2 distinct CDC
+    chunks, the THIRD dedup modality next to MinHash (probabilistic)
+    and prefix-filtered Jaccard (exact set similarity): two docs that
+    share whole content-defined chunks share verbatim runs, the
+    storage-dedup notion of similarity. Chunks resident in more than
+    64 docs are STOP-CHUNKS and excluded (the stopgram_coverage
+    contract — a universal boilerplate chunk would otherwise fan out
+    quadratically at corpus scale; the cap bounds any chunk's pair
+    contribution at 64^2). Plan: distinct (chunk, doc) rows -> one
+    exchange by chunk (every chunk's doc set co-locates; drop stop
+    chunks; emit its pairs) -> one exchange by the pair's first doc to
+    sum shared-chunk counts -> filter >= 2. Nothing wider than
+    O(pairs-above-floor) shuffles."""
+    from .pipelines.relational import bucketed_reduce
+    from .util import drop_empty_blocks
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunk_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_c, out_d = [], []
+        for k, txt in enumerate(t["text"].to_pylist()):
+            txt = txt or ""
+            cuts = _cdc_cuts(txt)
+            prev = 0
+            seen = set()
+            for c in cuts:
+                seen.add(txt[prev:c])
+                prev = int(c)
+            out_c.extend(seen)
+            out_d.extend([int(ids[k])] * len(seen))
+        return pa.table({"chunk": pa.array(out_c, pa.string()),
+                         "doc": pa.array(out_d, pa.int64())})
+
+    def pair_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.nulls(0, pa.int64()),
+                          "b": pa.nulls(0, pa.int64()),
+                          "n": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        # factorize chunks once; only MULTI-doc chunks (a tiny minority)
+        # ever reach the pair loop — singletons drop vectorized
+        codes = pd.factorize(t["chunk"].to_pandas())[0]
+        doc = t["doc"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, codes))
+        codes, doc = codes[order], doc[order]
+        n = len(codes)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        cnt = np.diff(np.r_[starts, n])
+        out_a, out_b = [], []
+        for gi in np.flatnonzero((cnt >= 2) & (cnt <= CDC_STOP_DF)):
+            d = doc[starts[gi]:starts[gi] + cnt[gi]]   # distinct per doc
+            i, j = np.triu_indices(len(d), k=1)
+            out_a.append(d[i])
+            out_b.append(d[j])
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        p = pd.DataFrame({"a": a, "b": b}).groupby(["a", "b"],
+                                                   as_index=False).size()
+        return pa.table({"a": pa.array(p["a"], pa.int64()),
+                         "b": pa.array(p["b"], pa.int64()),
+                         "n": pa.array(p["size"], pa.int64())})
+
+    chunks = docs.map_batches(chunk_rows, batch_format="pyarrow")
+    pairs = bucketed_reduce(
+        chunks, "chunk", pair_fn, n_buckets=16,
+        schema=pa.schema([("chunk", pa.string()), ("doc", pa.int64())]))
+
+    def sum_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.nulls(0, pa.int64()),
+                          "b": pa.nulls(0, pa.int64()),
+                          "n_shared": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        g = t.group_by(["a", "b"]).aggregate([("n", "sum")])
+        m = pc.greater_equal(g["n_sum"], 2)
+        g = g.filter(m)
+        return pa.table({"a": g["a"], "b": g["b"],
+                         "n_shared": g["n_sum"].cast(pa.int64())})
+
+    return bucketed_reduce(
+        drop_empty_blocks(pairs), "a", sum_fn, n_buckets=16,
+        schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                          ("n", pa.int64())]))
+
+
+def _cdc_shared_sql() -> str:
+    return f"""
+WITH {_cdc_chunks_ctes()}
+, dc AS (SELECT DISTINCT doc_id, chunk FROM chunks),
+keep AS (
+  SELECT chunk FROM dc GROUP BY chunk
+  HAVING count(*) BETWEEN 2 AND {CDC_STOP_DF}
+), pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS n_shared
+  FROM dc x JOIN dc y ON y.chunk = x.chunk AND y.doc_id > x.doc_id
+  JOIN keep k ON k.chunk = x.chunk
+  GROUP BY 1, 2
+)
+SELECT a, b, n_shared FROM pairs WHERE n_shared >= 2
+"""
+
+
+LAYOUT_QUERIES = [
+    # (qid, plo_pct, phi_pct, slo_pct, shi_pct) of each key's span
+    (1, 20, 30, 0, 100),     # narrow partkey band, all suppliers
+    (2, 0, 100, 45, 55),     # all parts, narrow suppkey band
+    (3, 40, 50, 40, 50),     # small square
+    (4, 10, 90, 10, 90),     # large square
+]
+
+
+def q_layout_prune_compare(sf_dir: str):
+    """ZONE-MAP PRUNING under three physical layouts — the payoff
+    measurement for the zorder/hilbert work: partition lineitem 64
+    ways by (a) partkey range (single-key sort), (b) Morton zcode
+    top-6 bits, (c) Hilbert hcode top-6 bits, build each partition's
+    (partkey, suppkey) min/max zone map, and for four literal range
+    rectangles count the partitions a reader MUST touch (zone box
+    intersects the query box). Hilbert's tighter locality shows up
+    directly as fewer touched partitions on 2-D rectangles, while the
+    single-key sort wins only on its own key. One scan computes all
+    three codes and folds O(layouts x 64) zone partials; no shuffle.
+    The oracle recomputes both space-filling codes with the unrolled
+    bit-interleave / 16-level CTEs and the same intersection CASE."""
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "pmin": pa.array([pc.min(t["l_partkey"]).as_py()], pa.int64()),
+            "pmax": pa.array([pc.max(t["l_partkey"]).as_py()], pa.int64()),
+            "smin": pa.array([pc.min(t["l_suppkey"]).as_py()], pa.int64()),
+            "smax": pa.array([pc.max(t["l_suppkey"]).as_py()], pa.int64()),
+        })
+
+    pmin = smin = pmax = smax = None
+    for r in ds.map_batches(mm_partial, batch_format="pyarrow").take_all():
+        pmin = r["pmin"] if pmin is None else min(pmin, r["pmin"])
+        pmax = r["pmax"] if pmax is None else max(pmax, r["pmax"])
+        smin = r["smin"] if smin is None else min(smin, r["smin"])
+        smax = r["smax"] if smax is None else max(smax, r["smax"])
+    pspan = max(pmax - pmin, 1)
+    sspan = max(smax - smin, 1)
+
+    def zone_partial(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gx = (pk - pmin) * 65535 // pspan
+        gy = (sk - smin) * 65535 // sspan
+        z = (_part1by1(gx) | (_part1by1(gy) << np.uint64(1))).astype(np.int64)
+        parts = {
+            "sorted": gx >> 10,               # top 6 of 16 bits, 64 parts
+            "zorder": z >> 26,
+            "hilbert": _hilbert_d(gx, gy) >> 26,
+        }
+        frames = []
+        for name, pid in parts.items():
+            df = pd.DataFrame({"pid": pid, "pk": pk, "sk": sk})
+            g = df.groupby("pid").agg(pmin=("pk", "min"),
+                                      pmax=("pk", "max"),
+                                      smin=("sk", "min"),
+                                      smax=("sk", "max")).reset_index()
+            g.insert(0, "layout", name)
+            frames.append(g)
+        out = pd.concat(frames)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    zones = (ds.map_batches(zone_partial, batch_format="pyarrow")
+             .to_pandas()                     # O(blocks x 3 x 64)
+             .groupby(["layout", "pid"])
+             .agg(pmin=("pmin", "min"), pmax=("pmax", "max"),
+                  smin=("smin", "min"), smax=("smax", "max"))
+             .reset_index())
+
+    rows = []
+    for qid, plo, phi, slo, shi in LAYOUT_QUERIES:
+        qplo = pmin + pspan * plo // 100
+        qphi = pmin + pspan * phi // 100
+        qslo = smin + sspan * slo // 100
+        qshi = smin + sspan * shi // 100
+        hit = ((zones["pmin"] <= qphi) & (zones["pmax"] >= qplo)
+               & (zones["smin"] <= qshi) & (zones["smax"] >= qslo))
+        for layout, n in zones[hit].groupby("layout").size().items():
+            rows.append((layout, qid, int(n)))
+    return (pd.DataFrame(rows, columns=["layout", "qid", "n_parts"])
+            .astype({"qid": "int64", "n_parts": "int64"}))
+
+
+def _layout_prune_sql() -> str:
+    interleave = " + ".join(
+        [f"(((gx0 >> {i}) & 1) << {2 * i})" for i in range(16)]
+        + [f"(((gy0 >> {i}) & 1) << {2 * i + 1})" for i in range(16)])
+    hctes = []
+    prev = "g"
+    for lvl, s in enumerate(1 << np.arange(15, -1, -1)):
+        s = int(s)
+        q = (f"CASE WHEN (x & {s}) > 0 THEN "
+             f"(CASE WHEN (y & {s}) > 0 THEN 2 ELSE 3 END) "
+             f"ELSE (CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END) END")
+        nx = (f"CASE WHEN (y & {s}) > 0 THEN x "
+              f"WHEN (x & {s}) > 0 THEN {s} - 1 - y ELSE y END")
+        ny = (f"CASE WHEN (y & {s}) > 0 THEN y "
+              f"WHEN (x & {s}) > 0 THEN {s} - 1 - x ELSE x END")
+        hctes.append(f"""
+h{lvl} AS (
+  SELECT pk, sk, gx0, gy0,
+         d + {s * s}::BIGINT * ({q}) AS d, {nx} AS x, {ny} AS y
+  FROM {prev}
+)""")
+        prev = f"h{lvl}"
+    qrows = ", ".join(f"({qid}, {plo}, {phi}, {slo}, {shi})"
+                      for qid, plo, phi, slo, shi in LAYOUT_QUERIES)
+    return f"""
+WITH mm AS (
+  SELECT min(l_partkey) AS pmin,
+         greatest(max(l_partkey) - min(l_partkey), 1) AS pspan,
+         min(l_suppkey) AS smin,
+         greatest(max(l_suppkey) - min(l_suppkey), 1) AS sspan
+  FROM lineitem
+), g AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk, 0::BIGINT AS d,
+         (l_partkey - mm.pmin) * 65535 // mm.pspan AS gx0,
+         (l_suppkey - mm.smin) * 65535 // mm.sspan AS gy0,
+         (l_partkey - mm.pmin) * 65535 // mm.pspan AS x,
+         (l_suppkey - mm.smin) * 65535 // mm.sspan AS y
+  FROM lineitem, mm
+),
+{','.join(hctes)}
+, coded AS (
+  SELECT pk, sk,
+         (gx0 >> 10)::BIGINT AS sorted_pid,
+         (({interleave}) >> 26)::BIGINT AS zorder_pid,
+         (d >> 26)::BIGINT AS hilbert_pid
+  FROM {prev}
+), zones AS (
+  SELECT 'sorted' AS layout, sorted_pid AS pid,
+         min(pk) AS pmin, max(pk) AS pmax,
+         min(sk) AS smin, max(sk) AS smax
+  FROM coded GROUP BY 2
+  UNION ALL
+  SELECT 'zorder', zorder_pid, min(pk), max(pk), min(sk), max(sk)
+  FROM coded GROUP BY 2
+  UNION ALL
+  SELECT 'hilbert', hilbert_pid, min(pk), max(pk), min(sk), max(sk)
+  FROM coded GROUP BY 2
+), queries(qid, plo, phi, slo, shi) AS (VALUES {qrows}),
+qbox AS (
+  SELECT qid,
+         mm.pmin + mm.pspan * plo // 100 AS qplo,
+         mm.pmin + mm.pspan * phi // 100 AS qphi,
+         mm.smin + mm.sspan * slo // 100 AS qslo,
+         mm.smin + mm.sspan * shi // 100 AS qshi
+  FROM queries, mm
+)
+SELECT z.layout, q.qid::BIGINT AS qid, count(*)::BIGINT AS n_parts
+FROM zones z JOIN qbox q
+  ON z.pmin <= q.qphi AND z.pmax >= q.qplo
+ AND z.smin <= q.qshi AND z.smax >= q.qslo
+GROUP BY 1, 2
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -20799,4 +21067,7 @@ def catalog():
         "gorilla_dod_bits": (q_gorilla_dod_bits, SQL_GORILLA_DOD_BITS),
         "voptimal_histogram": (q_voptimal_histogram,
                                SQL_VOPTIMAL_HISTOGRAM),
+        "cdc_shared_chunks": (q_cdc_shared_chunks, _cdc_shared_sql()),
+        "layout_prune_compare": (q_layout_prune_compare,
+                                 _layout_prune_sql()),
     }
