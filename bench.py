@@ -322,6 +322,8 @@ BENCH_QUERIES = [
     "voptimal_histogram",
     "cdc_shared_chunks",
     "layout_prune_compare",
+    "lateness_profile",
+    "dict_encoding_estimate",
 ]
 
 

@@ -20701,6 +20701,156 @@ GROUP BY 1, 2
 """
 
 
+LATE_THRESHOLD_SEC = 60
+
+
+def q_lateness_profile(sf_dir: str):
+    """EVENT-TIME LATENESS profile (the watermark question every
+    streaming engine asks — MillWheel/Beam): within each user's
+    stream, ARRIVAL order is event_id and EVENT time is ts; an
+    element's lateness is how far the high-watermark (running max ts
+    in arrival order) has already passed its own event time. Output
+    per user: events seen, late events (> 60 s), max lateness in
+    seconds, and the count of arrival inversions' upper envelope
+    (events strictly older than the watermark at arrival). One
+    exchange by user; the scan is a vectorized prefix-max per bucket.
+    The oracle states the watermark as a running max() window over
+    the arrival order."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"u": t["user_id"],
+                         "ts": t["ts"].cast(pa.int64()),
+                         "eid": t["event_id"]})
+
+    def late_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.nulls(0, pa.int64()),
+                          "n_events": pa.nulls(0, pa.int64()),
+                          "n_late": pa.nulls(0, pa.int64()),
+                          "max_lateness_sec": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t["u"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        eid = t["eid"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, u))        # ARRIVAL order per user
+        u, ts = u[order], ts[order]
+        n = len(u)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        cnt = np.diff(np.r_[starts, n])
+        # per-group prefix max: ADD an increasing per-group offset that
+        # dwarfs the ts range, so one global cummax can never carry a
+        # previous group's max into the next (its values sit higher)
+        off = np.repeat(np.arange(len(starts), dtype=np.int64) << 50, cnt)
+        wm = np.maximum.accumulate(ts + off) - off
+        late_us = wm - ts                   # >= 0; 0 for in-order
+        late_sec = late_us // 1_000_000
+        is_late = late_sec > LATE_THRESHOLD_SEC
+        return pa.table({
+            "user_id": pa.array(u[starts], pa.int64()),
+            "n_events": pa.array(cnt, pa.int64()),
+            "n_late": pa.array(np.add.reduceat(
+                is_late.astype(np.int64), starts), pa.int64()),
+            "max_lateness_sec": pa.array(np.maximum.reduceat(
+                late_sec, starts), pa.int64()),
+        })
+
+    return bucketed_reduce(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "u", late_fn, n_buckets=32,
+        schema=pa.schema([("u", pa.int64()), ("ts", pa.int64()),
+                          ("eid", pa.int64())]))
+
+
+SQL_LATENESS_PROFILE = f"""
+WITH seq AS (
+  SELECT user_id AS u,
+         epoch_us(ts)::BIGINT AS tus,
+         max(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY event_id)::BIGINT AS wm
+  FROM events
+), late AS (
+  SELECT u, (wm - tus) // 1000000 AS late_sec FROM seq
+)
+SELECT u AS user_id, count(*)::BIGINT AS n_events,
+       sum(CASE WHEN late_sec > {LATE_THRESHOLD_SEC}
+                THEN 1 ELSE 0 END)::BIGINT AS n_late,
+       max(late_sec)::BIGINT AS max_lateness_sec
+FROM late GROUP BY u
+"""
+
+
+DICT_COLUMNS = ["l_returnflag", "l_linestatus"]
+
+
+def q_dict_encoding_estimate(sf_dir: str):
+    """DICTIONARY-ENCODING size planner for the low-cardinality
+    lineitem columns — the Parquet/Arrow encoding decision stated as
+    data: per column, the distinct count, ceil(log2) index width, the
+    dictionary's byte payload (sum of distinct value lengths) and the
+    total encoded index bits (rows x width). Completes the encoding
+    family (delta, delta-of-delta, prefix, CDC). Per-batch (column,
+    value) count partials — bounded by the value domain — fold once;
+    the driver never sees a row."""
+    cols = [c for c in DICT_COLUMNS]
+    ds = _read(sf_dir, "lineitem", cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        frames = []
+        for c in cols:
+            g = (pa.table({"v": t[c]}).group_by(["v"])
+                 .aggregate([("v", "count")]))
+            frames.append(pa.table({
+                "col": pa.array([c] * g.num_rows, pa.string()),
+                "v": g["v"],
+                "n": g["v_count"].cast(pa.int64())}))
+        return pa.concat_tables(frames)
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .to_pandas()
+             .groupby(["col", "v"], as_index=False)["n"].sum())
+    rows = []
+    for c, g in parts.groupby("col"):
+        k = len(g)
+        # exact integer ceil(log2): smallest w with 2^w >= k
+        width = 1
+        while (1 << width) < k:
+            width += 1
+        n_rows = int(g["n"].sum())
+        dict_bytes = int(g["v"].str.len().sum())
+        rows.append((c, k, width, dict_bytes, n_rows * width))
+    return (pd.DataFrame(rows, columns=["col", "n_distinct", "index_bits",
+                                        "dict_bytes", "encoded_bits"])
+            .astype({"n_distinct": "int64", "index_bits": "int64",
+                     "dict_bytes": "int64", "encoded_bits": "int64"}))
+
+
+def _dict_encoding_sql() -> str:
+    sels = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, {c} AS v FROM lineitem"
+        for c in DICT_COLUMNS)
+    return f"""
+WITH vals AS ({sels}),
+agg AS (
+  SELECT col, v, count(*)::BIGINT AS n FROM vals GROUP BY 1, 2
+), stats AS (
+  SELECT col, count(*)::BIGINT AS n_distinct,
+         sum(length(v))::BIGINT AS dict_bytes,
+         sum(n)::BIGINT AS n_rows
+  FROM agg GROUP BY 1
+), width AS (
+  SELECT col, n_distinct, dict_bytes, n_rows,
+         greatest(1, ceil(log2(n_distinct)))::BIGINT AS index_bits
+  FROM stats
+)
+SELECT col, n_distinct, index_bits, dict_bytes,
+       (n_rows * index_bits)::BIGINT AS encoded_bits
+FROM width
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -21070,4 +21220,7 @@ def catalog():
         "cdc_shared_chunks": (q_cdc_shared_chunks, _cdc_shared_sql()),
         "layout_prune_compare": (q_layout_prune_compare,
                                  _layout_prune_sql()),
+        "lateness_profile": (q_lateness_profile, SQL_LATENESS_PROFILE),
+        "dict_encoding_estimate": (q_dict_encoding_estimate,
+                                   _dict_encoding_sql()),
     }

@@ -598,6 +598,51 @@ class TestVoptimalEnumeration:
         assert best <= eq
 
 
+class TestLatenessProfile:
+    """The sf corpus arrives in order (all lateness 0), so the
+    non-trivial watermark path needs a crafted out-of-order stream —
+    engine vs oracle on a tiny table, plus a hand-checked value."""
+
+    def test_out_of_order_stream(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from crawlray.queries import SQL_LATENESS_PROFILE, \
+            q_lateness_profile
+
+        base = 1_700_000_000_000_000      # us
+        # user 1 arrival (event_id) vs event time: two late elements
+        rows = [
+            (1, 1, base + 100_000_000),   # wm = 100s
+            (2, 1, base + 10_000_000),    # 90s late -> late (> 60)
+            (3, 1, base + 200_000_000),   # wm = 200s
+            (4, 1, base + 170_000_000),   # 30s late -> NOT late
+            (5, 2, base),                 # in-order user
+            (6, 2, base + 1_000_000),
+        ]
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows],
+                           pa.timestamp("us")),
+            "event_type": pa.array(["view"] * len(rows)),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        })
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        got = (q_lateness_profile(str(tmp_path)).to_pandas()
+               .set_index("user_id").sort_index())
+        assert got.loc[1, "n_late"] == 1
+        assert got.loc[1, "max_lateness_sec"] == 90
+        assert got.loc[2, "n_late"] == 0
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/events.parquet')")
+        exp = (con.execute(SQL_LATENESS_PROFILE).fetchdf()
+               .set_index("user_id").sort_index())
+        assert got.equals(exp.astype(got.dtypes.to_dict()))
+
+
 class TestHaarReconstruction:
     def test_inverse_reproduces_series(self):
         """Unnormalized Haar: y[2i] = (s+d)/2, y[2i+1] = (s-d)/2 — the
