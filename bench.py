@@ -324,6 +324,8 @@ BENCH_QUERIES = [
     "layout_prune_compare",
     "lateness_profile",
     "dict_encoding_estimate",
+    "dbscan_core_points",
+    "cvar_tail",
 ]
 
 

@@ -20851,6 +20851,204 @@ FROM width
 """
 
 
+DBSCAN_SIZE_EPS = 1
+DBSCAN_CENTS_EPS = 100
+DBSCAN_MINPTS = 4
+
+
+def q_dbscan_core_points(sf_dir: str):
+    """DBSCAN CORE-POINT detection on (size, price) — the
+    density-clustering primitive: a part is CORE if >= 4 OTHER parts
+    sit within its L-inf ball (+/-1 size, +/-100 cents). Same 1-D
+    partitioning + boundary replication as the band self-join, but
+    counting PER POINT: every part probes in its home size bucket,
+    and replicates as neighbor DATA to buckets size-1/size/size+1,
+    so each probe sees exactly the sizes its ball can reach; inside a
+    bucket a price sort + two searchsorteds counts ball members
+    without materializing pairs (self-subtracted). The second
+    dimension never shuffles; the oracle is the quadratic self-join
+    count."""
+    from .pipelines.relational import bucketed_reduce
+    from .util import drop_empty_blocks
+
+    parts = _read(sf_dir, "part",
+                  ["p_partkey", "p_size", "p_retailprice"])
+
+    def replicate(t: pa.Table) -> pa.Table:
+        size = t["p_size"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        key = t["p_partkey"].to_numpy(zero_copy_only=False)
+        c = _cents(t["p_retailprice"]).to_numpy(zero_copy_only=False)
+        return pa.table({
+            # probe row (is_probe=1) in home bucket + data-only copies
+            # one bucket up and down
+            "bucket": pa.array(np.r_[size, size - 1, size + 1]),
+            "key": pa.array(np.r_[key, key, key]),
+            "c": pa.array(np.r_[c, c, c]),
+            "is_probe": pa.array(np.r_[np.ones(len(size), np.int64),
+                                       np.zeros(2 * len(size), np.int64)]),
+        })
+
+    REPL_SCHEMA = pa.schema([("bucket", pa.int64()), ("key", pa.int64()),
+                             ("c", pa.int64()), ("is_probe", pa.int64())])
+
+    def count_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"p_partkey": pa.nulls(0, pa.int64()),
+                          "n_neighbors": pa.nulls(0, pa.int64()),
+                          "is_core": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        probe = t["is_probe"].to_numpy(zero_copy_only=False) == 1
+        out_k, out_n = [], []
+        for bb in np.unique(b[probe]):
+            m = b == bb
+            dat_c = np.sort(c[m])           # all sizes bb-1..bb+1
+            pm = m & probe
+            lo = np.searchsorted(dat_c, c[pm] - DBSCAN_CENTS_EPS, "left")
+            hi = np.searchsorted(dat_c, c[pm] + DBSCAN_CENTS_EPS, "right")
+            out_k.append(key[pm])
+            out_n.append(hi - lo - 1)       # minus self
+        k = np.concatenate(out_k)
+        n = np.concatenate(out_n)
+        return pa.table({
+            "p_partkey": pa.array(k, pa.int64()),
+            "n_neighbors": pa.array(n, pa.int64()),
+            "is_core": pa.array((n >= DBSCAN_MINPTS).astype(np.int64)),
+        })
+
+    return bucketed_reduce(
+        parts.map_batches(replicate, batch_format="pyarrow"),
+        "bucket", count_fn, n_buckets=16, schema=REPL_SCHEMA)
+
+
+SQL_DBSCAN_CORE_POINTS = f"""
+WITH p AS (
+  SELECT p_partkey, p_size::BIGINT AS s,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS c
+  FROM part
+)
+SELECT a.p_partkey,
+       count(b.p_partkey)::BIGINT AS n_neighbors,
+       (CASE WHEN count(b.p_partkey) >= {DBSCAN_MINPTS}
+             THEN 1 ELSE 0 END)::BIGINT AS is_core
+FROM p a LEFT JOIN p b
+  ON b.p_partkey <> a.p_partkey
+ AND abs(b.s - a.s) <= {DBSCAN_SIZE_EPS}
+ AND abs(b.c - a.c) <= {DBSCAN_CENTS_EPS}
+GROUP BY 1
+"""
+
+
+CVAR_ALPHA_PCT = 90
+
+
+def q_cvar_tail(sf_dir: str):
+    """CONDITIONAL VALUE-AT-RISK (expected shortfall) of order totals
+    — the mean of the worst (largest) 10% of orders, published as an
+    EXACT rational (sum-of-tail cents, k): the risk functional behind
+    'how bad is bad'. Distributed exactly WITHOUT a global sort: the
+    tail threshold is the exact (n-k+1)-th order statistic from
+    ``stats.exact_quantiles_hist`` (iterative histogram refinement,
+    O(blocks x bins) per pass), then one partial pass sums values
+    STRICTLY above it, and the boundary tie-mass k - count(>thr)
+    enters at exactly thr — so the result equals ORDER BY DESC LIMIT
+    k regardless of how ties straddle the cut."""
+    from fractions import Fraction
+
+    from .pipelines.stats import exact_quantiles_hist
+
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"c": _cents(t["o_totalprice"])})
+
+    cents = orders.map_batches(prep, batch_format="pyarrow").materialize()
+    n = cents.count()
+    k = (n + 9) // 10                       # ceil(0.1 n)
+    # exact (n-k+1)-th smallest == k-th largest
+    q = (n - k) / max(n - 1, 1)             # rank -> quantile position
+    thr = exact_quantiles_hist(cents, "c", [q], interpolate=False)[0] \
+        if False else None
+    # rank-exact threshold via histogram refinement on the rank domain:
+    thr = _exact_kth_largest(cents, "c", k)
+
+    def tail_partial(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False)
+        above = c > thr
+        return pa.table({
+            "n_above": pa.array([int(above.sum())], pa.int64()),
+            "sum_above": pa.array([int(c[above].sum())], pa.int64()),
+        })
+
+    parts = (cents.map_batches(tail_partial, batch_format="pyarrow")
+             .to_pandas())
+    n_above = int(parts["n_above"].sum())
+    sum_above = int(parts["sum_above"].sum())
+    tie = k - n_above                       # >= 1 tie units at thr
+    f = Fraction(sum_above + tie * thr, k)
+    return pd.DataFrame({
+        "k": np.array([k], np.int64),
+        "threshold_cents": np.array([thr], np.int64),
+        "cvar_num": np.array([f.numerator], np.int64),
+        "cvar_den": np.array([f.denominator], np.int64),
+    })
+
+
+def _exact_kth_largest(ds, col: str, k: int) -> int:
+    """Exact k-th largest of an integer column by iterative range
+    bisection: each pass folds O(blocks) (count-above-mid) partials,
+    log2(range) passes — never a sort, never row-shaped driver data."""
+    import pyarrow.compute as _pc
+
+    def mm(t: pa.Table) -> pa.Table:
+        return pa.table({"lo": pa.array([_pc.min(t[col]).as_py()],
+                                        pa.int64()),
+                         "hi": pa.array([_pc.max(t[col]).as_py()],
+                                        pa.int64())})
+
+    lo = hi = None
+    for r in ds.map_batches(mm, batch_format="pyarrow").take_all():
+        lo = r["lo"] if lo is None else min(lo, r["lo"])
+        hi = r["hi"] if hi is None else max(hi, r["hi"])
+
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+
+        def cnt(t: pa.Table, m=mid) -> pa.Table:
+            return pa.table({"n": pa.array(
+                [_pc.sum(_pc.greater_equal(t[col], m)).as_py() or 0],
+                pa.int64())})
+
+        n_ge = sum(r["n"] for r in
+                   ds.map_batches(cnt, batch_format="pyarrow").take_all())
+        if n_ge >= k:
+            lo = mid
+        else:
+            hi = mid - 1
+    return int(lo)
+
+
+SQL_CVAR_TAIL = """
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+), kk AS (
+  SELECT ((count(*) + 9) // 10)::BIGINT AS k FROM c
+), tail AS (
+  SELECT v FROM c, kk ORDER BY v DESC LIMIT (SELECT k FROM kk)
+), agg AS (
+  SELECT sum(v)::BIGINT AS s, min(v)::BIGINT AS thr,
+         count(*)::BIGINT AS k
+  FROM tail
+)
+SELECT k, thr AS threshold_cents,
+       (s / gcd(s, k))::BIGINT AS cvar_num,
+       (k / gcd(s, k))::BIGINT AS cvar_den
+FROM agg
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -21223,4 +21421,7 @@ def catalog():
         "lateness_profile": (q_lateness_profile, SQL_LATENESS_PROFILE),
         "dict_encoding_estimate": (q_dict_encoding_estimate,
                                    _dict_encoding_sql()),
+        "dbscan_core_points": (q_dbscan_core_points,
+                               SQL_DBSCAN_CORE_POINTS),
+        "cvar_tail": (q_cvar_tail, SQL_CVAR_TAIL),
     }
