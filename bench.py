@@ -326,6 +326,8 @@ BENCH_QUERIES = [
     "dict_encoding_estimate",
     "dbscan_core_points",
     "cvar_tail",
+    "seasonal_naive_error",
+    "labeler_kappa",
 ]
 
 

@@ -21049,6 +21049,182 @@ FROM agg
 """
 
 
+def q_seasonal_naive_error(sf_dir: str):
+    """SEASONAL-NAIVE FORECAST ERROR of the hourly event count — the
+    baseline every forecast eval divides by (MASE's denominator
+    family): absolute error of 'predict this hour = the same hour
+    yesterday' (lag 24) vs the naive 'predict = previous hour'
+    (lag 1), both as EXACT integer absolute-error sums over the
+    bounded hourly calendar, plus their ratio as a reduced rational
+    (< 1 means real daily seasonality). O(blocks x hours) count
+    partials fold once; two vectorized lag scans."""
+    from fractions import Fraction
+
+    US_HOUR = 3_600_000_000
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def hour_partial(t: pa.Table) -> pa.Table:
+        h = pc.divide(t["ts"].cast(pa.int64()), US_HOUR).cast(pa.int64())
+        g = (pa.table({"h": h}).group_by(["h"])
+             .aggregate([("h", "count")]))
+        return pa.table({"h": g["h"],
+                         "y": g["h_count"].cast(pa.int64())})
+
+    parts = ev.map_batches(hour_partial, batch_format="pyarrow").to_pandas()
+    hourly = parts.groupby("h")["y"].sum().sort_index()
+    base = int(hourly.index.min())
+    n = int(hourly.index.max()) - base + 1
+    y = np.zeros(n, np.int64)               # zero-fill silent hours
+    y[hourly.index.to_numpy(dtype=np.int64) - base] = hourly.to_numpy()
+    ae_seasonal = int(np.abs(y[24:] - y[:-24]).sum())
+    ae_naive = int(np.abs(y[1:] - y[:-1]).sum())
+    f = Fraction(ae_seasonal, ae_naive)
+    return pd.DataFrame({
+        "n_hours": np.array([n], np.int64),
+        "ae_seasonal24": np.array([ae_seasonal], np.int64),
+        "ae_naive1": np.array([ae_naive], np.int64),
+        "ratio_num": np.array([f.numerator], np.int64),
+        "ratio_den": np.array([f.denominator], np.int64),
+    })
+
+
+SQL_SEASONAL_NAIVE_ERROR = """
+WITH hourly AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         count(*)::BIGINT AS y
+  FROM events GROUP BY 1
+), grid AS (
+  -- constant-bounded spine (DuckDB range() rejects subquery params):
+  -- 1000 hours > any 31-day calendar; rows past max(h) filter out
+  SELECT (SELECT min(h) FROM hourly) + r AS h
+  FROM range(1000) t(r)
+  WHERE (SELECT min(h) FROM hourly) + r <= (SELECT max(h) FROM hourly)
+), s AS (
+  SELECT grid.h, coalesce(hourly.y, 0)::BIGINT AS y,
+         row_number() OVER (ORDER BY grid.h) AS i
+  FROM grid LEFT JOIN hourly USING (h)
+), err AS (
+  SELECT
+    (SELECT sum(abs(a.y - b.y)) FROM s a JOIN s b ON b.i = a.i - 24)
+      ::BIGINT AS ae_seasonal24,
+    (SELECT sum(abs(a.y - b.y)) FROM s a JOIN s b ON b.i = a.i - 1)
+      ::BIGINT AS ae_naive1,
+    (SELECT count(*) FROM s)::BIGINT AS n_hours
+)
+SELECT n_hours, ae_seasonal24, ae_naive1,
+       (ae_seasonal24 / gcd(ae_seasonal24, ae_naive1))::BIGINT AS ratio_num,
+       (ae_naive1 / gcd(ae_seasonal24, ae_naive1))::BIGINT AS ratio_den
+FROM err
+"""
+
+
+def q_labeler_kappa(sf_dir: str):
+    """COHEN'S KAPPA between the LangId heuristic and the corpus's
+    ground-truth ``lang`` column — inter-rater agreement as an EXACT
+    reduced rational: kappa = (n * sum_diag - sum_i row_i * col_i) /
+    (n^2 - sum_i row_i * col_i), every term an integer from the
+    confusion counts. The ML-eval primitive stated as data: the model
+    run, the join to truth, and the chance-corrected agreement all
+    inside one scan (prediction and truth live on the SAME row, so
+    the confusion partials are per-batch group counts — no join
+    anywhere). The oracle recomputes the predictions with the full
+    SQL restatement of the stopword argmax and the same kappa
+    algebra."""
+    from fractions import Fraction
+
+    from .pipelines.textops import LangId
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    class ConfusionPartial:
+        def __init__(self):
+            self.lang_id = LangId()
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            pred = self.lang_id(df[["doc_id", "text"]])["lang_pred"]
+            out = (pd.DataFrame({"truth": df["lang"].to_numpy(),
+                                 "pred": pred.to_numpy()})
+                   .groupby(["truth", "pred"], as_index=False).size()
+                   .rename(columns={"size": "n"}))
+            return out
+
+    parts = (docs.map_batches(ConfusionPartial, batch_format="pandas",
+                              concurrency=2)
+             .to_pandas()
+             .groupby(["truth", "pred"], as_index=False)["n"].sum())
+    n = int(parts["n"].sum())
+    diag = int(parts.loc[parts["truth"] == parts["pred"], "n"].sum())
+    row = parts.groupby("truth")["n"].sum()
+    col = parts.groupby("pred")["n"].sum()
+    cats = sorted(set(row.index) | set(col.index))
+    chance = sum(int(row.get(c, 0)) * int(col.get(c, 0)) for c in cats)
+    f = Fraction(n * diag - chance, n * n - chance)
+    return pd.DataFrame({
+        "n_docs": np.array([n], np.int64),
+        "n_agree": np.array([diag], np.int64),
+        "kappa_num": np.array([f.numerator], np.int64),
+        "kappa_den": np.array([f.denominator], np.int64),
+    })
+
+
+def _labeler_kappa_sql() -> str:
+    # reuse the full lang-id restatement as the prediction CTE
+    from .pipelines.textops import STOPWORDS
+
+    values = ", ".join(
+        f"('{w}', '{lang}')"
+        for lang, ws in sorted(STOPWORDS.items())
+        for w in sorted(ws)
+    )
+    return f"""
+WITH stop(word, lang) AS (VALUES {values}),
+w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+         AS word
+  FROM documents WHERE trim(text) <> ''
+),
+hits AS (
+  SELECT w.doc_id, s.lang, count(*)::BIGINT AS n
+  FROM w JOIN stop s ON w.word = s.word
+  GROUP BY w.doc_id, s.lang
+),
+best AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, lang) AS rn
+  FROM hits
+),
+pred AS (
+  SELECT d.doc_id, d.lang AS truth, coalesce(b.lang, 'und') AS pred
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b USING (doc_id)
+),
+conf AS (
+  SELECT truth, pred, count(*)::BIGINT AS n FROM pred GROUP BY 1, 2
+),
+tot AS (
+  SELECT sum(n)::BIGINT AS n,
+         sum(CASE WHEN truth = pred THEN n ELSE 0 END)::BIGINT AS diag
+  FROM conf
+),
+marg AS (
+  SELECT coalesce(r.c, c.c) AS cat,
+         coalesce(r.n, 0)::BIGINT AS rn, coalesce(c.n, 0)::BIGINT AS cn
+  FROM (SELECT truth AS c, sum(n) AS n FROM conf GROUP BY 1) r
+  FULL OUTER JOIN (SELECT pred AS c, sum(n) AS n FROM conf GROUP BY 1) c
+    ON c.c = r.c
+),
+chance AS (SELECT sum(rn * cn)::BIGINT AS e FROM marg)
+SELECT tot.n AS n_docs, tot.diag AS n_agree,
+       ((tot.n * tot.diag - chance.e)
+        / gcd(tot.n * tot.diag - chance.e,
+              tot.n * tot.n - chance.e))::BIGINT AS kappa_num,
+       ((tot.n * tot.n - chance.e)
+        / gcd(tot.n * tot.diag - chance.e,
+              tot.n * tot.n - chance.e))::BIGINT AS kappa_den
+FROM tot, chance
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -21424,4 +21600,7 @@ def catalog():
         "dbscan_core_points": (q_dbscan_core_points,
                                SQL_DBSCAN_CORE_POINTS),
         "cvar_tail": (q_cvar_tail, SQL_CVAR_TAIL),
+        "seasonal_naive_error": (q_seasonal_naive_error,
+                                 SQL_SEASONAL_NAIVE_ERROR),
+        "labeler_kappa": (q_labeler_kappa, _labeler_kappa_sql()),
     }
