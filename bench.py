@@ -328,6 +328,7 @@ BENCH_QUERIES = [
     "cvar_tail",
     "seasonal_naive_error",
     "labeler_kappa",
+    "fano_burstiness",
 ]
 
 

@@ -21225,6 +21225,75 @@ FROM tot, chance
 """
 
 
+def q_fano_burstiness(sf_dir: str):
+    """FANO FACTOR (burstiness index) per event type — the
+    point-process dispersion test: variance/mean of the per-hour
+    arrival counts, published EXACTLY as the reduced rational
+    F = (n * sum(x^2) - (sum x)^2) / (n * sum x) over the zero-filled
+    hourly calendar (population variance; F = 1 is Poisson, > 1
+    bursty). Per-batch (type, hour) count partials — bounded by
+    types x hours — fold once; the driver computes three integer
+    sufficient statistics per type."""
+    from fractions import Fraction
+
+    US_HOUR = 3_600_000_000
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = pc.divide(t["ts"].cast(pa.int64()), US_HOUR).cast(pa.int64())
+        g = (pa.table({"et": t["event_type"], "h": h})
+             .group_by(["et", "h"]).aggregate([("h", "count")]))
+        return pa.table({"et": g["et"], "h": g["h"],
+                         "n": g["h_count"].cast(pa.int64())})
+
+    parts = (ev.map_batches(partial, batch_format="pyarrow")
+             .to_pandas()
+             .groupby(["et", "h"], as_index=False)["n"].sum())
+    h_min = int(parts["h"].min())
+    h_max = int(parts["h"].max())
+    n_hours = h_max - h_min + 1             # shared calendar spine
+    rows = []
+    for et, g in parts.groupby("et"):
+        x = np.zeros(n_hours, np.int64)
+        x[g["h"].to_numpy(dtype=np.int64) - h_min] = g["n"].to_numpy()
+        s = int(x.sum())
+        s2 = int((x * x).sum())
+        f = Fraction(n_hours * s2 - s * s, n_hours * s)
+        rows.append((et, s, f.numerator, f.denominator))
+    return (pd.DataFrame(rows, columns=["event_type", "n_events",
+                                        "fano_num", "fano_den"])
+            .astype({"n_events": "int64", "fano_num": "int64",
+                     "fano_den": "int64"}))
+
+
+SQL_FANO_BURSTINESS = """
+WITH hourly AS (
+  SELECT event_type AS et,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT min(h) AS h0, max(h) - min(h) + 1 AS n_hours FROM hourly
+), grid AS (
+  SELECT e.et, span.h0 + r AS h
+  FROM (SELECT DISTINCT et FROM hourly) e, span, range(1000) t(r)
+  WHERE r < span.n_hours
+), x AS (
+  SELECT g.et, coalesce(hourly.n, 0)::BIGINT AS n
+  FROM grid g LEFT JOIN hourly ON hourly.et = g.et AND hourly.h = g.h
+), stats AS (
+  SELECT et, count(*)::BIGINT AS nh, sum(n)::BIGINT AS s,
+         sum(n * n)::BIGINT AS s2
+  FROM x GROUP BY 1
+)
+SELECT et AS event_type, s AS n_events,
+       ((nh * s2 - s * s) / gcd(nh * s2 - s * s, nh * s))::BIGINT
+         AS fano_num,
+       ((nh * s) / gcd(nh * s2 - s * s, nh * s))::BIGINT AS fano_den
+FROM stats
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -21603,4 +21672,5 @@ def catalog():
         "seasonal_naive_error": (q_seasonal_naive_error,
                                  SQL_SEASONAL_NAIVE_ERROR),
         "labeler_kappa": (q_labeler_kappa, _labeler_kappa_sql()),
+        "fano_burstiness": (q_fano_burstiness, SQL_FANO_BURSTINESS),
     }
