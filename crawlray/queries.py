@@ -21294,6 +21294,231 @@ FROM stats
 """
 
 
+def q_rle_encoding_estimate(sf_dir: str):
+    """RUN-LENGTH-ENCODING size planner over the per-user event-type
+    stream — the 'does sorted-by-(user, time) layout RLE well?'
+    storage question stated as data: per event type, the row count,
+    the number of maximal runs of equal consecutive type (ordered by
+    (ts, event_id) within each user) and the longest run. Completes
+    the encoding-planner family (dict / delta / delta-of-delta /
+    prefix / CDC). A run never crosses users and a user lives in
+    exactly one bucket, so per-bucket run detection is globally
+    correct; partials are O(buckets x types) and the driver folds
+    sums and a max."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"u": t["user_id"],
+                         "ts": t["ts"].cast(pa.int64()),
+                         "eid": t["event_id"], "et": t["event_type"]})
+
+    def runs_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.nulls(0, pa.string()),
+                          "n_rows": pa.nulls(0, pa.int64()),
+                          "n_runs": pa.nulls(0, pa.int64()),
+                          "max_run": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t["u"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        eid = t["eid"].to_numpy(zero_copy_only=False)
+        vocab, codes = np.unique(
+            np.asarray(t["et"].to_numpy(zero_copy_only=False), object),
+            return_inverse=True)
+        order = np.lexsort((eid, ts, u))
+        u, c = u[order], codes[order]
+        n = len(u)
+        brk = np.r_[True, (u[1:] != u[:-1]) | (c[1:] != c[:-1])]
+        starts = np.flatnonzero(brk)
+        lens = np.diff(np.r_[starts, n])
+        rc = c[starts]                       # run -> type code
+        k = len(vocab)
+        n_rows = np.bincount(rc, weights=lens, minlength=k).astype(np.int64)
+        n_runs = np.bincount(rc, minlength=k).astype(np.int64)
+        max_run = np.zeros(k, np.int64)
+        np.maximum.at(max_run, rc, lens)
+        present = n_runs > 0
+        return pa.table({
+            "event_type": pa.array(vocab[present], pa.string()),
+            "n_rows": pa.array(n_rows[present]),
+            "n_runs": pa.array(n_runs[present]),
+            "max_run": pa.array(max_run[present])})
+
+    parts = bucketed_reduce(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "u", runs_fn, n_buckets=32,
+        schema=pa.schema([("u", pa.int64()), ("ts", pa.int64()),
+                          ("eid", pa.int64()), ("et", pa.string())]))
+    out = (parts.to_pandas().groupby("event_type", as_index=False)
+           .agg(n_rows=("n_rows", "sum"), n_runs=("n_runs", "sum"),
+                max_run=("max_run", "max")))
+    return out.astype({"n_rows": "int64", "n_runs": "int64",
+                       "max_run": "int64"})
+
+
+SQL_RLE_ENCODING_ESTIMATE = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), r AS (
+  SELECT user_id, event_type,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM o
+), lens AS (
+  SELECT event_type, user_id, run_id, count(*)::BIGINT AS len
+  FROM r GROUP BY 1, 2, 3
+)
+SELECT event_type, sum(len)::BIGINT AS n_rows,
+       count(*)::BIGINT AS n_runs, max(len)::BIGINT AS max_run
+FROM lens GROUP BY 1
+"""
+
+
+VBYTE_TERMS = ["batch", "hash", "key", "merge", "row",
+               "scan", "sort", "spark", "table", "window"]
+
+
+def q_vbyte_postings_bytes(sf_dir: str):
+    """VARIABLE-BYTE POSTINGS compression planner — the
+    inverted-index storage decision (Manning/IR ch.5) stated as data:
+    for each dictionary term, the posting list is the sorted doc_ids
+    whose whitespace tokens contain the term, delta-encoded with the
+    7-bit-per-byte varint ladder (1 byte below 128, 2 below 2^14,
+    3 below 2^21, else 4); the FIRST posting encodes doc_id + 1 (the
+    gap from a -1 sentinel) so every encoded gap is >= 1. Docs are
+    unique rows, so within-batch (term, doc) pairs are globally
+    distinct without a dedup pass; one exchange by term, gaps and the
+    byte ladder vectorized per bucket, O(terms) rows out."""
+    from .pipelines.relational import bucketed_reduce
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    terms = set(VBYTE_TERMS)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        e = (df[["doc_id"]]
+             .assign(term=df["text"].fillna("").str.split())
+             .explode("term"))
+        e = e[e["term"].isin(terms)].drop_duplicates()
+        return pd.DataFrame({"term": e["term"].astype(str),
+                             "doc_id": e["doc_id"].astype("int64")})
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table({"term": pa.nulls(0, pa.string()),
+                          "df": pa.nulls(0, pa.int64()),
+                          "vbyte_bytes": pa.nulls(0, pa.int64()),
+                          "max_gap": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        vocab, codes = np.unique(
+            np.asarray(t["term"].to_numpy(zero_copy_only=False), object),
+            return_inverse=True)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, codes))
+        c, i = codes[order], ids[order]
+        first = np.r_[True, c[1:] != c[:-1]]
+        gap = np.where(first, i + 1, i - np.r_[0, i[:-1]])
+        nbytes = (1 + (gap >= 128) + (gap >= 1 << 14)
+                  + (gap >= 1 << 21)).astype(np.int64)
+        k = len(vocab)
+        df_ = np.bincount(c, minlength=k).astype(np.int64)
+        vb = np.bincount(c, weights=nbytes, minlength=k).astype(np.int64)
+        mg = np.zeros(k, np.int64)
+        np.maximum.at(mg, c, gap)
+        return pa.table({"term": pa.array(vocab, pa.string()),
+                         "df": pa.array(df_), "vbyte_bytes": pa.array(vb),
+                         "max_gap": pa.array(mg)})
+
+    return bucketed_reduce(
+        docs.map_batches(pairs, batch_format="pandas"),
+        "term", fold, n_buckets=8,
+        schema=pa.schema([("term", pa.string()), ("doc_id", pa.int64())]))
+
+
+def _vbyte_sql() -> str:
+    lits = ", ".join(f"'{t}'" for t in VBYTE_TERMS)
+    return f"""
+WITH raw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tok AS (
+  SELECT DISTINCT term, doc_id FROM raw WHERE term IN ({lits})
+), posts AS (
+  SELECT term, doc_id,
+         doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id)
+           AS gap
+  FROM tok
+), g AS (
+  SELECT term, coalesce(gap, doc_id + 1)::BIGINT AS g FROM posts
+)
+SELECT term, count(*)::BIGINT AS df,
+       sum(CASE WHEN g < 128 THEN 1 WHEN g < 16384 THEN 2
+                WHEN g < 2097152 THEN 3 ELSE 4 END)::BIGINT AS vbyte_bytes,
+       max(g)::BIGINT AS max_gap
+FROM g GROUP BY 1
+"""
+
+
+BITMAP_CONTAINER = 256    # container width (scaled-down roaring 2^16)
+BITMAP_ARRAY_MAX = 63     # array container if n <= 63 (2 B/entry),
+                          # else a 256-bit bitmap (32 B)
+
+
+def q_bitmap_index_estimate(sf_dir: str):
+    """ROARING-STYLE bitmap-index planner (Chambi et al. 2016) for an
+    event_type -> event_id index: ids chunk into 256-wide containers
+    and each (type, container) cell stores its ids as a sorted ARRAY
+    (2 bytes/entry) up to 63 entries, else as a 256-bit BITMAP
+    (32 bytes) — the roaring array/bitmap switch at 1/256 width.
+    event_id is globally unique so the per-cell count IS the distinct
+    count. Per-batch (type, container) count partials — bounded by
+    types x ceil(id_range/256) — fold once; O(cells) rows ever exist."""
+    ev = _read(sf_dir, "events", ["event_type", "event_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cont = np.asarray(
+            t["event_id"].to_numpy(zero_copy_only=False)) // BITMAP_CONTAINER
+        g = (pa.table({"et": t["event_type"], "c": pa.array(cont)})
+             .group_by(["et", "c"]).aggregate([("c", "count")]))
+        return pa.table({"et": g["et"], "c": g["c"],
+                         "n": g["c_count"].cast(pa.int64())})
+
+    parts = (ev.map_batches(partial, batch_format="pyarrow")
+             .to_pandas().groupby(["et", "c"], as_index=False)["n"].sum())
+    n = parts["n"].to_numpy(dtype=np.int64)
+    parts["is_bitmap"] = (n > BITMAP_ARRAY_MAX).astype(np.int64)
+    parts["bytes"] = np.where(n > BITMAP_ARRAY_MAX, 32, 2 * n)
+    out = (parts.groupby("et", as_index=False)
+           .agg(n_containers=("c", "count"), n_bitmap=("is_bitmap", "sum"),
+                index_bytes=("bytes", "sum")))
+    out["n_array"] = out["n_containers"] - out["n_bitmap"]
+    out = out.rename(columns={"et": "event_type"})
+    return (out[["event_type", "n_containers", "n_array", "n_bitmap",
+                 "index_bytes"]]
+            .astype({"n_containers": "int64", "n_array": "int64",
+                     "n_bitmap": "int64", "index_bytes": "int64"}))
+
+
+SQL_BITMAP_INDEX_ESTIMATE = """
+WITH cont AS (
+  SELECT event_type, event_id // 256 AS c, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_containers,
+       sum(CASE WHEN n <= 63 THEN 1 ELSE 0 END)::BIGINT AS n_array,
+       sum(CASE WHEN n > 63 THEN 1 ELSE 0 END)::BIGINT AS n_bitmap,
+       sum(CASE WHEN n <= 63 THEN 2 * n ELSE 32 END)::BIGINT
+         AS index_bytes
+FROM cont GROUP BY 1
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -21673,4 +21898,9 @@ def catalog():
                                  SQL_SEASONAL_NAIVE_ERROR),
         "labeler_kappa": (q_labeler_kappa, _labeler_kappa_sql()),
         "fano_burstiness": (q_fano_burstiness, SQL_FANO_BURSTINESS),
+        "rle_encoding_estimate": (q_rle_encoding_estimate,
+                                  SQL_RLE_ENCODING_ESTIMATE),
+        "vbyte_postings_bytes": (q_vbyte_postings_bytes, _vbyte_sql()),
+        "bitmap_index_estimate": (q_bitmap_index_estimate,
+                                  SQL_BITMAP_INDEX_ESTIMATE),
     }
