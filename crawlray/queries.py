@@ -21519,6 +21519,163 @@ FROM cont GROUP BY 1
 """
 
 
+def q_huffman_bits(sf_dir: str):
+    """HUFFMAN entropy-coding planner for the event_type column — the
+    optimal prefix-code lengths stated as data: per type, the count,
+    the Huffman code length in bits and the total encoded bits. The
+    merge order is made DETERMINISTIC by ranking nodes on
+    (weight, min-member-type-name) — knife-edge weight ties cannot
+    flip the tree between engine and oracle. The corpus has exactly 5
+    event types, so the oracle unrolls the 4 merge steps as chained
+    CTEs carrying each node's member set; a type's code length is the
+    number of merges its subtree participated in. Per-batch type
+    counts are O(types) partials; the driver runs the O(k log k)
+    merge loop over 5 nodes."""
+    import heapq
+
+    ev = _read(sf_dir, "events", ["event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"et": t["event_type"]}).group_by(["et"])
+             .aggregate([("et", "count")]))
+        return pa.table({"et": g["et"],
+                         "n": g["et_count"].cast(pa.int64())})
+
+    counts = (ev.map_batches(partial, batch_format="pyarrow")
+              .to_pandas().groupby("et", as_index=False)["n"].sum())
+    depth = {t: 0 for t in counts["et"]}
+    heap = [(int(w), t, (t,)) for t, w in zip(counts["et"], counts["n"])]
+    heapq.heapify(heap)
+    while len(heap) > 1:
+        w1, l1, m1 = heapq.heappop(heap)
+        w2, l2, m2 = heapq.heappop(heap)
+        for t in m1 + m2:
+            depth[t] += 1
+        heapq.heappush(heap, (w1 + w2, min(l1, l2), m1 + m2))
+    out = pd.DataFrame({
+        "event_type": counts["et"],
+        "n_events": counts["n"].astype("int64"),
+        "code_bits": counts["et"].map(depth).astype("int64")})
+    out["encoded_bits"] = (out["n_events"] * out["code_bits"]).astype("int64")
+    return out
+
+
+def _huffman_merge_step(i: int) -> str:
+    """One unrolled Huffman merge: rank nodes by (weight, label), keep
+    rk > 2, append the combined node; record the two merged member
+    sets for the depth count."""
+    return f"""
+m{i} AS (
+  SELECT label, w, members,
+         row_number() OVER (ORDER BY w, label) AS rk
+  FROM n{i - 1}
+),
+merged{i} AS (SELECT members FROM m{i} WHERE rk <= 2),
+n{i} AS (
+  SELECT label, w, members FROM m{i} WHERE rk > 2
+  UNION ALL
+  SELECT min(label), sum(w),
+         string_agg(members, ',' ORDER BY label)
+  FROM m{i} WHERE rk <= 2
+)"""
+
+
+def _huffman_sql() -> str:
+    steps = ",".join(_huffman_merge_step(i) for i in range(1, 5))
+    return f"""
+WITH counts AS (
+  SELECT event_type AS t, count(*)::BIGINT AS w FROM events GROUP BY 1
+),
+n0 AS (SELECT t AS label, w, t AS members FROM counts),
+{steps},
+all_merged AS (
+  SELECT members FROM merged1 UNION ALL SELECT members FROM merged2
+  UNION ALL SELECT members FROM merged3
+  UNION ALL SELECT members FROM merged4
+),
+depth AS (
+  SELECT c.t, c.w,
+         (SELECT count(*) FROM all_merged m
+          WHERE list_contains(string_split(m.members, ','), c.t)
+         )::BIGINT AS code_bits
+  FROM counts c
+)
+SELECT t AS event_type, w AS n_events, code_bits,
+       (w * code_bits)::BIGINT AS encoded_bits
+FROM depth
+"""
+
+
+APPORTION_SEATS = 97
+
+
+def q_apportionment(sf_dir: str):
+    """HAMILTON / LARGEST-REMAINDER apportionment of 97 budget slots
+    across nations by customer count — the proportional-allocation
+    primitive (parliament seats, shard quotas, sampling budgets)
+    computed EXACTLY: floor_i = (S * n_i) // N by integer division,
+    and the leftover slots go to the largest remainders
+    (S * n_i) mod N, ranked with the deterministic
+    (remainder DESC, name ASC) tiebreak — no floating-point quota
+    ever exists. Per-batch nation count partials (O(25)); the driver
+    does the integer ranking over 25 rows."""
+    cust = _read(sf_dir, "customer", ["c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"nk": t["c_nationkey"].cast(pa.int64())})
+             .group_by(["nk"]).aggregate([("nk", "count")]))
+        return pa.table({"nk": g["nk"],
+                         "n": g["nk_count"].cast(pa.int64())})
+
+    cnt = (cust.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby("nk", as_index=False)["n"].sum())
+    n2name = dict(zip(nation["n_nationkey"].astype("int64"),
+                      nation["n_name"]))
+    cnt["n_name"] = cnt["nk"].map(n2name)
+    total = int(cnt["n"].sum())
+    s = APPORTION_SEATS
+    cnt["floor_seats"] = (s * cnt["n"]) // total
+    cnt["remainder_num"] = (s * cnt["n"]) % total
+    leftover = s - int(cnt["floor_seats"].sum())
+    cnt = cnt.sort_values(["remainder_num", "n_name"],
+                          ascending=[False, True], kind="stable")
+    bump = np.zeros(len(cnt), np.int64)
+    bump[:leftover] = 1
+    cnt["seats"] = cnt["floor_seats"].to_numpy() + bump
+    out = cnt.rename(columns={"n": "customers"})
+    return (out[["n_name", "customers", "floor_seats", "remainder_num",
+                 "seats"]]
+            .astype({"customers": "int64", "floor_seats": "int64",
+                     "remainder_num": "int64", "seats": "int64"})
+            .reset_index(drop=True))
+
+
+SQL_APPORTIONMENT = f"""
+WITH cnt AS (
+  SELECT n.n_name, count(*)::BIGINT AS customers
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1
+), tot AS (SELECT sum(customers)::BIGINT AS n FROM cnt),
+q AS (
+  SELECT n_name, customers,
+         ({APPORTION_SEATS} * customers) // tot.n AS floor_seats,
+         ({APPORTION_SEATS} * customers) % tot.n AS rem
+  FROM cnt, tot
+), lr AS (
+  SELECT q.*,
+         row_number() OVER (ORDER BY rem DESC, n_name) AS rk,
+         (SELECT {APPORTION_SEATS} - sum(floor_seats) FROM q) AS leftover
+  FROM q
+)
+SELECT n_name, customers, floor_seats::BIGINT AS floor_seats,
+       rem::BIGINT AS remainder_num,
+       (floor_seats + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT
+         AS seats
+FROM lr
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -21903,4 +22060,6 @@ def catalog():
         "vbyte_postings_bytes": (q_vbyte_postings_bytes, _vbyte_sql()),
         "bitmap_index_estimate": (q_bitmap_index_estimate,
                                   SQL_BITMAP_INDEX_ESTIMATE),
+        "huffman_bits": (q_huffman_bits, _huffman_sql()),
+        "apportionment": (q_apportionment, SQL_APPORTIONMENT),
     }

@@ -116,3 +116,84 @@ class TestBitmapCutoff:
         assert row["n_array"] == 1
         assert row["n_bitmap"] == 1
         assert row["index_bytes"] == 2 * 63 + 32
+
+
+class TestHuffman:
+    def _lengths(self, weights):
+        """Driver-side merge loop restated (weights: name -> w)."""
+        import heapq
+        depth = {t: 0 for t in weights}
+        heap = [(w, t, (t,)) for t, w in weights.items()]
+        heapq.heapify(heap)
+        while len(heap) > 1:
+            w1, l1, m1 = heapq.heappop(heap)
+            w2, l2, m2 = heapq.heappop(heap)
+            for t in m1 + m2:
+                depth[t] += 1
+            heapq.heappush(heap, (w1 + w2, min(l1, l2), m1 + m2))
+        return depth
+
+    def test_textbook_example(self):
+        d = self._lengths({"a": 8, "b": 4, "c": 2, "d": 1, "e": 1})
+        assert d == {"a": 1, "b": 2, "c": 3, "d": 4, "e": 4}
+
+    def test_kraft_equality_and_beats_fixed_width(self):
+        """A Huffman code is a FULL prefix tree: sum 2^-len == 1; and
+        on a skewed distribution it beats the 3-bit fixed code."""
+        w = {"a": 100, "b": 20, "c": 5, "d": 2, "e": 1}
+        d = self._lengths(w)
+        assert sum(2.0 ** -d[t] for t in w) == 1.0
+        huff = sum(w[t] * d[t] for t in w)
+        assert huff < 3 * sum(w.values())
+
+    def test_tie_break_deterministic(self):
+        """Four equal weights: the (weight, min-name) rank pairs a+b
+        and c+d first — depths all 2, never a skewed 1/2/3/3 tree."""
+        d = self._lengths({"a": 1, "b": 1, "c": 1, "d": 1})
+        assert d == {"a": 2, "b": 2, "c": 2, "d": 2}
+
+
+class TestApportionment:
+    def test_seats_sum_and_remainder_tie(self, ray_session, tmp_path):
+        """Crafted tie: nations ALPHA and BETA have identical counts
+        (same remainder) and only one leftover seat — the name ASC
+        tiebreak must give it to ALPHA on both engine and oracle; the
+        published seats always sum to exactly 97."""
+        import duckdb
+        from crawlray.queries import SQL_APPORTIONMENT, q_apportionment
+
+        nat = pa.table({
+            "n_nationkey": pa.array([0, 1, 2], pa.int32()),
+            "n_name": pa.array(["ALPHA", "BETA", "GAMMA"]),
+            "n_regionkey": pa.array([0, 0, 0], pa.int32()),
+        })
+        # counts 3, 3, 2 (total 8): 97*3//8 = 36 r3 for BOTH ALPHA and
+        # BETA, 97*2//8 = 24 r2 for GAMMA -> floors sum 96, one
+        # leftover seat, remainder tie between ALPHA and BETA.
+        ck, nk = [], []
+        kid = 0
+        for nkey, c in [(0, 3), (1, 3), (2, 2)]:
+            for _ in range(c):
+                ck.append(kid); nk.append(nkey); kid += 1
+        cust = pa.table({
+            "c_custkey": pa.array(ck, pa.int64()),
+            "c_name": pa.array([f"c{i}" for i in ck]),
+            "c_nationkey": pa.array(nk, pa.int32()),
+            "c_acctbal": pa.array([0.0] * len(ck)),
+            "c_mktsegment": pa.array(["BUILDING"] * len(ck)),
+        })
+        pq.write_table(nat, str(tmp_path / "nation.parquet"))
+        pq.write_table(cust, str(tmp_path / "customer.parquet"))
+        got = (q_apportionment(str(tmp_path))
+               .set_index("n_name").sort_index())
+        assert int(got["seats"].sum()) == 97
+        assert got.loc["ALPHA", "seats"] == 37   # 36 + the tie seat
+        assert got.loc["BETA", "seats"] == 36
+        assert got.loc["GAMMA", "seats"] == 24
+        con = duckdb.connect()
+        for t in ["nation", "customer"]:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{tmp_path}/{t}.parquet')")
+        exp = (con.execute(SQL_APPORTIONMENT).fetchdf()
+               .set_index("n_name").sort_index())
+        assert got.equals(exp.astype(got.dtypes.to_dict()))
