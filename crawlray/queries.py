@@ -21676,6 +21676,335 @@ FROM lr
 """
 
 
+def q_closest_pair(sf_dir: str):
+    """CLOSEST PAIR of points in the (dim0, dim1) embedding plane —
+    the classic computational-geometry primitive as a two-phase
+    distributed plan. Phase 1: an upper bound d0 from per-block
+    x-sorted neighbor scans (each point vs its next 4 x-neighbors;
+    one candidate row per block, driver min over O(blocks)). Phase 2:
+    points bucket into x-cells of width d0 with a data-only copy one
+    cell right — |dx| <= d0 implies same-or-adjacent cell, so every
+    pair at distance <= d0 is co-bucketed — and each bucket resolves
+    with a y-sorted lag-distance loop that stops at offset k when no
+    same-cell pair k apart has dy <= d0 (y is sorted within a cell,
+    so dy is monotone in k). The driver takes the (d2, id_a, id_b)
+    lexicographic minimum over O(buckets) candidates. float32 ->
+    float64 widening is exact and both engines evaluate
+    (xa-xb)^2 + (ya-yb)^2 in doubles, so the tie order is identical;
+    d2 publishes under the round-6dp float contract. A d0 == 0 draw
+    (exact duplicate coordinates) switches to a coordinate-hash
+    exchange that pairs the two smallest ids of every duplicate run."""
+    from .pipelines.relational import bucketed_reduce
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def points(t: pa.Table) -> pa.Table:
+        emb = np.stack(t["embedding"].to_pandas().to_numpy())
+        return pa.table({
+            "id": t["vec_id"].cast(pa.int64()),
+            "x": pa.array(emb[:, 0].astype(np.float64)),
+            "y": pa.array(emb[:, 1].astype(np.float64))})
+
+    PTS_SCHEMA = pa.schema([("id", pa.int64()), ("x", pa.float64()),
+                            ("y", pa.float64())])
+    pts = ds.map_batches(points, batch_format="pyarrow")
+
+    def _best_of(d2, ida, idb):
+        """lexicographic (d2, id_a, id_b) minimum over candidate arrays"""
+        lo = np.minimum(ida, idb)
+        hi = np.maximum(ida, idb)
+        j = np.lexsort((hi, lo, d2))[0]
+        return float(d2[j]), int(lo[j]), int(hi[j])
+
+    def local_bound(t: pa.Table) -> pa.Table:
+        empty = pa.table({"d2": pa.nulls(0, pa.float64()),
+                          "id_a": pa.nulls(0, pa.int64()),
+                          "id_b": pa.nulls(0, pa.int64())})
+        if t.num_rows < 2:
+            return empty
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((ids, x))
+        ids, x, y = ids[o], x[o], y[o]
+        cd2, ca, cb = [], [], []
+        for k in range(1, min(5, len(ids))):
+            dx = x[k:] - x[:-k]
+            dy = y[k:] - y[:-k]
+            d2 = dx * dx + dy * dy
+            cd2.append(d2)
+            ca.append(ids[:-k])
+            cb.append(ids[k:])
+        d2, ia, ib = (np.concatenate(cd2), np.concatenate(ca),
+                      np.concatenate(cb))
+        b = _best_of(d2, ia, ib)
+        return pa.table({"d2": pa.array([b[0]]),
+                         "id_a": pa.array([b[1]], pa.int64()),
+                         "id_b": pa.array([b[2]], pa.int64())})
+
+    cands = pts.map_batches(local_bound, batch_format="pyarrow").to_pandas()
+    if cands.empty:
+        # every block held < 2 points (an input small enough that Ray
+        # split it into single-row blocks) — coalesce and rescan; this
+        # path only exists below one block's worth of data
+        cands = (pts.repartition(1)
+                 .map_batches(local_bound, batch_format="pyarrow")
+                 .to_pandas())
+    if cands.empty:
+        raise ValueError("closest_pair needs >= 2 points")
+    d0sq, a0, b0 = _best_of(cands["d2"].to_numpy(),
+                            cands["id_a"].to_numpy(),
+                            cands["id_b"].to_numpy())
+    d0 = float(np.sqrt(d0sq))
+
+    CAND_SCHEMA = pa.schema([("d2", pa.float64()), ("id_a", pa.int64()),
+                             ("id_b", pa.int64())])
+
+    if d0 == 0.0:
+        # exact-duplicate regime: pair the two smallest ids per
+        # duplicate coordinate run inside a coordinate-hash exchange
+        def dup_key(t: pa.Table) -> pa.Table:
+            x = t["x"].to_numpy(zero_copy_only=False)
+            y = t["y"].to_numpy(zero_copy_only=False)
+            key = x.view(np.int64) ^ np.left_shift(y.view(np.int64), 1)
+            return t.append_column("k", pa.array(key))
+
+        def dup_fn(t: pa.Table) -> pa.Table:
+            empty = pa.table({c: pa.nulls(0, CAND_SCHEMA.field(c).type)
+                              for c in CAND_SCHEMA.names})
+            if t.num_rows < 2:
+                return empty
+            ids = t["id"].to_numpy(zero_copy_only=False)
+            x = t["x"].to_numpy(zero_copy_only=False)
+            y = t["y"].to_numpy(zero_copy_only=False)
+            o = np.lexsort((ids, y, x))
+            ids, x, y = ids[o], x[o], y[o]
+            same = (x[1:] == x[:-1]) & (y[1:] == y[:-1])
+            # run starts of duplicate groups: pair (first, second) id
+            first = same & np.r_[True, ~same[:-1]]
+            if not first.any():
+                return empty
+            i = np.flatnonzero(first)
+            b = _best_of(np.zeros(len(i)), ids[i], ids[i + 1])
+            return pa.table({"d2": pa.array([0.0]),
+                             "id_a": pa.array([b[1]], pa.int64()),
+                             "id_b": pa.array([b[2]], pa.int64())})
+
+        dup = bucketed_reduce(
+            pts.map_batches(dup_key, batch_format="pyarrow"),
+            "k", dup_fn, n_buckets=16,
+            schema=pa.schema([*PTS_SCHEMA, pa.field("k", pa.int64())]))
+        c2 = dup.to_pandas()
+        best = _best_of(np.r_[c2["d2"].to_numpy(), d0sq],
+                        np.r_[c2["id_a"].to_numpy(), a0],
+                        np.r_[c2["id_b"].to_numpy(), b0])
+    else:
+        def cells(t: pa.Table) -> pa.Table:
+            x = t["x"].to_numpy(zero_copy_only=False)
+            c = np.floor(x / d0).astype(np.int64)
+            ids = t["id"].to_numpy(zero_copy_only=False)
+            y = t["y"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "cell": pa.array(np.r_[c, c + 1]),
+                "id": pa.array(np.r_[ids, ids]),
+                "x": pa.array(np.r_[x, x]), "y": pa.array(np.r_[y, y])})
+
+        def resolve(t: pa.Table) -> pa.Table:
+            empty = pa.table({c: pa.nulls(0, CAND_SCHEMA.field(c).type)
+                              for c in CAND_SCHEMA.names})
+            if t.num_rows < 2:
+                return empty
+            cell = t["cell"].to_numpy(zero_copy_only=False)
+            ids = t["id"].to_numpy(zero_copy_only=False)
+            x = t["x"].to_numpy(zero_copy_only=False)
+            y = t["y"].to_numpy(zero_copy_only=False)
+            o = np.lexsort((ids, y, cell))
+            cell, ids, x, y = cell[o], ids[o], x[o], y[o]
+            n = len(ids)
+            cd2, ca, cb = [], [], []
+            for k in range(1, n):
+                i = np.arange(n - k)
+                dy = y[i + k] - y[i]
+                live = (cell[i] == cell[i + k]) & (dy <= d0)
+                if not live.any():
+                    break
+                ii = i[live]
+                dx = x[ii] - x[ii + k]
+                d2 = dx * dx + dy[live] * dy[live]
+                cd2.append(d2)
+                ca.append(ids[ii])
+                cb.append(ids[ii + k])
+            if not cd2:
+                return empty
+            b = _best_of(np.concatenate(cd2), np.concatenate(ca),
+                         np.concatenate(cb))
+            return pa.table({"d2": pa.array([b[0]]),
+                             "id_a": pa.array([b[1]], pa.int64()),
+                             "id_b": pa.array([b[2]], pa.int64())})
+
+        c2 = bucketed_reduce(
+            pts.map_batches(cells, batch_format="pyarrow"),
+            "cell", resolve, n_buckets=16,
+            schema=pa.schema([("cell", pa.int64()), ("id", pa.int64()),
+                              ("x", pa.float64()), ("y", pa.float64())]))
+        c2 = c2.to_pandas()
+        best = _best_of(np.r_[c2["d2"].to_numpy(), d0sq],
+                        np.r_[c2["id_a"].to_numpy(), a0],
+                        np.r_[c2["id_b"].to_numpy(), b0])
+    return pd.DataFrame({"id_a": [best[1]], "id_b": [best[2]],
+                         "dist2": [float(np.round(best[0], 6))]}).astype(
+        {"id_a": "int64", "id_b": "int64", "dist2": "float64"})
+
+
+SQL_CLOSEST_PAIR = """
+WITH pts AS (
+  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+         CAST(embedding[2] AS DOUBLE) AS y
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round((a.x - b.x) * (a.x - b.x)
+             + (a.y - b.y) * (a.y - b.y), 6) AS dist2
+FROM pts a JOIN pts b ON a.vec_id < b.vec_id
+ORDER BY (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y),
+         a.vec_id, b.vec_id
+LIMIT 1
+"""
+
+
+TOKEN_BUDGET = 10_000
+
+
+def q_token_budget_select(sf_dir: str):
+    """CORPUS SELECTION UNDER A TOKEN BUDGET — the training-data
+    curation cut: rank documents by integer per-mille stopword
+    density (the Gopher-style quality proxy already oracled by
+    ``quality``), take whole docs in (score DESC, doc_id ASC) order
+    until the 10k-token budget, and split the boundary doc
+    fractionally. The cut is found WITHOUT sorting the corpus: scores
+    live in [0, 1000], so per-batch (score -> n_docs, n_tokens)
+    histogram partials fold to O(1001) rows, the driver walks the
+    histogram to the crossing score, and ONE filtered exchange of the
+    boundary-score tie group (ordered by doc_id, a ~1/1000 slice by
+    construction) resolves the exact boundary doc. Publishes a single
+    audit row; ties and exact-fit boundaries (take = 0) are
+    deterministic on both engines."""
+    from .pipelines.relational import bucketed_reduce
+    from .pipelines.textops import QualityScorer
+
+    B = TOKEN_BUDGET
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    scored = docs.map_batches(QualityScorer, batch_format="pandas",
+                              concurrency=2)
+
+    def with_score(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["n_tokens"].to_numpy(dtype=np.int64)
+        stops = df["n_stopwords"].to_numpy(dtype=np.int64)
+        score = np.where(toks == 0, 0, (stops * 1000) // np.maximum(toks, 1))
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "toks": toks, "score": score.astype(np.int64)})
+
+    sc = scored.map_batches(with_score, batch_format="pandas")
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("score", as_index=False).agg(
+            n_docs=("doc_id", "count"), n_toks=("toks", "sum"))
+        return g
+
+    h = (sc.map_batches(hist, batch_format="pandas").to_pandas()
+         .groupby("score", as_index=False).sum()
+         .sort_values("score", ascending=False))
+    cum = h["n_toks"].cumsum()
+    total = int(h["n_toks"].sum())
+    if total <= B:
+        n_full = int(h["n_docs"].sum())
+        return pd.DataFrame({
+            "n_docs_full": [n_full], "tokens_full": [total],
+            "boundary_doc_id": [-1], "boundary_take": [0],
+            "boundary_score": [-1]}).astype("int64")
+    cross = int(np.flatnonzero(cum.to_numpy() > B)[0])
+    s_star = int(h["score"].iloc[cross])
+    above_docs = int(h["n_docs"].iloc[:cross].sum())
+    above_toks = int(h["n_toks"].iloc[:cross].sum())
+    remaining = B - above_toks
+
+    def tie_fn(t: pa.Table) -> pa.Table:
+        # the whole tie group lands in ONE bucket (constant key), so
+        # the doc_id-ordered prefix scan is globally correct
+        empty = pa.table({"n_full": pa.nulls(0, pa.int64()),
+                          "toks_full": pa.nulls(0, pa.int64()),
+                          "b_doc": pa.nulls(0, pa.int64()),
+                          "b_take": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        toks = t["toks"].to_numpy(zero_copy_only=False)
+        o = np.argsort(ids)
+        ids, toks = ids[o], toks[o]
+        c = np.cumsum(toks)
+        full = c <= remaining               # a prefix: c is monotone
+        j = int(np.flatnonzero(~full)[0])   # exists: group crosses
+        before = int(c[j] - toks[j])        # == sum of full-doc tokens
+        return pa.table({
+            "n_full": pa.array([int(full.sum())], pa.int64()),
+            "toks_full": pa.array([before], pa.int64()),
+            "b_doc": pa.array([int(ids[j])], pa.int64()),
+            "b_take": pa.array([remaining - before], pa.int64())})
+
+    def tie_rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[df["score"] == s_star]
+        return g.assign(k=np.int64(0))
+
+    tg = bucketed_reduce(
+        sc.map_batches(tie_rows, batch_format="pandas"),
+        "k", tie_fn, n_buckets=1,
+        schema=pa.schema([("doc_id", pa.int64()), ("toks", pa.int64()),
+                          ("score", pa.int64()), ("k", pa.int64())]))
+    r = tg.to_pandas().dropna().iloc[0]
+    return pd.DataFrame({
+        "n_docs_full": [above_docs + int(r["n_full"])],
+        "tokens_full": [above_toks + int(r["toks_full"])],
+        "boundary_doc_id": [int(r["b_doc"])],
+        "boundary_take": [int(r["b_take"])],
+        "boundary_score": [s_star]}).astype("int64")
+
+
+SQL_TOKEN_BUDGET_SELECT = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+         END::BIGINT AS toks,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+             x -> x IN ('the','a','and','of','to','in','is','it')
+         ))::BIGINT AS stops
+  FROM documents
+), s AS (
+  SELECT doc_id, toks,
+         CASE WHEN toks = 0 THEN 0 ELSE (stops * 1000) // toks END AS score
+  FROM d
+), o AS (
+  SELECT doc_id, toks, score,
+         sum(toks) OVER (ORDER BY score DESC, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s
+), sel AS (
+  SELECT count(*)::BIGINT AS n_docs_full,
+         coalesce(sum(toks), 0)::BIGINT AS tokens_full
+  FROM o WHERE cum <= {TOKEN_BUDGET}
+), bnd AS (
+  SELECT doc_id, score, {TOKEN_BUDGET} - (cum - toks) AS take
+  FROM o WHERE cum > {TOKEN_BUDGET}
+  ORDER BY score DESC, doc_id LIMIT 1
+)
+SELECT sel.n_docs_full, sel.tokens_full,
+       coalesce(bnd.doc_id, -1)::BIGINT AS boundary_doc_id,
+       coalesce(bnd.take, 0)::BIGINT AS boundary_take,
+       coalesce(bnd.score, -1)::BIGINT AS boundary_score
+FROM sel LEFT JOIN bnd ON TRUE
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -22062,4 +22391,7 @@ def catalog():
                                   SQL_BITMAP_INDEX_ESTIMATE),
         "huffman_bits": (q_huffman_bits, _huffman_sql()),
         "apportionment": (q_apportionment, SQL_APPORTIONMENT),
+        "closest_pair": (q_closest_pair, SQL_CLOSEST_PAIR),
+        "token_budget_select": (q_token_budget_select,
+                                SQL_TOKEN_BUDGET_SELECT),
     }

@@ -1,12 +1,15 @@
-"""Round-4l units: adversarial edges for the session-11 storage-planner
-kernels (RLE runs, vbyte postings, roaring containers).
+"""Round-4l units: adversarial edges for the session-11 kernels
+(RLE runs, vbyte postings, roaring containers, Huffman, apportionment,
+closest pair, token-budget selection).
 
 The queries are covered by the parameterized oracle gate at sf0.01; this
 file pins the edges the corpus may not exercise — run detection on an
-out-of-order arrival stream (the engine must sort by (ts, event_id)
-inside each user before counting runs), the varint byte ladder at its
-exact power-of-two boundaries, and the roaring array/bitmap switch at
-the 63/64 cutoff.
+out-of-order arrival stream, the varint byte ladder at its exact
+power-of-two boundaries, the roaring array/bitmap switch at 63/64, the
+Huffman tie contract (Kraft equality, deterministic equal-weight trees),
+the largest-remainder tie seat, the closest pair that phase 1's
+x-neighbor window cannot see, the d0 == 0 duplicate regime, and the
+token-budget boundary-doc split on both sides of the budget.
 """
 
 import duckdb
@@ -197,3 +200,102 @@ class TestApportionment:
         exp = (con.execute(SQL_APPORTIONMENT).fetchdf()
                .set_index("n_name").sort_index())
         assert got.equals(exp.astype(got.dtypes.to_dict()))
+
+
+class TestClosestPair:
+    def _emb_table(self, pts):
+        """pts: (vec_id, x, y) -> embeddings parquet schema (8-dim)"""
+        return pa.table({
+            "vec_id": pa.array([p[0] for p in pts], pa.int64()),
+            "embedding": pa.array(
+                [[np.float32(p[1]), np.float32(p[2])] + [np.float32(0)] * 6
+                 for p in pts], pa.list_(pa.float32())),
+            "label": pa.array([0] * len(pts), pa.int32()),
+        })
+
+    def _oracle(self, tmp_path):
+        from crawlray.queries import SQL_CLOSEST_PAIR
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/embeddings.parquet')")
+        return con.execute(SQL_CLOSEST_PAIR).fetchdf()
+
+    def test_true_pair_far_apart_in_x_rank(self, ray_session, tmp_path):
+        """The closest pair sits 9 apart in x-rank (outside phase 1's
+        4-neighbor window), so only the phase-2 cell exchange can find
+        it — x nearly equal across all points, y spread except the
+        planted pair."""
+        from crawlray.queries import q_closest_pair
+        pts = [(i, i * 1e-6, float(i)) for i in range(9)]
+        pts.append((9, 9 * 1e-6, 0.0001))    # ~coincides with vec 0 in y
+        pq.write_table(self._emb_table(pts),
+                       str(tmp_path / "embeddings.parquet"))
+        got = q_closest_pair(str(tmp_path))
+        assert (int(got["id_a"][0]), int(got["id_b"][0])) == (0, 9)
+        exp = self._oracle(tmp_path)
+        assert got.equals(exp.astype(got.dtypes.to_dict()))
+
+    def test_exact_duplicates_d0_zero_regime(self, ray_session, tmp_path):
+        """Two duplicate coordinate groups: the d0 == 0 regime must
+        publish the LEXICOGRAPHICALLY smallest zero-distance pair
+        (1, 5), not whichever duplicate phase 1 happened to see."""
+        from crawlray.queries import q_closest_pair
+        pts = [(7, 2.0, 2.0), (8, 2.0, 2.0),      # dup group B
+               (1, 1.0, 1.0), (5, 1.0, 1.0),      # dup group A (smaller ids)
+               (3, 9.0, 9.0)]
+        pq.write_table(self._emb_table(pts),
+                       str(tmp_path / "embeddings.parquet"))
+        got = q_closest_pair(str(tmp_path))
+        assert (int(got["id_a"][0]), int(got["id_b"][0])) == (1, 5)
+        assert float(got["dist2"][0]) == 0.0
+        exp = self._oracle(tmp_path)
+        assert got.equals(exp.astype(got.dtypes.to_dict()))
+
+
+class TestTokenBudgetSelect:
+    def _docs_table(self, rows):
+        """rows: (doc_id, text)"""
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array(["s"] * len(rows)),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        })
+
+    def _run(self, tmp_path):
+        import duckdb as dk
+        from crawlray.queries import (SQL_TOKEN_BUDGET_SELECT,
+                                      q_token_budget_select)
+        got = q_token_budget_select(str(tmp_path))
+        con = dk.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/documents.parquet')")
+        exp = con.execute(SQL_TOKEN_BUDGET_SELECT).fetchdf()
+        assert got.equals(exp.astype(got.dtypes.to_dict()))
+        return got
+
+    def test_all_docs_fit_under_budget(self, ray_session, tmp_path):
+        rows = [(1, "the cat"), (2, "a dog runs")]
+        pq.write_table(self._docs_table(rows),
+                       str(tmp_path / "documents.parquet"))
+        got = self._run(tmp_path)
+        assert int(got["boundary_doc_id"][0]) == -1
+        assert int(got["n_docs_full"][0]) == 2
+
+    def test_boundary_doc_split(self, ray_session, tmp_path):
+        """Budget 10_000: 2 small all-stopword docs (score 1000) fit
+        fully; one 20_000-token zero-stopword filler (score 0) is the
+        boundary and is taken fractionally."""
+        filler = " ".join(["word"] * 20000)
+        rows = [(10, "the of to in"),          # 4 toks, score 1000
+                (11, "a and is it the"),       # 5 toks, score 1000
+                (12, filler)]                  # 20000 toks, score 0
+        pq.write_table(self._docs_table(rows),
+                       str(tmp_path / "documents.parquet"))
+        got = self._run(tmp_path)
+        assert int(got["n_docs_full"][0]) == 2
+        assert int(got["tokens_full"][0]) == 9
+        assert int(got["boundary_doc_id"][0]) == 12
+        assert int(got["boundary_take"][0]) == 10_000 - 9
+        assert int(got["boundary_score"][0]) == 0
