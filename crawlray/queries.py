@@ -22005,6 +22005,104 @@ FROM sel LEFT JOIN bnd ON TRUE
 """
 
 
+MULTI_PATTERNS = ["fast merge", "hash join", "key value", "merge batch",
+                  "row scan", "sort table", "table scan", "table value"]
+
+
+def q_multi_pattern_counts(sf_dir: str):
+    """MULTI-PATTERN DICTIONARY SCAN over documents — the
+    blocklist/PII-dictionary primitive: for each pattern in a
+    broadcast dictionary, the number of documents containing it and
+    the total non-overlapping occurrence count (both engines consume
+    matches left-to-right, so the counts agree for ANY pattern, even
+    self-overlapping ones). K compiled-regex vectorized passes per
+    batch (pandas ``str.count`` under ``re.escape``), O(K) partial
+    rows per block, driver fold O(blocks x K); a production
+    dictionary of thousands of patterns would swap the K passes for
+    one Aho-Corasick automaton per actor — the batch contract is
+    unchanged. Zero-hit patterns still publish a row."""
+    import re
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pats = list(MULTI_PATTERNS)
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].fillna("")
+        rows = []
+        for p in pats:
+            n = s.str.count(re.escape(p)).astype("int64")
+            rows.append((p, int((n > 0).sum()), int(n.sum())))
+        return pd.DataFrame(rows, columns=["pattern", "n_docs",
+                                           "n_occurrences"])
+
+    out = (docs.map_batches(counts, batch_format="pandas")
+           .to_pandas().groupby("pattern", as_index=False).sum())
+    return out.astype({"n_docs": "int64", "n_occurrences": "int64"})
+
+
+def _multi_pattern_sql() -> str:
+    lits = ", ".join(f"('{p}')" for p in MULTI_PATTERNS)
+    return f"""
+WITH pats AS (SELECT * FROM (VALUES {lits}) p(pat)),
+per AS (
+  SELECT p.pat, d.doc_id,
+         (length(d.text) - length(replace(d.text, p.pat, '')))
+           // length(p.pat) AS n
+  FROM documents d CROSS JOIN pats p
+)
+SELECT pat AS pattern,
+       sum(CASE WHEN n > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+       sum(n)::BIGINT AS n_occurrences
+FROM per GROUP BY 1
+"""
+
+
+BORDER_MAX = 64
+
+
+def q_text_border_period(sf_dir: str):
+    """LONGEST BORDER / PERIOD detection per document — the KMP
+    failure-function view of boilerplate: the longest k <= 64 (and
+    k < n) where the text's k-prefix equals its k-suffix, and the
+    implied repeat period n - k (a small period flags template/
+    boilerplate pages). The engine runs 64 VECTORIZED prefix==suffix
+    passes over the whole batch (pandas slice compare), never a
+    per-row loop; purely map-side, no shuffle. The oracle enumerates
+    the same k range with substr equality."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def borders(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].fillna("")
+        n = s.str.len().to_numpy(dtype=np.int64)
+        border = np.zeros(len(s), np.int64)
+        for k in range(1, BORDER_MAX + 1):
+            match = (s.str[:k] == s.str[-k:]).to_numpy() & (n > k)
+            border = np.where(match, k, border)
+        period = np.where(border > 0, n - border, 0)
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "n_chars": n, "border_len": border,
+                             "period": period})
+
+    return docs.map_batches(borders, batch_format="pandas")
+
+
+SQL_TEXT_BORDER_PERIOD = f"""
+WITH ks AS (SELECT range AS k FROM range(1, {BORDER_MAX + 1})),
+b AS (
+  SELECT d.doc_id, length(d.text)::BIGINT AS n_chars,
+         max(CASE WHEN ks.k < length(d.text)
+                   AND substr(d.text, 1, ks.k)
+                       = substr(d.text, length(d.text) - ks.k + 1, ks.k)
+                  THEN ks.k ELSE 0 END)::BIGINT AS border_len
+  FROM documents d CROSS JOIN ks GROUP BY 1, 2
+)
+SELECT doc_id, n_chars, border_len,
+       (CASE WHEN border_len > 0 THEN n_chars - border_len
+             ELSE 0 END)::BIGINT AS period
+FROM b
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -22394,4 +22492,8 @@ def catalog():
         "closest_pair": (q_closest_pair, SQL_CLOSEST_PAIR),
         "token_budget_select": (q_token_budget_select,
                                 SQL_TOKEN_BUDGET_SELECT),
+        "multi_pattern_counts": (q_multi_pattern_counts,
+                                 _multi_pattern_sql()),
+        "text_border_period": (q_text_border_period,
+                               SQL_TEXT_BORDER_PERIOD),
     }

@@ -299,3 +299,56 @@ class TestTokenBudgetSelect:
         assert int(got["boundary_doc_id"][0]) == 12
         assert int(got["boundary_take"][0]) == 10_000 - 9
         assert int(got["boundary_score"][0]) == 0
+
+
+class TestMultiPatternAndBorder:
+    def _docs(self, rows):
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array(["s"] * len(rows)),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        })
+
+    def test_self_overlapping_pattern_counts_agree(
+            self, ray_session, tmp_path, monkeypatch):
+        """'aa' in 'aaaa' is 3 overlapping matches but BOTH engines
+        count left-to-right non-overlapping (2) — the documented
+        contract, pinned on a pattern where the two conventions
+        differ."""
+        import crawlray.queries as Q
+        monkeypatch.setattr(Q, "MULTI_PATTERNS", ["aa"])
+        pq.write_table(self._docs([(1, "aaaa"), (2, "aabaa")]),
+                       str(tmp_path / "documents.parquet"))
+        got = Q.q_multi_pattern_counts(str(tmp_path))
+        assert int(got["n_occurrences"][0]) == 2 + 2
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/documents.parquet')")
+        exp = con.execute(Q._multi_pattern_sql()).fetchdf()
+        assert got.reset_index(drop=True).equals(
+            exp.astype(got.dtypes.to_dict()).reset_index(drop=True))
+
+    def test_border_period_edges(self, ray_session, tmp_path):
+        """'abcabc' has border 3 / period 3; 'aaaa' has border 3
+        (k < n strictly) / period 1; a 70-repeat border caps at the
+        documented 64 on BOTH engines; a borderless doc publishes 0."""
+        from crawlray.queries import (SQL_TEXT_BORDER_PERIOD,
+                                      q_text_border_period)
+        rows = [(1, "abcabc"), (2, "aaaa"), (3, "a" * 200),
+                (4, "xyzw")]
+        pq.write_table(self._docs(rows),
+                       str(tmp_path / "documents.parquet"))
+        got = (q_text_border_period(str(tmp_path)).to_pandas()
+               .set_index("doc_id").sort_index())
+        assert got.loc[1, "border_len"] == 3 and got.loc[1, "period"] == 3
+        assert got.loc[2, "border_len"] == 3 and got.loc[2, "period"] == 1
+        assert got.loc[3, "border_len"] == 64      # the documented cap
+        assert got.loc[4, "border_len"] == 0 and got.loc[4, "period"] == 0
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/documents.parquet')")
+        exp = (con.execute(SQL_TEXT_BORDER_PERIOD).fetchdf()
+               .set_index("doc_id").sort_index())
+        assert got.equals(exp.astype(got.dtypes.to_dict()))
