@@ -329,6 +329,15 @@ BENCH_QUERIES = [
     "seasonal_naive_error",
     "labeler_kappa",
     "fano_burstiness",
+    "rle_encoding_estimate",
+    "vbyte_postings_bytes",
+    "bitmap_index_estimate",
+    "huffman_bits",
+    "apportionment",
+    "closest_pair",
+    "token_budget_select",
+    "multi_pattern_counts",
+    "text_border_period",
 ]
 
 

@@ -21904,7 +21904,12 @@ def q_token_budget_select(sf_dir: str):
         return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
                              "toks": toks, "score": score.astype(np.int64)})
 
-    sc = scored.map_batches(with_score, batch_format="pandas")
+    # materialize the 3-int-column control table once: the histogram
+    # pass and the tie-group pass both read it, and re-running the
+    # scorer actor pool for the second pass would double the scan;
+    # O(docs x 24 B) in the object store — the standard control-table
+    # materialization, NOT a corpus materialization
+    sc = scored.map_batches(with_score, batch_format="pandas").materialize()
 
     def hist(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("score", as_index=False).agg(
