@@ -338,6 +338,9 @@ BENCH_QUERIES = [
     "token_budget_select",
     "multi_pattern_counts",
     "text_border_period",
+    "set_cover_sources",
+    "heaps_vocab_growth",
+    "csv_roundtrip",
 ]
 
 

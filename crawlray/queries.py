@@ -22108,6 +22108,260 @@ FROM b
 """
 
 
+SET_COVER_STEPS = 5
+
+
+def _bigram_pairs_batch(t: pa.Table, key_col: str) -> pd.DataFrame:
+    """distinct (key, bigram) pairs for a batch of documents — the
+    shared tokenization of the coverage family (whitespace tokens,
+    space-joined adjacent pairs)."""
+    df = t.select([key_col, "text"]).to_pandas()
+    ws = df["text"].fillna("").str.split()
+    e = (df[[key_col]].assign(ws=ws).explode("ws"))
+    # adjacent pairs inside one doc: shift within the original row
+    # grouping (explode preserves the source index)
+    e["nxt"] = e.groupby(level=0)["ws"].shift(-1)
+    e = e.dropna(subset=["ws", "nxt"])
+    e["bg"] = e["ws"] + " " + e["nxt"]
+    return e[[key_col, "bg"]].drop_duplicates()
+
+
+def q_set_cover_sources(sf_dir: str):
+    """GREEDY SET COVER over corpus sources — the data-buying
+    question 'which 5 sources add the most distinct bigrams?': at
+    each step pick the unchosen source covering the most
+    still-uncovered bigrams (ties by source name), publish
+    (step, source, new_terms), stop early when nothing new remains.
+    The source x bigram incidence never reaches the driver as rows:
+    a bigram-keyed exchange folds each bigram's source SET to a
+    SET-HISTOGRAM — O(distinct source sets) <= 2^|sources| rows, in
+    practice tiny because sources correlate — and the driver's greedy
+    loop reads every gain off the histogram as bitmask sums
+    (gain(s) = sum n[m] over uncovered masks containing s). The
+    oracle unrolls the same 5 steps as chained CTEs with NOT IN
+    covered sets."""
+    from .pipelines.relational import bucketed_reduce
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        e = _bigram_pairs_batch(t, "source")
+        return pa.table({"bg": pa.array(e["bg"], pa.string()),
+                         "src": pa.array(e["source"], pa.string())})
+
+    def srcset_hist(t: pa.Table) -> pa.Table:
+        # histogram keyed by the CANONICAL source-set string (sorted,
+        # comma-joined) — no global source->bit mapping needed, so the
+        # plan is one pass + one exchange
+        empty = pa.table({"srcset": pa.nulls(0, pa.string()),
+                          "n": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas().drop_duplicates()
+        sets = (df.sort_values(["bg", "src"]).groupby("bg")["src"]
+                .agg(",".join))
+        h = sets.value_counts()
+        return pa.table({"srcset": pa.array(h.index, pa.string()),
+                         "n": pa.array(h.to_numpy(np.int64))})
+
+    # the pairs stream is per-block partials; coalesce the tiny doc
+    # blocks so the K-wide split doesn't fan 64 near-empty tasks
+    # x n_buckets objects through the store
+    hist = bucketed_reduce(
+        docs.map_batches(pairs, batch_format="pyarrow").repartition(16),
+        "bg", srcset_hist, n_buckets=16,
+        schema=pa.schema([("bg", pa.string()), ("src", pa.string())]))
+    h = (hist.to_pandas().groupby("srcset", as_index=False)["n"].sum())
+    sources = sorted({s for ss in h["srcset"] for s in ss.split(",")})
+    bit = {s: i for i, s in enumerate(sources)}
+    masks = np.array([sum(1 << bit[s] for s in ss.split(","))
+                      for ss in h["srcset"]], np.int64)
+    n = h["n"].to_numpy(np.int64)
+    chosen_mask = 0
+    chosen = set()
+    rows = []
+    for step in range(1, SET_COVER_STEPS + 1):
+        unc = (masks & chosen_mask) == 0
+        best = None
+        for s in sources:
+            if s in chosen:
+                continue
+            gain = int(n[unc & ((masks >> bit[s]) & 1 == 1)].sum())
+            if gain > 0 and (best is None or (-gain, s) < (-best[1], best[0])):
+                best = (s, gain)
+        if best is None:
+            break
+        rows.append((step, best[0], best[1]))
+        chosen.add(best[0])
+        chosen_mask |= 1 << bit[best[0]]
+    return pd.DataFrame(rows, columns=["step", "source", "new_terms"]) \
+        .astype({"step": "int64", "new_terms": "int64"})
+
+
+def _set_cover_sql() -> str:
+    head = """
+WITH toks AS (
+  SELECT source, doc_id, string_split(text, ' ') AS ws FROM documents
+), pairs AS (
+  SELECT DISTINCT source, ws[i] || ' ' || ws[i + 1] AS bg
+  FROM toks, unnest(range(1, len(ws))) t(i)
+),
+g1 AS (SELECT source, count(*)::BIGINT AS gain FROM pairs GROUP BY 1),
+c1 AS (SELECT source, gain FROM g1 ORDER BY gain DESC, source LIMIT 1),
+cov1 AS (SELECT DISTINCT p.bg FROM pairs p JOIN c1 ON p.source = c1.source),
+ch1 AS (SELECT source FROM c1)"""
+    steps = [head]
+    for i in range(2, SET_COVER_STEPS + 1):
+        p = i - 1
+        steps.append(f"""
+g{i} AS (
+  SELECT p.source, count(DISTINCT p.bg)::BIGINT AS gain
+  FROM pairs p
+  WHERE p.source NOT IN (SELECT source FROM ch{p})
+    AND p.bg NOT IN (SELECT bg FROM cov{p})
+  GROUP BY 1
+),
+c{i} AS (SELECT source, gain FROM g{i} WHERE gain > 0
+         ORDER BY gain DESC, source LIMIT 1),
+cov{i} AS (SELECT bg FROM cov{p}
+           UNION
+           SELECT p.bg FROM pairs p JOIN c{i} ON p.source = c{i}.source),
+ch{i} AS (SELECT source FROM ch{p}
+          UNION ALL SELECT source FROM c{i})""")
+    tails = " UNION ALL ".join(
+        f"SELECT {i}::BIGINT AS step, source, gain AS new_terms FROM c{i}"
+        for i in range(1, SET_COVER_STEPS + 1))
+    return ",".join(steps) + "\n" + tails
+
+
+HEAPS_CHECKPOINTS = [25, 50, 100, 200, 400]
+
+
+def q_heaps_vocab_growth(sf_dir: str):
+    """HEAPS-LAW VOCABULARY GROWTH — the tokenizer-budget curve
+    'how many distinct bigrams appear within the first k documents?'
+    for k in {25, 50, 100, 200, 400}, WITHOUT materializing any
+    vocabulary: each bigram's FIRST document id folds in a
+    bigram-keyed exchange (per-batch (bg, min doc_id) partials, then
+    the bucket-global min), every bucket emits only its O(K)
+    checkpoint counts, and the driver sums K numbers per bucket. The
+    curve's growth shape (new bigrams keep arriving) is the empirical
+    Heaps signal the count-of-counts `vocab_coverage` cannot see."""
+    from .pipelines.relational import bucketed_reduce
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    ks = np.array(HEAPS_CHECKPOINTS, np.int64)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        e = _bigram_pairs_batch(t, "doc_id")
+        # per-batch partial min doc_id per bigram; emit ARROW (see
+        # set_cover pairs)
+        g = (e.groupby("bg", as_index=False)["doc_id"].min()
+             .rename(columns={"doc_id": "first_doc"}))
+        return pa.table({"bg": pa.array(g["bg"], pa.string()),
+                         "first_doc": pa.array(
+                             g["first_doc"].to_numpy(np.int64))})
+
+    def counts(t: pa.Table) -> pa.Table:
+        empty = pa.table({"k": pa.nulls(0, pa.int64()),
+                          "vocab_size": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas().groupby("bg")["first_doc"].min()
+        first = df.to_numpy(np.int64)
+        v = (first[None, :] < ks[:, None]).sum(axis=1).astype(np.int64)
+        return pa.table({"k": pa.array(ks), "vocab_size": pa.array(v)})
+
+    parts = bucketed_reduce(
+        docs.map_batches(pairs, batch_format="pyarrow").repartition(16),
+        "bg", counts, n_buckets=16,
+        schema=pa.schema([("bg", pa.string()), ("first_doc", pa.int64())]))
+    out = (parts.to_pandas().groupby("k", as_index=False)["vocab_size"]
+           .sum().sort_values("k"))
+    return out.astype({"k": "int64", "vocab_size": "int64"}) \
+        .reset_index(drop=True)
+
+
+def _heaps_sql() -> str:
+    lits = ", ".join(str(k) for k in HEAPS_CHECKPOINTS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), firsts AS (
+  SELECT ws[i] || ' ' || ws[i + 1] AS bg, min(doc_id) AS first_doc
+  FROM toks, unnest(range(1, len(ws))) t(i)
+  GROUP BY 1
+), ks AS (SELECT unnest([{lits}]) AS k)
+SELECT k::BIGINT AS k,
+       (SELECT count(*) FROM firsts WHERE first_doc < ks.k)::BIGINT
+         AS vocab_size
+FROM ks
+"""
+
+
+CSV_SNAPSHOT = "/tmp/crawlray_csv/documents.csv"
+
+
+def q_csv_roundtrip(sf_dir: str):
+    """CSV source-format PARITY — the `jsonl_roundtrip` audit for the
+    third ingest format: a deterministic CSV snapshot of documents
+    (written once, driver-side, keyed to the sf dir; proper quoting
+    via the csv module) is read back through ``ray.data.read_csv``
+    and aggregated per source; the oracle reads the SAME file through
+    DuckDB ``read_csv_auto``. Any quoting, header, or type-inference
+    drift between the two CSV readers breaks the char sums."""
+    import csv
+    import os
+
+    os.makedirs(os.path.dirname(CSV_SNAPSHOT), exist_ok=True)
+    marker = CSV_SNAPSHOT + ".src"
+    want = sf_dir.rstrip("/")
+    if not os.path.exists(marker) or open(marker).read() != want:
+        import pyarrow.parquet as pq
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "source", "n_chars", "text"])
+        with open(CSV_SNAPSHOT, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["doc_id", "source", "n_chars", "text"])
+            for row in t.to_pylist():
+                w.writerow([row["doc_id"], row["source"],
+                            row["n_chars"], row["text"]])
+        with open(marker, "w") as f:
+            f.write(want)
+
+    ds = rd.read_csv(CSV_SNAPSHOT)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"source": t["source"],
+                       "n_chars": t["n_chars"].cast(pa.int64()),
+                       "text_len": pc.utf8_length(t["text"])
+                       .cast(pa.int64())})
+             .group_by("source")
+             .aggregate([("n_chars", "sum"), ("text_len", "sum"),
+                         ("n_chars", "count")]))
+        return pa.table({"source": g["source"],
+                         "n_docs": g["n_chars_count"].cast(pa.int64()),
+                         "sum_chars": g["n_chars_sum"],
+                         "sum_text_len": g["text_len_sum"]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (parts.groupby("source", as_index=False)
+           .agg(n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"),
+                sum_text_len=("sum_text_len", "sum"))
+           .sort_values("source"))
+    return out.astype({"n_docs": "int64", "sum_chars": "int64",
+                       "sum_text_len": "int64"}).reset_index(drop=True)
+
+
+SQL_CSV_ROUNDTRIP = f"""
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars,
+       sum(length(text))::BIGINT AS sum_text_len
+FROM read_csv_auto('{CSV_SNAPSHOT}')
+GROUP BY 1
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -22501,4 +22755,7 @@ def catalog():
                                  _multi_pattern_sql()),
         "text_border_period": (q_text_border_period,
                                SQL_TEXT_BORDER_PERIOD),
+        "set_cover_sources": (q_set_cover_sources, _set_cover_sql()),
+        "heaps_vocab_growth": (q_heaps_vocab_growth, _heaps_sql()),
+        "csv_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
     }

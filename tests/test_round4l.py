@@ -352,3 +352,51 @@ class TestMultiPatternAndBorder:
         exp = (con.execute(SQL_TEXT_BORDER_PERIOD).fetchdf()
                .set_index("doc_id").sort_index())
         assert got.equals(exp.astype(got.dtypes.to_dict()))
+
+
+class TestCoverageFamily:
+    def _docs(self, rows):
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array([r[2] for r in rows]),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        })
+
+    def test_set_cover_greedy_order_and_tie(self, ray_session, tmp_path):
+        """sA covers bigrams {a b, b c}; sB covers {a b}; sC covers
+        {c d}. Greedy picks sA (gain 2) then the NAME tiebreak between
+        sB (gain 0 -> excluded) and sC (gain 1): step 2 = sC, and sB
+        never appears because its marginal gain is zero."""
+        from crawlray.queries import _set_cover_sql, q_set_cover_sources
+        rows = [(1, "a b c", "sA"), (2, "a b", "sB"), (3, "c d", "sC")]
+        pq.write_table(self._docs(rows),
+                       str(tmp_path / "documents.parquet"))
+        got = q_set_cover_sources(str(tmp_path))
+        assert got["source"].tolist() == ["sA", "sC"]
+        assert got["new_terms"].tolist() == [2, 1]
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/documents.parquet')")
+        exp = con.execute(_set_cover_sql()).fetchdf()
+        assert got.reset_index(drop=True).equals(
+            exp.astype(got.dtypes.to_dict()).reset_index(drop=True))
+
+    def test_heaps_counts_first_occurrence_only(
+            self, ray_session, tmp_path):
+        """doc 0 introduces 2 bigrams; doc 30 repeats one of them and
+        adds 1 new; the k=25 checkpoint sees only doc 0's vocabulary
+        and k=50 sees 3 — repeats never recount."""
+        from crawlray.queries import _heaps_sql, q_heaps_vocab_growth
+        rows = [(0, "x y z", "s"), (30, "x y w q", "s")]
+        pq.write_table(self._docs([(r[0], r[1], r[2]) for r in rows]),
+                       str(tmp_path / "documents.parquet"))
+        got = q_heaps_vocab_growth(str(tmp_path)).set_index("k")
+        assert got.loc[25, "vocab_size"] == 2     # "x y", "y z"
+        assert got.loc[50, "vocab_size"] == 4     # + "y w", "w q"
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/documents.parquet')")
+        exp = con.execute(_heaps_sql()).fetchdf().set_index("k")
+        assert got.equals(exp.astype(got.dtypes.to_dict()))
