@@ -341,6 +341,8 @@ BENCH_QUERIES = [
     "set_cover_sources",
     "heaps_vocab_growth",
     "csv_roundtrip",
+    "harmonic_centrality",
+    "skyband_parts",
 ]
 
 

@@ -22362,6 +22362,201 @@ GROUP BY 1
 """
 
 
+HARM_N_SOURCES = 4
+HARM_LCM = 840          # lcm(1..8) — depths are capped at BFS_MAX_DEPTH
+
+
+def q_harmonic_centrality(sf_dir: str):
+    """HARMONIC CENTRALITY of the first 4 seed pages over the
+    mini-web outlink graph — the disconnected-safe closeness variant
+    (sum of 1/d over reachable nodes; unreachable nodes contribute 0
+    instead of poisoning the mean): per source, the reachable count
+    and the harmonic sum as an EXACT reduced rational (depths are
+    BFS levels <= 8, so every term is n_d / d and the driver folds
+    Fractions over the O(depths) histogram). Reuses the sharded
+    first-visit BFS (`graph.bfs_depths`, edges materialized once);
+    per source only the depth histogram crosses to the driver. The
+    oracle runs the same multi-source walk as ONE recursive CTE
+    carrying the source column and reduces hsum/840 by gcd."""
+    from fractions import Fraction
+
+    from .htmlx import parse_document
+    from .pipelines.graph import bfs_depths
+    from .synth import World
+
+    cfg = _crawl_cfg(sf_dir)
+    world = World(cfg.world)
+    urls = [world.url(i % cfg.world.n_hosts, i // cfg.world.n_hosts)
+            for i in range(min(PAGERANK_N_URLS, cfg.world.n_urls))]
+    seeds = rd.from_items([{"url": u} for u in urls],
+                          override_num_blocks=8)
+
+    def edges_of(t: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for u in t["url"].to_pylist():
+            for link in parse_document(world.gen_page(u), u).links:
+                src.append(u)
+                dst.append(link.url)
+        return pa.table({"src": pa.array(src, pa.string()),
+                         "dst": pa.array(dst, pa.string())})
+
+    edges = seeds.map_batches(edges_of,
+                              batch_format="pyarrow").materialize()
+
+    def depth_hist(t: pa.Table) -> pa.Table:
+        g = (pa.table({"d": t["depth"]}).group_by(["d"])
+             .aggregate([("d", "count")]))
+        return pa.table({"d": g["d"],
+                         "n": g["d_count"].cast(pa.int64())})
+
+    rows = []
+    for s in urls[:HARM_N_SOURCES]:
+        depths = bfs_depths(edges, [s], n_shards=8,
+                            max_depth=BFS_MAX_DEPTH)
+        h = (depths.map_batches(depth_hist, batch_format="pyarrow")
+             .to_pandas().groupby("d")["n"].sum())
+        if h.empty:
+            continue        # seed absent from the edge set (contract)
+        harm = sum((Fraction(int(n), int(d))
+                    for d, n in h.items() if d > 0), Fraction(0))
+        reach = int(h[h.index > 0].sum())
+        rows.append((s, reach, harm.numerator, harm.denominator))
+    return (pd.DataFrame(rows, columns=["source_url", "n_reachable",
+                                        "harm_num", "harm_den"])
+            .astype({"n_reachable": "int64", "harm_num": "int64",
+                     "harm_den": "int64"}))
+
+
+@functools.lru_cache(maxsize=1)
+def _harmonic_sql() -> str:
+    src, dst = _pagerank_edge_lists(_ORACLE_SF_DIR)
+    rows = ",\n".join(f"({_sql_str(s)}, {_sql_str(t)})"
+                      for s, t in zip(src, dst))
+    from .synth import World
+
+    cfg = _crawl_cfg(_ORACLE_SF_DIR)
+    world = World(cfg.world)
+    seed_urls = [world.url(i % cfg.world.n_hosts, i // cfg.world.n_hosts)
+                 for i in range(HARM_N_SOURCES)]
+    seed_rows = ", ".join(f"({_sql_str(u)})" for u in seed_urls)
+    return f"""
+WITH RECURSIVE edges(src, dst) AS (VALUES
+{rows}
+),
+seeds(u) AS (
+  SELECT u FROM (VALUES {seed_rows}) s(u)
+  WHERE u IN (SELECT src FROM edges UNION SELECT dst FROM edges)
+),
+walk(s, u, d) AS (
+  SELECT u, u, 0 FROM seeds
+  UNION
+  SELECT w.s, e.dst, w.d + 1
+  FROM walk w JOIN edges e ON e.src = w.u
+  WHERE w.d < {BFS_MAX_DEPTH}
+),
+md AS (SELECT s, u, min(d) AS d FROM walk GROUP BY 1, 2),
+agg AS (
+  SELECT s AS source_url,
+         count(*) FILTER (WHERE d > 0)::BIGINT AS n_reachable,
+         coalesce(sum({HARM_LCM} // d) FILTER (WHERE d > 0), 0)::BIGINT
+           AS hsum
+  FROM md GROUP BY 1
+)
+SELECT source_url, n_reachable,
+       (CASE WHEN hsum = 0 THEN 0
+             ELSE hsum // gcd(hsum, {HARM_LCM}) END)::BIGINT AS harm_num,
+       (CASE WHEN hsum = 0 THEN 1
+             ELSE {HARM_LCM} // gcd(hsum, {HARM_LCM}) END)::BIGINT
+         AS harm_den
+FROM agg
+"""
+
+
+SKYBAND_K = 3
+
+
+def q_skyband_parts(sf_dir: str):
+    """K-SKYBAND (k = 3) over parts on (minimize price, maximize
+    size) — the skyline's tolerant generalization: every part
+    dominated by FEWER than 3 others, with its exact dominator count.
+    Two passes via the local-count identity (a batch's dominators are
+    a subset of the global set, so local count >= k already proves
+    exclusion and a global skyband point always survives its own
+    batch): pass 1 keeps per-batch candidates with < k local
+    dominators (vectorized O(batch^2) dominance matrix, the
+    `skyline_3d` kernel), pass 2 broadcasts the bounded candidate
+    set and folds per-batch dominator-count partials (O(cands) rows
+    per block). Equal (price, size) twins never dominate each other
+    (one strict inequality required), matching the oracle's
+    predicate."""
+    import ray
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+
+    def local(t: pa.Table) -> pa.Table:
+        empty = pa.table({"key": pa.nulls(0, pa.int64()),
+                          "c": pa.nulls(0, pa.int64()),
+                          "s": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        key = t["p_partkey"].to_numpy(zero_copy_only=False)
+        c = _cents(t["p_retailprice"]).to_numpy(zero_copy_only=False)
+        s = t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        le = c[:, None] <= c[None, :]
+        ge = s[:, None] >= s[None, :]
+        strict = (c[:, None] < c[None, :]) | (s[:, None] > s[None, :])
+        n_dom = (le & ge & strict).sum(axis=0)
+        keep = n_dom < SKYBAND_K
+        return pa.table({"key": pa.array(key[keep]),
+                         "c": pa.array(c[keep]),
+                         "s": pa.array(s[keep])})
+
+    cand = (ds.map_batches(local, batch_format="pyarrow").to_pandas())
+    ck = cand["key"].to_numpy(np.int64)
+    cc = cand["c"].to_numpy(np.int64)
+    cs = cand["s"].to_numpy(np.int64)
+    cand_ref = ray.put((ck, cc, cs))
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        k_, c_, s_ = ray.get(cand_ref)
+        empty = pa.table({"key": pa.nulls(0, pa.int64()),
+                          "n": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0 or len(k_) == 0:
+            return empty
+        c = _cents(t["p_retailprice"]).to_numpy(zero_copy_only=False)
+        s = t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        le = c[:, None] <= c_[None, :]
+        ge = s[:, None] >= s_[None, :]
+        strict = (c[:, None] < c_[None, :]) | (s[:, None] > s_[None, :])
+        n = (le & ge & strict).sum(axis=0).astype(np.int64)
+        return pa.table({"key": pa.array(k_), "n": pa.array(n)})
+
+    parts = (ds.map_batches(count_partial, batch_format="pyarrow")
+             .to_pandas().groupby("key", as_index=False)["n"].sum())
+    out = parts[parts["n"] < SKYBAND_K].rename(
+        columns={"key": "p_partkey", "n": "n_dominators"})
+    return (out.sort_values("p_partkey")
+            .astype({"p_partkey": "int64", "n_dominators": "int64"})
+            .reset_index(drop=True))
+
+
+SQL_SKYBAND_PARTS = f"""
+WITH d AS (
+  SELECT p_partkey, p_size,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS c
+  FROM part
+), cnt AS (
+  SELECT a.p_partkey, count(b.p_partkey)::BIGINT AS n_dominators
+  FROM d a LEFT JOIN d b
+    ON b.c <= a.c AND b.p_size >= a.p_size
+   AND (b.c < a.c OR b.p_size > a.p_size)
+  GROUP BY 1
+)
+SELECT p_partkey, n_dominators FROM cnt
+WHERE n_dominators < {SKYBAND_K}
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -22758,4 +22953,6 @@ def catalog():
         "set_cover_sources": (q_set_cover_sources, _set_cover_sql()),
         "heaps_vocab_growth": (q_heaps_vocab_growth, _heaps_sql()),
         "csv_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
+        "harmonic_centrality": (q_harmonic_centrality, _harmonic_sql()),
+        "skyband_parts": (q_skyband_parts, SQL_SKYBAND_PARTS),
     }

@@ -400,3 +400,52 @@ class TestCoverageFamily:
                     f"read_parquet('{tmp_path}/documents.parquet')")
         exp = con.execute(_heaps_sql()).fetchdf().set_index("k")
         assert got.equals(exp.astype(got.dtypes.to_dict()))
+
+
+class TestSkybandAndHarmonic:
+    def test_skyband_k_boundary(self, ray_session, tmp_path):
+        """A part with exactly 3 dominators is OUT (k = 3 strictly
+        less); 2 dominators stays in with the exact count; equal
+        (price, size) twins never dominate each other."""
+        from crawlray.queries import q_skyband_parts
+        rows = [  # (key, size, price)
+            (1, 10, 1.00),   # dominates everything below
+            (2, 10, 1.00),   # twin of 1 — neither dominates the other
+            (3, 9, 2.00),    # dominated by 1, 2          -> n = 2, in
+            (4, 8, 3.00),    # dominated by 1, 2, 3       -> n = 3, out
+            (5, 7, 4.00),    # dominated by 1, 2, 3, 4    -> n = 4, out
+        ]
+        t = pa.table({
+            "p_partkey": pa.array([r[0] for r in rows], pa.int64()),
+            "p_size": pa.array([r[1] for r in rows], pa.int64()),
+            "p_retailprice": pa.array([r[2] for r in rows]),
+            "p_name": pa.array(["p"] * len(rows)),
+            "p_brand": pa.array(["b"] * len(rows)),
+        })
+        pq.write_table(t, str(tmp_path / "part.parquet"))
+        got = q_skyband_parts(str(tmp_path)).set_index("p_partkey")
+        assert sorted(got.index) == [1, 2, 3]
+        assert got.loc[1, "n_dominators"] == 0
+        assert got.loc[2, "n_dominators"] == 0
+        assert got.loc[3, "n_dominators"] == 2
+        import duckdb as dk
+        from crawlray.queries import SQL_SKYBAND_PARTS
+        con = dk.connect()
+        con.execute(f"CREATE VIEW part AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/part.parquet')")
+        exp = (con.execute(SQL_SKYBAND_PARTS).fetchdf()
+               .set_index("p_partkey").sort_index())
+        assert got.sort_index().equals(exp.astype(got.dtypes.to_dict()))
+
+    def test_harmonic_fraction_equals_lcm_arithmetic(self):
+        """The engine's Fraction fold over a depth histogram equals
+        the oracle's hsum/840 gcd reduction for every depth <= 8 —
+        the shared-constant contract (840 = lcm(1..8))."""
+        import math
+        from fractions import Fraction
+        hist = {1: 3, 2: 5, 3: 1, 7: 2, 8: 4}
+        harm = sum((Fraction(n, d) for d, n in hist.items()),
+                   Fraction(0))
+        hsum = sum(840 // d * n for d, n in hist.items())
+        g = math.gcd(hsum, 840)
+        assert (harm.numerator, harm.denominator) == (hsum // g, 840 // g)
