@@ -343,6 +343,10 @@ BENCH_QUERIES = [
     "csv_roundtrip",
     "harmonic_centrality",
     "skyband_parts",
+    "watermark_trigger_counts",
+    "encoding_advisor",
+    "ann_recall_audit",
+    "diameter_lower_bound",
 ]
 
 

@@ -22557,6 +22557,377 @@ WHERE n_dominators < {SKYBAND_K}
 """
 
 
+WM_ALLOWED_SEC = 60
+
+
+def q_watermark_trigger_counts(sf_dir: str):
+    """STREAMING TRIGGER ACCOUNTING — for every hourly event-time
+    window, how the 60s-allowed-lateness watermark would fire it:
+    the window FIRES at the first arrival (arrival order = event_id)
+    whose timestamp reaches window_end + 60s, and every window event
+    arriving AFTER that firing arrival is a LATE UPDATE (the
+    retraction/upsert cost of a streaming sink). Closed form: the
+    firing arrival is T(h) = min event_id with ts >= end(h) + 60s, a
+    pure threshold min — so pass 1 folds per-(hour, sub-minute) min-id
+    partials (O(blocks x hours) rows) into T per window by suffix
+    minima, and pass 2 broadcasts T and counts id > T(hour) per
+    window. No prefix scan ever materializes; the sf corpus arrives
+    in order so the non-zero late path is pinned by a crafted test
+    (the `lateness_profile` precedent)."""
+    import ray
+
+    US = 1_000_000
+    ev = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        sec = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // US
+        hr = sec // 3600
+        late_in_hr = (sec - hr * 3600) >= WM_ALLOWED_SEC
+        g = pd.DataFrame({"hr": hr, "id": ids, "late": late_in_hr})
+        a = g.groupby("hr").agg(n=("id", "count"), min_id=("id", "min"))
+        b = (g[g["late"]].groupby("hr")["id"].min()
+             .reindex(a.index)
+             .fillna(np.iinfo(np.int64).max).astype(np.int64))
+        return pa.table({
+            "hr": pa.array(a.index.to_numpy(np.int64)),
+            "n": pa.array(a["n"].to_numpy(np.int64)),
+            "min_id_all": pa.array(a["min_id"].to_numpy(np.int64)),
+            "min_id_after60": pa.array(b.to_numpy()),
+        })
+
+    p = (ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+         .groupby("hr").agg(n=("n", "sum"), min_id_all=("min_id_all", "min"),
+                            min_id_after60=("min_id_after60", "min")))
+    hrs = p.index.to_numpy(np.int64)
+    lo, hi = int(hrs.min()), int(hrs.max())
+    span = np.arange(lo, hi + 1, dtype=np.int64)
+    BIG = np.iinfo(np.int64).max
+    min_all = np.full(len(span), BIG, np.int64)
+    min_a60 = np.full(len(span), BIG, np.int64)
+    min_all[hrs - lo] = p["min_id_all"].to_numpy(np.int64)
+    min_a60[hrs - lo] = p["min_id_after60"].to_numpy(np.int64)
+    # suffix min of min_all over hours >= h+2, combined with hour h+1's
+    # after-60s min: T(h) = min id with ts >= (h+1)*3600 + 60
+    suf = np.minimum.accumulate(min_all[::-1])[::-1]
+    t_fire = np.full(len(span), BIG, np.int64)
+    t_fire[:-1] = np.minimum(t_fire[:-1], min_a60[1:])
+    t_fire[:-2] = np.minimum(t_fire[:-2], suf[2:])
+    fire_ref = ray.put((lo, t_fire))
+
+    def late_partial(t: pa.Table) -> pa.Table:
+        lo_, fire = ray.get(fire_ref)
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        sec = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // US
+        hr = sec // 3600
+        thr = fire[hr - lo_]
+        g = pd.DataFrame({"hr": hr, "late": ids > thr})
+        a = g.groupby("hr")["late"].sum()
+        return pa.table({"hr": pa.array(a.index.to_numpy(np.int64)),
+                         "n_late": pa.array(a.to_numpy(np.int64))})
+
+    late = (ev.map_batches(late_partial, batch_format="pyarrow")
+            .to_pandas().groupby("hr")["n_late"].sum())
+    out = pd.DataFrame({
+        "window_hour": p.index.to_numpy(np.int64),
+        "n_events": p["n"].to_numpy(np.int64),
+        "n_late_updates": late.reindex(p.index).fillna(0)
+        .to_numpy(np.int64),
+        "fired": (t_fire[hrs - lo] < BIG).astype(np.int64)})
+    return out.astype({"window_hour": "int64", "n_events": "int64",
+                       "n_late_updates": "int64", "fired": "int64"})
+
+
+SQL_WATERMARK_TRIGGER_COUNTS = f"""
+WITH e AS (
+  SELECT event_id AS id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h
+  FROM events
+), thr AS (
+  SELECT hh.h,
+         (SELECT min(id) FROM e e2
+          WHERE e2.t >= (hh.h + 1) * 3600 + {WM_ALLOWED_SEC}) AS t_fire
+  FROM (SELECT DISTINCT h FROM e) hh
+)
+SELECT e.h AS window_hour, count(*)::BIGINT AS n_events,
+       sum(CASE WHEN thr.t_fire IS NOT NULL AND e.id > thr.t_fire
+                THEN 1 ELSE 0 END)::BIGINT AS n_late_updates,
+       (CASE WHEN max(thr.t_fire) IS NOT NULL
+             THEN 1 ELSE 0 END)::BIGINT AS fired
+FROM e JOIN thr ON thr.h = e.h
+GROUP BY 1
+"""
+
+
+def q_encoding_advisor(sf_dir: str):
+    """ENCODING ADVISOR — the format decision the three planners feed:
+    for each low-cardinality lineitem column, the byte cost under
+    PLAIN (sum of value lengths), DICTIONARY (dict payload +
+    ceil(rows x index_bits / 8)) and per-order RLE (runs never cross
+    an l_orderkey boundary — row-group-aligned RLE — at 3 bytes per
+    run: 2-byte length + 1-byte dict index), and the argmin with the
+    deterministic name-ascending tie order dict < plain < rle. One
+    orderkey exchange computes runs for BOTH columns; dict/plain
+    stats fold from O(blocks x values) partials."""
+    from .pipelines.relational import bucketed_reduce
+
+    cols = list(DICT_COLUMNS)
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", *cols])
+
+    def vstats(t: pa.Table) -> pa.Table:
+        frames = []
+        for c in cols:
+            g = (pa.table({"v": t[c]}).group_by(["v"])
+                 .aggregate([("v", "count")]))
+            frames.append(pa.table({
+                "col": pa.array([c] * g.num_rows, pa.string()),
+                "v": g["v"], "n": g["v_count"].cast(pa.int64())}))
+        return pa.concat_tables(frames)
+
+    vals = (ds.map_batches(vstats, batch_format="pyarrow").to_pandas()
+            .groupby(["col", "v"], as_index=False)["n"].sum())
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"okey": t["l_orderkey"],
+                         "lineno": t["l_linenumber"].cast(pa.int64()),
+                         **{c: t[c] for c in cols}})
+
+    def runs_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"col": pa.nulls(0, pa.string()),
+                          "n_runs": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        ok = t["okey"].to_numpy(zero_copy_only=False)
+        ln = t["lineno"].to_numpy(zero_copy_only=False)
+        out_c, out_n = [], []
+        for c in cols:
+            # the synthetic lineitem has duplicate (okey, lineno)
+            # pairs, so the value itself is the deterministic final
+            # sort key — equal values group together inside a tie
+            # (np.unique codes are in lexicographic vocab order,
+            # matching the oracle's ORDER BY ... v)
+            _, codes = np.unique(
+                np.asarray(t[c].to_numpy(zero_copy_only=False), object),
+                return_inverse=True)
+            order = np.lexsort((codes, ln, ok))
+            cv = codes[order]
+            ov = ok[order]
+            brk = np.r_[True, (ov[1:] != ov[:-1]) | (cv[1:] != cv[:-1])]
+            out_c.append(c)
+            out_n.append(int(brk.sum()))
+        return pa.table({"col": pa.array(out_c, pa.string()),
+                         "n_runs": pa.array(out_n, pa.int64())})
+
+    runs = bucketed_reduce(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "okey", runs_fn, n_buckets=32,
+        schema=pa.schema([("okey", pa.int64()), ("lineno", pa.int64()),
+                          *[(c, pa.string()) for c in cols]]))
+    run_tot = (runs.to_pandas().groupby("col")["n_runs"].sum())
+
+    rows = []
+    for c, g in vals.groupby("col"):
+        k = len(g)
+        width = 1
+        while (1 << width) < k:
+            width += 1
+        n_rows = int(g["n"].sum())
+        plain = int((g["v"].str.len() * g["n"]).sum())
+        dict_b = int(g["v"].str.len().sum()) + (n_rows * width + 7) // 8
+        rle_b = int(run_tot[c]) * 3
+        best = min((dict_b, "dict"), (plain, "plain"), (rle_b, "rle"))[1]
+        rows.append((c, plain, dict_b, rle_b, best))
+    return (pd.DataFrame(rows, columns=["col", "plain_bytes", "dict_bytes",
+                                        "rle_bytes", "best"])
+            .astype({"plain_bytes": "int64", "dict_bytes": "int64",
+                     "rle_bytes": "int64"}))
+
+
+def _encoding_advisor_sql() -> str:
+    sels = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, l_orderkey, l_linenumber, {c} AS v "
+        f"FROM lineitem" for c in DICT_COLUMNS)
+    return f"""
+WITH vals AS ({sels}),
+agg AS (SELECT col, v, count(*)::BIGINT AS n FROM vals GROUP BY 1, 2),
+stats AS (
+  SELECT col, count(*)::BIGINT AS n_distinct,
+         sum(length(v) * n)::BIGINT AS plain_bytes,
+         sum(length(v))::BIGINT AS dict_payload,
+         sum(n)::BIGINT AS n_rows
+  FROM agg GROUP BY 1
+), width AS (
+  SELECT col, plain_bytes,
+         (dict_payload
+          + (n_rows * greatest(1, ceil(log2(n_distinct))::BIGINT) + 7)
+            // 8)::BIGINT AS dict_bytes
+  FROM stats
+), brk AS (
+  SELECT col,
+         CASE WHEN lag(v) OVER w IS DISTINCT FROM v
+              THEN 1 ELSE 0 END AS b
+  FROM vals
+  WINDOW w AS (PARTITION BY col, l_orderkey
+               ORDER BY l_linenumber, v)
+), runs2 AS (
+  SELECT col, sum(b)::BIGINT AS n_runs FROM brk GROUP BY 1
+)
+SELECT w.col, w.plain_bytes, w.dict_bytes,
+       (r.n_runs * 3)::BIGINT AS rle_bytes,
+       CASE WHEN w.dict_bytes <= w.plain_bytes
+             AND w.dict_bytes <= r.n_runs * 3 THEN 'dict'
+            WHEN w.plain_bytes <= r.n_runs * 3 THEN 'plain'
+            ELSE 'rle' END AS best
+FROM width w JOIN runs2 r ON r.col = w.col
+"""
+
+
+def q_ann_recall_audit(sf_dir: str):
+    """ANN RECALL@K AUDIT — the pruning trade measured, completing the
+    estimator-audit symmetry (CMS/CountSketch/KMV/HLL/HDR audits) for
+    the similarity-search family: per query, how many of the PRUNED
+    IVF path's top-k survive against exact brute force, as n_overlap
+    and integer per-mille recall. Both sides are the already-oracled
+    pipelines (`ann_ivf`, `ann_cosine`); their outputs are
+    O(queries x k) rows, so the intersection is a bounded driver
+    merge — no new shuffle exists. The oracle joins the two SQL
+    restatements (nested-WITH CTEs), inheriting `_ann_ivf_sql`'s
+    fixed-sf centroid-literal contract."""
+    brute = to_table_like(q_ann_cosine(sf_dir))
+    ivf = to_table_like(q_ann_ivf(sf_dir))
+    b = brute[["query_id", "vec_id"]]
+    i = ivf[["query_id", "vec_id"]].assign(hit=np.int64(1))
+    m = b.merge(i, on=["query_id", "vec_id"], how="left")
+    g = (m.groupby("query_id", as_index=False)["hit"]
+         .agg(lambda v: int(v.notna().sum())))
+    g = g.rename(columns={"hit": "n_overlap"})
+    g["recall_pm"] = (g["n_overlap"] * 1000) // ANN_K
+    return g.astype({"query_id": "int64", "n_overlap": "int64",
+                     "recall_pm": "int64"}).sort_values("query_id") \
+        .reset_index(drop=True)
+
+
+def to_table_like(res) -> pd.DataFrame:
+    """Dataset | Table | DataFrame -> DataFrame (bounded results only)."""
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _ann_recall_sql() -> str:
+    return f"""
+WITH brute AS ({SQL_ANN_COSINE}),
+ivf AS ({_ann_ivf_sql()})
+SELECT b.query_id,
+       count(i.vec_id)::BIGINT AS n_overlap,
+       (count(i.vec_id) * 1000 // {ANN_K})::BIGINT AS recall_pm
+FROM brute b
+LEFT JOIN ivf i ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+GROUP BY 1
+"""
+
+
+def q_diameter_lower_bound(sf_dir: str):
+    """GRAPH DIAMETER LOWER BOUND by the classic double-BFS sweep:
+    BFS from the first seed page, take the farthest reached node v
+    (ties -> lexicographically smallest url), BFS again from v — v's
+    eccentricity is a certified lower bound on the directed graph's
+    diameter. Both sweeps are the sharded `graph.bfs_depths`; the
+    farthest-node pick and the final max fold are per-block argmax
+    partials (depth DESC, url ASC), never a driver scan of the node
+    set. The oracle runs the same two walks as chained recursive
+    CTEs, the second seeded by the first's (d DESC, u ASC) LIMIT 1
+    row."""
+    from .htmlx import parse_document
+    from .pipelines.graph import bfs_depths
+    from .synth import World
+
+    cfg = _crawl_cfg(sf_dir)
+    world = World(cfg.world)
+    urls = [world.url(i % cfg.world.n_hosts, i // cfg.world.n_hosts)
+            for i in range(min(PAGERANK_N_URLS, cfg.world.n_urls))]
+    seeds = rd.from_items([{"url": u} for u in urls],
+                          override_num_blocks=8)
+
+    def edges_of(t: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for u in t["url"].to_pylist():
+            for link in parse_document(world.gen_page(u), u).links:
+                src.append(u)
+                dst.append(link.url)
+        return pa.table({"src": pa.array(src, pa.string()),
+                         "dst": pa.array(dst, pa.string())})
+
+    edges = seeds.map_batches(edges_of,
+                              batch_format="pyarrow").materialize()
+
+    def far_partial(t: pa.Table) -> pa.Table:
+        # per-block (depth DESC, url ASC) argmax candidate
+        if t.num_rows == 0:
+            return pa.table({"url": pa.nulls(0, pa.string()),
+                             "depth": pa.nulls(0, pa.int64())})
+        df = t.to_pandas().sort_values(["depth", "url"],
+                                       ascending=[False, True])
+        return pa.table({"url": pa.array([df["url"].iloc[0]], pa.string()),
+                         "depth": pa.array([int(df["depth"].iloc[0])])})
+
+    def farthest(depths: rd.Dataset) -> tuple[str, int]:
+        c = (depths.map_batches(far_partial, batch_format="pyarrow")
+             .to_pandas().sort_values(["depth", "url"],
+                                      ascending=[False, True]))
+        return str(c["url"].iloc[0]), int(c["depth"].iloc[0])
+
+    d1 = bfs_depths(edges, [urls[0]], n_shards=8,
+                    max_depth=BFS_MAX_DEPTH)
+    v, _ = farthest(d1)
+    d2 = bfs_depths(edges, [v], n_shards=8, max_depth=BFS_MAX_DEPTH)
+    w, ecc = farthest(d2)
+    return pd.DataFrame({
+        "start_url": [urls[0]], "peripheral_url": [v],
+        "far_url": [w], "diameter_lb": [ecc]}).astype(
+        {"diameter_lb": "int64"})
+
+
+@functools.lru_cache(maxsize=1)
+def _diameter_sql() -> str:
+    src, dst = _pagerank_edge_lists(_ORACLE_SF_DIR)
+    rows = ",\n".join(f"({_sql_str(s)}, {_sql_str(t)})"
+                      for s, t in zip(src, dst))
+    from .synth import World
+
+    cfg = _crawl_cfg(_ORACLE_SF_DIR)
+    world = World(cfg.world)
+    s0 = world.url(0, 0)
+    return f"""
+WITH RECURSIVE edges(src, dst) AS (VALUES
+{rows}
+),
+walk1(u, d) AS (
+  SELECT {_sql_str(s0)}, 0
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk1 w JOIN edges e ON e.src = w.u
+  WHERE w.d < {BFS_MAX_DEPTH}
+),
+md1 AS (SELECT u, min(d) AS d FROM walk1 GROUP BY 1),
+v AS (SELECT u FROM md1 ORDER BY d DESC, u LIMIT 1),
+walk2(u, d) AS (
+  SELECT u, 0 FROM v
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk2 w JOIN edges e ON e.src = w.u
+  WHERE w.d < {BFS_MAX_DEPTH}
+),
+md2 AS (SELECT u, min(d) AS d FROM walk2 GROUP BY 1),
+far AS (SELECT u, d FROM md2 ORDER BY d DESC, u LIMIT 1)
+SELECT {_sql_str(s0)} AS start_url,
+       (SELECT u FROM v) AS peripheral_url,
+       far.u AS far_url, far.d::BIGINT AS diameter_lb
+FROM far
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -22955,4 +23326,9 @@ def catalog():
         "csv_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
         "harmonic_centrality": (q_harmonic_centrality, _harmonic_sql()),
         "skyband_parts": (q_skyband_parts, SQL_SKYBAND_PARTS),
+        "watermark_trigger_counts": (q_watermark_trigger_counts,
+                                     SQL_WATERMARK_TRIGGER_COUNTS),
+        "encoding_advisor": (q_encoding_advisor, _encoding_advisor_sql()),
+        "ann_recall_audit": (q_ann_recall_audit, _ann_recall_sql()),
+        "diameter_lower_bound": (q_diameter_lower_bound, _diameter_sql()),
     }

@@ -449,3 +449,89 @@ class TestSkybandAndHarmonic:
         hsum = sum(840 // d * n for d, n in hist.items())
         g = math.gcd(hsum, 840)
         assert (harm.numerator, harm.denominator) == (hsum // g, 840 // g)
+
+
+class TestWatermarkTriggers:
+    def test_late_updates_after_firing(self, ray_session, tmp_path):
+        """Out-of-order stream: window H fires at the arrival of an
+        (H+1)-hour event past the 60s allowance; the two H-window
+        events arriving AFTER that are late updates. Window H+1 never
+        fires (nothing reaches its end + 60s)."""
+        from crawlray.queries import (SQL_WATERMARK_TRIGGER_COUNTS,
+                                      q_watermark_trigger_counts)
+        H = 1_700_000_000 // 3600 * 3600          # aligned hour (sec)
+        rows = [  # (event_id = arrival order, ts_sec)
+            (0, H + 10),          # window H, before firing
+            (1, H + 3600 + 90),   # window H+1; ts >= end(H)+60 -> fires H
+            (2, H + 1800),        # window H, late update
+            (3, H + 3000),        # window H, late update
+        ]
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "ts": pa.array([r[1] * 1_000_000 for r in rows],
+                           pa.timestamp("us")),
+            "event_type": pa.array(["view"] * len(rows)),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        })
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        got = (q_watermark_trigger_counts(str(tmp_path))
+               .set_index("window_hour").sort_index())
+        h = H // 3600
+        assert got.loc[h, "n_events"] == 3
+        assert got.loc[h, "n_late_updates"] == 2
+        assert got.loc[h, "fired"] == 1
+        assert got.loc[h + 1, "fired"] == 0
+        assert got.loc[h + 1, "n_late_updates"] == 0
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/events.parquet')")
+        exp = (con.execute(SQL_WATERMARK_TRIGGER_COUNTS).fetchdf()
+               .set_index("window_hour").sort_index())
+        assert got.equals(exp.astype(got.dtypes.to_dict()))
+
+
+class TestEncodingAdvisor:
+    def test_rle_and_dict_winners(self, ray_session, tmp_path):
+        """l_returnflag is constant (one run per order -> RLE wins);
+        l_linestatus alternates every row (runs = rows -> RLE loses,
+        2-value dictionary wins). Engine == oracle on bytes AND the
+        argmin label."""
+        from crawlray.queries import (_encoding_advisor_sql,
+                                      q_encoding_advisor)
+        n = 4096
+        t = pa.table({
+            "l_orderkey": pa.array([i // 512 for i in range(n)],
+                                   pa.int64()),
+            "l_partkey": pa.array([1] * n, pa.int64()),
+            "l_suppkey": pa.array([1] * n, pa.int64()),
+            "l_linenumber": pa.array([i % 512 + 1 for i in range(n)],
+                                     pa.int32()),
+            "l_quantity": pa.array([1.0] * n),
+            "l_extendedprice": pa.array([1.0] * n),
+            "l_discount": pa.array([0.0] * n),
+            "l_tax": pa.array([0.0] * n),
+            "l_returnflag": pa.array(["R"] * n),
+            "l_linestatus": pa.array(["F" if i % 2 == 0 else "O"
+                                      for i in range(n)]),
+            "l_shipdate": pa.array([1_700_000_000_000_000] * n,
+                                   pa.timestamp("us")),
+        })
+        pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+        got = q_encoding_advisor(str(tmp_path)).set_index("col")
+        # returnflag: 8 orders x 1 run = 8 runs -> 24 B beats
+        # dict (1 + 4096/8 = 513) and plain (4096)
+        assert got.loc["l_returnflag", "rle_bytes"] == 24
+        assert got.loc["l_returnflag", "dict_bytes"] == 513
+        assert got.loc["l_returnflag", "best"] == "rle"
+        # linestatus: 4096 runs -> 12288 B; dict 2 + 512 = 514 -> dict
+        assert got.loc["l_linestatus", "rle_bytes"] == 3 * 4096
+        assert got.loc["l_linestatus", "dict_bytes"] == 514
+        assert got.loc["l_linestatus", "best"] == "dict"
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/lineitem.parquet')")
+        exp = (con.execute(_encoding_advisor_sql()).fetchdf()
+               .set_index("col").sort_index())
+        assert got.sort_index().equals(exp.astype(got.dtypes.to_dict()))
