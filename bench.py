@@ -347,6 +347,7 @@ BENCH_QUERIES = [
     "encoding_advisor",
     "ann_recall_audit",
     "diameter_lower_bound",
+    "minhash_error_audit",
 ]
 
 

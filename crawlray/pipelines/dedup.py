@@ -333,6 +333,11 @@ def minhash_lsh_pairs(
         ).materialize()  # small side (candidate docs only)
         lookup: dict[int, bytes] = {}
         for t in ray.get(shingles.to_arrow_refs()):
+            if t.num_rows == 0:
+                # Ray can emit a schema-LESS empty block from an actor
+                # batch that produced no rows (tiny-input worlds);
+                # indexing t["doc_id"] on it raises
+                continue
             lookup.update(zip(t["doc_id"].to_pylist(), t["sh"].to_pylist()))
         lk_ref = ray.put(lookup)
         return cand.map_batches(
@@ -496,6 +501,11 @@ def fuzzy_decontaminate(
         ).materialize()
         lookup: dict[int, bytes] = {}
         for t in ray.get(shingles.to_arrow_refs()):
+            if t.num_rows == 0:
+                # Ray can emit a schema-LESS empty block from an actor
+                # batch that produced no rows (tiny-input worlds);
+                # indexing t["doc_id"] on it raises
+                continue
             lookup.update(zip(t["doc_id"].to_pylist(), t["sh"].to_pylist()))
         lk_ref = ray.put(lookup)
         out = pairs_ab.map_batches(

@@ -22928,6 +22928,79 @@ FROM far
 """
 
 
+def q_minhash_error_audit(sf_dir: str):
+    """MINHASH ESTIMATOR ERROR AUDIT — the near-dup family's entry in
+    the estimate-vs-exact audit series (CMS, CountSketch, KMV, HLL,
+    HDR, ANN recall): for EVERY LSH candidate pair (threshold 0 — no
+    verify cut), the exact Jaccard (the raw IEEE quotient the dedup
+    oracle hash-matches) next to the 128-permutation signature
+    agreement count n_match, whose n_match/128 is the textbook
+    unbiased MinHash estimate. The pair set is the banded-LSH
+    collision set (bounded by construction); signatures for candidate
+    docs only are re-derived through the same `MinHasher` actor pool
+    and joined on the driver at O(pairs). The oracle reuses the full
+    md5 permutation chain and counts per-perm equality."""
+    from .pipelines.dedup import MinHasher, minhash_lsh_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = (minhash_lsh_pairs(docs, jaccard_threshold=0.0,
+                               token_hash="md5").to_pandas()
+             .sort_values(["a", "b"]).reset_index(drop=True))
+    ids = set(np.unique(np.r_[pairs["a"].to_numpy(np.int64),
+                              pairs["b"].to_numpy(np.int64)]).tolist())
+
+    def only_cands(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["doc_id"].isin(ids)]
+
+    sigs = (docs.map_batches(only_cands, batch_format="pandas")
+            .map_batches(MinHasher, batch_format="pandas",
+                         fn_constructor_kwargs={"token_hash": "md5"},
+                         concurrency=2)
+            .to_pandas())
+    lut = {int(d): np.asarray(s, np.uint64)
+           for d, s in zip(sigs["doc_id"], sigs["sig"])}
+    sa = np.stack([lut[int(x)] for x in pairs["a"]])
+    sb = np.stack([lut[int(x)] for x in pairs["b"]])
+    pairs["n_match"] = (sa == sb).sum(axis=1).astype(np.int64)
+    return pairs.astype({"a": "int64", "b": "int64",
+                         "jaccard": "float64", "n_match": "int64"})
+
+
+def _minhash_error_sql() -> str:
+    return f"""
+WITH {_minhash_common_ctes()},
+cand AS (
+  SELECT lag(doc_id) OVER (PARTITION BY band_id, band_hash
+                           ORDER BY doc_id) AS a,
+         doc_id AS b
+  FROM bh
+),
+pairs AS (SELECT DISTINCT a, b FROM cand WHERE a IS NOT NULL),
+verify AS (
+  SELECT p.a, p.b,
+         len(list_intersect(xa.sh, xb.sh)) AS ni,
+         len(xa.sh) + len(xb.sh) - len(list_intersect(xa.sh, xb.sh))
+           AS nu
+  FROM pairs p
+  JOIN shl xa ON xa.doc_id = p.a
+  JOIN shl xb ON xb.doc_id = p.b
+),
+sigm AS (
+  SELECT p.a, p.b,
+         sum(CASE WHEN ma.v = mb.v THEN 1 ELSE 0 END)::BIGINT AS n_match
+  FROM pairs p
+  JOIN mh ma ON ma.doc_id = p.a
+  JOIN mh mb ON mb.doc_id = p.b AND mb.i = ma.i
+  GROUP BY 1, 2
+)
+SELECT v.a::BIGINT AS a, v.b::BIGINT AS b,
+       (CASE WHEN v.nu = 0 THEN 1.0
+             ELSE v.ni::DOUBLE / v.nu END) AS jaccard,
+       s.n_match
+FROM verify v JOIN sigm s ON s.a = v.a AND s.b = v.b
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -23331,4 +23404,6 @@ def catalog():
         "encoding_advisor": (q_encoding_advisor, _encoding_advisor_sql()),
         "ann_recall_audit": (q_ann_recall_audit, _ann_recall_sql()),
         "diameter_lower_bound": (q_diameter_lower_bound, _diameter_sql()),
+        "minhash_error_audit": (q_minhash_error_audit,
+                                _minhash_error_sql()),
     }

@@ -535,3 +535,28 @@ class TestEncodingAdvisor:
         exp = (con.execute(_encoding_advisor_sql()).fetchdf()
                .set_index("col").sort_index())
         assert got.sort_index().equals(exp.astype(got.dtypes.to_dict()))
+
+
+class TestMinhashErrorAudit:
+    def test_identical_docs_match_all_perms(self, ray_session, tmp_path):
+        """An exact duplicate pair must collide in LSH, score exact
+        jaccard 1.0 and agree on ALL 128 permutations; a disjoint doc
+        sharing no shingles never reaches n_match 128."""
+        from crawlray.queries import q_minhash_error_audit
+        text = "a b c d e f g h i j"
+        rows = [(1, text), (2, text), (3, "z y x w v u t s r q")]
+        t = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array(["s"] * len(rows)),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        })
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        got = q_minhash_error_audit(str(tmp_path))
+        dup = got[(got["a"] == 1) & (got["b"] == 2)]
+        assert len(dup) == 1
+        assert float(dup["jaccard"].iloc[0]) == 1.0
+        assert int(dup["n_match"].iloc[0]) == 128
+        others = got[(got["a"] != 1) | (got["b"] != 2)]
+        assert (others["n_match"] < 128).all()
