@@ -348,6 +348,8 @@ BENCH_QUERIES = [
     "ann_recall_audit",
     "diameter_lower_bound",
     "minhash_error_audit",
+    "simhash_error_audit",
+    "session_timeout_sweep",
 ]
 
 

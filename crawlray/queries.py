@@ -23001,6 +23001,187 @@ FROM verify v JOIN sigm s ON s.a = v.a AND s.b = v.b
 """
 
 
+def q_simhash_error_audit(sf_dir: str):
+    """SIMHASH ESTIMATOR ERROR AUDIT — the 64-bit-signature sibling of
+    `minhash_error_audit`, and the first ORACLED text-SimHash PAIR
+    query (the catalog's `simhash` entry publishes signatures only):
+    for every banded candidate pair at Hamming <= 3 (4x16-bit
+    pigeonhole blocking — complete by construction at this radius),
+    the Hamming distance next to the EXACT distinct-word overlap as
+    integers (n_inter, n_union) — no float ever. Pairs come from the
+    distributed `simhash_near_dups` chain; word sets for the bounded
+    candidate set fold from one filtered pass and the O(pairs) merge
+    runs on the driver. The oracle reuses the full SQL_SIMHASH md5
+    sign-aggregation chain, a band-equality self-join and
+    bit_count(xor(...))."""
+    from .pipelines.dedup import simhash_near_dups
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = (simhash_near_dups(docs).to_pandas()
+             .sort_values(["a", "b"]).reset_index(drop=True))
+    if pairs.empty:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64"),
+                             "n_inter": pd.Series([], dtype="int64"),
+                             "n_union": pd.Series([], dtype="int64")})
+    ids = set(np.unique(np.r_[pairs["a"].to_numpy(np.int64),
+                              pairs["b"].to_numpy(np.int64)]).tolist())
+
+    def word_rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[df["doc_id"].isin(ids)]
+        e = (g[["doc_id"]]
+             .assign(w=g["text"].fillna("").str.split())
+             .explode("w").dropna(subset=["w"]).drop_duplicates())
+        return pd.DataFrame({"doc_id": e["doc_id"].astype("int64"),
+                             "w": e["w"].astype(str)})
+
+    wr = docs.map_batches(word_rows, batch_format="pandas").to_pandas()
+    sets: dict[int, frozenset] = {i: frozenset() for i in ids}
+    for d, g in wr.groupby("doc_id"):
+        sets[int(d)] = frozenset(g["w"])
+    ni, nu = [], []
+    for a, b in zip(pairs["a"], pairs["b"]):
+        A, B = sets[int(a)], sets[int(b)]
+        i = len(A & B)
+        ni.append(i)
+        nu.append(len(A) + len(B) - i)
+    pairs["n_inter"] = np.array(ni, np.int64)
+    pairs["n_union"] = np.array(nu, np.int64)
+    return pairs.astype({"a": "int64", "b": "int64", "hamming": "int64",
+                         "n_inter": "int64", "n_union": "int64"})
+
+
+def _simhash_error_sql() -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band, sh_band{i} AS key FROM sigs"
+        for i in range(4))
+    return f"""
+WITH sigs AS ({SQL_SIMHASH}),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+ham AS (
+  SELECT c.a, c.b,
+         bit_count(xor(sa.simhash, sb.simhash))::BIGINT AS hamming
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.a
+  JOIN sigs sb ON sb.doc_id = c.b
+),
+ws AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE list_distinct(
+                regexp_split_to_array(trim(text), '\\s+')) END AS w
+  FROM documents
+)
+SELECT h.a, h.b, h.hamming,
+       len(list_intersect(wa.w, wb.w))::BIGINT AS n_inter,
+       (len(wa.w) + len(wb.w)
+        - len(list_intersect(wa.w, wb.w)))::BIGINT AS n_union
+FROM ham h
+JOIN ws wa ON wa.doc_id = h.a
+JOIN ws wb ON wb.doc_id = h.b
+WHERE h.hamming <= 3
+"""
+
+
+SESSION_SWEEP_TIMEOUTS = [900, 1800, 3600]
+
+
+def q_session_timeout_sweep(sf_dir: str):
+    """SESSION-TIMEOUT PARAMETER SWEEP — the 'pick the gap threshold'
+    analysis in ONE scan: for timeouts {15, 30, 60} min, the total
+    session count and how many sessions are single-event — computed
+    from ONE user-keyed exchange where the inter-event gaps are
+    derived once and each threshold is a vectorized comparison over
+    the same arrays (parameter sweeps share the shuffle, not repeat
+    it). Order contract (ts, event_id) per user as in the RLE/gorilla
+    kernels; strict `gap > T` break."""
+    from .pipelines.relational import bucketed_reduce
+
+    US = 1_000_000
+    thr = np.array(SESSION_SWEEP_TIMEOUTS, np.int64) * US
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"u": t["user_id"],
+                         "ts": t["ts"].cast(pa.int64()),
+                         "eid": t["event_id"]})
+
+    def sweep(t: pa.Table) -> pa.Table:
+        empty = pa.table({"timeout_sec": pa.nulls(0, pa.int64()),
+                          "n_sessions": pa.nulls(0, pa.int64()),
+                          "n_singletons": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t["u"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        eid = t["eid"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts = u[order], ts[order]
+        n = len(u)
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        gap = np.r_[np.int64(0), ts[1:] - ts[:-1]]
+        out_t, out_s, out_1 = [], [], []
+        for T in thr:
+            brk = new_user | (gap > T)
+            starts = np.flatnonzero(brk)
+            lens = np.diff(np.r_[starts, n])
+            out_t.append(int(T // US))
+            out_s.append(len(starts))
+            out_1.append(int((lens == 1).sum()))
+        return pa.table({"timeout_sec": pa.array(out_t, pa.int64()),
+                         "n_sessions": pa.array(out_s, pa.int64()),
+                         "n_singletons": pa.array(out_1, pa.int64())})
+
+    parts = bucketed_reduce(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "u", sweep, n_buckets=32,
+        schema=pa.schema([("u", pa.int64()), ("ts", pa.int64()),
+                          ("eid", pa.int64())]))
+    out = (parts.to_pandas().groupby("timeout_sec", as_index=False).sum()
+           .sort_values("timeout_sec"))
+    return out.astype({"timeout_sec": "int64", "n_sessions": "int64",
+                       "n_singletons": "int64"}).reset_index(drop=True)
+
+
+def _session_sweep_sql() -> str:
+    subs = []
+    for t_s in SESSION_SWEEP_TIMEOUTS:
+        subs.append(f"""
+SELECT {t_s}::BIGINT AS timeout_sec,
+       count(*) FILTER (WHERE brk = 1)::BIGINT AS n_sessions,
+       (SELECT count(*) FROM (
+          SELECT user_id, sid, count(*) AS c FROM (
+            SELECT user_id,
+                   sum(brk) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w
+                               > INTERVAL {t_s} SECOND
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+          ) GROUP BY 1, 2
+        ) WHERE c = 1)::BIGINT AS n_singletons
+FROM (
+  SELECT CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL {t_s} SECOND
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)""")
+    return " UNION ALL ".join(subs)
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -23406,4 +23587,8 @@ def catalog():
         "diameter_lower_bound": (q_diameter_lower_bound, _diameter_sql()),
         "minhash_error_audit": (q_minhash_error_audit,
                                 _minhash_error_sql()),
+        "simhash_error_audit": (q_simhash_error_audit,
+                                _simhash_error_sql()),
+        "session_timeout_sweep": (q_session_timeout_sweep,
+                                  _session_sweep_sql()),
     }

@@ -560,3 +560,54 @@ class TestMinhashErrorAudit:
         assert int(dup["n_match"].iloc[0]) == 128
         others = got[(got["a"] != 1) | (got["b"] != 2)]
         assert (others["n_match"] < 128).all()
+
+
+class TestSimhashAuditAndSweep:
+    def test_duplicate_docs_hamming_zero_full_overlap(
+            self, ray_session, tmp_path):
+        """Exact duplicates: hamming 0, word sets identical
+        (n_inter == n_union); a doc with disjoint words that happens
+        to band-collide would carry its true (smaller) overlap."""
+        from crawlray.queries import q_simhash_error_audit
+        text = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [(1, text), (2, text)]
+        t = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array(["s"] * len(rows)),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        })
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        got = q_simhash_error_audit(str(tmp_path))
+        assert len(got) == 1
+        r = got.iloc[0]
+        assert (r["a"], r["b"], r["hamming"]) == (1, 2, 0)
+        assert r["n_inter"] == r["n_union"] == 8
+
+    def test_sweep_thresholds_split_differently(
+            self, ray_session, tmp_path):
+        """One user, events at 0s, 1000s, 2500s: gaps 1000 and 1500 —
+        T=900 gives 3 sessions (all singletons), T=1800 gives 1
+        session of 3, T=3600 the same; strict '>' means a gap of
+        EXACTLY 900 would not break."""
+        from crawlray.queries import q_session_timeout_sweep
+        base = 1_700_000_000_000_000
+        rows = [(0, 1, base, "view"), (1, 1, base + 1000_000_000, "view"),
+                (2, 1, base + 2500_000_000, "view")]
+        pq.write_table(_events_table(rows),
+                       str(tmp_path / "events.parquet"))
+        got = (q_session_timeout_sweep(str(tmp_path))
+               .set_index("timeout_sec"))
+        assert got.loc[900, "n_sessions"] == 3
+        assert got.loc[900, "n_singletons"] == 3
+        assert got.loc[1800, "n_sessions"] == 1
+        assert got.loc[1800, "n_singletons"] == 0
+        assert got.loc[3600, "n_sessions"] == 1
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/events.parquet')")
+        from crawlray.queries import _session_sweep_sql
+        exp = (con.execute(_session_sweep_sql()).fetchdf()
+               .set_index("timeout_sec").sort_index())
+        assert got.sort_index().equals(exp.astype(got.dtypes.to_dict()))
