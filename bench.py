@@ -350,6 +350,8 @@ BENCH_QUERIES = [
     "minhash_error_audit",
     "simhash_error_audit",
     "session_timeout_sweep",
+    "edge_support",
+    "open_orders_daily",
 ]
 
 

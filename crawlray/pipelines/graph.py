@@ -598,28 +598,14 @@ def cooccurrence_edges(items: rd.Dataset, group: str, node: str) -> rd.Dataset:
     ).materialize()
 
 
-def triangle_counts(items: rd.Dataset, group: str, node: str) -> rd.Dataset:
-    """Per-node triangle counts of the co-occurrence graph: nodes are
-    ``node`` values, with an (undirected, distinct) edge between two
-    nodes that share a ``group`` (parts in the same order, tokens in the
-    same doc). Classic node-iterator-with-orientation plan, every stage
-    an explicit exchange:
-
-    1. EDGES: ``bucketed_reduce`` by ``group`` co-locates each group, a
-       vectorized combos kernel emits its distinct pairs (a < b), then a
-       global sort + keep-first dedups across groups.
-    2. WEDGES: ``bucketed_reduce`` by the LOWER endpoint ``a`` —
-       orientation at the smallest vertex means each triangle is
-       generated exactly once, and per-pivot work is deg(a)^2 where
-       deg counts only HIGHER neighbors (the standard skew bound).
-    3. CLOSE: composite-key ``bucketed_hash_join`` of wedges against the
-       edge set on (x, y) — a wedge survives iff its far edge exists.
-    4. COUNTS: each triangle touches 3 nodes; per-batch np.unique
-       partials fold into per-node totals (bounded by |nodes|).
-
-    Returns (node, n_triangles), nodes with >= 1 triangle only."""
-    from .relational import bucketed_hash_join, bucketed_reduce
+def triangle_rows(items: rd.Dataset, group: str, node: str) -> rd.Dataset:
+    """Enumerated triangles (pivot < x < y, each exactly once) of the
+    co-occurrence graph — the shared core under :func:`triangle_counts`
+    (per-node fold) and :func:`edge_support` (per-edge fold). Stages
+    1-3 of the node-iterator-with-orientation plan: co-located distinct
+    edges, lowest-vertex wedges, composite-key close join."""
     from ..util import drop_empty_blocks
+    from .relational import bucketed_hash_join, bucketed_reduce
 
     edges = cooccurrence_edges(items, group, node)
 
@@ -641,9 +627,67 @@ def triangle_counts(items: rd.Dataset, group: str, node: str) -> rd.Dataset:
     exy = edges.map_batches(
         lambda t: t.rename_columns(["x", "y"]), batch_format="pyarrow"
     )
-    tris = drop_empty_blocks(bucketed_hash_join(
+    return drop_empty_blocks(bucketed_hash_join(
         wedges, exy, key=["x", "y"], n_buckets=16
     ))
+
+
+def edge_support(items: rd.Dataset, group: str, node: str) -> rd.Dataset:
+    """Per-EDGE triangle support of the co-occurrence graph — the
+    k-truss ingredient: every triangle (pivot < x < y) contributes one
+    unit of support to each of its three edges (pivot,x), (pivot,y),
+    (x,y), all already (lo, hi)-oriented by construction. Per-batch
+    (a, b) pair-count partials fold into per-edge totals; only edges
+    in >= 1 triangle appear (edges never in a triangle have support 0
+    by definition and are the overwhelming majority at scale)."""
+    import pandas as pd
+
+    tris = triangle_rows(items, group, node)
+
+    def edge_partial(t: pa.Table) -> pa.Table:
+        p = t["pivot"].to_numpy(zero_copy_only=False)
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        ea = np.concatenate([p, p, x])
+        eb = np.concatenate([x, y, y])
+        key = (ea.astype(np.int64) << 32) | eb.astype(np.int64)
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"a": pa.array((u >> 32).astype(np.int64)),
+                         "b": pa.array((u & 0xFFFFFFFF).astype(np.int64)),
+                         "support": pa.array(c.astype(np.int64))})
+
+    parts = (tris.map_batches(edge_partial, batch_format="pyarrow")
+             .to_pandas())
+    if parts.empty:
+        return rd.from_arrow(pa.table({"a": pa.nulls(0, pa.int64()),
+                                       "b": pa.nulls(0, pa.int64()),
+                                       "support": pa.nulls(0, pa.int64())}))
+    out = parts.groupby(["a", "b"], as_index=False)["support"].sum()
+    return rd.from_arrow(pa.Table.from_pandas(out.astype("int64"),
+                                              preserve_index=False))
+
+
+def triangle_counts(items: rd.Dataset, group: str, node: str) -> rd.Dataset:
+    """Per-node triangle counts of the co-occurrence graph: nodes are
+    ``node`` values, with an (undirected, distinct) edge between two
+    nodes that share a ``group`` (parts in the same order, tokens in the
+    same doc). Classic node-iterator-with-orientation plan, every stage
+    an explicit exchange:
+
+    1. EDGES: ``bucketed_reduce`` by ``group`` co-locates each group, a
+       vectorized combos kernel emits its distinct pairs (a < b), then a
+       global sort + keep-first dedups across groups.
+    2. WEDGES: ``bucketed_reduce`` by the LOWER endpoint ``a`` —
+       orientation at the smallest vertex means each triangle is
+       generated exactly once, and per-pivot work is deg(a)^2 where
+       deg counts only HIGHER neighbors (the standard skew bound).
+    3. CLOSE: composite-key ``bucketed_hash_join`` of wedges against the
+       edge set on (x, y) — a wedge survives iff its far edge exists.
+    4. COUNTS: each triangle touches 3 nodes; per-batch np.unique
+       partials fold into per-node totals (bounded by |nodes|).
+
+    Returns (node, n_triangles), nodes with >= 1 triangle only."""
+    tris = triangle_rows(items, group, node)
 
     def node_partial(t: pa.Table) -> pa.Table:
         allv = np.concatenate([

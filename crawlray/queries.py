@@ -23182,6 +23182,153 @@ FROM (
     return " UNION ALL ".join(subs)
 
 
+def q_edge_support(sf_dir: str):
+    """PER-EDGE TRIANGLE SUPPORT of the co-purchase graph — the
+    k-truss ingredient extending `triangle_counts`' per-node fold to
+    edges: for every (a < b) edge in >= 1 triangle, how many
+    triangles run through it. Same bounded graph (l_partkey % 5 == 0)
+    and the same enumerated-triangle core (`graph.triangle_rows`);
+    the per-edge fold packs (a, b) into one int64 key for a single
+    np.unique partial per batch. The oracle enumerates oriented
+    triangles (u < v < w) with a three-way edge self-join and
+    UNION-ALL-projects each onto its three edges."""
+    from .pipelines.graph import edge_support
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["l_partkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % TRIANGLE_PART_MOD == 0))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        keep, batch_format="pyarrow")
+    return edge_support(li, group="l_orderkey", node="l_partkey")
+
+
+SQL_EDGE_SUPPORT = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_partkey % {TRIANGLE_PART_MOD} = 0
+),
+e AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+tri AS (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+proj AS (
+  SELECT u AS a, v AS b FROM tri
+  UNION ALL SELECT u, w FROM tri
+  UNION ALL SELECT v, w FROM tri
+)
+SELECT a, b, count(*)::BIGINT AS support FROM proj GROUP BY 1, 2
+"""
+
+
+def q_open_orders_daily(sf_dir: str):
+    """OPEN-ORDER BACKLOG TIMELINE — for every day of the calendar,
+    how many orders are placed but not yet fully shipped (order open
+    on day d iff o_orderdate_day <= d <= max(l_shipdate)_day). One
+    TAGGED-UNION exchange by orderkey fuses the per-order max-ship
+    fold with the orders join (no second shuffle); each bucket emits
+    only O(days) boundary partials (+1 at open, -1 after close) and
+    the driver cumsums the day spine. Orders with no lineitem are
+    excluded (join semantics, matching the oracle). Days are epoch
+    days (int64)."""
+    from .pipelines.relational import bucketed_reduce
+
+    US_DAY = 86_400_000_000
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // US_DAY
+        g = (pd.DataFrame({"okey": t["l_orderkey"].to_numpy(
+            zero_copy_only=False), "d": ship})
+            .groupby("okey", as_index=False)["d"].max())
+        return pa.table({"okey": pa.array(g["okey"].to_numpy(np.int64)),
+                         "d": pa.array(g["d"].to_numpy(np.int64)),
+                         "tag": pa.array(np.ones(len(g), np.int64))})
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // US_DAY
+        return pa.table({"okey": t["o_orderkey"],
+                         "d": pa.array(od.astype(np.int64)),
+                         "tag": pa.array(np.zeros(t.num_rows, np.int64))})
+
+    both = li.map_batches(li_prep, batch_format="pyarrow").union(
+        orders.map_batches(o_prep, batch_format="pyarrow"))
+
+    def bounds(t: pa.Table) -> pa.Table:
+        empty = pa.table({"day": pa.nulls(0, pa.int64()),
+                          "delta": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas()
+        ship = (df[df["tag"] == 1].groupby("okey")["d"].max())
+        od = df[df["tag"] == 0].set_index("okey")["d"]
+        j = pd.concat([od.rename("od"), ship.rename("ship")], axis=1) \
+            .dropna()
+        # the synthetic data has INVERTED intervals (max ship day
+        # before the order day); those orders are open on NO day
+        # (od <= d <= ship is unsatisfiable) — drop them rather than
+        # let the -1 land before the +1 and fold a negative span
+        j = j[j["ship"] >= j["od"]]
+        opens = j["od"].astype(np.int64)
+        closes = j["ship"].astype(np.int64) + 1
+        days = np.r_[opens.to_numpy(), closes.to_numpy()]
+        deltas = np.r_[np.ones(len(j), np.int64),
+                       -np.ones(len(j), np.int64)]
+        u = pd.DataFrame({"day": days, "delta": deltas}) \
+            .groupby("day", as_index=False)["delta"].sum()
+        return pa.table({"day": pa.array(u["day"].to_numpy(np.int64)),
+                         "delta": pa.array(u["delta"].to_numpy(np.int64))})
+
+    parts = bucketed_reduce(
+        both, "okey", bounds, n_buckets=32,
+        schema=pa.schema([("okey", pa.int64()), ("d", pa.int64()),
+                          ("tag", pa.int64())]))
+    b = (parts.to_pandas().groupby("day", as_index=False)["delta"].sum()
+         .sort_values("day"))
+    lo, hi = int(b["day"].min()), int(b["day"].max())
+    spine = np.arange(lo, hi, dtype=np.int64)   # hi is last close+1
+    deltas = np.zeros(len(spine), np.int64)
+    idx = b["day"].to_numpy(np.int64) - lo
+    m = idx < len(spine)
+    np.add.at(deltas, idx[m], b["delta"].to_numpy(np.int64)[m])
+    return pd.DataFrame({"day": spine,
+                         "n_open": np.cumsum(deltas).astype(np.int64)})
+
+
+SQL_OPEN_ORDERS_DAILY = """
+WITH ms AS (
+  SELECT l_orderkey,
+         max(CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400) AS ship
+  FROM lineitem GROUP BY 1
+), o AS (
+  SELECT o.o_orderkey,
+         CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 86400 AS od,
+         ms.ship
+  FROM orders o JOIN ms ON ms.l_orderkey = o.o_orderkey
+), span AS (SELECT min(od) AS lo, max(ship) AS hi FROM o),
+days AS (
+  -- lateral column args are not allowed in range(); filter a fixed
+  -- 20000-day (~54 yr) grid instead (the fano-burstiness idiom)
+  SELECT lo + r AS day FROM span, range(20000) t(r)
+  WHERE r <= hi - lo
+)
+SELECT d.day::BIGINT AS day,
+       (SELECT count(*) FROM o
+        WHERE o.od <= d.day AND o.ship >= d.day)::BIGINT AS n_open
+FROM days d
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -23591,4 +23738,6 @@ def catalog():
                                 _simhash_error_sql()),
         "session_timeout_sweep": (q_session_timeout_sweep,
                                   _session_sweep_sql()),
+        "edge_support": (q_edge_support, SQL_EDGE_SUPPORT),
+        "open_orders_daily": (q_open_orders_daily, SQL_OPEN_ORDERS_DAILY),
     }

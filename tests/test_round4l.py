@@ -611,3 +611,81 @@ class TestSimhashAuditAndSweep:
         exp = (con.execute(_session_sweep_sql()).fetchdf()
                .set_index("timeout_sec").sort_index())
         assert got.sort_index().equals(exp.astype(got.dtypes.to_dict()))
+
+
+class TestEdgeSupportAndBacklog:
+    def test_k4_clique_every_edge_in_two_triangles(
+            self, ray_session, tmp_path):
+        """One order holding 4 parts makes a K4: all 6 edges have
+        support exactly 2 (each edge closes with either of the other
+        2 vertices)."""
+        from crawlray.queries import q_edge_support
+        parts = [0, 5, 10, 15]               # % 5 == 0 keeps them
+        n = len(parts)
+        t = pa.table({
+            "l_orderkey": pa.array([1] * n, pa.int64()),
+            "l_partkey": pa.array(parts, pa.int64()),
+            "l_suppkey": pa.array([1] * n, pa.int64()),
+            "l_linenumber": pa.array(list(range(1, n + 1)), pa.int32()),
+            "l_quantity": pa.array([1.0] * n),
+            "l_extendedprice": pa.array([1.0] * n),
+            "l_discount": pa.array([0.0] * n),
+            "l_tax": pa.array([0.0] * n),
+            "l_returnflag": pa.array(["N"] * n),
+            "l_linestatus": pa.array(["O"] * n),
+            "l_shipdate": pa.array([1_700_000_000_000_000] * n,
+                                   pa.timestamp("us")),
+        })
+        pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+        got = q_edge_support(str(tmp_path)).to_pandas()
+        assert len(got) == 6
+        assert (got["support"] == 2).all()
+
+    def test_inverted_interval_never_open(self, ray_session, tmp_path):
+        """An order whose lineitem fully shipped BEFORE the order date
+        (the synthetic corpus contains such rows) is open on no day —
+        engine and oracle agree on the crafted case."""
+        import duckdb as dk
+        from crawlray.queries import (SQL_OPEN_ORDERS_DAILY,
+                                      q_open_orders_daily)
+        D = 86_400_000_000
+        base_day = 20_000
+        orders = pa.table({
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_custkey": pa.array([1, 1], pa.int64()),
+            "o_orderstatus": pa.array(["O", "O"]),
+            "o_totalprice": pa.array([1.0, 1.0]),
+            "o_orderdate": pa.array([base_day * D, base_day * D],
+                                    pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 2),
+        })
+        li = pa.table({
+            "l_orderkey": pa.array([1, 2], pa.int64()),
+            "l_partkey": pa.array([1, 2], pa.int64()),
+            "l_suppkey": pa.array([1, 1], pa.int64()),
+            "l_linenumber": pa.array([1, 1], pa.int32()),
+            "l_quantity": pa.array([1.0, 1.0]),
+            "l_extendedprice": pa.array([1.0, 1.0]),
+            "l_discount": pa.array([0.0, 0.0]),
+            "l_tax": pa.array([0.0, 0.0]),
+            "l_returnflag": pa.array(["N", "N"]),
+            "l_linestatus": pa.array(["O", "O"]),
+            # order 1 ships 2 days later; order 2 shipped 3 days BEFORE
+            "l_shipdate": pa.array([(base_day + 2) * D,
+                                    (base_day - 3) * D],
+                                   pa.timestamp("us")),
+        })
+        pq.write_table(orders, str(tmp_path / "orders.parquet"))
+        pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+        got = q_open_orders_daily(str(tmp_path))
+        con = dk.connect()
+        for name in ["orders", "lineitem"]:
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM "
+                        f"read_parquet('{tmp_path}/{name}.parquet')")
+        exp = con.execute(SQL_OPEN_ORDERS_DAILY).fetchdf()
+        # order 1 open for days base..base+2; order 2 never
+        m = got.set_index("day")["n_open"]
+        assert m.loc[base_day] == 1 and m.loc[base_day + 2] == 1
+        assert (got["n_open"] >= 0).all()
+        assert got.reset_index(drop=True).equals(
+            exp.astype(got.dtypes.to_dict()).reset_index(drop=True))
