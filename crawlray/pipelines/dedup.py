@@ -866,9 +866,10 @@ def banded_hamming_pairs(
 
     One melt pass -> ONE ``groupby`` over (band_id, band_key) with the
     Hamming verify vectorized inside each bucket task -> distributed
-    sort+keep-first pair dedup. Nothing funnels through the driver.
+    sort+keep-first pair dedup. Nothing row-shaped funnels through the
+    driver: the multi-member key fold is bounded by the 4 x 2^16
+    composite domain (~262k keys max at ANY corpus size).
     """
-    from ..util import keep_first_sorted
 
     def melt(df: pd.DataFrame) -> pd.DataFrame:
         frames = [
@@ -885,26 +886,22 @@ def banded_hamming_pairs(
         return pd.concat(frames, ignore_index=True)
 
     melted = sigs.map_batches(melt, batch_format="pandas").materialize()
-    # prefilter to multi-member buckets before the grouped pairing: most
-    # (band, key) buckets are singletons, and a map_groups over millions
-    # of one-member groups is the tiny-group call pathology. The
-    # multi-member key set is bounded by 4 x 2^16 composites (~2 MB),
-    # always broadcastable.
+    # prefilter to multi-member buckets before the pairing exchange:
+    # most (band, key) buckets are singletons. Per-block composite
+    # count partials fold on the driver — bounded by the 4 x 2^16
+    # composite DOMAIN, not by the corpus — and the multi-member key
+    # set (~2 MB worst case) broadcasts once.
     import ray
-    from ray.data.aggregate import Count
 
-    sizes = melted.groupby(["band_id", "band_key"]).aggregate(Count(alias_name="n"))
-    multi_tbls = ray.get(
-        sizes.map_batches(
-            lambda t: t.filter(pc.greater(t["n"], 1)).select(["band_id", "band_key"]),
-            batch_format="pyarrow",
-        ).to_arrow_refs()
-    )
-    multi = np.sort(np.concatenate(
-        [(t["band_id"].to_numpy(zero_copy_only=False).astype(np.int64) << 16)
-         | t["band_key"].to_numpy(zero_copy_only=False).astype(np.int64)
-         for t in multi_tbls]
-    )) if multi_tbls else np.array([], np.int64)
+    def comp_counts(df: pd.DataFrame) -> pa.Table:
+        comp = (df["band_id"].to_numpy() << 16) | df["band_key"].to_numpy()
+        u, c = np.unique(comp, return_counts=True)
+        return pa.table({"ck": pa.array(u.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    cnt = (melted.map_batches(comp_counts, batch_format="pandas")
+           .to_pandas().groupby("ck")["n"].sum())
+    multi = np.sort(cnt[cnt > 1].index.to_numpy(np.int64))
     if multi.size == 0:
         return rd.from_arrow(pa.table(
             {"a": pa.nulls(0, pa.int64()), "b": pa.nulls(0, pa.int64()),
@@ -912,18 +909,64 @@ def banded_hamming_pairs(
         ))
     multi_ref = ray.put(multi)
 
-    def keep_multi(df: pd.DataFrame) -> pd.DataFrame:
+    # pairing as ONE explicit composite-key exchange instead of a
+    # Ray-Data groupby().map_groups(): the multi-member buckets are
+    # tiny and numerous, and the groupby's per-group task scheduling
+    # dominated the stage (~20 s at sf0.1 for sub-second compute —
+    # the same small-group pathology shared_ngram_stats documents);
+    # each exchange bucket now verifies all of its (band, key) groups
+    # inside one task.
+    from .relational import bucketed_reduce
+
+    def keyed_multi(df: pd.DataFrame) -> pa.Table:
         keys = ray.get(multi_ref)
         comp = (df["band_id"].to_numpy() << 16) | df["band_key"].to_numpy()
-        return df[np.isin(comp, keys)]
+        m = np.isin(comp, keys)
+        return pa.table({
+            "ck": pa.array(comp[m].astype(np.int64)),
+            "doc_id": pa.array(df["doc_id"].to_numpy()[m].astype(np.int64)),
+            "simhash": pa.array(df["simhash"].to_numpy()[m].astype(np.int64)),
+        })
 
-    pairs = melted.map_batches(keep_multi, batch_format="pandas").groupby(
-        ["band_id", "band_key"]
-    ).map_groups(
-        lambda g: _ham_pairs(g, max_hamming, max_bucket), batch_format="pandas"
-    )
-    # a pair can surface from several bands with identical hamming — dedup
-    return keep_first_sorted(pairs.sort(["a", "b"]), ["a", "b"])
+    PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("hamming", pa.int64())])
+    pair_empty = pa.table({"a": pa.nulls(0, pa.int64()),
+                           "b": pa.nulls(0, pa.int64()),
+                           "hamming": pa.nulls(0, pa.int64())})
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_empty
+        df = t.to_pandas()
+        outs = [_ham_pairs(g, max_hamming, max_bucket)
+                for _, g in df.groupby("ck", sort=False)]
+        o = pd.concat(outs, ignore_index=True) if outs else None
+        if o is None or o.empty:
+            return pair_empty
+        return pa.table({"a": pa.array(o["a"].to_numpy(np.int64)),
+                         "b": pa.array(o["b"].to_numpy(np.int64)),
+                         "hamming": pa.array(o["hamming"].to_numpy(np.int64))})
+
+    paired = bucketed_reduce(
+        melted.map_batches(keyed_multi, batch_format="pandas"),
+        "ck", pair_bucket, n_buckets=16,
+        schema=pa.schema([("ck", pa.int64()), ("doc_id", pa.int64()),
+                          ("simhash", pa.int64())]))
+
+    # a pair can surface from several bands with identical hamming —
+    # dedup inside an 'a'-keyed exchange (all copies share 'a')
+    def dedup_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_empty
+        df = (t.to_pandas().sort_values(["a", "b"])
+              .drop_duplicates(["a", "b"]))
+        return pa.table({"a": pa.array(df["a"].to_numpy(np.int64)),
+                         "b": pa.array(df["b"].to_numpy(np.int64)),
+                         "hamming": pa.array(df["hamming"]
+                                             .to_numpy(np.int64))})
+
+    return bucketed_reduce(paired, "a", dedup_bucket, n_buckets=16,
+                           schema=PAIR_SCHEMA)
 
 # -- shared-ngram duplication signal ------------------------------------------
 
