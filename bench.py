@@ -352,6 +352,7 @@ BENCH_QUERIES = [
     "session_timeout_sweep",
     "edge_support",
     "open_orders_daily",
+    "dbscan_clusters",
 ]
 
 

@@ -20910,6 +20910,8 @@ def q_dbscan_core_points(sf_dir: str):
             hi = np.searchsorted(dat_c, c[pm] + DBSCAN_CENTS_EPS, "right")
             out_k.append(key[pm])
             out_n.append(hi - lo - 1)       # minus self
+        if not out_k:
+            return empty                    # bucket held only data copies
         k = np.concatenate(out_k)
         n = np.concatenate(out_n)
         return pa.table({
@@ -23329,6 +23331,135 @@ FROM days d
 """
 
 
+def q_dbscan_clusters(sf_dir: str):
+    """DBSCAN CLUSTER LABELS for core points — completing
+    `dbscan_core_points` into the full density clustering (standard
+    core-graph simplification: a cluster is a connected component of
+    cores within each other's eps-ball; border assignment is a
+    documented out-of-scope tiebreak). Three distributed stages, no
+    new shuffle kind: (1) the existing boundary-replicated ball-count
+    exchange yields core flags; (2) the core id set broadcasts once
+    and a second replication exchange emits core-core edges via the
+    y-sorted lag-distance loop (both dims checked; a pair surfacing
+    from two buckets is a harmless duplicate edge — min-label
+    propagation is idempotent); (3) `connected_components_ds` labels
+    every core with its component's min id (self-edges keep isolated
+    cores as singletons). The oracle reruns the quadratic core test
+    and a recursive-CTE closure."""
+    import ray
+
+    from .pipelines.dedup import connected_components_ds
+    from .pipelines.relational import bucketed_reduce
+
+    cores_df = to_table_like(q_dbscan_core_points(sf_dir))
+    core_ids = np.sort(cores_df.loc[cores_df["is_core"] == 1,
+                                    "p_partkey"].to_numpy(np.int64))
+    if len(core_ids) == 0:
+        return pd.DataFrame({"p_partkey": pd.Series([], dtype="int64"),
+                             "cluster": pd.Series([], dtype="int64")})
+    ids_ref = ray.put(core_ids)
+
+    parts = _read(sf_dir, "part",
+                  ["p_partkey", "p_size", "p_retailprice"])
+
+    def replicate_cores(t: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        key = t["p_partkey"].to_numpy(zero_copy_only=False)
+        m = np.isin(key, ids)
+        size = t["p_size"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)[m]
+        key = key[m]
+        c = _cents(t["p_retailprice"]).to_numpy(zero_copy_only=False)[m]
+        return pa.table({
+            "bucket": pa.array(np.r_[size, size - 1, size + 1]),
+            "key": pa.array(np.r_[key, key, key]),
+            "c": pa.array(np.r_[c, c, c]),
+            "s": pa.array(np.r_[size, size, size]),
+            "is_probe": pa.array(np.r_[np.ones(len(size), np.int64),
+                                       np.zeros(2 * len(size),
+                                                np.int64)])})
+
+    def edges_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.nulls(0, pa.int64()),
+                          "b": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        probe = t["is_probe"].to_numpy(zero_copy_only=False) == 1
+        oa, ob = [], []
+        for bb in np.unique(b[probe]):
+            m = b == bb
+            kk, cc, ss, pp = key[m], c[m], s[m], probe[m]
+            o = np.lexsort((kk, cc))
+            kk, cc, ss, pp = kk[o], cc[o], ss[o], pp[o]
+            n = len(kk)
+            for off in range(1, n):
+                i = np.arange(n - off)
+                dy = cc[i + off] - cc[i]
+                live = dy <= DBSCAN_CENTS_EPS
+                if not live.any():
+                    break
+                ii = i[live]
+                ok = (np.abs(ss[ii] - ss[ii + off]) <= DBSCAN_SIZE_EPS) \
+                    & (pp[ii] | pp[ii + off]) \
+                    & (kk[ii] != kk[ii + off])
+                jj = ii[ok]
+                if len(jj):
+                    oa.append(np.minimum(kk[jj], kk[jj + off]))
+                    ob.append(np.maximum(kk[jj], kk[jj + off]))
+        if not oa:
+            return empty
+        return pa.table({"a": pa.array(np.concatenate(oa)),
+                         "b": pa.array(np.concatenate(ob))})
+
+    edges = bucketed_reduce(
+        parts.map_batches(replicate_cores, batch_format="pyarrow"),
+        "bucket", edges_fn, n_buckets=16,
+        schema=pa.schema([("bucket", pa.int64()), ("key", pa.int64()),
+                          ("c", pa.int64()), ("s", pa.int64()),
+                          ("is_probe", pa.int64())]))
+    selfp = rd.from_arrow(pa.table({"a": pa.array(core_ids),
+                                    "b": pa.array(core_ids)}))
+    cc = to_table_like(connected_components_ds(edges.union(selfp)))
+    cc = cc[cc["doc_id"].isin(set(core_ids.tolist()))]
+    return (cc.rename(columns={"doc_id": "p_partkey"})
+            .astype({"p_partkey": "int64", "cluster": "int64"})
+            .sort_values("p_partkey").reset_index(drop=True))
+
+
+SQL_DBSCAN_CLUSTERS = f"""
+WITH RECURSIVE p AS (
+  SELECT p_partkey, p_size::BIGINT AS s,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS c
+  FROM part
+), core AS (
+  SELECT a.p_partkey, a.s, a.c
+  FROM p a JOIN p b
+    ON b.p_partkey <> a.p_partkey
+   AND abs(b.s - a.s) <= {DBSCAN_SIZE_EPS}
+   AND abs(b.c - a.c) <= {DBSCAN_CENTS_EPS}
+  GROUP BY 1, 2, 3
+  HAVING count(*) >= {DBSCAN_MINPTS}
+), e AS (
+  SELECT x.p_partkey AS s, y.p_partkey AS d
+  FROM core x JOIN core y
+    ON x.p_partkey <> y.p_partkey
+   AND abs(x.s - y.s) <= {DBSCAN_SIZE_EPS}
+   AND abs(x.c - y.c) <= {DBSCAN_CENTS_EPS}
+), nodes AS (SELECT p_partkey AS x FROM core),
+reach(x, y) AS (
+  SELECT x, x FROM nodes
+  UNION
+  SELECT r.x, e.d FROM reach r JOIN e ON r.y = e.s
+)
+SELECT x::BIGINT AS p_partkey, min(y)::BIGINT AS cluster
+FROM reach GROUP BY x
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -23740,4 +23871,5 @@ def catalog():
                                   _session_sweep_sql()),
         "edge_support": (q_edge_support, SQL_EDGE_SUPPORT),
         "open_orders_daily": (q_open_orders_daily, SQL_OPEN_ORDERS_DAILY),
+        "dbscan_clusters": (q_dbscan_clusters, SQL_DBSCAN_CLUSTERS),
     }

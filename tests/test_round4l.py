@@ -689,3 +689,40 @@ class TestEdgeSupportAndBacklog:
         assert (got["n_open"] >= 0).all()
         assert got.reset_index(drop=True).equals(
             exp.astype(got.dtypes.to_dict()).reset_index(drop=True))
+
+
+class TestDbscanClusters:
+    def test_two_blobs_and_isolated_core(self, ray_session, tmp_path):
+        """Blob A (6 identical points, keys 1-6) and blob B (5 points,
+        keys 11-15) are two clusters labeled by their min ids; a star
+        center (key 20) has 4 border satellites (non-core) — it is a
+        CORE with no core neighbor, so it must survive as a singleton
+        cluster, and the satellites get no label."""
+        import duckdb as dk
+        from crawlray.queries import SQL_DBSCAN_CLUSTERS, q_dbscan_clusters
+        rows = []   # (key, size, price_dollars)
+        rows += [(k, 10, 10.00) for k in range(1, 7)]        # blob A
+        rows += [(k, 30, 30.00) for k in range(11, 16)]      # blob B
+        rows += [(20, 50, 50.00),                            # star core
+                 (21, 49, 49.00), (22, 51, 51.00),
+                 (23, 49, 51.00), (24, 51, 49.00)]
+        t = pa.table({
+            "p_partkey": pa.array([r[0] for r in rows], pa.int64()),
+            "p_size": pa.array([r[1] for r in rows], pa.int64()),
+            "p_retailprice": pa.array([float(r[2]) for r in rows]),
+            "p_name": pa.array(["p"] * len(rows)),
+            "p_brand": pa.array(["b"] * len(rows)),
+        })
+        pq.write_table(t, str(tmp_path / "part.parquet"))
+        got = q_dbscan_clusters(str(tmp_path)).set_index("p_partkey")
+        assert sorted(got.index) == [1, 2, 3, 4, 5, 6,
+                                     11, 12, 13, 14, 15, 20]
+        assert (got.loc[1:6, "cluster"] == 1).all()
+        assert (got.loc[11:15, "cluster"] == 11).all()
+        assert got.loc[20, "cluster"] == 20
+        con = dk.connect()
+        con.execute(f"CREATE VIEW part AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/part.parquet')")
+        exp = (con.execute(SQL_DBSCAN_CLUSTERS).fetchdf()
+               .set_index("p_partkey").sort_index())
+        assert got.sort_index().equals(exp.astype(got.dtypes.to_dict()))
