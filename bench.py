@@ -353,6 +353,7 @@ BENCH_QUERIES = [
     "edge_support",
     "open_orders_daily",
     "dbscan_clusters",
+    "lcs_user_pairs",
 ]
 
 

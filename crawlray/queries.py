@@ -23460,6 +23460,150 @@ FROM reach GROUP BY x
 """
 
 
+LCS_TOP_USERS = 8
+LCS_SEQ_CAP = 24
+
+
+def q_lcs_user_pairs(sf_dir: str):
+    """LONGEST-COMMON-SUBSEQUENCE behavioral similarity — for the 8
+    most active users (count DESC, id ASC), every pair's LCS length
+    over their first 24 event types in (ts, event_id) order: the
+    classic sequence-alignment primitive, bounded by construction
+    (the documented cap IS the contract, like the interval-scheduling
+    family's per-group bounds). Stage 1: per-bucket top-8 candidates
+    (8 rows per bucket) pick the global top-8 from O(buckets x 8)
+    rows. Stage 2: one user-keyed exchange emits <= 8 x 24 (user,
+    pos, type) rows. The driver's 24 x 24 DP per pair is provably the
+    LCS; the oracle recomputes it by a STRUCTURALLY different
+    algorithm — the chain-extension fixpoint over match cells (the
+    `lis_length` idiom), an algorithm-diverse cross-check."""
+    from .pipelines.relational import bucketed_reduce
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+
+    def ucount(t: pa.Table) -> pa.Table:
+        g = (pa.table({"u": t["user_id"]}).group_by(["u"])
+             .aggregate([("u", "count")]))
+        return pa.table({"u": g["u"],
+                         "n": g["u_count"].cast(pa.int64())})
+
+    def top_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({"u": pa.nulls(0, pa.int64()),
+                          "n": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        g = (t.to_pandas().groupby("u", as_index=False)["n"].sum()
+             .sort_values(["n", "u"], ascending=[False, True])
+             .head(LCS_TOP_USERS))
+        return pa.table({"u": pa.array(g["u"].to_numpy(np.int64)),
+                         "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    cands = bucketed_reduce(
+        ev.map_batches(ucount, batch_format="pyarrow"),
+        "u", top_bucket, n_buckets=32,
+        schema=pa.schema([("u", pa.int64()), ("n", pa.int64())]))
+    top = (cands.to_pandas()
+           .sort_values(["n", "u"], ascending=[False, True])
+           .head(LCS_TOP_USERS))
+    top_ids = set(top["u"].astype(int))
+
+    def seq_rows(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        m = np.isin(u, list(top_ids))
+        return pa.table({
+            "u": pa.array(u[m]),
+            "ts": t["ts"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False)[m],
+            "eid": t["event_id"].to_numpy(zero_copy_only=False)[m],
+            "et": pa.array(np.asarray(
+                t["event_type"].to_numpy(zero_copy_only=False),
+                object)[m], pa.string())})
+
+    def head_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"u": pa.nulls(0, pa.int64()),
+                          "pos": pa.nulls(0, pa.int64()),
+                          "et": pa.nulls(0, pa.string())})
+        if t.num_rows == 0:
+            return empty
+        df = (t.to_pandas().sort_values(["u", "ts", "eid"])
+              .groupby("u").head(LCS_SEQ_CAP))
+        df["pos"] = df.groupby("u").cumcount()
+        return pa.table({"u": pa.array(df["u"].to_numpy(np.int64)),
+                         "pos": pa.array(df["pos"].to_numpy(np.int64)),
+                         "et": pa.array(df["et"], pa.string())})
+
+    rows = bucketed_reduce(
+        ev.map_batches(seq_rows, batch_format="pyarrow"),
+        "u", head_fn, n_buckets=8,
+        schema=pa.schema([("u", pa.int64()), ("ts", pa.int64()),
+                          ("eid", pa.int64()), ("et", pa.string())]))
+    df = rows.to_pandas().sort_values(["u", "pos"])
+    seqs = {int(u): list(g["et"]) for u, g in df.groupby("u")}
+
+    def lcs(a: list, b: list) -> int:
+        dp = np.zeros(len(b) + 1, np.int64)
+        for x in a:
+            prev = 0
+            for j, y in enumerate(b):
+                cur = int(dp[j + 1])
+                dp[j + 1] = prev + 1 if x == y else max(dp[j + 1], dp[j])
+                prev = cur
+        return int(dp[-1])
+
+    users = sorted(top_ids)
+    out = []
+    for i, ua in enumerate(users):
+        for ub in users[i + 1:]:
+            out.append((ua, ub, lcs(seqs[ua], seqs[ub]),
+                        len(seqs[ua]), len(seqs[ub])))
+    return (pd.DataFrame(out, columns=["user_a", "user_b", "lcs_len",
+                                       "len_a", "len_b"])
+            .astype("int64"))
+
+
+SQL_LCS_USER_PAIRS = f"""
+WITH RECURSIVE counts AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY 1
+),
+top8 AS (SELECT user_id FROM counts
+         ORDER BY n DESC, user_id LIMIT {LCS_TOP_USERS}),
+seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS i
+  FROM events WHERE user_id IN (SELECT user_id FROM top8)
+),
+s AS (SELECT * FROM seq WHERE i <= {LCS_SEQ_CAP}),
+pairs AS (
+  SELECT a.user_id AS ua, b.user_id AS ub
+  FROM top8 a JOIN top8 b ON a.user_id < b.user_id
+),
+m AS (
+  SELECT p.ua, p.ub, x.i AS i, y.i AS j
+  FROM pairs p
+  JOIN s x ON x.user_id = p.ua
+  JOIN s y ON y.user_id = p.ub
+  WHERE x.event_type = y.event_type
+),
+chain(ua, ub, i, j, l) AS (
+  SELECT ua, ub, i, j, 1 FROM m
+  UNION
+  SELECT m.ua, m.ub, m.i, m.j, c.l + 1
+  FROM chain c JOIN m
+    ON m.ua = c.ua AND m.ub = c.ub AND m.i > c.i AND m.j > c.j
+),
+lens AS (SELECT user_id, count(*) AS L FROM s GROUP BY 1)
+SELECT p.ua AS user_a, p.ub AS user_b,
+       coalesce((SELECT max(l) FROM chain c
+                 WHERE c.ua = p.ua AND c.ub = p.ub), 0)::BIGINT AS lcs_len,
+       la.L::BIGINT AS len_a, lb.L::BIGINT AS len_b
+FROM pairs p
+JOIN lens la ON la.user_id = p.ua
+JOIN lens lb ON lb.user_id = p.ub
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -23872,4 +24016,5 @@ def catalog():
         "edge_support": (q_edge_support, SQL_EDGE_SUPPORT),
         "open_orders_daily": (q_open_orders_daily, SQL_OPEN_ORDERS_DAILY),
         "dbscan_clusters": (q_dbscan_clusters, SQL_DBSCAN_CLUSTERS),
+        "lcs_user_pairs": (q_lcs_user_pairs, SQL_LCS_USER_PAIRS),
     }

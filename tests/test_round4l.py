@@ -726,3 +726,39 @@ class TestDbscanClusters:
         exp = (con.execute(SQL_DBSCAN_CLUSTERS).fetchdf()
                .set_index("p_partkey").sort_index())
         assert got.sort_index().equals(exp.astype(got.dtypes.to_dict()))
+
+
+class TestLcsPairs:
+    def test_dp_equals_bruteforce(self):
+        """The driver's rolling-array DP equals the O(2^n) brute-force
+        LCS on random short sequences — the engine-side ground truth
+        (the oracle cross-checks via chain-extension independently)."""
+        import itertools
+        from crawlray.queries import q_lcs_user_pairs  # noqa: F401
+        rng = np.random.default_rng(3)
+
+        def dp_lcs(a, b):
+            dp = np.zeros(len(b) + 1, np.int64)
+            for x in a:
+                prev = 0
+                for j, y in enumerate(b):
+                    cur = int(dp[j + 1])
+                    dp[j + 1] = prev + 1 if x == y else max(dp[j + 1],
+                                                            dp[j])
+                    prev = cur
+            return int(dp[-1])
+
+        def brute(a, b):
+            best = 0
+            for r in range(len(a), 0, -1):
+                for comb in itertools.combinations(a, r):
+                    # is comb a subsequence of b?
+                    it = iter(b)
+                    if all(c in it for c in comb):
+                        return r
+            return best
+
+        for _ in range(20):
+            a = list(rng.integers(0, 4, rng.integers(1, 9)))
+            b = list(rng.integers(0, 4, rng.integers(1, 9)))
+            assert dp_lcs(a, b) == brute(a, b)
