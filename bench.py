@@ -354,6 +354,8 @@ BENCH_QUERIES = [
     "open_orders_daily",
     "dbscan_clusters",
     "lcs_user_pairs",
+    "brand_modularity",
+    "passage_chunks",
 ]
 
 

@@ -23604,6 +23604,165 @@ JOIN lens lb ON lb.user_id = p.ub
 """
 
 
+def q_brand_modularity(sf_dir: str):
+    """NEWMAN MODULARITY of the brand partition over the co-purchase
+    graph — 'do brands co-purchase within themselves?': the community
+    -quality functional Q = sum_c [e_c/m - (d_c/2m)^2] published as
+    an EXACT reduced rational (4m * sum e_c - sum d_c^2) / (4m^2),
+    where m counts distinct co-purchase edges (the `triangle_counts`
+    graph, l_partkey % 5 == 0), e_c the within-brand edges and d_c
+    the brand degree sums. The part->brand map broadcasts once; each
+    edge block folds O(brands) partials; the driver does one integer
+    gcd. The oracle restates the same sums and reduction."""
+    import math
+
+    import ray
+
+    from .pipelines.graph import cooccurrence_edges
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["l_partkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % TRIANGLE_PART_MOD == 0))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        keep, batch_format="pyarrow")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    p2b = dict(zip(part["p_partkey"].astype(int), part["p_brand"]))
+    map_ref = ray.put(p2b)
+
+    def partial(t: pa.Table) -> pa.Table:
+        mp = ray.get(map_ref)
+        empty = pa.table({"brand": pa.nulls(0, pa.string()),
+                          "e_in": pa.nulls(0, pa.int64()),
+                          "deg": pa.nulls(0, pa.int64()),
+                          "m": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        ba = pd.Series(a).map(mp)
+        bb = pd.Series(b).map(mp)
+        deg = (pd.concat([ba, bb]).value_counts())
+        ein = pd.Series(ba[ba.eq(bb).to_numpy()]).value_counts()
+        brands = sorted(set(deg.index))
+        return pa.table({
+            "brand": pa.array(brands, pa.string()),
+            "e_in": pa.array([int(ein.get(x, 0)) for x in brands],
+                             pa.int64()),
+            "deg": pa.array([int(deg.get(x, 0)) for x in brands],
+                            pa.int64()),
+            "m": pa.array([len(a) if i == 0 else 0
+                           for i in range(len(brands))], pa.int64())})
+
+    p = (edges.map_batches(partial, batch_format="pyarrow").to_pandas()
+         .groupby("brand", as_index=False).sum())
+    m = int(p["m"].sum())
+    e_in = int(p["e_in"].sum())
+    d2 = int((p["deg"].astype("int64") ** 2).sum())
+    num = 4 * m * e_in - d2
+    den = 4 * m * m
+    g = math.gcd(abs(num), den)
+    return pd.DataFrame({
+        "n_edges": [m], "within_edges": [e_in],
+        "q_num": [num // g], "q_den": [den // g]}).astype("int64")
+
+
+SQL_BRAND_MODULARITY = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_partkey % {TRIANGLE_PART_MOD} = 0
+),
+e AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+lab AS (
+  SELECT e.a, e.b, pa.p_brand AS ba, pb.p_brand AS bb
+  FROM e JOIN part pa ON pa.p_partkey = e.a
+         JOIN part pb ON pb.p_partkey = e.b
+),
+sums AS (
+  SELECT count(*)::BIGINT AS m,
+         sum(CASE WHEN ba = bb THEN 1 ELSE 0 END)::BIGINT AS e_in
+  FROM lab
+),
+deg AS (
+  SELECT brand, count(*)::BIGINT AS d FROM (
+    SELECT ba AS brand FROM lab UNION ALL SELECT bb FROM lab
+  ) GROUP BY 1
+),
+d2 AS (SELECT sum(d * d)::BIGINT AS dd FROM deg),
+q AS (
+  SELECT sums.m, sums.e_in,
+         4 * sums.m * sums.e_in - d2.dd AS num,
+         4 * sums.m * sums.m AS den
+  FROM sums, d2
+)
+SELECT m AS n_edges, e_in AS within_edges,
+       (num / gcd(abs(num), den))::BIGINT AS q_num,
+       (den / gcd(abs(num), den))::BIGINT AS q_den
+FROM q
+"""
+
+
+CHUNK_SIZE = 64
+CHUNK_OVERLAP = 16
+
+
+def q_passage_chunks(sf_dir: str):
+    """RAG PASSAGE CHUNKING PLAN — the retrieval-corpus preparation
+    contract as data: documents split into 64-token windows with
+    16-token overlap (stride 48); per doc the whitespace token count,
+    the chunk count ceil(max(0, n - 64) / 48) + 1 (one chunk for any
+    non-empty doc; empty docs chunk 0) and the last chunk's length
+    n - stride * (chunks - 1). Pure map-side closed form — the chunk
+    boundary arithmetic IS the operator; actual text slicing is the
+    trivial per-chunk substring both engines would agree on by
+    construction."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    stride = CHUNK_SIZE - CHUNK_OVERLAP
+
+    def plan(df: pd.DataFrame) -> pd.DataFrame:
+        n = (df["text"].fillna("").str.split().str.len()
+             .fillna(0).to_numpy(dtype=np.int64))
+        chunks = np.where(
+            n == 0, 0, -(-(np.maximum(n - CHUNK_SIZE, 0)) // stride) + 1)
+        last = np.where(chunks == 0, 0, n - stride * (chunks - 1))
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "n_tokens": n,
+                             "n_chunks": chunks.astype(np.int64),
+                             "last_chunk_tokens": last.astype(np.int64)})
+
+    return docs.map_batches(plan, batch_format="pandas")
+
+
+SQL_PASSAGE_CHUNKS = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+         END::BIGINT AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, n,
+         CASE WHEN n = 0 THEN 0
+              ELSE (greatest(n - {CHUNK_SIZE}, 0)
+                    + {CHUNK_SIZE - CHUNK_OVERLAP} - 1)
+                   // {CHUNK_SIZE - CHUNK_OVERLAP} + 1
+         END::BIGINT AS n_chunks
+  FROM d
+)
+SELECT doc_id, n AS n_tokens, n_chunks,
+       (CASE WHEN n_chunks = 0 THEN 0
+             ELSE n - {CHUNK_SIZE - CHUNK_OVERLAP} * (n_chunks - 1)
+        END)::BIGINT AS last_chunk_tokens
+FROM c
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -24017,4 +24176,6 @@ def catalog():
         "open_orders_daily": (q_open_orders_daily, SQL_OPEN_ORDERS_DAILY),
         "dbscan_clusters": (q_dbscan_clusters, SQL_DBSCAN_CLUSTERS),
         "lcs_user_pairs": (q_lcs_user_pairs, SQL_LCS_USER_PAIRS),
+        "brand_modularity": (q_brand_modularity, SQL_BRAND_MODULARITY),
+        "passage_chunks": (q_passage_chunks, SQL_PASSAGE_CHUNKS),
     }

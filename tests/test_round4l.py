@@ -762,3 +762,55 @@ class TestLcsPairs:
             a = list(rng.integers(0, 4, rng.integers(1, 9)))
             b = list(rng.integers(0, 4, rng.integers(1, 9)))
             assert dp_lcs(a, b) == brute(a, b)
+
+
+class TestModularityAndChunks:
+    def test_modularity_signs(self):
+        """Q's exact rational sign sanity on hand graphs: a graph
+        whose only edges are within-brand has positive Q; a perfect
+        bipartite cross-brand graph has negative Q (the closed form
+        (4 m e_in - sum d_c^2) / 4 m^2 on paper)."""
+        import math
+
+        def q(m, e_in, degs):
+            num = 4 * m * e_in - sum(d * d for d in degs)
+            den = 4 * m * m
+            g = math.gcd(abs(num), den)
+            return num // g, den // g
+
+        # two brands, each a single within-edge: m=2, e_in=2,
+        # degrees per brand 2 and 2 -> Q = (16-8)/16 = 1/2
+        assert q(2, 2, [2, 2]) == (1, 2)
+        # one cross edge only: m=1, e_in=0, degrees 1,1 -> Q = -1/2
+        assert q(1, 0, [1, 1]) == (-1, 2)
+
+    def test_chunk_plan_boundaries(self, ray_session, tmp_path):
+        """n = 64 is one chunk; n = 65 spills into a second chunk of
+        17 tokens (64-token window, 48 stride); empty doc has zero
+        chunks — engine == oracle on the crafted table."""
+        import duckdb as dk
+        from crawlray.queries import SQL_PASSAGE_CHUNKS, q_passage_chunks
+        rows = [(1, " ".join(["w"] * 64)), (2, " ".join(["w"] * 65)),
+                (3, ""), (4, "one two")]
+        t = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array(["s"] * len(rows)),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        })
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        got = (q_passage_chunks(str(tmp_path)).to_pandas()
+               .set_index("doc_id").sort_index())
+        assert got.loc[1, "n_chunks"] == 1
+        assert got.loc[1, "last_chunk_tokens"] == 64
+        assert got.loc[2, "n_chunks"] == 2
+        assert got.loc[2, "last_chunk_tokens"] == 17
+        assert got.loc[3, "n_chunks"] == 0
+        assert got.loc[4, "n_chunks"] == 1
+        con = dk.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/documents.parquet')")
+        exp = (con.execute(SQL_PASSAGE_CHUNKS).fetchdf()
+               .set_index("doc_id").sort_index())
+        assert got.equals(exp.astype(got.dtypes.to_dict()))
