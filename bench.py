@@ -356,6 +356,7 @@ BENCH_QUERIES = [
     "lcs_user_pairs",
     "brand_modularity",
     "passage_chunks",
+    "rrf_fusion",
 ]
 
 

@@ -23763,6 +23763,107 @@ FROM c
 """
 
 
+RRF_K = 60
+RRF_DEPTH = 10
+# lcm(61..70) = 2^6 * 3^2 * 5 * 7 * 11 * 13 * 17 * 23 * 31 * 61 * 67 —
+# every RRF term L/(60+rank) is an exact int64 for rank <= 10
+RRF_LCM = 142_813_628_717_760
+
+
+def q_rrf_fusion(sf_dir: str):
+    """RECIPROCAL RANK FUSION of two retrieval rankers — the standard
+    ensemble trick (Cormack et al. 2009), EXACT: for the union of the
+    BM25 top-10 and the raw term-frequency top-10 (same broadcast
+    query terms), score = sum over present rankers of
+    1/(60 + rank), published as the integer numerator over the FIXED
+    denominator lcm(61..70) — no float ever touches the fusion.
+    The BM25 side reuses the two-pass pruned pipeline; the tf side
+    prunes per-batch top-10 candidates (monotone, so the global
+    top-10 of <= 10 x blocks candidates is exact). Absent ranks
+    publish -1."""
+    import math
+
+    from .pipelines.textops import bm25_topk_ds
+
+    terms = set(BM25_TERMS)
+    L = RRF_LCM
+    assert L == math.lcm(*range(RRF_K + 1, RRF_K + RRF_DEPTH + 1))
+
+    bm = to_table_like(
+        bm25_topk_ds(_read(sf_dir, "documents", ["doc_id", "text"]),
+                     BM25_TERMS, k=RRF_DEPTH))
+    bm = bm.sort_values(["score", "doc_id"],
+                        ascending=[False, True]).reset_index(drop=True)
+    r1 = {int(d): i + 1 for i, d in enumerate(bm["doc_id"])}
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tf_prune(df: pd.DataFrame) -> pd.DataFrame:
+        e = (df[["doc_id"]]
+             .assign(w=df["text"].fillna("").str.split())
+             .explode("w"))
+        e = e[e["w"].isin(terms)]
+        tf = e.groupby("doc_id").size().rename("tf").reset_index()
+        out = pd.DataFrame({"doc_id": tf["doc_id"].astype("int64"),
+                            "tf": tf["tf"].astype("int64")})
+        return out.sort_values(["tf", "doc_id"],
+                               ascending=[False, True]).head(RRF_DEPTH)
+
+    cand = (docs.map_batches(tf_prune, batch_format="pandas").to_pandas()
+            .sort_values(["tf", "doc_id"], ascending=[False, True])
+            .head(RRF_DEPTH).reset_index(drop=True))
+    r2 = {int(d): i + 1 for i, d in enumerate(cand["doc_id"])}
+
+    union = sorted(set(r1) | set(r2))
+    rows = []
+    for d in union:
+        a = r1.get(d, 0)
+        b = r2.get(d, 0)
+        num = (L // (RRF_K + a) if a else 0) \
+            + (L // (RRF_K + b) if b else 0)
+        rows.append((d, a if a else -1, b if b else -1, num, L))
+    return (pd.DataFrame(rows, columns=["doc_id", "rank_bm25", "rank_tf",
+                                        "rrf_num", "rrf_den"])
+            .astype("int64"))
+
+
+def _rrf_sql() -> str:
+    lits = ", ".join(_sql_str(t) for t in BM25_TERMS)
+    return f"""
+WITH b0 AS ({_bm25_sql()}),
+b AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+  FROM b0 QUALIFY rk <= {RRF_DEPTH}
+),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents WHERE trim(text) <> ''
+),
+tf AS (
+  SELECT doc_id, count(*)::BIGINT AS tf FROM toks
+  WHERE w IN ({lits}) GROUP BY 1
+),
+t AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY tf DESC, doc_id) AS rk
+  FROM tf QUALIFY rk <= {RRF_DEPTH}
+),
+u AS (SELECT doc_id FROM b UNION SELECT doc_id FROM t)
+SELECT u.doc_id,
+       coalesce(b.rk, -1)::BIGINT AS rank_bm25,
+       coalesce(t.rk, -1)::BIGINT AS rank_tf,
+       (CASE WHEN b.rk IS NULL THEN 0
+             ELSE {RRF_LCM} // ({RRF_K} + b.rk) END
+        + CASE WHEN t.rk IS NULL THEN 0
+               ELSE {RRF_LCM} // ({RRF_K} + t.rk) END)::BIGINT AS rrf_num,
+       {RRF_LCM}::BIGINT AS rrf_den
+FROM u
+LEFT JOIN b ON b.doc_id = u.doc_id
+LEFT JOIN t ON t.doc_id = u.doc_id
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -24178,4 +24279,5 @@ def catalog():
         "lcs_user_pairs": (q_lcs_user_pairs, SQL_LCS_USER_PAIRS),
         "brand_modularity": (q_brand_modularity, SQL_BRAND_MODULARITY),
         "passage_chunks": (q_passage_chunks, SQL_PASSAGE_CHUNKS),
+        "rrf_fusion": (q_rrf_fusion, _rrf_sql()),
     }
