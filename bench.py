@@ -357,6 +357,7 @@ BENCH_QUERIES = [
     "brand_modularity",
     "passage_chunks",
     "rrf_fusion",
+    "chao1_estimate",
 ]
 
 

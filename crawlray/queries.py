@@ -23864,6 +23864,87 @@ LEFT JOIN t ON t.doc_id = u.doc_id
 """
 
 
+def q_chao1_estimate(sf_dir: str):
+    """CHAO2 SPECIES-RICHNESS estimate of the bigram vocabulary — the
+    'how many n-gram types exist that we have NOT yet crawled?'
+    estimator (Chao 1984/1987, incidence-based bias-corrected form):
+    documents are the sampling units, so with D observed types, f1
+    types seen in exactly one doc and f2 in exactly two,
+    est = D + f1(f1-1)/(2(f2+1)), published as one EXACT reduced
+    rational. The whole statistic is a function of the
+    incidence-count histogram (the `vocab_coverage` insight), so one
+    bigram-keyed exchange emits O(distinct counts) rows per bucket
+    and the driver does integer arithmetic. The oracle recomputes
+    the histogram and the same gcd-reduced rational."""
+    import math
+
+    from .pipelines.relational import bucketed_reduce
+    from .util import drop_empty_blocks
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        # distinct (doc, bg) incidence pairs; docs are unique rows, so
+        # summing per-batch doc counts in the exchange is exact
+        e = _bigram_pairs_batch(t, "doc_id")
+        bg, n = np.unique(e["bg"].to_numpy(), return_counts=True)
+        return pa.table({"bg": pa.array(bg, pa.string()),
+                         "n": pa.array(n.astype(np.int64))})
+
+    def cc_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cnt": pa.nulls(0, pa.int64()),
+                          "n_types": pa.nulls(0, pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        g = t.group_by("bg").aggregate([("n", "sum")])
+        cnt, nt = np.unique(g["n_sum"].to_numpy(zero_copy_only=False),
+                            return_counts=True)
+        return pa.table({"cnt": pa.array(cnt, pa.int64()),
+                         "n_types": pa.array(nt.astype(np.int64))})
+
+    hist = (drop_empty_blocks(bucketed_reduce(
+        docs.map_batches(pairs, batch_format="pyarrow").repartition(16),
+        "bg", cc_fn, n_buckets=16,
+        schema=pa.schema([("bg", pa.string()), ("n", pa.int64())])))
+        .to_pandas().groupby("cnt")["n_types"].sum())
+    d = int(hist.sum())
+    f1 = int(hist.get(1, 0))
+    f2 = int(hist.get(2, 0))
+    num = d * 2 * (f2 + 1) + f1 * (f1 - 1)
+    den = 2 * (f2 + 1)
+    g = math.gcd(num, den)
+    return pd.DataFrame({"n_types": [d], "f1": [f1], "f2": [f2],
+                         "chao_num": [num // g],
+                         "chao_den": [den // g]}).astype("int64")
+
+
+SQL_CHAO1_ESTIMATE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), big AS (
+  SELECT bg, count(DISTINCT doc_id)::BIGINT AS n FROM (
+    SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg
+    FROM toks, unnest(range(1, len(ws))) t(i)
+  ) GROUP BY 1
+), cc AS (
+  SELECT n AS cnt, count(*)::BIGINT AS n_types FROM big GROUP BY 1
+), s AS (
+  SELECT sum(n_types)::BIGINT AS d,
+         coalesce(sum(n_types) FILTER (WHERE cnt = 1), 0)::BIGINT AS f1,
+         coalesce(sum(n_types) FILTER (WHERE cnt = 2), 0)::BIGINT AS f2
+  FROM cc
+)
+SELECT d AS n_types, f1, f2,
+       ((d * 2 * (f2 + 1) + f1 * (f1 - 1))
+        / gcd(d * 2 * (f2 + 1) + f1 * (f1 - 1), 2 * (f2 + 1)))::BIGINT
+         AS chao_num,
+       ((2 * (f2 + 1))
+        / gcd(d * 2 * (f2 + 1) + f1 * (f1 - 1), 2 * (f2 + 1)))::BIGINT
+         AS chao_den
+FROM s
+"""
+
+
 def catalog():
     """name -> (fn, oracle_sql | None)"""
     return {
@@ -24280,4 +24361,5 @@ def catalog():
         "brand_modularity": (q_brand_modularity, SQL_BRAND_MODULARITY),
         "passage_chunks": (q_passage_chunks, SQL_PASSAGE_CHUNKS),
         "rrf_fusion": (q_rrf_fusion, _rrf_sql()),
+        "chao1_estimate": (q_chao1_estimate, SQL_CHAO1_ESTIMATE),
     }
