@@ -358,6 +358,10 @@ BENCH_QUERIES = [
     "passage_chunks",
     "rrf_fusion",
     "chao1_estimate",
+    "join_order_plan",
+    "session_length_quantiles",
+    "inclusion_deps",
+    "join_sample_audit",
 ]
 
 

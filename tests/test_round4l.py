@@ -814,3 +814,86 @@ class TestModularityAndChunks:
         exp = (con.execute(SQL_PASSAGE_CHUNKS).fetchdf()
                .set_index("doc_id").sort_index())
         assert got.equals(exp.astype(got.dtypes.to_dict()))
+
+
+class TestPlannerAndProfileOps:
+    def test_session_length_quantile_ranks(self, ray_session, tmp_path):
+        """Sessions of lengths 1, 2, 3, 4 (one user, gaps > 30 min
+        between groups): p50 = 2nd smallest = 2, p90 = ceil(3.6) =
+        4th = 4 — the ceil-rank convention."""
+        from crawlray.queries import q_session_length_quantiles
+        base = 1_700_000_000_000_000
+        rows, eid, t = [], 0, base
+        for ln in [1, 2, 3, 4]:
+            for _ in range(ln):
+                rows.append((eid, 1, t, "view"))
+                eid += 1
+                t += 60_000_000          # 1 min inside session
+            t += 3_600_000_000           # 1 h gap -> new session
+        pq.write_table(_events_table(rows),
+                       str(tmp_path / "events.parquet"))
+        got = (q_session_length_quantiles(str(tmp_path))
+               .set_index("quantile_pm"))
+        assert got.loc[500, "k"] == 2 and got.loc[500, "session_len"] == 2
+        assert got.loc[900, "k"] == 4 and got.loc[900, "session_len"] == 4
+
+    def test_inclusion_dep_violation_counts(self, ray_session, tmp_path):
+        """customer keys {1,2,3}; orders reference {1,2} only — the
+        FK holds one way, and the reversed candidate counts exactly
+        one missing value (customer 3 without orders)."""
+        import duckdb as dk
+        import crawlray.queries as Q
+        nat = pa.table({"n_nationkey": pa.array([0], pa.int32()),
+                        "n_name": pa.array(["X"]),
+                        "n_regionkey": pa.array([0], pa.int32())})
+        cust = pa.table({
+            "c_custkey": pa.array([1, 2, 3], pa.int64()),
+            "c_name": pa.array(["a", "b", "c"]),
+            "c_nationkey": pa.array([0, 0, 0], pa.int32()),
+            "c_acctbal": pa.array([0.0] * 3),
+            "c_mktsegment": pa.array(["BUILDING"] * 3)})
+        orders = pa.table({
+            "o_orderkey": pa.array([10, 11], pa.int64()),
+            "o_custkey": pa.array([1, 2], pa.int64()),
+            "o_orderstatus": pa.array(["O", "O"]),
+            "o_totalprice": pa.array([1.0, 1.0]),
+            "o_orderdate": pa.array([1_700_000_000_000_000] * 2,
+                                    pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 2)})
+        li = pa.table({
+            "l_orderkey": pa.array([10], pa.int64()),
+            "l_partkey": pa.array([5], pa.int64()),
+            "l_suppkey": pa.array([7], pa.int64()),
+            "l_linenumber": pa.array([1], pa.int32()),
+            "l_quantity": pa.array([1.0]),
+            "l_extendedprice": pa.array([1.0]),
+            "l_discount": pa.array([0.0]), "l_tax": pa.array([0.0]),
+            "l_returnflag": pa.array(["N"]),
+            "l_linestatus": pa.array(["O"]),
+            "l_shipdate": pa.array([1_700_000_000_000_000],
+                                   pa.timestamp("us"))})
+        part = pa.table({"p_partkey": pa.array([5, 6], pa.int64()),
+                         "p_size": pa.array([1, 1], pa.int64()),
+                         "p_retailprice": pa.array([1.0, 1.0]),
+                         "p_name": pa.array(["p", "q"]),
+                         "p_brand": pa.array(["b", "b"])})
+        sup = pa.table({"s_suppkey": pa.array([7], pa.int64()),
+                        "s_name": pa.array(["s"]),
+                        "s_nationkey": pa.array([0], pa.int32())})
+        for name, t in [("nation", nat), ("customer", cust),
+                        ("orders", orders), ("lineitem", li),
+                        ("part", part), ("supplier", sup)]:
+            pq.write_table(t, str(tmp_path / f"{name}.parquet"))
+        got = Q.q_inclusion_deps(str(tmp_path)).set_index("dep")
+        assert got.loc["o_custkey<c_custkey", "holds"] == 1
+        assert got.loc["c_custkey<o_custkey", "n_missing"] == 1
+        assert got.loc["c_custkey<o_custkey", "holds"] == 0
+        assert got.loc["p_partkey<l_partkey", "n_missing"] == 1
+        con = dk.connect()
+        for name in ["nation", "customer", "orders", "lineitem",
+                     "part", "supplier"]:
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM "
+                        f"read_parquet('{tmp_path}/{name}.parquet')")
+        exp = (con.execute(Q._inclusion_sql()).fetchdf()
+               .set_index("dep").sort_index())
+        assert got.sort_index().equals(exp.astype(got.dtypes.to_dict()))
