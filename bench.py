@@ -362,6 +362,7 @@ BENCH_QUERIES = [
     "session_length_quantiles",
     "inclusion_deps",
     "join_sample_audit",
+    "behavior_nn",
 ]
 
 
