@@ -90,3 +90,54 @@ class CheckpointStore:
         if not files:
             return None
         return json.loads(files[-1].read_text())
+
+
+def gc_plan(out_dir: str | os.PathLike, apply: bool = False) -> dict:
+    """Checkpoint GARBAGE-COLLECTION plan — the storage-upkeep side of
+    the resume contract: the LIVE set is the union of every manifest's
+    corpus + metric lineage (the corpus is cumulative — round r's
+    partitions are referenced only by manifest r+1), the LATEST
+    manifest's frontier partitions and cumulative seen-delta snapshots,
+    and the manifests themselves. Everything else under the checkpoint
+    root is collectable: frontier partitions of SUPERSEDED rounds (the
+    frontier is a barrier — only the newest matters for resume),
+    ``.tmp`` remnants and uncommitted partials from interrupted rounds.
+
+    Returns ``{n_live, n_orphans, orphan_bytes, orphans}`` with
+    root-relative orphan paths, sorted. ``apply=True`` unlinks the
+    orphans and prunes emptied round directories; it refuses to run
+    when no manifest exists (an empty live set would collect a
+    mid-first-round checkpoint wholesale)."""
+    root = Path(out_dir)
+    manifests = sorted((root / "manifests").glob("manifest-*.json"))
+    live: set[str] = {str(p.relative_to(root)) for p in manifests}
+    for mp in manifests:
+        m = json.loads(mp.read_text())
+        live.update(m["lineage"]["corpus_files"])
+        live.update(m["lineage"]["metric_files"])
+    if manifests:
+        latest = json.loads(manifests[-1].read_text())
+        live.update(latest["frontier_files"])
+        live.update(latest["seen_files"])
+    orphans: list[str] = []
+    n_bytes = 0
+    for p in root.rglob("*"):
+        if p.is_file():
+            rel = str(p.relative_to(root))
+            if rel not in live:
+                orphans.append(rel)
+                n_bytes += p.stat().st_size
+    orphans.sort()
+    if apply:
+        if not manifests:
+            raise ValueError("gc refuses to run without a manifest")
+        for rel in orphans:
+            (root / rel).unlink()
+        for d in sorted((d for d in root.rglob("round-*") if d.is_dir()),
+                        reverse=True):
+            try:
+                d.rmdir()
+            except OSError:
+                pass            # not empty — still referenced
+    return {"n_live": len(live), "n_orphans": len(orphans),
+            "orphan_bytes": n_bytes, "orphans": orphans}

@@ -897,3 +897,59 @@ class TestPlannerAndProfileOps:
         exp = (con.execute(Q._inclusion_sql()).fetchdf()
                .set_index("dep").sort_index())
         assert got.sort_index().equals(exp.astype(got.dtypes.to_dict()))
+
+
+class TestCheckpointGc:
+    def test_gc_collects_superseded_frontiers_and_strays(
+            self, ray_session, tmp_path):
+        """After a 3-round crawl: every corpus/metric/seen file and the
+        LATEST frontier are live; older rounds' frontier partitions,
+        .tmp remnants and stray files are collectable — and a resume
+        after apply still reports the same totals (nothing the resume
+        path needs was collected)."""
+        import shutil
+        from crawlray.checkpoint import gc_plan
+        from crawlray.engine import CrawlEngine, EngineConfig
+        from crawlray.synth import WorldConfig
+
+        out = tmp_path / "crawl"
+        cfg = EngineConfig(world=WorldConfig(n_urls=1500, n_hosts=15),
+                           n_seeds=15, max_rounds=3)
+        res = CrawlEngine(cfg, str(out)).run()
+        # plant a stray uncommitted partial + a tmp remnant
+        stray = out / "corpus" / "round-0002" / "part-9999-00000.parquet"
+        stray.write_bytes(b"junk")
+        tmpf = out / "frontier" / "round-0001" / "leftover.tmp"
+        tmpf.write_bytes(b"x")
+        plan = gc_plan(out)
+        rels = set(plan["orphans"])
+        assert "corpus/round-0002/part-9999-00000.parquet" in rels
+        assert "frontier/round-0001/leftover.tmp" in rels
+        # superseded frontier rounds are collectable; the latest is NOT
+        latest_round = max(int(p.name.split("-")[1].split(".")[0])
+                           for p in (out / "manifests").glob("*.json"))
+        assert any(r.startswith("frontier/round-0000/") for r in rels)
+        assert not any(
+            r.startswith(f"frontier/round-{latest_round:04d}/")
+            for r in rels)
+        # nothing from corpus/seen/metrics written by the engine is
+        # collectable
+        assert not any(r.startswith(("corpus/round-000",))
+                       and "9999" not in r for r in rels)
+        assert not any(r.startswith(("seen/", "metrics/", "manifests/"))
+                       for r in rels)
+        plan2 = gc_plan(out, apply=True)
+        assert plan2["orphans"] == plan["orphans"]
+        assert gc_plan(out)["n_orphans"] == 0
+        res2 = CrawlEngine(cfg, str(out)).run(resume=True)
+        assert res2["rounds"] == 0
+        assert res2["seen_total"] == res["seen_total"]
+
+    def test_gc_apply_refuses_without_manifest(self, tmp_path):
+        import pytest as _pytest
+        from crawlray.checkpoint import gc_plan
+        (tmp_path / "manifests").mkdir()
+        (tmp_path / "loose.bin").write_bytes(b"z")
+        assert gc_plan(tmp_path)["n_orphans"] == 1
+        with _pytest.raises(ValueError):
+            gc_plan(tmp_path, apply=True)
