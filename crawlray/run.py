@@ -31,7 +31,18 @@ def main() -> None:
     ap.add_argument("--rate-per-host", type=float, default=None,
                     help="wall-clock politeness tokens/sec (off by default)")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--gc", choices=("plan", "apply"), default=None,
+                    help="instead of crawling, print the checkpoint "
+                         "garbage-collection plan for --out (apply "
+                         "deletes the orphans)")
     args = ap.parse_args()
+
+    if args.gc is not None:
+        from .checkpoint import gc_plan
+
+        plan = gc_plan(args.out, apply=args.gc == "apply")
+        print(json.dumps(plan))
+        return
 
     import ray
 
