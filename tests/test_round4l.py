@@ -953,3 +953,99 @@ class TestCheckpointGc:
         assert gc_plan(tmp_path)["n_orphans"] == 1
         with _pytest.raises(ValueError):
             gc_plan(tmp_path, apply=True)
+
+
+class TestSessionPropertyKernels:
+    """Hypothesis properties for the pure kernels behind the session-11
+    operators — no Ray needed: the closest-pair two-phase plan and the
+    RLE run detector are re-run in-process against brute force on
+    random inputs."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @staticmethod
+    def _phase_plan(ids, x, y):
+        """In-process restatement of the q_closest_pair plan: phase-1
+        4-neighbor x-scan bound, then d0-cell strip resolution with
+        the y-sorted lag loop — returns (d2, a, b)."""
+        def best_of(d2, ia, ib):
+            lo = np.minimum(ia, ib); hi = np.maximum(ia, ib)
+            j = np.lexsort((hi, lo, d2))[0]
+            return float(d2[j]), int(lo[j]), int(hi[j])
+
+        o = np.lexsort((ids, x))
+        ids_s, xs, ys = ids[o], x[o], y[o]
+        cd2, ca, cb = [], [], []
+        for k in range(1, min(5, len(ids_s))):
+            dx = xs[k:] - xs[:-k]; dy = ys[k:] - ys[:-k]
+            cd2.append(dx * dx + dy * dy)
+            ca.append(ids_s[:-k]); cb.append(ids_s[k:])
+        d0sq, a0, b0 = best_of(np.concatenate(cd2),
+                               np.concatenate(ca), np.concatenate(cb))
+        d0 = float(np.sqrt(d0sq))
+        if d0 == 0.0:
+            return d0sq, a0, b0
+        cell = np.floor(x / d0).astype(np.int64)
+        cells = np.r_[cell, cell + 1]
+        ii = np.r_[ids, ids]; xx = np.r_[x, x]; yy = np.r_[y, y]
+        o = np.lexsort((ii, yy, cells))
+        cells, ii, xx, yy = cells[o], ii[o], xx[o], yy[o]
+        n = len(ii)
+        cd2, ca, cb = [np.array([d0sq])], [np.array([a0])], [np.array([b0])]
+        for k in range(1, n):
+            i = np.arange(n - k)
+            dy = yy[i + k] - yy[i]
+            live = (cells[i] == cells[i + k]) & (dy <= d0)
+            if not live.any():
+                break
+            j = i[live]
+            dx = xx[j] - xx[j + k]
+            keep = ii[j] != ii[j + k]
+            cd2.append((dx * dx + dy[live] * dy[live])[keep])
+            ca.append(ii[j][keep]); cb.append(ii[j + k][keep])
+        return best_of(np.concatenate(cd2), np.concatenate(ca),
+                       np.concatenate(cb))
+
+    @given(st.lists(st.tuples(st.floats(-100, 100, allow_nan=False),
+                              st.floats(-100, 100, allow_nan=False)),
+                    min_size=2, max_size=40, unique=True))
+    @settings(max_examples=150, deadline=None)
+    def test_closest_pair_plan_equals_bruteforce(self, pts):
+        x = np.array([p[0] for p in pts], np.float64)
+        y = np.array([p[1] for p in pts], np.float64)
+        ids = np.arange(len(pts), dtype=np.int64)
+        d2, a, b = self._phase_plan(ids, x, y)
+        dx = x[:, None] - x[None, :]; dy = y[:, None] - y[None, :]
+        dd = dx * dx + dy * dy
+        iu = np.triu_indices(len(pts), 1)
+        best = dd[iu].min()
+        assert d2 == best
+        assert dd[a, b] == best
+
+    @given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 3)),
+                    min_size=1, max_size=60))
+    @settings(max_examples=150, deadline=None)
+    def test_rle_runs_equal_bruteforce(self, rows):
+        """(user, type) stream in arrival order: the vectorized
+        break-detection over the (user, pos) sort equals a Python scan."""
+        u = np.array([r[0] for r in rows], np.int64)
+        c = np.array([r[1] for r in rows], np.int64)
+        pos = np.arange(len(u), dtype=np.int64)
+        o = np.lexsort((pos, u))
+        us, cs = u[o], c[o]
+        brk = np.r_[True, (us[1:] != us[:-1]) | (cs[1:] != cs[:-1])]
+        starts = np.flatnonzero(brk)
+        lens = np.diff(np.r_[starts, len(us)])
+        # brute force
+        runs = []
+        for uu in sorted(set(u.tolist())):
+            seq = c[u == uu]
+            i = 0
+            while i < len(seq):
+                j = i
+                while j < len(seq) and seq[j] == seq[i]:
+                    j += 1
+                runs.append(j - i)
+                i = j
+        assert sorted(lens.tolist()) == sorted(runs)
