@@ -363,6 +363,7 @@ BENCH_QUERIES = [
     "inclusion_deps",
     "join_sample_audit",
     "behavior_nn",
+    "phash_clusters",
 ]
 
 
