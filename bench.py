@@ -364,6 +364,7 @@ BENCH_QUERIES = [
     "join_sample_audit",
     "behavior_nn",
     "phash_clusters",
+    "int8_recall_audit",
 ]
 
 
