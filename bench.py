@@ -365,6 +365,7 @@ BENCH_QUERIES = [
     "behavior_nn",
     "phash_clusters",
     "int8_recall_audit",
+    "federated_counts",
 ]
 
 
