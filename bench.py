@@ -366,6 +366,7 @@ BENCH_QUERIES = [
     "phash_clusters",
     "int8_recall_audit",
     "federated_counts",
+    "personalized_pagerank",
 ]
 
 

@@ -47,11 +47,25 @@ def pagerank(
     n_shards: int = 8,
     iters: int = 5,
     damping: float = 0.85,
+    seeds: "list[str] | None" = None,
 ) -> rd.Dataset:
     """Rank every node of the (src, dst) edge dataset after ``iters``
-    synchronous power iterations. Returns a Dataset of (url, rank)."""
+    synchronous power iterations. Returns a Dataset of (url, rank).
+
+    ``seeds``: PERSONALIZED PageRank (random walk with restart,
+    Haveliwala 2002) — the restart/teleport mass concentrates on the
+    seed pages (1/|seeds| each; seeds absent from the graph lose their
+    share, the documented contract) instead of spreading uniformly.
+    The uniform path keeps its exact float op order (its oracle is
+    bit-matched); the personalized branch has its own."""
     k = n_shards
     d = damping
+    seed_h_all = None
+    n_seeds = 0
+    if seeds:
+        seed_h_all = np.sort(hash64(pa.array(
+            np.asarray(seeds, object), pa.string())))
+        n_seeds = len(seeds)
 
     @ray.remote(num_returns=2 * k if k > 1 else 2)
     def split(t: pa.Table):
@@ -112,9 +126,19 @@ def pagerank(
         def n_nodes(self) -> int:
             return len(self.nodes)
 
-        def init_rank(self, n_total: int) -> None:
+        def init_rank(self, n_total: int, seed_h=None,
+                      n_seeds: int = 0) -> None:
             self.n_total = n_total
-            self.rank = np.full(len(self.nodes), 1.0 / n_total)
+            if seed_h is None:
+                self.restart = None
+                self.rank = np.full(len(self.nodes), 1.0 / n_total)
+            else:
+                pos = np.searchsorted(seed_h, self.nodes)
+                ok = pos < len(seed_h)
+                ok[ok] &= seed_h[pos[ok]] == self.nodes[ok]
+                self.restart = ok
+                self.n_seeds = n_seeds
+                self.rank = np.where(ok, 1.0 / n_seeds, 0.0)
 
         def contribs(self):
             """Per-dst partial contribution sums, split by dst shard
@@ -135,7 +159,11 @@ def pagerank(
             return tuple(out) if k > 1 else out[0]
 
         def update(self, *parts) -> None:
-            new = np.full(len(self.nodes), (1.0 - d) / self.n_total)
+            if self.restart is None:
+                new = np.full(len(self.nodes), (1.0 - d) / self.n_total)
+            else:
+                new = np.where(self.restart,
+                               (1.0 - d) / self.n_seeds, 0.0)
             for p in parts:
                 if len(p["h"]):
                     new[np.searchsorted(self.nodes, p["h"])] += p["c"]
@@ -166,7 +194,8 @@ def pagerank(
         return rd.from_arrow(pa.table({
             "url": pa.nulls(0, pa.string()), "rank": pa.nulls(0, pa.float64()),
         }))
-    ray.get([s.init_rank.remote(n_total) for s in shards])
+    ray.get([s.init_rank.remote(n_total, seed_h_all, n_seeds)
+             for s in shards])
     for _ in range(iters):
         outs = [s.contribs.options(num_returns=k).remote() for s in shards]
         refs = [o if k > 1 else [o] for o in outs]
