@@ -367,6 +367,7 @@ BENCH_QUERIES = [
     "int8_recall_audit",
     "federated_counts",
     "personalized_pagerank",
+    "late_orders_by_priority",
 ]
 
 

@@ -899,9 +899,16 @@ def banded_hamming_pairs(
         return pa.table({"ck": pa.array(u.astype(np.int64)),
                          "n": pa.array(c.astype(np.int64))})
 
-    cnt = (melted.map_batches(comp_counts, batch_format="pandas")
-           .to_pandas().groupby("ck")["n"].sum())
-    multi = np.sort(cnt[cnt > 1].index.to_numpy(np.int64))
+    tbls = [t for t in ray.get(
+        melted.map_batches(comp_counts,
+                           batch_format="pandas").to_arrow_refs())
+        if t.num_rows]
+    if tbls:
+        cnt = (pa.concat_tables(tbls).to_pandas()
+               .groupby("ck")["n"].sum())
+        multi = np.sort(cnt[cnt > 1].index.to_numpy(np.int64))
+    else:
+        multi = np.array([], np.int64)
     if multi.size == 0:
         return rd.from_arrow(pa.table(
             {"a": pa.nulls(0, pa.int64()), "b": pa.nulls(0, pa.int64()),
