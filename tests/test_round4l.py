@@ -986,7 +986,8 @@ class TestSessionPropertyKernels:
         d0 = float(np.sqrt(d0sq))
         if d0 == 0.0:
             return d0sq, a0, b0
-        cell = np.floor(x / d0).astype(np.int64)
+        cell = np.floor(np.clip(x / d0, -2.0**62, 2.0**62)) \
+            .astype(np.int64)
         cells = np.r_[cell, cell + 1]
         ii = np.r_[ids, ids]; xx = np.r_[x, x]; yy = np.r_[y, y]
         o = np.lexsort((ii, yy, cells))
