@@ -9,12 +9,13 @@ extension inference, collision-free filenames) to corpus scale:
 - ``MediaFetcher``: actor-pool stage producing deterministic synthetic
   bytes per ref with the reference's size-cap semantics
   (``image_downloader.py:122-124``: content-length over cap -> failed row).
-- ``MediaDecoder``: the decode/feature stage. The real decode needs image
-  libs absent from this container, so ``backend="stub"`` raises
-  NotImplementedError while ``backend="fake"`` (default) derives
-  deterministic (width, height, channels, feature hash) from the bytes —
-  the Ray-side plumbing (schema, batch size, actor signature, output
-  layout) is real and tested either way.
+- ``MediaDecoder``: the decode/feature stage. ``backend="real"`` decodes
+  ACTUAL PNG pixels via the pure-stdlib codec (:mod:`crawlray.pipelines.png`,
+  zlib+struct — no PIL/cv2 needed); ``backend="fake"`` (oracle default)
+  derives deterministic (width, height, feature hash) from the bytes;
+  ``backend="stub"`` now marks ONLY the JPEG/ffmpeg decode point. The
+  Ray-side plumbing (schema, batch size, actor signature, output layout)
+  is identical across backends.
 
 Batches are kept SMALL (``batch_size<=64``) because rows carry megabyte
 binaries — a batch x concurrency must fit the worker heap (ray_guide:
@@ -114,19 +115,29 @@ class MediaFetcher:
 
 
 class MediaDecoder:
-    """Decode / feature-extract stage. backend='fake' -> deterministic
-    metadata from bytes; backend='stub' -> NotImplementedError (real decode
-    requires image libs not present in this container)."""
+    """Decode / feature-extract stage.
+
+    - ``backend='fake'`` (oracle default): deterministic metadata from
+      payload bytes — the plumbing-test path.
+    - ``backend='real'``: ACTUAL pixel decode for PNG payloads via the
+      pure-stdlib codec (:mod:`crawlray.pipelines.png`, zlib+struct) —
+      real width/height from IHDR, feature = blake2b of the decoded
+      pixel buffer. Reproduces the reference's real-image-bytes behavior
+      (``image_downloader.py:101-138``) without PIL/cv2. Non-PNG or
+      out-of-profile payloads produce width=height=0, feature='' rows
+      (the error-row contract, same as null payloads).
+    - ``backend='stub'``: marks ONLY the JPEG/ffmpeg decode point now —
+      formats whose codecs genuinely aren't in this container."""
 
     def __init__(self, backend: str = "fake"):
-        assert backend in ("fake", "stub")
+        assert backend in ("fake", "real", "stub")
         self.backend = backend
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.backend == "stub":
             raise NotImplementedError(
-                "real image decode requires PIL/cv2 which are not available; "
-                "use backend='fake' for deterministic plumbing tests"
+                "JPEG/ffmpeg decode requires libs not in this container; "
+                "PNG decodes for real via backend='real'"
             )
         widths, heights, feats = [], [], []
         for payload in batch["payload"].to_pylist():
@@ -135,10 +146,25 @@ class MediaDecoder:
                 heights.append(0)
                 feats.append("")
                 continue
-            h = hashlib.blake2b(payload, digest_size=8).digest()
-            widths.append(16 + h[0] * 8)
-            heights.append(16 + h[1] * 8)
-            feats.append(h.hex())
+            if self.backend == "real":
+                from .png import PngFormatError, decode_png
+
+                try:
+                    px = decode_png(payload)
+                except PngFormatError:
+                    widths.append(0)
+                    heights.append(0)
+                    feats.append("")
+                    continue
+                widths.append(px.shape[1])
+                heights.append(px.shape[0])
+                feats.append(hashlib.blake2b(px.tobytes(),
+                                             digest_size=8).hexdigest())
+            else:
+                h = hashlib.blake2b(payload, digest_size=8).digest()
+                widths.append(16 + h[0] * 8)
+                heights.append(16 + h[1] * 8)
+                feats.append(h.hex())
         return batch.drop_columns(["payload"]) \
             .append_column("width", pa.array(widths, pa.int32())) \
             .append_column("height", pa.array(heights, pa.int32())) \
@@ -153,16 +179,20 @@ class PHasher:
     of the near-duplicate family: a 64-bit signature whose Hamming
     distance tracks visual similarity, banded into 4 x 16-bit keys so
     pairs feed :func:`crawlray.pipelines.dedup.banded_hamming_pairs`
-    unchanged. The real dHash (resize to 9x8 gray, bit = left pixel >
-    right pixel) needs image libs absent from this container, so
-    ``backend='stub'`` raises while ``backend='fake'`` derives the 9x8
-    gray grid deterministically from the payload — and, to make the
-    fake behave like a real corpus (re-encodes/resizes of one source
-    image hash NEAR each other, unrelated images hash far apart), the
-    grid is a per-FAMILY base (family = payload hash mod
-    ``n_families``) with one payload-determined cell perturbation:
-    family members land within Hamming <= 4 of each other, cross-family
-    distances are ~32.
+    unchanged. Three backends:
+
+    - ``'fake'`` (oracle default): derives the 9x8 gray grid
+      deterministically from the payload — and, to make the fake behave
+      like a real corpus (re-encodes/resizes of one source image hash
+      NEAR each other, unrelated images hash far apart), the grid is a
+      per-FAMILY base (family = payload hash mod ``n_families``) with
+      one payload-determined cell perturbation: family members land
+      within Hamming <= 4 of each other, cross-family distances ~32.
+    - ``'real'``: the ACTUAL dHash — decode PNG pixels via the
+      pure-stdlib codec (:mod:`crawlray.pipelines.png`), BT.601 luma,
+      box-average resize to a 9-wide x 8-tall grid, bit = left cell >
+      right cell. Undecodable payloads are dropped like null payloads.
+    - ``'stub'``: marks ONLY the JPEG/ffmpeg decode point.
 
     Output per ok row: doc_id (md5-upper-8 of the media_ref under the
     ``phash-v1`` salt mod 2^61-1 — the repo's id contract, so a DuckDB
@@ -171,7 +201,7 @@ class PHasher:
 
     def __init__(self, backend: str = "fake", n_families: int = 24,
                  salt: str = "phash-v1"):
-        assert backend in ("fake", "stub")
+        assert backend in ("fake", "real", "stub")
         self.backend = backend
         self.n_families = n_families
         self.salt = salt
@@ -198,11 +228,23 @@ class PHasher:
         bits = (g[:, :8] > g[:, 1:]).astype(np.uint64).ravel()
         return int((bits << np.arange(64, dtype=np.uint64)).sum())
 
+    def _real_grid(self, payload: bytes) -> bytes | None:
+        """PNG payload -> 72-byte 9x8 gray grid (real decode), or None
+        if the payload is not a decodable PNG."""
+        from .png import PngFormatError, decode_png, resize_box, to_gray
+
+        try:
+            px = decode_png(payload)
+        except PngFormatError:
+            return None
+        grid = resize_box(to_gray(px), 8, 9)
+        return np.clip(np.rint(grid), 0, 255).astype(np.uint8).tobytes()
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.backend == "stub":
             raise NotImplementedError(
-                "real dHash requires PIL/cv2 which are not available; "
-                "use backend='fake' for deterministic plumbing tests"
+                "JPEG/ffmpeg dHash requires libs not in this container; "
+                "PNG hashes for real via backend='real'"
             )
         from ..util import md5_id_bucket
 
@@ -211,8 +253,12 @@ class PHasher:
                                 batch["payload"].to_pylist()):
             if not payload:
                 continue
+            grid = (self._real_grid(payload) if self.backend == "real"
+                    else self._fake_grid(payload))
+            if grid is None:
+                continue
             refs.append(ref)
-            sigs.append(self.dhash64(self._fake_grid(payload)))
+            sigs.append(self.dhash64(grid))
         sh = np.array(sigs, np.uint64) if sigs else np.empty(0, np.uint64)
         ids = md5_id_bucket(self.salt, refs, PHASH_ID_MOD)
         out = {"doc_id": pa.array(ids, pa.int64()),
