@@ -458,6 +458,24 @@ def run_queries() -> dict[str, float]:
     return out
 
 
+def run_media_bench() -> tuple[float, dict]:
+    """Media-at-scale leg (round-4 VERDICT task 8): real-PNG corpus ->
+    real dHash -> banded Hamming pairing, with the payload-isolation
+    measurement (exchange bytes / payload bytes) recorded in the bench
+    JSON so 'payloads never enter an exchange' is a measured claim.
+    MEDIA_BENCH_REFS sizes the corpus (default 10k refs ~ 370 MB of
+    PNG payloads)."""
+    from crawlray.pipelines.media import phash_payload_isolation
+
+    n_refs = int(os.environ.get("MEDIA_BENCH_REFS", "10000"))
+    t0 = time.perf_counter()
+    iso = phash_payload_isolation(n_refs, family_size=8,
+                                  concurrency=min(NUM_CPUS, 16))
+    sec = round(time.perf_counter() - t0, 3)
+    assert iso["exchange_fraction"] < 0.01, iso   # payloads stayed put
+    return sec, iso
+
+
 def main() -> None:
     import ray
 
@@ -484,15 +502,20 @@ def main() -> None:
 
     crawl_sec, crawl_urls = run_crawl()
     queries = run_queries()
+    media_sec, media_iso = run_media_bench()
     result = {
         "metric": "crawl_sf_e2e",
         "value": round(crawl_sec, 3),
         "unit": "sec",
-        "queries": {"crawl": round(crawl_sec, 3), **queries},
+        "queries": {"crawl": round(crawl_sec, 3),
+                    "media_phash_real": media_sec, **queries},
         "sf": SF_DIR.rstrip("/").rsplit("/", 1)[-1],
         "num_cpus": NUM_CPUS,
         "crawl_urls": crawl_urls,
         "crawl_urls_per_sec": round(crawl_urls / crawl_sec, 1),
+        "media_isolation": {k: media_iso[k] for k in
+                            ("n_refs", "n_pairs", "payload_bytes",
+                             "exchange_bytes", "exchange_fraction")},
     }
     print(json.dumps(result))
     ray.shutdown()

@@ -230,6 +230,25 @@ class TestRealDecodeRayPipeline:
             PHasher(backend="stub")(t)
 
 
+class TestPayloadIsolation:
+    def test_phash_funnel_payloads_never_enter_exchange(self, ray_session):
+        """VERDICT r4 task 8 (test-scale twin of the bench leg): over a
+        real-PNG corpus, only fixed-width signatures feed the pairing
+        exchange — measured via materialized block sizes, not assumed."""
+        from crawlray.pipelines.media import phash_payload_isolation
+
+        r = phash_payload_isolation(400, family_size=8, concurrency=2)
+        assert r["n_refs"] == 400
+        assert "payload" not in r["sig_columns"]
+        # ~15 MB of PNG payloads vs a few KB of signatures
+        assert r["payload_bytes"] > 5_000_000
+        assert r["exchange_fraction"] < 0.01
+        # near-dup structure is genuine: identity/brightness variants in
+        # every family of 8 must pair (>= a quarter of the max possible
+        # pairs survive the Hamming<=3 verify, noise variants may drop)
+        assert r["n_pairs"] >= (400 // 8) * 28 // 4
+
+
 class TestGcDuringLiveCrawl:
     """VERDICT r4 task 6: GC applied BETWEEN rounds of a live crawl —
     and on a crashed mid-round state — never deletes anything the
