@@ -677,6 +677,115 @@ def soak() -> None:
     ray.shutdown()
 
 
+def memsoak() -> None:
+    """Memory-headroom soak (round-4 VERDICT task 5): one dist-plane run
+    of a world sized to stress the 128 GiB sandbox, recording peak RSS
+    (whole-box, /proc/meminfo sampled at 1 Hz), object-store spill
+    totals from the Ray session logs, and per-round walls — evidence the
+    checkpointed control plane survives memory pressure without OOM.
+
+    Env: MEMSOAK_URLS (default 12M world), MEMSOAK_SEEDS (default 400k),
+    MEMSOAK_ROUNDS (default 3), SOAK_CPUS (default 16)."""
+    os.environ["CRAWLRAY_TRACE"] = "1"   # must precede the engine import
+    import contextlib
+    import glob as g
+    import io
+    import re
+    import threading
+
+    import ray
+
+    from crawlray.engine import CrawlEngine, EngineConfig
+    from crawlray.synth import WorldConfig
+
+    cpus = int(os.environ.get("SOAK_CPUS", "16"))
+    n_urls = int(os.environ.get("MEMSOAK_URLS", "12000000"))
+    n_seeds = int(os.environ.get("MEMSOAK_SEEDS", "400000"))
+    rounds = int(os.environ.get("MEMSOAK_ROUNDS", "3"))
+
+    def box_used_gib() -> float:
+        info = {}
+        with open("/proc/meminfo") as f:
+            for line in f:
+                k, v = line.split(":", 1)
+                info[k] = int(v.strip().split()[0])   # kB
+        return (info["MemTotal"] - info["MemAvailable"]) / (1024 * 1024)
+
+    peak = {"gib": box_used_gib()}
+    stop = threading.Event()
+
+    def sampler():
+        while not stop.is_set():
+            peak["gib"] = max(peak["gib"], box_used_gib())
+            stop.wait(1.0)
+
+    base_gib = box_used_gib()
+    ray.init(address="local", num_cpus=cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    cfg = EngineConfig(
+        world=WorldConfig(n_urls=n_urls, n_hosts=max(20, n_urls // 400),
+                          politeness_budget=768, page_scale=3),
+        n_seeds=n_seeds, max_rounds=rounds, n_parts=64,
+        n_frontier_parts=32, n_seen_shards=16, seen_mode="cuckoo",
+        seen_capacity=1 << 25, fetch_batch_size=512,
+        fetch_concurrency=(4, max(8, cpus)), driver_threshold=0,
+    )
+    out = tempfile.mkdtemp(prefix="crawlmemsoak_")
+    th = threading.Thread(target=sampler, daemon=True)
+    th.start()
+    try:
+        eng = CrawlEngine(cfg, out)
+        buf = io.StringIO()
+        t0 = time.perf_counter()
+        with contextlib.redirect_stdout(buf):
+            summary = eng.run()
+        dt = time.perf_counter() - t0
+        eng.shutdown()
+        per_round = _soak_round_stats(out, summary["rounds"])
+        trace = _parse_trace(buf.getvalue())
+        for row in per_round:
+            row["trace_sec"] = trace.get(row["round"], {})
+    finally:
+        stop.set()
+        th.join(timeout=3)
+        shutil.rmtree(out, ignore_errors=True)
+    # object-store spill totals from the session's raylet log
+    spilled_mb = 0
+    spilled_objects = 0
+    try:
+        session = os.path.realpath("/tmp/ray/session_latest")
+        for p in g.glob(f"{session}/logs/raylet*.out"):
+            for m in re.finditer(
+                    r"Spilled (\d+) MiB, (\d+) objects", open(p).read()):
+                spilled_mb = max(spilled_mb, int(m.group(1)))
+                spilled_objects = max(spilled_objects, int(m.group(2)))
+    except OSError:
+        pass
+    print(json.dumps({
+        "metric": "crawl_memsoak",
+        "value": round(dt, 2),
+        "unit": "sec",
+        "num_cpus": cpus,
+        "world_urls": n_urls,
+        "seeds": n_seeds,
+        "driver_threshold": 0,
+        "fetched": summary["fetched"],
+        "new_urls": summary["new_urls"],
+        "seen_total": summary["seen_total"],
+        "urls_per_sec": round(summary["fetched"] / dt, 1),
+        "box_base_gib": round(base_gib, 2),
+        "box_peak_gib": round(peak["gib"], 2),
+        "peak_delta_gib": round(peak["gib"] - base_gib, 2),
+        "spilled_mib": spilled_mb,
+        "spilled_objects": spilled_objects,
+        "rounds": per_round,
+    }))
+    ray.shutdown()
+
+
 def scaling() -> None:
     def run(ncpu: int) -> dict:
         env = dict(
@@ -780,6 +889,8 @@ if __name__ == "__main__":
         scaling()
     elif "--soak" in sys.argv:
         soak()
+    elif "--memsoak" in sys.argv:
+        memsoak()
     else:
         if os.environ.get("CRAWL_BENCH_ONLY"):
             import ray
