@@ -64,32 +64,40 @@ def fingerprint(batch: pa.Table) -> pa.Table:
 class QualityScorer:
     """Quality-signal stage: stopword ratio, alpha ratio, mean token length.
 
-    Callable class -> actor pool; the token regex is compiled once per
-    actor. Ratios are derived from exact integer counts so the DuckDB
-    oracle reproduces them bit-for-bit.
+    Arrow-native full-corpus scan (round 5; was a pandas actor stage):
+    token/alpha counts via RE2 ``count_substring_regex``, stopword hits
+    via whitespace explode + ``index_in`` + parent bincount — zero
+    pandas conversion, and state is tiny so it runs as a task-pool
+    closure (``map_batches(QualityScorer())``). Counts stay exact
+    integers so the DuckDB oracle reproduces them bit-for-bit.
     """
 
     def __init__(self):
-        import re
+        self.stop = pa.array(sorted(set(QUALITY_STOPWORDS)), pa.string())
 
-        self.token_re = re.compile(r"\S+")
-        self.stop = set(QUALITY_STOPWORDS)
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.findall(self.token_re)
-        n_tok = toks.str.len().astype("int64")
-        n_stop = toks.map(lambda ws: sum(1 for w in ws if w in self.stop)).astype("int64")
-        n_alpha = batch["text"].str.count(r"[a-zA-Z]").astype("int64")
-        n_chars = batch["text"].str.len().astype("int64")
-        return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"],
-                "n_tokens": n_tok,
-                "n_stopwords": n_stop,
-                "n_alpha": n_alpha,
-                "n_chars": n_chars,
-            }
-        )
+    def __call__(self, t: pa.Table) -> pa.Table:
+        text = t["text"].combine_chunks().cast(pa.string())
+        n = t.num_rows
+        lists = pc.utf8_split_whitespace(text)
+        flat = pc.list_flatten(lists)
+        m = pc.is_valid(pc.index_in(flat, value_set=self.stop)) \
+            .to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        n_stop = (np.bincount(parent[m], minlength=n) if m.any()
+                  else np.zeros(n, np.int64))
+        # NOTE: arrow split_whitespace emits boundary empty strings, so
+        # list_value_length over-counts — \S+ run count is the exact
+        # findall(\S+) token count (empties can't hit the stopword set,
+        # so the explode above stays correct for n_stopwords)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pc.count_substring_regex(text, r"\S+")
+            .cast(pa.int64()),
+            "n_stopwords": pa.array(n_stop.astype(np.int64)),
+            "n_alpha": pc.count_substring_regex(text, "[a-zA-Z]")
+            .cast(pa.int64()),
+            "n_chars": pc.utf8_length(text).cast(pa.int64()),
+        })
 
 
 # GPT-2-style pretokenizer shape, restricted to the RE2-safe subset so
@@ -103,18 +111,16 @@ class BpeTokenCounter:
     encoders): one vectorized regex count per batch; the compiled pattern
     lives in the actor."""
 
-    def __init__(self):
-        import re
-
-        self.pat = re.compile(BPE_TOKEN_PATTERN)
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"],
-                "n_bpe_tokens": batch["text"].str.count(self.pat).astype("int64"),
-            }
-        )
+    def __call__(self, t: pa.Table) -> pa.Table:
+        # arrow-native (round 5): the pattern is RE2-safe by
+        # construction, so count_substring_regex tokenizes identically
+        # to the Python/duckdb dialects; stateless -> task-pool closure
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_bpe_tokens": pc.count_substring_regex(
+                t["text"].combine_chunks().cast(pa.string()),
+                BPE_TOKEN_PATTERN).cast(pa.int64()),
+        })
 
 
 def repetition_stats(batch: pd.DataFrame) -> pd.DataFrame:
@@ -197,6 +203,42 @@ class LangId:
         return pd.DataFrame(
             {"doc_id": ids, "lang_pred": [pred.get(i, "und") for i in ids]}
         )
+
+
+class LangIdArrow:
+    """Arrow-native LangId: identical prediction contract to
+    :class:`LangId` (argmax stopword-hit count, alphabetical tiebreak,
+    zero hits -> 'und') with zero pandas conversion — the 100 TB idiom
+    for a full-corpus scan: ``utf8_lower`` + ``utf8_split_whitespace``
+    + ``list_parent_indices`` in Arrow C, one vectorized ``index_in``
+    membership pass per language (words can belong to several
+    languages' sets, e.g. fr/es 'la', so per-language passes are the
+    exact restatement of the join the pandas path does), then a
+    docs x langs bincount argmax in numpy. State is a few hundred
+    bytes, so use as a task-pool closure (``map_batches(LangIdArrow())``)."""
+
+    def __init__(self):
+        self.langs = sorted(STOPWORDS)
+        self.sets = [pa.array(sorted(STOPWORDS[lang]), pa.string())
+                     for lang in self.langs]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"].combine_chunks().cast(pa.string()), "")
+        lists = pc.utf8_split_whitespace(pc.utf8_lower(text))
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(lists)
+        n = t.num_rows
+        counts = np.zeros((n, len(self.langs)), np.int64)
+        for j, vs in enumerate(self.sets):
+            m = pc.is_valid(pc.index_in(flat, value_set=vs))                 .to_numpy(zero_copy_only=False)
+            if m.any():
+                counts[:, j] = np.bincount(parent[m], minlength=n)
+        best = counts.max(axis=1)
+        arg = counts.argmax(axis=1)          # first max == alphabetical tie
+        langs_arr = np.array(self.langs + ["und"])
+        pred = langs_arr[np.where(best > 0, arg, len(self.langs))]
+        return pa.table({"doc_id": t["doc_id"],
+                         "lang_pred": pa.array(pred, pa.string())})
 
 
 SPLIT_FRACTIONS = (("train", 0.90), ("val", 0.05), ("test", 0.05))

@@ -466,14 +466,14 @@ def test_pipeline_api_composition():
 
     ds = docs_ds()
     pipe = Pipeline([
-        Step("quality", QualityScorer, batch_format="pandas", concurrency=2),
+        Step("quality", QualityScorer(), batch_format="pyarrow"),
         Step("good", lambda t: t.filter(pc.greater(t["n_stopwords"], 0))),
     ])
     out = pipe.apply(ds)
     assert isinstance(out, rd.Dataset)  # still lazy
     got = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
     exp = (
-        ds.map_batches(QualityScorer, batch_format="pandas", concurrency=2)
+        ds.map_batches(QualityScorer(), batch_format="pyarrow")
         .map_batches(lambda t: t.filter(pc.greater(t["n_stopwords"], 0)),
                      batch_format="pyarrow")
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
