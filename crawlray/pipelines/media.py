@@ -10,8 +10,9 @@ extension inference, collision-free filenames) to corpus scale:
   bytes per ref with the reference's size-cap semantics
   (``image_downloader.py:122-124``: content-length over cap -> failed row).
 - ``MediaDecoder``: the decode/feature stage. ``backend="real"`` decodes
-  ACTUAL PNG pixels via the pure-stdlib codec (:mod:`crawlray.pipelines.png`,
-  zlib+struct — no PIL/cv2 needed); ``backend="fake"`` (oracle default)
+  ACTUAL PNG and GIF pixels via the pure-stdlib codecs
+  (:mod:`crawlray.pipelines.png` / :mod:`crawlray.pipelines.gif` —
+  no PIL/cv2 needed); ``backend="fake"`` (oracle default)
   derives deterministic (width, height, feature hash) from the bytes;
   ``backend="stub"`` now marks ONLY the JPEG/ffmpeg decode point. The
   Ray-side plumbing (schema, batch size, actor signature, output layout)
@@ -31,6 +32,25 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 MAX_MEDIA_BYTES = 10 * 1024 * 1024  # image_downloader.py:13-15
+
+
+def decode_image_real(payload: bytes):
+    """REAL pixel decode dispatch for the ``backend='real'`` seam:
+    PNG (:mod:`crawlray.pipelines.png`) and GIF
+    (:mod:`crawlray.pipelines.gif`) decode to (h, w, c) uint8 via the
+    pure-stdlib codecs; anything else returns None (the caller's
+    error-row/drop contract). JPEG remains the documented stub."""
+    from .gif import GifFormatError, decode_gif, is_gif
+    from .png import PngFormatError, decode_png, is_png
+
+    try:
+        if is_png(payload):
+            return decode_png(payload)
+        if is_gif(payload):
+            return decode_gif(payload)
+    except (PngFormatError, GifFormatError):
+        return None
+    return None
 
 
 def media_refs_from_docs(docs: pa.Table) -> pa.Table:
@@ -119,10 +139,10 @@ class MediaDecoder:
 
     - ``backend='fake'`` (oracle default): deterministic metadata from
       payload bytes — the plumbing-test path.
-    - ``backend='real'``: ACTUAL pixel decode for PNG payloads via the
-      pure-stdlib codec (:mod:`crawlray.pipelines.png`, zlib+struct) —
-      real width/height from IHDR, feature = blake2b of the decoded
-      pixel buffer. Reproduces the reference's real-image-bytes behavior
+    - ``backend='real'``: ACTUAL pixel decode for PNG and GIF payloads
+      via the pure-stdlib codecs (:mod:`crawlray.pipelines.png` /
+      :mod:`crawlray.pipelines.gif`) — real width/height, feature =
+      blake2b of the decoded pixel buffer. Reproduces the reference's real-image-bytes behavior
       (``image_downloader.py:101-138``) without PIL/cv2. Non-PNG or
       out-of-profile payloads produce width=height=0, feature='' rows
       (the error-row contract, same as null payloads).
@@ -147,11 +167,8 @@ class MediaDecoder:
                 feats.append("")
                 continue
             if self.backend == "real":
-                from .png import PngFormatError, decode_png
-
-                try:
-                    px = decode_png(payload)
-                except PngFormatError:
+                px = decode_image_real(payload)
+                if px is None:
                     widths.append(0)
                     heights.append(0)
                     feats.append("")
@@ -188,8 +205,8 @@ class PHasher:
       per-FAMILY base (family = payload hash mod ``n_families``) with
       one payload-determined cell perturbation: family members land
       within Hamming <= 4 of each other, cross-family distances ~32.
-    - ``'real'``: the ACTUAL dHash — decode PNG pixels via the
-      pure-stdlib codec (:mod:`crawlray.pipelines.png`), BT.601 luma,
+    - ``'real'``: the ACTUAL dHash — decode PNG/GIF pixels via the
+      pure-stdlib codecs, BT.601 luma,
       box-average resize to a 9-wide x 8-tall grid, bit = left cell >
       right cell. Undecodable payloads are dropped like null payloads.
     - ``'stub'``: marks ONLY the JPEG/ffmpeg decode point.
@@ -229,13 +246,12 @@ class PHasher:
         return int((bits << np.arange(64, dtype=np.uint64)).sum())
 
     def _real_grid(self, payload: bytes) -> bytes | None:
-        """PNG payload -> 72-byte 9x8 gray grid (real decode), or None
-        if the payload is not a decodable PNG."""
-        from .png import PngFormatError, decode_png, resize_box, to_gray
+        """PNG/GIF payload -> 72-byte 9x8 gray grid (real decode), or
+        None if the payload is not a decodable image."""
+        from .png import resize_box, to_gray
 
-        try:
-            px = decode_png(payload)
-        except PngFormatError:
+        px = decode_image_real(payload)
+        if px is None:
             return None
         grid = resize_box(to_gray(px), 8, 9)
         return np.clip(np.rint(grid), 0, 255).astype(np.uint8).tobytes()

@@ -230,6 +230,81 @@ class TestRealDecodeRayPipeline:
             PHasher(backend="stub")(t)
 
 
+class TestGifCodec:
+    def test_roundtrip_including_interlaced(self):
+        from crawlray.pipelines.gif import decode_gif, encode_gif, is_gif
+
+        rng = _rng(11)
+        for (h, w, n) in [(5, 7, 4), (48, 64, 256), (1, 1, 2), (16, 9, 100)]:
+            pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+            idx = rng.integers(0, n, (h, w), dtype=np.uint8)
+            for inter in (False, True):
+                g = encode_gif(idx, pal, interlace=inter)
+                assert is_gif(g)
+                got = decode_gif(g)
+                assert got.shape == (h, w, 3)
+                assert (got == pal[idx]).all(), (h, w, n, inter)
+
+    def test_lzw_kwkwk_and_width_bump(self):
+        from crawlray.pipelines.gif import _lzw_decode
+
+        def pack(code_widths):
+            acc = bits = 0
+            out = bytearray()
+            for c, cw in code_widths:
+                acc |= c << bits
+                bits += cw
+                while bits >= 8:
+                    out.append(acc & 0xFF)
+                    acc >>= 8
+                    bits -= 8
+            if bits:
+                out.append(acc & 0xFF)
+            return bytes(out)
+
+        # KwKwK: mcs=2 stream CLEAR,1,<next-entry> -> [1,1,1]
+        assert _lzw_decode(pack([(4, 3), (1, 3), (6, 3), (5, 3)]),
+                           2, 3).tolist() == [1, 1, 1]
+        # dict growth to 2^width forces the read-width bump mid-stream
+        stream = pack([(4, 3), (0, 3), (1, 3), (6, 3), (7, 4), (5, 4)])
+        assert _lzw_decode(stream, 2, 6).tolist() == [0, 1, 0, 1, 1, 0]
+
+    def test_loud_errors(self):
+        from crawlray.pipelines.gif import GifFormatError, decode_gif, \
+            encode_gif
+
+        ok = encode_gif(np.zeros((2, 2), np.uint8), np.zeros((2, 3), np.uint8))
+        for bad in [b"nope", ok[:-3], ok[:10]]:
+            with pytest.raises(GifFormatError):
+                decode_gif(bad)
+
+    def test_mixed_png_gif_through_real_decoder(self, ray_session):
+        """A mixed PNG+GIF batch decodes for real through the Ray stage;
+        identical pixels produce identical features across FORMATS."""
+        import ray.data as rd
+
+        from crawlray.pipelines.gif import encode_gif
+        from crawlray.pipelines.media import MediaDecoder
+
+        rng = _rng(12)
+        pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+        idx = rng.integers(0, 256, (20, 30), dtype=np.uint8)
+        rgb = pal[idx]                         # same pixels, two formats
+        tbl = pa.table({
+            "media_ref": pa.array(["a.png", "b.gif", "c.jpg"], pa.string()),
+            "payload": pa.array([encode_png(rgb), encode_gif(idx, pal),
+                                 b"\xff\xd8notreallyjpeg"], pa.binary()),
+        })
+        out = (rd.from_arrow(tbl)
+               .map_batches(MediaDecoder(backend="real"),
+                            batch_format="pyarrow", concurrency=1)
+               .to_pandas().set_index("media_ref"))
+        assert out.loc["a.png", "width"] == 30
+        assert out.loc["b.gif", "width"] == 30
+        assert out.loc["a.png", "feature"] == out.loc["b.gif", "feature"]
+        assert out.loc["c.jpg", "width"] == 0   # jpeg stays the stub
+
+
 class TestPayloadIsolation:
     def test_phash_funnel_payloads_never_enter_exchange(self, ray_session):
         """VERDICT r4 task 8 (test-scale twin of the bench leg): over a
