@@ -504,3 +504,37 @@ def phash_payload_isolation(n_refs: int, family_size: int = 8,
         "exchange_fraction": round(exchange_bytes / max(payload_bytes, 1), 6),
         "sig_columns": sig_cols,
     }
+
+
+class GifCorpusFetcher:
+    """Synthetic REAL-GIF corpus fetcher (the GIF twin of
+    :class:`PngCorpusFetcher`): each ref deterministically maps to a
+    (family, variant) palette image; variant 0 is the plain encoding,
+    variant 1 the SAME pixels interlaced (must decode identically),
+    variant 2 a brightness-rotated palette. Payloads are actual GIF89a
+    bytes from :func:`crawlray.pipelines.gif.encode_gif`."""
+
+    def __init__(self, h: int = 24, w: int = 32, seed: int = 7):
+        self.h, self.w, self.seed = h, w, seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .gif import encode_gif
+
+        payloads = []
+        for fam, var in zip(
+                batch["family"].to_numpy(zero_copy_only=False),
+                batch["variant"].to_numpy(zero_copy_only=False)):
+            rng = np.random.default_rng(self.seed * 999_983 + int(fam))
+            pal = rng.integers(0, 256, (64, 3), dtype=np.uint8)
+            idx = rng.integers(0, 64, (self.h, self.w), dtype=np.uint8)
+            v = int(var) % 3
+            if v == 1:
+                payloads.append(encode_gif(idx, pal, interlace=True))
+            elif v == 2:
+                pal2 = np.clip(pal.astype(np.int16) + 7, 0, 255) \
+                    .astype(np.uint8)
+                payloads.append(encode_gif(idx, pal2))
+            else:
+                payloads.append(encode_gif(idx, pal))
+        return batch.append_column("payload",
+                                   pa.array(payloads, pa.binary()))
