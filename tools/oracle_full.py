@@ -75,6 +75,11 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
     ap.add_argument("--start-at", default=None)
+    ap.add_argument("--resume", action="store_true",
+                    help="skip entries already hash-green in --out "
+                         "(restart-after-crash mode: a known Ray 2.49 "
+                         "task-manager crash can kill long sweeps; rerun "
+                         "with --resume until DONE)")
     ap.add_argument("--num-cpus", type=int, default=32)
     args = ap.parse_args()
 
@@ -99,9 +104,14 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     out: dict[str, dict] = {}
-    if os.path.exists(args.out) and (args.start_at or args.only):
+    if os.path.exists(args.out) and (args.start_at or args.only
+                                     or args.resume):
         with open(args.out) as f:
             out = json.load(f)
+    if args.resume:
+        names = [n for n in names
+                 if not (n in out and out[n].get("hash_match"))]
+        print(f"resume: {len(out)} done, {len(names)} to run", flush=True)
 
     t_all = time.time()
     for i, name in enumerate(names):
